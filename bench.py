@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is materialized through the noop sink so every column is
+computed (a bare .count() would let Catalyst prune the projection and
+understate the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from syslog_ng_spark.catalog import QUERIES  # noqa: E402
+from syslog_ng_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_top_customer_orders",
+    "filter_severity",
+    "syslog_parse_3164",
+    "syslog_parse_5424",
+    "csv_parse",
+    "kv_parse",
+    "json_parse_props",
+    "pattern_classify",
+    "rewrite_subst",
+    "grouping_by_sessions",
+    "stats_hourly",
+    "template_format_json",
+    "macro_isodate",
+    "enrich_contextual",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "token_count",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session("syslog-ng-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,974 @@
+"""Query catalog: every operator exposed as a (Spark query, DuckDB
+oracle SQL) pair for the correctness gate.
+
+Conventions (so value-hashes match across engines):
+- every computed column is aliased identically on both sides;
+- double aggregates are round()ed (2 for money, 4 for rates, 6 for
+  ratios) — FP summation order differs across engines;
+- integer outputs are BIGINT on both sides (Spark int -> cast long,
+  DuckDB CASE/ceil/len -> ::BIGINT);
+- LIMIT queries order by a rounded score with an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.datamodel import (
+    EVENT_FACILITY_SQL,
+    EVENT_SEVERITY_SQL,
+    SEVERITY_NAMES,
+    FACILITY_NAMES,
+    event_facility,
+    event_severity,
+    events_as_logs,
+    facility_name,
+    pri,
+    severity_name,
+)
+from syslog_ng_spark.functions import macros
+from syslog_ng_spark.functions.fname import basename, dirname
+from syslog_ng_spark.functions.format import format_json
+from syslog_ng_spark.functions.ipfuncs import ipv4_to_int
+from syslog_ng_spark.functions.strfuncs import replace_delimiter, substr
+from syslog_ng_spark.operators import dedup, similarity, textstats
+from syslog_ng_spark.operators.correlate import grouping_by
+from syslog_ng_spark.operators.enrich import add_contextual_data
+from syslog_ng_spark.operators.filters import (
+    in_list_filter,
+    match_filter,
+    netmask_filter,
+    severity_at_least,
+)
+from syslog_ng_spark.operators.parsers import (
+    csv_parser,
+    date_parser,
+    json_parser,
+    kv_parser,
+    pattern_parser,
+    syslog_parser_3164,
+    syslog_parser_5424,
+)
+from syslog_ng_spark.operators.rewrite import set_field, set_severity, subst
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a benchmark table. `events.ts` is TIMESTAMP(NANOS) in the
+    parquet, which Spark's vectorized reader rejects — read it as long
+    (legacy.parquet.nanosAsLong) and convert with integer division
+    (values are µs-exact; float division would lose precision above
+    2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# §2.9 analytics core (TPC-H-shaped; proves the relational engine)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 2)                                        AS avg_qty,
+       round(avg(l_extendedprice), 2)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q5_region_revenue", _Q5_SQL)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = T(spark, sf_dir, "nation")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    # dim side: customer ⋈ nation ⋈ region collapses to (c_custkey, n_name)
+    # and broadcasts — the 100 TB lineitem side never shuffles for dims.
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+@register("q_top_customer_orders", _TOPN_SQL)
+def q_top_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 filters
+# ---------------------------------------------------------------------------
+
+_SEV_LIST_SQL = "['" + "','".join(SEVERITY_NAMES) + "']"
+_FAC_LIST_SQL = "['" + "','".join(FACILITY_NAMES) + "']"
+
+_FILTER_SEV_SQL = f"""
+WITH logs AS (
+  SELECT event_id,
+         {EVENT_SEVERITY_SQL} AS sev,
+         {EVENT_FACILITY_SQL} AS fac
+  FROM events)
+SELECT event_id,
+       fac::BIGINT AS facility,
+       sev::BIGINT AS severity,
+       (fac * 8 + sev)::BIGINT AS pri,
+       ({_SEV_LIST_SQL})[sev + 1] AS sev_name,
+       ({_FAC_LIST_SQL})[fac + 1] AS fac_name
+FROM logs WHERE sev <= 4
+"""
+
+
+@register("filter_severity", _FILTER_SEV_SQL)
+def filter_severity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    return logs.where(severity_at_least(F.col("severity"), "warning")).select(
+        "event_id",
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        pri(F.col("facility"), F.col("severity")).cast("long").alias("pri"),
+        severity_name(F.col("severity")).alias("sev_name"),
+        facility_name(F.col("facility")).alias("fac_name"),
+    )
+
+
+_FILTER_MATCH_SQL = """
+SELECT doc_id, regexp_extract(text, 'merge (join|sort)', 1) AS what
+FROM documents WHERE regexp_matches(text, 'merge (join|sort)')
+"""
+
+
+@register("filter_match", _FILTER_MATCH_SQL)
+def filter_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return docs.where(match_filter(F.col("text"), "merge (join|sort)")).select(
+        "doc_id", F.regexp_extract("text", "merge (join|sort)", 1).alias("what")
+    )
+
+
+_IN_LIST_IDS = [3, 7, 11, 19, 23, 42, 57, 64, 88, 99, 101, 115, 120, 133, 140]
+
+_FILTER_INLIST_SQL = f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_type IN ('error', 'signup')
+  AND user_id IN ({", ".join(map(str, _IN_LIST_IDS))})
+"""
+
+
+@register("filter_in_list", _FILTER_INLIST_SQL)
+def filter_in_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.where(
+        in_list_filter(F.col("event_type"), ["error", "signup"])
+        & in_list_filter(F.col("user_id"), _IN_LIST_IDS)
+    ).select("event_id", "user_id", "event_type")
+
+
+_IP_SQL = (
+    "'10.' || (user_id % 32)::VARCHAR || '.' || ((user_id * 7) % 256)::VARCHAR"
+    " || '.' || (1 + user_id % 254)::VARCHAR"
+)
+
+_FILTER_NETMASK_SQL = f"""
+WITH w AS (SELECT event_id, {_IP_SQL} AS ip FROM events),
+     p AS (SELECT event_id, ip, string_split(ip, '.') AS o FROM w)
+SELECT event_id, ip,
+       (o[1]::BIGINT * 16777216 + o[2]::BIGINT * 65536
+        + o[3]::BIGINT * 256 + o[4]::BIGINT) AS ip_int
+FROM p
+WHERE (o[1]::BIGINT * 16777216 + o[2]::BIGINT * 65536
+       + o[3]::BIGINT * 256 + o[4]::BIGINT)
+      BETWEEN 168820736 AND 169869311
+"""
+
+
+@register("filter_netmask", _FILTER_NETMASK_SQL)
+def filter_netmask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10.16.0.0/12 → [10.16.0.0, 10.31.255.255] = [168820736, 168951807]
+    ev = T(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    with_ip = ev.select("event_id", ip.alias("ip"))
+    return with_ip.where(netmask_filter(F.col("ip"), "10.16.0.0/12")).select(
+        "event_id", "ip", ipv4_to_int(F.col("ip")).alias("ip_int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 parsers (construct a raw line from events, parse it back, verify
+# the parse recovers the original fields)
+# ---------------------------------------------------------------------------
+
+_MSG_SQL = "event_type || ' value=' || printf('%.3f', value) || ' user=' || user_id::VARCHAR"
+_HOST_SQL = "'host-' || (user_id % 20)::VARCHAR"
+_PROG_SQL = "'svc-' || (user_id % 5)::VARCHAR"
+
+_SYSLOG3164_SQL = f"""
+SELECT event_id,
+       {EVENT_FACILITY_SQL}::BIGINT AS facility,
+       {EVENT_SEVERITY_SQL}::BIGINT AS severity,
+       date_trunc('second', ts) AS ts,
+       {_HOST_SQL} AS host,
+       {_PROG_SQL} AS program,
+       (event_id % 32768)::BIGINT AS pid,
+       {_MSG_SQL} AS message
+FROM events
+"""
+
+
+@register("syslog_parse_3164", _SYSLOG3164_SQL)
+def syslog_parse_3164_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    raw = F.concat(
+        F.lit("<"),
+        pri(F.col("facility"), F.col("severity")).cast("string"),
+        F.lit(">"),
+        macros.date(F.col("ts")),
+        F.lit(" "),
+        F.col("host"),
+        F.lit(" "),
+        F.col("program"),
+        F.lit("["),
+        F.col("pid").cast("string"),
+        F.lit("]: "),
+        F.col("message"),
+    )
+    lines = logs.select(raw.alias("raw"), "event_id")
+    parsed = syslog_parser_3164(lines, year=2024)
+    return parsed.select(
+        "event_id",
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        "ts",
+        "host",
+        "program",
+        F.col("pid").cast("long").alias("pid"),
+        "message",
+    )
+
+
+_SYSLOG5424_SQL = f"""
+SELECT event_id,
+       {EVENT_FACILITY_SQL}::BIGINT AS facility,
+       {EVENT_SEVERITY_SQL}::BIGINT AS severity,
+       1::BIGINT AS version,
+       ts,
+       {_HOST_SQL} AS host,
+       {_PROG_SQL} AS program,
+       (event_id % 32768)::BIGINT AS pid,
+       'ID47' AS msgid,
+       json_extract_string(props, '$.k') AS sd_k,
+       user_id::VARCHAR AS sd_user,
+       {_MSG_SQL} AS message
+FROM events
+"""
+
+
+@register("syslog_parse_5424", _SYSLOG5424_SQL)
+def syslog_parse_5424_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z"))
+    raw = F.concat(
+        F.lit("<"),
+        pri(F.col("facility"), F.col("severity")).cast("string"),
+        F.lit(">1 "),
+        iso,
+        F.lit(" "),
+        F.col("host"),
+        F.lit(" "),
+        F.col("program"),
+        F.lit(" "),
+        F.col("pid").cast("string"),
+        F.lit(" ID47 [ex@1 k=\""),
+        F.element_at(F.col("sdata"), "k"),
+        F.lit("\" ut=\""),
+        F.col("user_id").cast("string"),
+        F.lit("\"] "),
+        F.col("message"),
+    )
+    lines = logs.select(raw.alias("raw"), "event_id")
+    parsed = syslog_parser_5424(lines)
+    return parsed.select(
+        "event_id",
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        F.col("version").cast("long").alias("version"),
+        "ts",
+        "host",
+        "program",
+        F.col("pid").cast("long").alias("pid"),
+        "msgid",
+        F.element_at(F.col("sdata"), "ex@1.k").alias("sd_k"),
+        F.element_at(F.col("sdata"), "ex@1.ut").alias("sd_user"),
+        "message",
+    )
+
+
+_CSV_SQL = """
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       printf('%.2f', o_totalprice) AS total,
+       o_orderpriority AS priority,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate
+FROM orders
+"""
+
+
+@register("csv_parse", _CSV_SQL)
+def csv_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    lines = orders.select(line.alias("line"))
+    parsed = csv_parser(lines, "line", ["okey", "status", "total", "priority", "odate"])
+    return parsed.select(
+        F.col("okey").cast("long").alias("o_orderkey"),
+        "status",
+        "total",
+        "priority",
+        "odate",
+    )
+
+
+_KV_SQL = """
+SELECT event_id,
+       user_id::VARCHAR AS user_s,
+       event_type AS type_s,
+       printf('%.3f', value) AS value_s,
+       json_extract_string(props, '$.k') AS k_s
+FROM events
+"""
+
+
+@register("kv_parse", _KV_SQL)
+def kv_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    kvline = F.format_string(
+        "user=%d type=%s value=%.3f k=%s",
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.get_json_object("props", "$.k"),
+    )
+    parsed = kv_parser(ev.select("event_id", kvline.alias("kvline")), "kvline")
+    return parsed.select(
+        "event_id",
+        F.element_at("kv", "user").alias("user_s"),
+        F.element_at("kv", "type").alias("type_s"),
+        F.element_at("kv", "value").alias("value_s"),
+        F.element_at("kv", "k").alias("k_s"),
+    )
+
+
+_JSON_SQL = """
+SELECT json_extract_string(props, '$.k') AS k_str, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register("json_parse_props", _JSON_SQL)
+def json_parse_props_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    parsed = json_parser(ev, "props", target="sdata")
+    return parsed.groupBy(F.element_at("sdata", "k").alias("k_str")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_DATE_SQL = """
+SELECT event_id, date_trunc('second', ts) AS ts_parsed FROM events
+"""
+
+
+@register("date_parse", _DATE_SQL)
+def date_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    strs = ev.select("event_id", F.date_format("ts", "yyyy/MM/dd HH:mm:ss").alias("s"))
+    return date_parser(strs, "s", "yyyy/MM/dd HH:mm:ss", target="ts_parsed").select(
+        "event_id", "ts_parsed"
+    )
+
+
+_PATTERN_SQL = f"""
+WITH logs AS (SELECT event_id, {_MSG_SQL} AS message FROM events)
+SELECT event_id, message,
+       CASE WHEN regexp_matches(message, '^error') THEN 'error-event'
+            WHEN regexp_matches(message, 'value=9[0-9]\\.') THEN 'high-value'
+            WHEN regexp_matches(message, '^(purchase|signup)') THEN 'business'
+            WHEN regexp_matches(message, 'user=1[0-9]$') THEN 'low-uid'
+            ELSE 'other' END AS msg_class
+FROM logs
+"""
+
+_PATTERN_RULES = [
+    ("^error", "error-event"),
+    ("value=9[0-9]\\.", "high-value"),
+    ("^(purchase|signup)", "business"),
+    ("user=1[0-9]$", "low-uid"),
+]
+
+
+@register("pattern_classify", _PATTERN_SQL)
+def pattern_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    out = pattern_parser(
+        logs.select("event_id", "message"), "message", _PATTERN_RULES, target="msg_class",
+        default="other",
+    )
+    return out.select("event_id", "message", "msg_class")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 rewrite
+# ---------------------------------------------------------------------------
+
+_REWRITE_SET_SQL = f"""
+WITH logs AS (
+  SELECT event_id, user_id, value, event_type,
+         {_HOST_SQL} AS host,
+         {EVENT_SEVERITY_SQL} AS sev
+  FROM events)
+SELECT event_id,
+       CASE WHEN user_id % 10 = 0 THEN 'REDACTED' ELSE host END AS host,
+       CASE WHEN event_type = 'error' AND value > 90 THEN 2 ELSE sev END::BIGINT AS severity
+FROM logs
+"""
+
+
+@register("rewrite_set", _REWRITE_SET_SQL)
+def rewrite_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    out = set_field(logs, "host", F.lit("REDACTED"), condition=F.col("user_id") % 10 == 0)
+    out = set_severity(out, "crit", condition=(F.col("tags")[1] == "error") & (F.col("value") > 90))
+    return out.select("event_id", "host", F.col("severity").cast("long").alias("severity"))
+
+
+_REWRITE_SUBST_SQL = """
+SELECT doc_id, regexp_replace(text, '(join|sort)', 'X', 'g') AS text_subst
+FROM documents
+"""
+
+
+@register("rewrite_subst", _REWRITE_SUBST_SQL)
+def rewrite_subst_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    out = subst(docs.select("doc_id", "text"), "text", "(join|sort)", "X")
+    return out.select("doc_id", F.col("text").alias("text_subst"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 correlation / stats
+# ---------------------------------------------------------------------------
+
+_GROUPING_BY_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+sessions AS (
+  SELECT *, (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       count(*) AS context_length,
+       min(ts) AS time_first,
+       max(ts) AS time_last,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+HAVING count(*) >= 2
+"""
+
+
+@register("grouping_by_sessions", _GROUPING_BY_SQL)
+def grouping_by_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    out = grouping_by(
+        ev,
+        key=["user_id"],
+        aggregates={"sum_value": F.round(F.sum("value"), 2)},
+        ts="ts",
+        timeout=1800,
+        having=F.col("context_length") >= 2,
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "session_id", "context_length", "time_first", "time_last", "sum_value"
+    )
+
+
+_STATS_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("stats_hourly", _STATS_SQL)
+def stats_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 template functions / macros
+# ---------------------------------------------------------------------------
+
+_FORMAT_JSON_SQL = f"""
+WITH logs AS (SELECT event_id, event_type, {EVENT_SEVERITY_SQL} AS sev, value FROM events)
+SELECT event_id,
+       '{{"event_id":' || event_id || ',"type":"' || event_type
+         || '","severity":' || sev || ',"val":"' || printf('%.2f', value) || '"}}' AS js
+FROM logs
+"""
+
+
+@register("template_format_json", _FORMAT_JSON_SQL)
+def template_format_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    js = format_json(
+        event_id=F.col("event_id"),
+        type=F.col("event_type"),
+        severity=event_severity(F.col("event_type")),
+        val=F.format_string("%.2f", F.col("value")),
+    )
+    return ev.select("event_id", js.alias("js"))
+
+
+_STRFUNCS_SQL = """
+WITH paths AS (
+  SELECT *, '/data/' || source || '/' || doc_id::VARCHAR || '.txt' AS path
+  FROM documents)
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS up,
+       lpad(source, 8, '0') AS pad,
+       regexp_replace(lang, '[aeiou]', '*', 'g') AS repl,
+       length(text)::BIGINT AS n_len,
+       regexp_extract(path, '([^/]*)$', 1) AS base,
+       regexp_replace(path, '/[^/]*$', '') AS dir
+FROM paths
+"""
+
+
+@register("template_strfuncs", _STRFUNCS_SQL)
+def template_strfuncs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    path = F.concat(F.lit("/data/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt"))
+    staged = docs.withColumn("path", path)
+    return staged.select(
+        "doc_id",
+        F.upper(substr(F.col("text"), 0, 12)).alias("up"),
+        F.lpad(F.col("source"), 8, "0").alias("pad"),
+        replace_delimiter(F.col("lang"), "aeiou", "*").alias("repl"),
+        F.length("text").cast("long").alias("n_len"),
+        basename(F.col("path")).alias("base"),
+        dirname(F.col("path")).alias("dir"),
+    )
+
+
+_NUMFUNCS_SQL = """
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+       round(l_quantity + l_linenumber, 2) AS q_plus,
+       round(l_extendedprice - l_quantity, 2) AS q_minus,
+       round(l_quantity * l_tax, 4) AS q_mult,
+       floor(l_extendedprice / greatest(l_quantity, 1))::BIGINT AS q_div,
+       (l_partkey % 7)::BIGINT AS q_mod,
+       ceil(l_extendedprice)::BIGINT AS q_ceil,
+       floor(l_extendedprice)::BIGINT AS q_floor,
+       round(l_extendedprice, 1) AS q_round
+FROM lineitem
+"""
+
+
+@register("template_numfuncs", _NUMFUNCS_SQL)
+def template_numfuncs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.col("l_quantity") + F.col("l_linenumber"), 2).alias("q_plus"),
+        F.round(F.col("l_extendedprice") - F.col("l_quantity"), 2).alias("q_minus"),
+        F.round(F.col("l_quantity") * F.col("l_tax"), 4).alias("q_mult"),
+        F.floor(F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1)))
+        .cast("long")
+        .alias("q_div"),
+        (F.col("l_partkey") % 7).cast("long").alias("q_mod"),
+        F.ceil(F.col("l_extendedprice")).cast("long").alias("q_ceil"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("q_floor"),
+        F.round(F.col("l_extendedprice"), 1).alias("q_round"),
+    )
+
+
+_MACROS_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS iso,
+       strftime(ts, '%Y') AS yyyy,
+       strftime(ts, '%m') AS mm,
+       strftime(ts, '%d') AS dd,
+       strftime(ts, '%H') AS hh,
+       (dayofweek(ts) + 1)::BIGINT AS wday,
+       floor(epoch(ts))::BIGINT AS unixtime,
+       strftime(ts, '%b') || ' ' || lpad(day(ts)::VARCHAR, 2, ' ')
+         || ' ' || strftime(ts, '%H:%M:%S') AS bsd
+FROM events
+"""
+
+
+@register("macro_isodate", _MACROS_SQL)
+def macro_isodate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        macros.isodate(ts).alias("iso"),
+        macros.year(ts).alias("yyyy"),
+        macros.month(ts).alias("mm"),
+        macros.day(ts).alias("dd"),
+        macros.hour(ts).alias("hh"),
+        macros.week_day(ts).cast("long").alias("wday"),
+        macros.unixtime(ts).cast("long").alias("unixtime"),
+        macros.date(ts).alias("bsd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 enrichment
+# ---------------------------------------------------------------------------
+
+_ENRICH_SQL = """
+SELECT c_custkey, n_name, r_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@register("enrich_contextual", _ENRICH_SQL)
+def enrich_contextual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    step1 = add_contextual_data(cust, nation, "c_nationkey", "n_nationkey")
+    step2 = add_contextual_data(step1, region, "n_regionkey", "r_regionkey")
+    return step2.select("c_custkey", "n_name", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 LLM-pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    kept = dedup.dedup_exact(docs, "text", "doc_id")
+    return kept.select(F.md5(dedup.normalize_text(F.col("text"))).alias("fp"), "doc_id")
+
+
+_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS shingle
+  FROM toks WHERE len(t) >= 3),
+pruned AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000)),
+sz AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM pruned a JOIN pruned b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common / (x.sz + y.sz - common), 6) AS jaccard
+FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8
+"""
+
+
+@register("dedup_jaccard", _JACCARD_SQL)
+def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, df_cap=1000)
+
+
+@register("dedup_minhash_lsh")  # no oracle: verified rows-only + pytest vs jaccard
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, n=3)
+
+
+@register("dedup_simhash")  # no oracle: verified rows-only + pytest determinism
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=32)
+
+
+_ANN_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register("ann_cosine_topk", _ANN_SQL)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0)
+    corpus = emb.where(F.col("vec_id") != 0)
+    return similarity.cosine_topk_bruteforce(corpus, query, k=10)
+
+
+_STOP_SQL = "['" + "','".join(textstats.STOPWORDS) + "']"
+
+_QUALITY_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks)::BIGINT AS n_tokens,
+         round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+               / greatest(len(toks), 1), 6) AS stopword_ratio,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1), 6) AS alpha_ratio,
+         round(list_sum(list_transform(toks, x -> length(x)))
+               / greatest(len(toks), 1), 6) AS avg_token_len
+  FROM n)
+SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, avg_token_len,
+       round(((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+              + alpha_ratio) / 3.0, 6) AS quality
+FROM m
+"""
+
+
+@register("text_quality", _QUALITY_SQL)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(c).cast("long").alias("n_tokens"),
+        textstats.stopword_ratio(c).alias("stopword_ratio"),
+        textstats.alpha_ratio(c).alias("alpha_ratio"),
+        textstats.avg_token_len(c).alias("avg_token_len"),
+        textstats.quality_score(c).alias("quality"),
+    )
+
+
+_TOKEN_SQL = f"""
+SELECT doc_id,
+       len(string_split({_NORM_SQL}, ' '))::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(text),
+           '[a-z0-9]+(?:''[a-z]+)?|[^a-z0-9\\s]'))::BIGINT AS n_subwords
+FROM documents
+"""
+
+
+@register("token_count", _TOKEN_SQL)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(c).cast("long").alias("n_tokens"),
+        textstats.bpe_ish_count(c).cast("long").alias("n_subwords"),
+    )
+
+
+_FP_SQL = f"""
+SELECT doc_id, substr(md5({_NORM_SQL}), 1, 16) AS fp FROM documents
+"""
+
+
+@register("doc_fingerprint", _FP_SQL)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+_LANG_SQL = """
+WITH n AS (
+  SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS s_en,
+         len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))) AS s_fr,
+         len(list_filter(toks, x -> list_contains(['el','la','y','es'], x))) AS s_es,
+         len(list_filter(toks, x -> list_contains(['der','die','und','ist'], x))) AS s_de,
+         len(list_filter(toks, x -> list_contains(['de','shi','he','zai'], x))) AS s_zh
+  FROM n)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+            WHEN s_en >= greatest(s_fr, s_es, s_de, s_zh) THEN 'en'
+            WHEN s_fr >= greatest(s_es, s_de, s_zh) THEN 'fr'
+            WHEN s_es >= greatest(s_de, s_zh) THEN 'es'
+            WHEN s_de >= s_zh THEN 'de'
+            ELSE 'zh' END AS lang_pred
+FROM s
+"""
+
+
+@register("lang_id", _LANG_SQL)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_pred"))

@@ -1,0 +1,73 @@
+"""Stateful correlation — grouping-by() re-expressed for Spark.
+
+Reference: modules/dbparser/groupingby.c — groups messages by a key
+template into a correlation context that closes after `timeout()`
+seconds of inactivity, then emits one synthetic message aggregated
+over the context (count/sum/avg via $(context-*) functions,
+lib's context-funcs.c), optionally gated by having().
+
+Batch semantics: a context == a *session* — a maximal run of events
+per key where consecutive gaps <= timeout. We derive session ids with
+window functions (lag + running sum of boundary flags). This is one
+shuffle on the key, all JVM-side; at 100 TB the shuffle is keyed by
+the correlation key so it parallelizes across executors, and skewed
+keys are split by AQE skew-join/partial agg.
+
+Streaming semantics: see syslog_ng_spark/streaming/grouping_by.py
+(session_window + watermark — Spark's native analog of the reference
+timer wheel, modules/dbparser/timerwheel.c).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: Sequence[str],
+    ts: str = "ts",
+    timeout: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a `session_id` (0-based per key) using gap > timeout as the
+    context boundary. Deterministic ordering: (ts, tiebreak)."""
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(*key).orderBy(*order)
+    prev_ts = F.lag(F.col(ts)).over(w)
+    gap = F.col(ts).cast("double") - prev_ts.cast("double")
+    is_new = F.when(prev_ts.isNull() | (gap > timeout), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
+def grouping_by(
+    df: DataFrame,
+    key: Sequence[str],
+    aggregates: dict[str, Column],
+    ts: str = "ts",
+    timeout: int = 1800,
+    having: Column | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """grouping-by(key(...) timeout(...) aggregate(...) having(...)).
+
+    `aggregates` maps output column name → agg expression; time_first /
+    time_last / context_length are always emitted (the reference's
+    $(context-length), ${TIME_FIRST}/${TIME_LAST} macros,
+    lib/template/macros.c M_TIME_FIRST)."""
+    sessions = sessionize(df, key, ts=ts, timeout=timeout, order_tiebreak=order_tiebreak)
+    aggs = [
+        F.count(F.lit(1)).alias("context_length"),
+        F.min(ts).alias("time_first"),
+        F.max(ts).alias("time_last"),
+    ] + [expr.alias(name) for name, expr in aggregates.items()]
+    out = sessions.groupBy(*key, "session_id").agg(*aggs)
+    if having is not None:
+        out = out.filter(having)
+    return out

@@ -1,0 +1,165 @@
+"""Deduplication operators (LLM-pipeline extensions).
+
+Exact, n-gram Jaccard, MinHash+LSH and SimHash near-dup detection over
+a text column. All hashes derive from md5 (JVM builtin) so results are
+deterministic AND reproducible in the DuckDB oracle.
+
+Scale notes (100 TB):
+- exact: one shuffle on a 16-byte key; partial agg applies.
+- jaccard: |pairs| is bounded by document-frequency pruning (df_cap);
+  without it, stop-shingles produce quadratic blowup on skewed keys.
+- minhash-LSH: candidate generation is linear in corpus size (band
+  buckets), the classic alternative to the quadratic shingle join.
+- simhash: 64-bit signatures bucketed by 16-bit chunks (hamming<=3 →
+  at least one of 4 chunks equal, pigeonhole) — again linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(c):
+    """lower + collapse whitespace + trim — shared by all dedup ops."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) text.
+
+    One shuffle on md5(text); the winner is chosen with min(id) —
+    cheaper than a window (partial aggregation map-side)."""
+    keyed = df.withColumn("_k", F.md5(normalize_text(F.col(text_col))))
+    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, [ "_k", id_col], "inner").drop("_k")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "shingle") -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.withColumn(target, F.explode(F.array_distinct(grams)))
+        .where(F.size(toks) >= n)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold.
+
+    Pipeline: shingle-explode → df-prune hot shingles (df_cap) →
+    self-join on shingle → count common → join sizes → filter. The
+    df_cap prune is the skew guard: a shingle shared by k docs creates
+    k^2 candidate pairs."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(id_col, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= df_cap)
+    pruned = sh.join(hot.select("shingle"), "shingle")
+    a = pruned.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pruned.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _md5_long(c, salt: int):
+    """First 15 hex chars of md5(salt||x) as a bigint — deterministic,
+    portable to DuckDB (same construction in SQL)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), c)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signature: for each of `num_hashes` salted md5 hash
+    functions, the min hash over the document's shingle set."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=n)
+    aggs = [
+        F.min(_md5_long(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: signatures split into `bands` bands of
+    num_hashes/bands rows; docs sharing any full band collide.
+    Candidates are linear-ish in corpus size; verify with jaccard or
+    signature agreement downstream."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"mh_{bi * rows + r}").cast("string") for r in range(rows)]
+        ).alias(f"band_{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over word tokens: bit i of the signature is the sign of
+    sum over tokens of (+1 if bit i of md5(token) else -1).
+
+    Vector math is done with array columns (JVM); 32 bits keeps the
+    oracle SQL tractable while preserving the algorithm shape."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tokened = df.select(id_col, F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    with_bits = tokened.select(
+        id_col,
+        *[
+            (F.when(((h / (1 << i)).cast("long") % 2) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    sums = with_bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)])
+    sig = sums.select(
+        id_col,
+        sum(
+            [F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return sig

@@ -1,0 +1,85 @@
+"""Filter expressions.
+
+Reference: lib/filter/* — filters are boolean expression trees over a
+LogMessage. Here each filter returns a ``Column`` (boolean) so they
+compose with ``&``/``|``/``~`` exactly like the reference's and/or/not
+(lib/filter/filter-op.c), and Catalyst pushes the conjunctions down to
+the parquet scan (verify: PushedFilters in explain()).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.datamodel import FACILITY_NAMES, SEVERITY_NAMES
+from syslog_ng_spark.functions.ipfuncs import in_netmask  # noqa: F401  (re-export)
+
+
+def _sev_num(level: int | str) -> int:
+    return level if isinstance(level, int) else SEVERITY_NAMES.index(level)
+
+
+def _fac_num(fac: int | str) -> int:
+    return fac if isinstance(fac, int) else FACILITY_NAMES.index(fac)
+
+
+def severity_filter(severity: Column, lo: int | str, hi: int | str | None = None) -> Column:
+    """level(err) / level(warning..emerg) (reference: lib/filter/filter-pri.c).
+
+    Note severity 0 is most urgent; level(err..emerg) means sev <= 3.
+    A single level means exactly that level.
+    """
+    lo_n = _sev_num(lo)
+    if hi is None:
+        return severity == lo_n
+    hi_n = _sev_num(hi)
+    lo_n, hi_n = min(lo_n, hi_n), max(lo_n, hi_n)
+    return (severity >= lo_n) & (severity <= hi_n)
+
+
+def severity_at_least(severity: Column, level: int | str) -> Column:
+    """Messages at `level` urgency or worse (sev <= level)."""
+    return severity <= _sev_num(level)
+
+
+def facility_filter(facility: Column, *facs: int | str) -> Column:
+    return facility.isin([_fac_num(f) for f in facs])
+
+
+def match_filter(col: Column, pattern: str) -> Column:
+    """program()/host()/message() regex matching (lib/filter/filter-re.c)."""
+    return col.rlike(pattern)
+
+
+def in_list_filter(col: Column, values: Iterable) -> Column:
+    """in-list() (lib/filter/filter-in-list.c). For big lists prefer
+    `in_list_join` (broadcast semi-join) — isin() inlines literals into
+    the plan which breaks down at ~10k values."""
+    return col.isin(list(values))
+
+
+def in_list_join(df: DataFrame, col: str, values_df: DataFrame, value_col: str) -> DataFrame:
+    """Scale path for in-list(): broadcast LEFT SEMI join against the
+    list relation instead of literal IN — O(1) plan size, works for
+    million-entry lists."""
+    return df.join(
+        F.broadcast(values_df.select(F.col(value_col).alias(col)).distinct()),
+        on=col,
+        how="left_semi",
+    )
+
+
+def netmask_filter(ip_col: Column, cidr: str) -> Column:
+    """netmask() (lib/filter/filter-netmask.c) as int range compare."""
+    return in_netmask(ip_col, cidr)
+
+
+def tags_filter(tags: Column, *wanted: str) -> Column:
+    """tags() (lib/filter/filter-tags.c) — any of the given tags set."""
+    cond = F.array_contains(tags, wanted[0])
+    for t in wanted[1:]:
+        cond = cond | F.array_contains(tags, t)
+    return cond

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing (LLM-pipeline extension).
+
+Images/audio/video ride as opaque ``binary`` columns plus typed
+metadata. The Spark-side machinery — schema, Arrow batching via
+mapInPandas, partition sizing — is real and tested; the actual codec
+calls are stubbed (image/audio libraries are not in this container)
+behind `DECODERS`, which a deployment replaces with PIL/ffmpeg calls.
+
+Scale notes: binary payloads dominate row size, so
+`spark.sql.files.maxPartitionBytes` governs batch memory; mapInPandas
+streams Arrow record batches so a partition never fully materializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_id long, kind string, payload binary, mime string, n_bytes long"
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, sha256 string, feat array<float>"
+
+
+def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata columns every multimodal pipeline needs up front —
+    computed JVM-side (no decode)."""
+    return df.withColumns(
+        {
+            "n_bytes": F.length(F.col(payload_col)).cast("long"),
+            "sha256": F.sha2(F.col(payload_col), 256),
+        }
+    )
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: features derived from
+    the payload digest. Replace via DECODERS for real codecs."""
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:dim]]
+
+
+def _real_decode_unavailable(payload: bytes, dim: int = 8) -> list[float]:
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "swap DECODERS['decode'] for a PIL/torchaudio/ffmpeg-backed fn"
+    )
+
+
+DECODERS = {"decode": _fake_decode_features}
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, per-batch decode
+    loop runs in Python but payload bytes cross once, columnar."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = DECODERS["decode"]
+        for pdf in batches:
+            feats = [decode(p, dim) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "feat": feats,
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: emits (media_id, frame_idx) rows for
+    a downstream decoder — demonstrates explode-based fan-out sizing
+    without decoding. n_frames is stubbed as n_bytes//1000."""
+    n_frames = (F.col("n_bytes") / 1000).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return df.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = repeated id
+    bytes; sizes vary by id)."""
+    rows = [
+        (i, ["image", "audio", "video"][i % 3], bytes([i % 256]) * (100 + 37 * (i % 13)), "application/octet-stream")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, mime string")
+    return attach_metadata(df)

@@ -1,0 +1,179 @@
+"""Parsers: raw line → structured columns.
+
+Reference semantics:
+- RFC3164/BSD: modules/syslogformat/syslog-format.c (log_msg_parse_legacy)
+- RFC5424/IETF: same file, log_msg_parse_syslog_proto
+- csv-parser: modules/csvparser/csvparser.c
+- kv-parser: modules/kvformat/kv-scanner.c
+- json-parser: modules/json/json-parser.c
+- date-parser: modules/timestamp/date-parser.c
+- db-parser (patterndb): modules/dbparser/patterndb.c + radix.c —
+  ordered first-match ruleset; the reference uses a radix trie, we emit
+  a Catalyst CASE/WHEN chain (constant-folded, codegen'd) which the
+  optimizer can short-circuit per row.
+
+Everything is `regexp_extract` / `from_json` / `str_to_map` on the JVM:
+no Python in the row path, so parses vectorize inside whole-stage
+codegen and scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType
+
+# <PRI>MMM dd HH:mm:ss HOST PROGRAM[PID]: MSG
+RFC3164_RE = (
+    r"^(?:<(\d{1,3})>)?"  # 1 pri (optional)
+    r"([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "  # 2 timestamp
+    r"(\S+) "  # 3 host
+    r"([^\s:\[]+)(?:\[(\d+)\])?: "  # 4 program, 5 pid
+    r"(.*)$"  # 6 message
+)
+
+# <PRI>VERSION ISOTIMESTAMP HOST APP-NAME PROCID MSGID [SD] MSG
+RFC5424_RE = (
+    r"^<(\d{1,3})>(\d) "  # 1 pri, 2 version
+    r"(\S+) "  # 3 timestamp
+    r"(\S+) (\S+) (\S+) (\S+) "  # 4 host, 5 app, 6 procid, 7 msgid
+    r"(-|(?:\[.*?\])+)"  # 8 structured data
+    r"(?: (.*))?$"  # 9 message
+)
+
+
+def syslog_parser_3164(df: DataFrame, raw: str = "raw", year: int = 2024) -> DataFrame:
+    """Parse BSD-syslog lines. BSD stamps carry no year; the reference
+    infers it from the current time (syslog-format.c), we take it as an
+    argument for determinism."""
+    c = F.col(raw)
+    pri = F.regexp_extract(c, RFC3164_RE, 1)
+    stamp = F.regexp_extract(c, RFC3164_RE, 2)
+    # normalize space-padded day ('Jan  5') for to_timestamp
+    stamp_norm = F.regexp_replace(stamp, "  ", " ")
+    return df.select(
+        F.when(pri != "", pri.cast("int") / 8).cast("int").alias("facility"),
+        F.when(pri != "", pri.cast("int") % 8).cast("int").alias("severity"),
+        F.to_timestamp(
+            F.concat(F.lit(str(year) + " "), stamp_norm), "yyyy MMM d HH:mm:ss"
+        ).alias("ts"),
+        F.regexp_extract(c, RFC3164_RE, 3).alias("host"),
+        F.regexp_extract(c, RFC3164_RE, 4).alias("program"),
+        F.nullif(F.regexp_extract(c, RFC3164_RE, 5), F.lit("")).cast("int").alias("pid"),
+        F.regexp_extract(c, RFC3164_RE, 6).alias("message"),
+        *[F.col(x) for x in df.columns if x != raw],
+    )
+
+
+def syslog_parser_5424(df: DataFrame, raw: str = "raw") -> DataFrame:
+    """Parse RFC5424 lines incl. structured-data → map<string,string>
+    of 'sdid.param' keys (reference flattens SD the same way into
+    .SDATA.sdid.param name-value pairs)."""
+    c = F.col(raw)
+    pri = F.regexp_extract(c, RFC5424_RE, 1).cast("int")
+    staged = df.withColumn("_sd", F.regexp_extract(c, RFC5424_RE, 8))
+    # '[id k="v" k2="v2"][id2 ...]' → map('id.k' -> 'v', ...)
+    pairs = F.expr(
+        "map_from_entries(flatten(transform("
+        "  regexp_extract_all(_sd, r'\\[([^\\]]*)\\]', 1),"
+        "  elem -> transform("
+        "    regexp_extract_all(elem, r'(\\S+)=\"([^\"]*)\"', 0),"
+        "    kv -> struct("
+        "      concat(split(elem, ' ')[0], '.', regexp_extract(kv, r'(\\S+)=\"', 1)) as key,"
+        "      regexp_extract(kv, r'=\"([^\"]*)\"', 1) as value)))))"
+    )
+    return staged.select(
+        (pri / 8).cast("int").alias("facility"),
+        (pri % 8).cast("int").alias("severity"),
+        F.regexp_extract(c, RFC5424_RE, 2).cast("int").alias("version"),
+        F.to_timestamp(F.nullif(F.regexp_extract(c, RFC5424_RE, 3), F.lit("-"))).alias("ts"),
+        F.nullif(F.regexp_extract(c, RFC5424_RE, 4), F.lit("-")).alias("host"),
+        F.nullif(F.regexp_extract(c, RFC5424_RE, 5), F.lit("-")).alias("program"),
+        F.nullif(F.regexp_extract(c, RFC5424_RE, 6), F.lit("-")).cast("int").alias("pid"),
+        F.nullif(F.regexp_extract(c, RFC5424_RE, 7), F.lit("-")).alias("msgid"),
+        F.when(F.col("_sd") == "-", F.create_map().cast("map<string,string>"))
+        .otherwise(pairs)
+        .alias("sdata"),
+        F.regexp_extract(c, RFC5424_RE, 9).alias("message"),
+        *[F.col(x) for x in df.columns if x != raw],
+    )
+
+
+def csv_parser(
+    df: DataFrame, col: str, names: Sequence[str], sep: str = ",", drop: bool = True
+) -> DataFrame:
+    """csv-parser(columns(...)): split a column into named fields.
+
+    Uses `from_csv` for quote-aware splitting (csvparser.c supports
+    quote pairs); plain split would break on quoted separators.
+    """
+    schema = ", ".join(f"`{n}` string" for n in names)
+    parsed = F.from_csv(F.col(col), schema, {"sep": sep})
+    out = df.withColumn("_csv", parsed)
+    for n in names:
+        out = out.withColumn(n, F.col(f"_csv.{n}"))
+    out = out.drop("_csv")
+    return out.drop(col) if drop else out
+
+
+def kv_parser(
+    df: DataFrame, col: str, target: str = "kv", pair_sep: str = " ", kv_sep: str = "="
+) -> DataFrame:
+    """kv-parser(): 'k=v k2=v2' → map<string,string>.
+
+    Reference: modules/kvformat/kv-scanner.c. `str_to_map` is a JVM
+    builtin; values containing the pair separator need the quoted form
+    (handled by kv_parser_quoted below).
+    """
+    return df.withColumn(target, F.str_to_map(F.col(col), F.lit(pair_sep), F.lit(kv_sep)))
+
+
+def kv_parser_quoted(df: DataFrame, col: str, target: str = "kv") -> DataFrame:
+    """kv-scanner's quoted-value mode: k="v with spaces" k2=v2."""
+    entries = F.expr(
+        f"""
+        map_from_entries(
+          transform(
+            regexp_extract_all({col}, '(\\\\S+)=("[^"]*"|\\\\S*)', 0),
+            kv -> struct(
+              regexp_extract(kv, '^([^=]+)=', 1) as key,
+              regexp_replace(regexp_extract(kv, '=(.*)$', 1), '^"|"$', '') as value)
+          )
+        )
+        """.strip()
+    )
+    return df.withColumn(target, entries)
+
+
+def json_parser(df: DataFrame, col: str, target: str = "sdata") -> DataFrame:
+    """json-parser(): JSON object string → map<string,string> (reference
+    flattens scalar members into NV pairs; nested objects keep their
+    JSON rendering as the value)."""
+    return df.withColumn(target, F.from_json(F.col(col), MapType(StringType(), StringType())))
+
+
+def date_parser(df: DataFrame, col: str, fmt: str, target: str = "ts") -> DataFrame:
+    """date-parser(format(...)): string → timestamp with explicit format
+    (reference: modules/timestamp/date-parser.c, strptime-driven)."""
+    return df.withColumn(target, F.to_timestamp(F.col(col), fmt))
+
+
+def pattern_parser(
+    df: DataFrame,
+    col: str,
+    rules: Sequence[tuple[str, str]],
+    target: str = "class",
+    default: str = "unknown",
+) -> DataFrame:
+    """db-parser/patterndb classification: ordered (pattern, class)
+    rules, first match wins (reference: modules/dbparser/radix.c walks a
+    prefix trie; Catalyst's short-circuit CASE WHEN gives the same
+    first-match semantics and is codegen'd)."""
+    expr = None
+    for pattern, cls in rules:
+        cond = F.col(col).rlike(pattern)
+        expr = F.when(cond, F.lit(cls)) if expr is None else expr.when(cond, F.lit(cls))
+    expr = expr.otherwise(F.lit(default)) if expr is not None else F.lit(default)
+    return df.withColumn(target, expr)

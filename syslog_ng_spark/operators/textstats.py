@@ -1,0 +1,110 @@
+"""Text analysis operators (LLM-pipeline extensions).
+
+Quality scoring, token counting, language-ID heuristic, and document
+fingerprinting over a text column. Every op is a JVM column expression
+(regex + arithmetic) so it runs inside whole-stage codegen; all are
+deterministic and SQL-portable for oracle verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+# tiny per-language stopword tables for the n-gram/stopword-hit
+# language heuristic (deterministic, SQL-expressible)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "y", "es"],
+    "de": ["der", "die", "und", "ist"],
+    "zh": ["de", "shi", "he", "zai"],
+}
+
+TOKEN_RE = r"[a-z0-9]+(?:'[a-z]+)?|[^a-z0-9\s]"
+
+
+def tokens(c: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_count(c: Column) -> Column:
+    """BPE-ish subword proxy: count of TOKEN_RE matches on lowered text
+    (words + punctuation as separate tokens)."""
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0))
+
+
+def stopword_ratio(c: Column) -> Column:
+    toks = tokens(c)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def alpha_ratio(c: Column) -> Column:
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.round(alpha / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def avg_token_len(c: Column) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + alphabetic density (Gopher-style rules, arithmetic only)."""
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.0)
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.0)
+    return F.round((len_ok + sw_ok + alpha_ratio(c)) / 3.0, 6)
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-hit argmax over LANG_MARKERS; ties go to the earlier
+    language in the table (deterministic)."""
+    toks = tokens(c)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))))
+    # deterministic argmax via struct-max: ties broken by table order
+    packed = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang"))
+            for i, (lang, s) in enumerate(scores)
+        ]
+    )
+    top = F.array_max(packed)
+    return F.when(top["score"] > 0, top["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column, width: int = 16) -> Column:
+    """Document fingerprint: md5 of normalized text, truncated — the
+    cheap exactdup / shard-routing key."""
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.substring(F.md5(norm), 1, width)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_subwords": bpe_ish_count(c),
+            "avg_token_len": avg_token_len(c),
+            "stopword_ratio": stopword_ratio(c),
+            "alpha_ratio": alpha_ratio(c),
+            "quality": quality_score(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,41 @@
+"""SparkSession factory with scale-aware defaults.
+
+The engine targets large clusters (100 TB inputs, ~1000 executors); on a
+cluster these settings come from spark-submit. Locally we default to
+``local[$SPARK_GRAFT_CPUS]`` and a shuffle-partition count that matches
+the core count so tiny test inputs don't fragment into empty tasks.
+
+Key choices (scale rationale):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces hand-tuned partition counts when data grows 100x.
+- Arrow on: every Pandas-UDF hop (vector math, multimodal plumbing) is
+  batch-columnar instead of row-pickled.
+- UTC session timezone: deterministic timestamp semantics that match the
+  DuckDB oracle and any downstream engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "syslog-ng-spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,49 @@
+"""Batch file sources.
+
+Reference: modules/affile (file()/wildcard-file()/stdin/pipe drivers).
+All of those deliver raw lines; in Spark that's ``spark.read.text`` with
+glob paths (wildcard-file's recursive matching == recursiveFileLookup).
+Columnar formats (parquet) are first-class here because at 100 TB the
+engine's own storage should be columnar, not line-oriented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def text_lines(spark: SparkSession, path: str, recursive: bool = False) -> DataFrame:
+    """file()/wildcard-file() — one row per line in column `raw`."""
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.text(path).withColumnRenamed("value", "raw")
+
+
+def parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def csv_table(spark: SparkSession, path: str, schema: str | None = None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def json_table(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the benchmark tables from a scale-factor directory."""
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,60 @@
+"""Streaming sources.
+
+Reference: modules/afsocket (tcp/udp/syslog drivers) — continuous
+ingestion. Spark analogs:
+- socket_lines: TCP listener (dev/test; not replayable)
+- file_stream: directory-watching ingestion (replayable, exactly-once
+  with checkpoints — the production path; syslog relays land files or
+  Kafka topics)
+- rate_source: deterministic load generator (tests/bench)
+- kafka_lines: gated — the kafka connector jar isn't in this container,
+  but this is the intended 100 TB ingestion front door.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 5140) -> DataFrame:
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .withColumnRenamed("value", "raw")
+    )
+
+
+def file_stream(spark: SparkSession, path: str, fmt: str = "text", schema: str | None = None) -> DataFrame:
+    reader = spark.readStream.format(fmt)
+    if schema:
+        reader = reader.schema(schema)
+    elif fmt == "text":
+        pass
+    df = reader.load(path)
+    return df.withColumnRenamed("value", "raw") if fmt == "text" else df
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def kafka_lines(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
+    """Requires the spark-sql-kafka package on the cluster classpath."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .load()
+            .selectExpr("CAST(value AS STRING) AS raw", "timestamp AS ts")
+        )
+    except Exception as exc:  # pragma: no cover - connector not bundled
+        raise NotImplementedError(
+            "kafka connector jar not available in this environment"
+        ) from exc

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators.correlate import grouping_by, sessionize
+
+
+def _events(spark):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 2h gap
+        (1, base, 1.0, 1),
+        (1, base + datetime.timedelta(minutes=10), 2.0, 2),
+        (1, base + datetime.timedelta(hours=3), 3.0, 3),
+        # user 2: one event exactly at the timeout boundary (gap == timeout
+        # → same session; the reference expires strictly after timeout)
+        (2, base, 5.0, 4),
+        (2, base + datetime.timedelta(seconds=1800), 6.0, 5),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, value double, event_id int")
+
+
+def test_sessionize_gap_split(spark):
+    out = sessionize(_events(spark), ["user_id"], timeout=1800, order_tiebreak="event_id")
+    got = {(r.user_id, r.event_id): r.session_id for r in out.collect()}
+    assert got[(1, 1)] == 0 and got[(1, 2)] == 0
+    assert got[(1, 3)] == 1
+    assert got[(2, 4)] == 0 and got[(2, 5)] == 0  # boundary stays open
+
+
+def test_grouping_by_aggregates_and_having(spark):
+    out = grouping_by(
+        _events(spark),
+        key=["user_id"],
+        aggregates={"sum_value": F.sum("value")},
+        timeout=1800,
+        having=F.col("context_length") >= 2,
+        order_tiebreak="event_id",
+    ).collect()
+    assert len(out) == 2
+    by_user = {r.user_id: r for r in out}
+    assert by_user[1].context_length == 2 and by_user[1].sum_value == 3.0
+    assert by_user[2].sum_value == 11.0
+    assert by_user[2].time_last - by_user[2].time_first == datetime.timedelta(seconds=1800)

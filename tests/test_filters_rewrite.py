@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators.filters import (
+    facility_filter,
+    in_list_filter,
+    in_list_join,
+    netmask_filter,
+    severity_at_least,
+    severity_filter,
+    tags_filter,
+)
+from syslog_ng_spark.operators.rewrite import (
+    clear_tag,
+    groupset,
+    map_value_pairs,
+    set_severity,
+    set_tag,
+    subst,
+    unset_map_keys,
+)
+
+
+def _logs(spark):
+    return spark.createDataFrame(
+        [
+            (1, 3, 16, "disk error", ["a"]),
+            (2, 6, 4, "login ok", ["a", "b"]),
+            (3, 0, 0, "kernel panic", []),
+        ],
+        "id int, severity int, facility int, message string, tags array<string>",
+    )
+
+
+def test_severity_semantics(spark):
+    df = _logs(spark)
+    assert df.where(severity_at_least(F.col("severity"), "err")).count() == 2  # sev<=3
+    assert df.where(severity_filter(F.col("severity"), "info")).count() == 1
+    assert df.where(severity_filter(F.col("severity"), "emerg", "err")).count() == 2
+
+
+def test_facility_names(spark):
+    df = _logs(spark)
+    assert df.where(facility_filter(F.col("facility"), "kern", "auth")).count() == 2
+    assert df.where(facility_filter(F.col("facility"), "local0")).count() == 1
+
+
+def test_netmask_edges(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.0",), ("10.0.0.255",), ("10.0.1.0",), ("9.255.255.255",)], "ip string"
+    )
+    got = [r.ip for r in df.where(netmask_filter(F.col("ip"), "10.0.0.0/24")).collect()]
+    assert got == ["10.0.0.0", "10.0.0.255"]
+
+
+def test_in_list_join_matches_isin(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int")
+    lst = spark.createDataFrame([(3,), (50, ), (99,)], "x int")
+    a = sorted(r.v for r in df.where(in_list_filter(F.col("v"), [3, 50, 99])).collect())
+    b = sorted(r.v for r in in_list_join(df, "v", lst, "x").collect())
+    assert a == b == [3, 50, 99]
+
+
+def test_tags_filter_and_rewrite(spark):
+    df = _logs(spark)
+    assert df.where(tags_filter(F.col("tags"), "b")).count() == 1
+    tagged = set_tag(df, "new")
+    assert all("new" in r.tags for r in tagged.collect())
+    cleared = clear_tag(tagged, "a")
+    assert all("a" not in r.tags for r in cleared.collect())
+
+
+def test_subst_and_set_severity(spark):
+    df = _logs(spark)
+    out = subst(df, "message", "error", "E")
+    assert [r.message for r in out.orderBy("id").collect()][0] == "disk E"
+    sev = set_severity(df, "debug", condition=F.col("id") == 1)
+    got = {r.id: r.severity for r in sev.collect()}
+    assert got == {1: 7, 2: 6, 3: 0}
+
+
+def test_map_rewrites(spark):
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"},)], "m map<string,string>"
+    )
+    renamed = map_value_pairs(df, "m", {"a": "alpha"}).collect()[0].m
+    assert renamed == {"alpha": "1", "b": "2"}
+    dropped = unset_map_keys(df, "m", "b").collect()[0].m
+    assert dropped == {"a": "1"}
+    upper = groupset(df, "m", lambda k, v: F.upper(v)).collect()[0].m
+    assert upper == {"a": "1", "b": "2"}

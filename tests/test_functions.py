@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.functions import (
+    base64_decode,
+    base64_encode,
+    basename,
+    dirname,
+    implode,
+    ipv4_to_int,
+    list_head,
+    list_nth,
+    list_slice,
+    list_tail,
+    lowercase,
+    num_div,
+    num_mod,
+    padding,
+    replace_delimiter,
+    stable_uuid,
+    strip,
+    substr,
+    tf_if,
+    tf_md5,
+    tf_or,
+    uppercase,
+    url_decode,
+    url_encode,
+)
+
+
+def one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0].v
+
+
+def test_strfuncs(spark):
+    s = F.lit("  Hello World  ")
+    assert one(spark, lowercase(s)) == "  hello world  "
+    assert one(spark, uppercase(strip(s))) == "HELLO WORLD"
+    assert one(spark, substr(F.lit("abcdef"), 1, 3)) == "bcd"  # 0-based like ref
+    assert one(spark, substr(F.lit("abcdef"), 2)) == "cdef"
+    assert one(spark, replace_delimiter(F.lit("a,b;c"), ",;", "-")) == "a-b-c"
+    assert one(spark, padding(F.lit("7"), 3, "0")) == "007"
+
+
+def test_fname_funcs(spark):
+    p = F.lit("/var/log/syslog.d/app.log")
+    assert one(spark, basename(p)) == "app.log"
+    assert one(spark, dirname(p)) == "/var/log/syslog.d"
+    assert one(spark, dirname(F.lit("plain"))) == "."
+    assert one(spark, dirname(F.lit("/root"))) == "/"
+
+
+def test_numfuncs(spark):
+    assert one(spark, num_div(F.lit(7), F.lit(2))) == 3
+    assert one(spark, num_mod(F.lit(7), F.lit(2))) == 1
+
+
+def test_listfuncs(spark):
+    arr = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    assert one(spark, list_head(arr)) == "a"
+    assert one(spark, list_tail(arr)) == ["b", "c"]
+    assert one(spark, list_nth(arr, 1)) == "b"  # 0-based
+    assert one(spark, list_slice(arr, 1, 3)) == ["b", "c"]
+    assert one(spark, implode(arr, "-")) == "a-b-c"
+
+
+def test_condfuncs(spark):
+    assert one(spark, tf_if(F.lit(1) > 0, F.lit("y"), F.lit("n"))) == "y"
+    assert one(spark, tf_or(F.lit(""), F.lit(None).cast("string"), F.lit("x"))) == "x"
+
+
+def test_hash_url_base64(spark):
+    assert one(spark, tf_md5(F.lit("abc"))) == "900150983cd24fb0d6963f7d28e17f72"
+    u = one(spark, stable_uuid(F.lit("a"), F.lit("b")))
+    assert len(u) == 36 and u.count("-") == 4
+    assert u == one(spark, stable_uuid(F.lit("a"), F.lit("b")))  # deterministic
+    assert one(spark, url_decode(url_encode(F.lit("a b&c")))) == "a b&c"
+    assert one(spark, base64_decode(base64_encode(F.lit("hello")))) == "hello"
+
+
+def test_ipfuncs(spark):
+    assert one(spark, ipv4_to_int(F.lit("0.0.0.1"))) == 1
+    assert one(spark, ipv4_to_int(F.lit("255.255.255.255"))) == 4294967295

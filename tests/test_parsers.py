@@ -1,0 +1,109 @@
+"""Parser unit tests — corpus modeled on the reference's own parser
+tests (modules/syslogformat/tests/test_syslog_format.c)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from syslog_ng_spark.operators.parsers import (
+    csv_parser,
+    date_parser,
+    json_parser,
+    kv_parser,
+    kv_parser_quoted,
+    pattern_parser,
+    syslog_parser_3164,
+    syslog_parser_5424,
+)
+
+
+def test_3164_basic(spark):
+    lines = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick on /dev/pts/8",)],
+        "raw string",
+    )
+    row = syslog_parser_3164(lines, year=2003).collect()[0]
+    assert row.facility == 4 and row.severity == 2
+    assert row.host == "mymachine"
+    assert row.program == "su"
+    assert row.pid == 230
+    assert row.message.startswith("'su root' failed")
+    assert row.ts == datetime.datetime(2003, 10, 11, 22, 14, 15)
+
+
+def test_3164_padded_day_no_pri_no_pid(spark):
+    lines = spark.createDataFrame(
+        [("Jan  5 03:04:05 web-01 cron: job started",)], "raw string"
+    )
+    row = syslog_parser_3164(lines, year=2024).collect()[0]
+    assert row.facility is None and row.severity is None
+    assert row.host == "web-01"
+    assert row.program == "cron"
+    assert row.pid is None
+    assert row.ts == datetime.datetime(2024, 1, 5, 3, 4, 5)
+
+
+def test_5424_full(spark):
+    raw = (
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 111 ID47 '
+        '[exampleSDID@32473 iut="3" eventSource="Application"][origin ip="10.0.0.1"] '
+        "An application event log entry"
+    )
+    row = syslog_parser_5424(spark.createDataFrame([(raw,)], "raw string")).collect()[0]
+    assert row.facility == 20 and row.severity == 5
+    assert row.version == 1
+    assert row.host == "mymachine.example.com"
+    assert row.program == "evntslog"
+    assert row.pid == 111
+    assert row.msgid == "ID47"
+    assert row.sdata["exampleSDID@32473.iut"] == "3"
+    assert row.sdata["exampleSDID@32473.eventSource"] == "Application"
+    assert row.sdata["origin.ip"] == "10.0.0.1"
+    assert row.message == "An application event log entry"
+
+
+def test_5424_nil_fields(spark):
+    raw = "<34>1 2003-10-11T22:14:15Z - - - - - no host no app"
+    row = syslog_parser_5424(spark.createDataFrame([(raw,)], "raw string")).collect()[0]
+    assert row.host is None and row.program is None and row.pid is None
+    assert row.sdata == {}
+    assert row.message == "no host no app"
+
+
+def test_csv_parser_quoted(spark):
+    df = spark.createDataFrame([('a,"b,with,commas",c',)], "line string")
+    row = csv_parser(df, "line", ["x", "y", "z"]).collect()[0]
+    assert (row.x, row.y, row.z) == ("a", "b,with,commas", "c")
+
+
+def test_kv_parser(spark):
+    df = spark.createDataFrame([("user=alice action=login ok=1",)], "s string")
+    row = kv_parser(df, "s").collect()[0]
+    assert row.kv == {"user": "alice", "action": "login", "ok": "1"}
+
+
+def test_kv_parser_quoted_values(spark):
+    df = spark.createDataFrame([('msg="hello world" code=42',)], "s string")
+    row = kv_parser_quoted(df, "s").collect()[0]
+    assert row.kv == {"msg": "hello world", "code": "42"}
+
+
+def test_json_parser(spark):
+    df = spark.createDataFrame([('{"a": 1, "b": "x"}',)], "s string")
+    row = json_parser(df, "s").collect()[0]
+    assert row.sdata == {"a": "1", "b": "x"}
+
+
+def test_date_parser(spark):
+    df = spark.createDataFrame([("2024/01/05 10:20:30",)], "s string")
+    row = date_parser(df, "s", "yyyy/MM/dd HH:mm:ss").collect()[0]
+    assert row.ts == datetime.datetime(2024, 1, 5, 10, 20, 30)
+
+
+def test_pattern_parser_first_match_wins(spark):
+    df = spark.createDataFrame([("error disk full",), ("error high",), ("ok",)], "m string")
+    rules = [("^error disk", "disk"), ("^error", "generic")]
+    rows = {r.m: r.cls for r in pattern_parser(df, "m", rules, target="cls").collect()}
+    assert rows == {"error disk full": "disk", "error high": "generic", "ok": "unknown"}
