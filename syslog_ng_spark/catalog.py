@@ -68,6 +68,29 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+def dsum(expr) -> F.Column:
+    """Order-independent exact sum (DECIMAL): doubles summed in
+    different orders differ by ulps, which flips round() at .xx5
+    boundaries (frequent in 2-decimal money data)."""
+    return F.sum(expr.cast("decimal(30,8)"))
+
+
+def money(expr, digits: int = 2) -> F.Column:
+    """round(sum) done entirely in DECIMAL (exact, HALF_UP == DuckDB's
+    half-away-from-zero for positives), cast to double only at the end —
+    rounding the *double* would diverge: Spark rounds the shortest
+    decimal repr, DuckDB the exact binary value."""
+    return F.round(dsum(expr), digits).cast("double")
+
+
+def money_sql(expr: str, digits: int = 2) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(30,8))), {digits}) AS DOUBLE)"
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a benchmark table. `events.ts` is TIMESTAMP(NANOS) in the
     parquet, which Spark's vectorized reader rejects — read it as long
@@ -86,16 +109,16 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # §2.9 analytics core (TPC-H-shaped; proves the relational engine)
 # ---------------------------------------------------------------------------
 
-_Q1_SQL = """
+_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 2)                                        AS avg_qty,
-       round(avg(l_extendedprice), 2)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       {money_sql('l_quantity')} AS sum_qty,
+       {money_sql('l_extendedprice')} AS sum_base_price,
+       {money_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {money_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       round({dsum_sql('l_quantity')} / count(*), 2) AS avg_qty,
+       round({dsum_sql('l_extendedprice')} / count(*), 2) AS avg_price,
+       round({dsum_sql('l_discount')} / count(*), 4) AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -110,21 +133,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            money(F.col("l_quantity")).alias("sum_qty"),
+            money(F.col("l_extendedprice")).alias("sum_base_price"),
+            money(disc_price).alias("sum_disc_price"),
+            money(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(dsum(F.col("l_quantity")).cast("double") / F.count(F.lit(1)), 2).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice")).cast("double") / F.count(F.lit(1)), 2).alias("avg_price"),
+            F.round(dsum(F.col("l_discount")).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-_Q3_SQL = """
+_Q3_SQL = f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {money_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -148,16 +171,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
 
-_Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+_Q5_SQL = f"""
+SELECT n_name, {money_sql('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM region JOIN nation   ON n_regionkey = r_regionkey
             JOIN customer ON c_nationkey = n_nationkey
             JOIN orders   ON o_custkey = c_custkey
@@ -190,7 +211,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -610,7 +631,7 @@ SELECT user_id, session_id,
        count(*) AS context_length,
        min(ts) AS time_first,
        max(ts) AS time_last,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 HAVING count(*) >= 2
@@ -623,7 +644,7 @@ def grouping_by_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = grouping_by(
         ev,
         key=["user_id"],
-        aggregates={"sum_value": F.round(F.sum("value"), 2)},
+        aggregates={"sum_value": money(F.col("value"))},
         ts="ts",
         timeout=1800,
         having=F.col("context_length") >= 2,
@@ -639,7 +660,7 @@ SELECT event_type,
        date_trunc('hour', ts) AS hour,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -652,7 +673,7 @@ def stats_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money(F.col("value")).alias("total_value"),
         )
     )
 
