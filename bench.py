@@ -45,6 +45,16 @@ BENCH_QUERIES = [
     "text_quality",
     "token_count",
     "lang_id",
+    "q4_priority_exists",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "stats_rollup",
+    "percentiles_by_type",
+    "window_calculus",
+    "embed_neardup",
+    "simhash_neardup",
+    "xml_parse",
+    "token_top20",
 ]
 
 

@@ -1210,14 +1210,26 @@ def embed_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; the LSH-bucketed path is `simhash_neardup`/`lsh_buckets`
     for linear candidates at scale)."""
     emb = rebalance(T(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    # precompute norms per vector: recomputing them per pair tripled the
+    # O(n^2 * dim) work (cos value is identical — same sequential sums)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        similarity.norm(F.col("embedding")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        similarity.norm(F.col("embedding")).alias("_nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            F.round(
+                similarity.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.45)
     )
@@ -1255,3 +1267,339 @@ def geoip_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_ip = ev.select("event_id", ip.alias("ip"))
     return geoip_stub(with_ip, "ip").select("event_id", "ip", "geo_region")
+
+
+# ---------------------------------------------------------------------------
+# round-1c additions: semi/anti joins, rollups, percentiles, window
+# calculus, hash/uuid templates, token explode, xml parser, q14/q18/q16
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", _Q4_SQL)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → LEFT SEMI join (the reference plan shape for correlated
+    existence; Spark dedups the probe side inside the semi join, no
+    distinct needed)."""
+    orders = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+@register("anti_inactive_customers", _ANTI_SQL)
+def anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → LEFT ANTI join."""
+    cust = T(spark, sf_dir, "customer")
+    recent = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ROLLUP_SQL = f"""
+WITH logs AS (SELECT event_type, value, {EVENT_SEVERITY_SQL} AS sev FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(sev, -1)::BIGINT AS severity,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
+FROM logs GROUP BY ROLLUP (event_type, sev)
+"""
+
+
+@register("stats_rollup", _ROLLUP_SQL)
+def stats_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical stats rollup (syslog-ng-ctl stats exposes per-driver
+    and global counters; ROLLUP computes all levels in one pass)."""
+    ev = T(spark, sf_dir, "events")
+    logs = ev.select("event_type", "value", event_severity(F.col("event_type")).alias("sev"))
+    return (
+        logs.rollup("event_type", "sev")
+        .agg(F.count(F.lit(1)).alias("n"), money(F.col("value")).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("sev"), F.lit(-1)).cast("long").alias("severity"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_PCT_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+@register("percentiles_by_type", _PCT_SQL)
+def percentiles_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+_MOVING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w4, 6) AS mov_avg4,
+       lag(event_type) OVER wo AS prev_type,
+       lead(event_type) OVER wo AS next_type,
+       first_value(event_type) OVER wall AS first_type,
+       (row_number() OVER wo)::BIGINT AS seq
+FROM events
+WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       wall AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_calculus", _MOVING_SQL)
+def window_calculus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/ordered window functions over the event stream (the
+    reference's $(context-*) over ordered correlation contexts)."""
+    ev = T(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w4 = wo.rowsBetween(-3, 0)
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w4), 6).alias("mov_avg4"),
+        F.lag("event_type").over(wo).alias("prev_type"),
+        F.lead("event_type").over(wo).alias("next_type"),
+        F.first("event_type").over(wall).alias("first_type"),
+        F.row_number().over(wo).cast("long").alias("seq"),
+    )
+
+
+_HASHFUNCS_SQL = """
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       substr(sha256(text), 1, 16) AS h_trunc,
+       to_base64(encode(substr(text, 1, 12))) AS b64
+FROM documents
+"""
+
+
+@register("template_hashfuncs", _HASHFUNCS_SQL)
+def template_hashfuncs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.functions.hashfuncs import tf_hash, tf_md5, tf_sha256
+    from syslog_ng_spark.functions.urlfuncs import base64_encode
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tf_md5(F.col("text")).alias("h_md5"),
+        tf_sha256(F.col("text")).alias("h_sha256"),
+        tf_hash(F.col("text"), 16).alias("h_trunc"),
+        base64_encode(F.substring("text", 1, 12)).alias("b64"),
+    )
+
+
+_UUID_SQL = """
+WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || chr(31) || source) AS m FROM documents)
+SELECT doc_id,
+       substr(m,1,8) || '-' || substr(m,9,4) || '-' || substr(m,13,4)
+         || '-' || substr(m,17,4) || '-' || substr(m,21,12) AS uid
+FROM h
+"""
+
+
+@register("template_uuid", _UUID_SQL)
+def template_uuid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(uuid) replaced by a deterministic md5-based id — replayable
+    pipelines need stable ids, random uuids break exactly-once reruns."""
+    from syslog_ng_spark.functions.hashfuncs import stable_uuid
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", stable_uuid(F.col("doc_id"), F.col("source")).alias("uid"))
+
+
+_TOKEN_EXPLODE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+SELECT tok, count(*) AS n
+FROM toks GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
+@register("token_top20", _TOKEN_EXPLODE_SQL)
+def token_top20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(explode) into rows + frequency rollup — the vocabulary/token
+    histogram every corpus pipeline starts with."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    toks = textstats.tokens(F.col("text"))
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+_XML_SQL = f"""
+SELECT event_id,
+       event_type AS x_type,
+       printf('%.3f', value) AS x_value,
+       user_id::VARCHAR AS x_user
+FROM events
+"""
+
+
+@register("xml_parse", _XML_SQL)
+def xml_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xml-parser() (reference: modules/xml): construct an XML doc per
+    event, parse back with from_xml, verify fields round-trip."""
+    from syslog_ng_spark.operators.parsers import xml_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    xml = F.concat(
+        F.lit('<event user="'),
+        F.col("user_id").cast("string"),
+        F.lit('"><type>'),
+        F.col("event_type"),
+        F.lit("</type><value>"),
+        F.format_string("%.3f", F.col("value")),
+        F.lit("</value></event>"),
+    )
+    staged = ev.select("event_id", xml.alias("xml"))
+    parsed = xml_parser(staged, "xml", "_user STRING, type STRING, value STRING")
+    return parsed.select(
+        "event_id",
+        F.col("xml_parsed.type").alias("x_type"),
+        F.col("xml_parsed.value").alias("x_value"),
+        F.col("xml_parsed._user").alias("x_user"),
+    )
+
+
+_Q14_SQL = f"""
+SELECT round(100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {dsum_sql('l_extendedprice * (1 - l_discount)')}, 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            F.lit(100.0) * dsum(promo).cast("double") / dsum(disc).cast("double"), 4
+        ).alias("promo_pct")
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_qty
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate
+HAVING sum(CAST(l_quantity AS DECIMAL(30,8))) > 300
+"""
+
+
+@register("q18_large_orders", _Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_quantity")).alias("_tq"))
+        .where(F.col("_tq") > 300)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("_tq"), 2).cast("double").alias("total_qty"),
+        )
+    )
+
+
+_Q16_SQL = """
+SELECT l_suppkey,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+@register("q16_supplier_parts", _Q16_SQL)
+def q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_INLIST_JOIN_SQL = """
+SELECT event_id, user_id
+FROM events
+WHERE user_id IN (SELECT n_nationkey FROM nation)
+"""
+
+
+@register("filter_in_list_join", _INLIST_JOIN_SQL)
+def filter_in_list_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in-list() scale path: broadcast LEFT SEMI join against the list
+    relation (literal IN breaks down at ~10k entries)."""
+    from syslog_ng_spark.operators.filters import in_list_join
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id")
+    lst = T(spark, sf_dir, "nation")
+    return in_list_join(ev, "user_id", lst, "n_nationkey")

@@ -178,6 +178,17 @@ def date_parser(df: DataFrame, col: str, fmt: str, target: str = "ts") -> DataFr
     return df.withColumn(target, F.to_timestamp(F.col(col), fmt))
 
 
+def xml_parser(
+    df: DataFrame, col: str, schema: str, target: str = "xml_parsed", drop: bool = False
+) -> DataFrame:
+    """xml-parser() (reference: modules/xml/xml.c — flattens elements
+    and attributes into NV pairs). Spark's from_xml parses into a typed
+    struct; attributes arrive with the default '_' prefix, matching the
+    reference's .xml attribute naming convention."""
+    out = df.withColumn(target, F.from_xml(F.col(col), schema))
+    return out.drop(col) if drop else out
+
+
 def pattern_parser(
     df: DataFrame,
     col: str,

@@ -44,10 +44,14 @@ def cosine_topk_bruteforce(
     """Exact top-k by cosine: broadcast the (single-row) query side,
     score every corpus vector, take k. Ties broken by id; scores
     rounded to 6 digits so ordering is engine-portable."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    q = F.broadcast(
+        query.select(F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qn"))
+    )
     scored = corpus.crossJoin(q).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col(vec_col), F.col("_qvec")) / (norm(F.col(vec_col)) * F.col("_qn")), 6
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
