@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "xml_parse",
     "token_top20",
+    "kv_parse_quoted",
+    "context_grep",
+    "multimodal_features",
+    "ann_lsh_topk",
 ]
 
 

@@ -850,7 +850,7 @@ sh AS (
 pruned AS (
   SELECT doc_id, shingle FROM sh
   WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000)),
-sz AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM pruned a JOIN pruned b USING (shingle)
@@ -1603,3 +1603,130 @@ def filter_in_list_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").select("event_id", "user_id")
     lst = T(spark, sf_dir, "nation")
     return in_list_join(ev, "user_id", lst, "n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# round-1d additions: quoted kv, map-value-pairs, context grep,
+# multimodal plumbing, LSH ANN
+# ---------------------------------------------------------------------------
+
+_KV_QUOTED_SQL = """
+SELECT event_id,
+       event_type || ' event' AS msg_v,
+       event_id::VARCHAR AS code_v,
+       'u' || user_id::VARCHAR AS who_v
+FROM events
+"""
+
+
+@register("kv_parse_quoted", _KV_QUOTED_SQL)
+def kv_parse_quoted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv-scanner quoted-value mode: values with embedded spaces survive
+    the round-trip (reference: modules/kvformat/kv-scanner.c quote
+    handling)."""
+    from syslog_ng_spark.operators.parsers import kv_parser_quoted
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.format_string(
+        'msg="%s event" code=%d who=u%d', F.col("event_type"), F.col("event_id"), F.col("user_id")
+    )
+    parsed = kv_parser_quoted(ev.select("event_id", line.alias("line")), "line")
+    return parsed.select(
+        "event_id",
+        F.element_at("kv", "msg").alias("msg_v"),
+        F.element_at("kv", "code").alias("code_v"),
+        F.element_at("kv", "who").alias("who_v"),
+    )
+
+
+_MAP_VALUE_PAIRS_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS sd_key,
+       'evt.' || 'k' AS new_name
+FROM events
+"""
+
+
+@register("map_value_pairs", _MAP_VALUE_PAIRS_SQL)
+def map_value_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map-value-pairs(): rename NV-pair keys; verified by exploding the
+    renamed map back to rows (map columns don't hash portably)."""
+    from syslog_ng_spark.operators.parsers import json_parser
+    from syslog_ng_spark.operators.rewrite import map_value_pairs
+
+    ev = T(spark, sf_dir, "events")
+    parsed = json_parser(ev, "props", target="sdata")
+    renamed = map_value_pairs(parsed, "sdata", {"k": "evt.k"})
+    exploded = renamed.select("event_id", F.explode("sdata").alias("new_name", "sd_key"))
+    return exploded.select("event_id", "sd_key", "new_name")
+
+
+_CONTEXT_GREP_SQL = f"""
+WITH logs AS (SELECT user_id, event_id, event_type,
+                     {EVENT_SEVERITY_SQL} AS sev FROM events)
+SELECT user_id,
+       array_to_string(array_agg(event_type ORDER BY event_id), ',') AS type_seq_head,
+       count(*) FILTER (WHERE sev <= 3) AS n_errors,
+       count(*) AS context_length
+FROM (SELECT * FROM logs WHERE event_id % 100 = 0) GROUP BY user_id
+"""
+
+
+@register("context_grep", _CONTEXT_GREP_SQL)
+def context_grep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(grep)/$(context-length) over a correlation context: collect the
+    per-key message sequence (deterministically ordered), filter it with
+    a predicate (cond-funcs.c $(grep)), count matches."""
+    from syslog_ng_spark.functions.condfuncs import grep
+
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    logs = ev.select(
+        "user_id", "event_id", "event_type", event_severity(F.col("event_type")).alias("sev")
+    )
+    ctx = logs.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("event_id", "event_type", "sev"))).alias("_ctx")
+    )
+    types = F.transform(F.col("_ctx"), lambda s: s["event_type"])
+    errors = grep(F.col("_ctx"), lambda s: s["sev"] <= 3)
+    return ctx.select(
+        "user_id",
+        F.array_join(types, ",").alias("type_seq_head"),
+        F.size(errors).cast("long").alias("n_errors"),
+        F.size(F.col("_ctx")).cast("long").alias("context_length"),
+    )
+
+
+@register("multimodal_features")  # no oracle: binary decode plumbing, pytest-verified
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over synthesized binary payloads (documents
+    text as bytes): metadata JVM-side, features via Arrow-batched
+    mapInPandas with the stubbed decoder."""
+    from syslog_ng_spark.operators import multimodal
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    media = multimodal.attach_metadata(media)
+    return multimodal.extract_features(media, dim=8)
+
+
+@register("ann_lsh_topk")  # no oracle: approximate; recall vs brute force pytest-checked
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets prune the corpus to
+    the query's bucket before exact scoring — candidates are ~corpus/2^b
+    instead of the full scan."""
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    planes = [
+        [(((i * 7 + j * 3) % 11) - 5.0) for j in range(64)] for i in range(1, 4)
+    ]
+    bucketed = similarity.lsh_buckets(emb, planes)
+    query = bucketed.where(F.col("vec_id") == 0)
+    qb = query.select("lsh_bucket")
+    corpus = bucketed.where(F.col("vec_id") != 0).join(
+        F.broadcast(qb), on="lsh_bucket", how="inner"
+    )
+    return similarity.cosine_topk_bruteforce(corpus, query, k=10)
