@@ -1730,3 +1730,105 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qb), on="lsh_bucket", how="inner"
     )
     return similarity.cosine_topk_bruteforce(corpus, query, k=10)
+
+
+# ---------------------------------------------------------------------------
+# round-1e additions: CEF format, stardate, array map/filter/reduce
+# templates, tags filter
+# ---------------------------------------------------------------------------
+
+_CEF_SQL = f"""
+WITH logs AS (SELECT event_id, event_type, user_id, value,
+                     {EVENT_SEVERITY_SQL} AS sev FROM events)
+SELECT event_id,
+       'CEF:0|syslog-ng-spark|engine|1.0|' || event_type || '|' || event_type
+         || ' event|' || sev || '|' || 'suser=u' || user_id
+         || ' cn1=' || event_id || ' cfp1=' || printf('%.2f', value) AS cef
+FROM logs
+"""
+
+
+@register("format_cef", _CEF_SQL)
+def format_cef_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.functions.format import format_cef
+
+    ev = T(spark, sf_dir, "events")
+    cef = format_cef(
+        "syslog-ng-spark",
+        "engine",
+        "1.0",
+        F.col("event_type"),
+        F.concat(F.col("event_type"), F.lit(" event")),
+        event_severity(F.col("event_type")),
+        suser=F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        cn1=F.col("event_id"),
+        cfp1=F.format_string("%.2f", F.col("value")),
+    )
+    return ev.select("event_id", cef.alias("cef"))
+
+
+_STARDATE_SQL = """
+SELECT event_id,
+       round(year(ts) + (epoch(ts) - epoch(date_trunc('year', ts)))
+             / (epoch(date_trunc('year', ts) + INTERVAL 1 YEAR)
+                - epoch(date_trunc('year', ts))), 2) AS sd
+FROM events
+"""
+
+
+@register("template_stardate", _STARDATE_SQL)
+def template_stardate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.functions.format import stardate
+
+    ev = T(spark, sf_dir, "events")
+    return ev.select("event_id", stardate(F.col("ts")).alias("sd"))
+
+
+_ARRAY_CALC_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+m AS (SELECT doc_id,
+             list_transform(toks, x -> length(x)) AS lens FROM t)
+SELECT doc_id,
+       list_sum(list_filter(lens, x -> x >= 5))::BIGINT AS long_char_total,
+       len(list_filter(lens, x -> x >= 5))::BIGINT AS n_long,
+       array_to_string(list_transform(list_filter(lens, x -> x >= 5),
+                                      x -> x::VARCHAR), ',') AS long_lens
+FROM m
+"""
+
+
+@register("template_array_calc", _ARRAY_CALC_SQL)
+def template_array_calc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(map)/$(filter)/$(sum) over list values (reference:
+    modules/basicfuncs/tf-map.c, tf-filter.c, list-funcs) — array
+    lambda calculus stays entirely JVM-side."""
+    docs = T(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    lens = F.transform(toks, lambda x: F.length(x))
+    long_lens = F.filter(lens, lambda x: x >= 5)
+    total = F.aggregate(long_lens, F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("long_char_total"),
+        F.size(long_lens).cast("long").alias("n_long"),
+        F.array_join(F.transform(long_lens, lambda x: x.cast("string")), ",").alias("long_lens"),
+    )
+
+
+_TAGS_SQL = f"""
+WITH logs AS (SELECT event_id, ['synthetic', event_type] AS tags FROM events)
+SELECT event_id, array_to_string(tags, '|') AS tag_str
+FROM logs
+WHERE list_contains(tags, 'error') OR list_contains(tags, 'purchase')
+"""
+
+
+@register("filter_tags", _TAGS_SQL)
+def filter_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.operators.filters import tags_filter
+
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    return logs.where(tags_filter(F.col("tags"), "error", "purchase")).select(
+        "event_id", F.array_join(F.col("tags"), "|").alias("tag_str")
+    )

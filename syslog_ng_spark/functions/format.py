@@ -28,3 +28,41 @@ def format_welf(**fields: Column) -> Column:
 def format_csv(*cols: Column, sep: str = ",") -> Column:
     """CSV rendering of columns (template-driven file destinations)."""
     return F.concat_ws(sep, *[c.cast("string") for c in cols])
+
+
+def format_cef(
+    device_vendor: str,
+    device_product: str,
+    device_version: str,
+    signature_id: Column,
+    name: Column,
+    severity: Column,
+    **extensions: Column,
+) -> Column:
+    """$(format-cef-extension)-style CEF rendering (reference:
+    modules/cef/format-cef-extension.c): header fields pipe-separated,
+    extensions as space-separated k=v."""
+    header = F.concat_ws(
+        "|",
+        F.lit("CEF:0"),
+        F.lit(device_vendor),
+        F.lit(device_product),
+        F.lit(device_version),
+        signature_id.cast("string"),
+        name.cast("string"),
+        severity.cast("string"),
+    )
+    ext = F.concat_ws(" ", *[F.concat(F.lit(k + "="), c.cast("string")) for k, c in extensions.items()])
+    return F.concat(header, F.lit("|"), ext)
+
+
+def stardate(ts: Column, digits: int = 2) -> Column:
+    """$(stardate) (reference: modules/stardate) — year + elapsed-year
+    fraction, e.g. 2024.08. Deterministic calendar arithmetic."""
+    year = F.year(ts)
+    start = F.make_date(year, F.lit(1), F.lit(1)).cast("timestamp")
+    end = F.make_date(year + 1, F.lit(1), F.lit(1)).cast("timestamp")
+    frac = (ts.cast("double") - start.cast("double")) / (
+        end.cast("double") - start.cast("double")
+    )
+    return F.round(year + frac, digits)
