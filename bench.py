@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "context_grep",
     "multimodal_features",
     "ann_lsh_topk",
+    "pattern_mine",
+    "secure_log_chain",
+    "format_cef",
+    "template_stardate",
+    "template_array_calc",
 ]
 
 

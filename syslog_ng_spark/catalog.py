@@ -1832,3 +1832,59 @@ def filter_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logs.where(tags_filter(F.col("tags"), "error", "purchase")).select(
         "event_id", F.array_join(F.col("tags"), "|").alias("tag_str")
     )
+
+
+_PATTERNIZE_SQL = f"""
+WITH logs AS (SELECT {_MSG_SQL} AS message FROM events),
+sk AS (SELECT regexp_replace(
+                regexp_replace(
+                  regexp_replace(message,
+                    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+                  '\\b0x[0-9a-fA-F]+\\b', '<HEX>', 'g'),
+                '\\d+(\\.\\d+)?', '<N>', 'g') AS pattern,
+              message
+       FROM logs)
+SELECT pattern, count(*) AS support, min(message) AS example
+FROM sk GROUP BY pattern HAVING count(*) >= 2
+"""
+
+
+@register("pattern_mine", _PATTERNIZE_SQL)
+def pattern_mine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pdbtool patternize analog: mask variables, group by skeleton —
+    linear pattern mining vs the reference's quadratic clustering."""
+    from syslog_ng_spark.operators.patterns import patternize
+
+    logs = events_as_logs(rebalance(T(spark, sf_dir, "events")))
+    return patternize(logs, "message", min_support=2)
+
+
+_SECURELOG_SQL = f"""
+WITH RECURSIVE logs AS (
+  SELECT event_id, {_HOST_SQL} AS host, {_MSG_SQL} AS message FROM events),
+ordered AS (
+  SELECT host, event_id, message,
+         row_number() OVER (PARTITION BY host ORDER BY event_id) AS rn
+  FROM logs),
+chain AS (
+  SELECT host, event_id, rn, md5(message) AS chain
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.host, o.event_id, o.rn, md5(c.chain || o.message)
+  FROM ordered o JOIN chain c ON o.host = c.host AND o.rn = c.rn + 1)
+SELECT host, event_id, chain FROM chain
+"""
+
+
+@register("secure_log_chain", _SECURELOG_SQL)
+def secure_log_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """secure-logging analog (reference: modules/secure-logging): per-
+    host md5 hash chain over the ordered message stream. Sequential per
+    key, parallel across keys (applyInPandas grouped fold); the oracle
+    is a recursive CTE."""
+    from syslog_ng_spark.operators.securelog import hash_chain
+
+    logs = events_as_logs(T(spark, sf_dir, "events")).select("host", "event_id", "message")
+    return hash_chain(logs, key=("host",), order=("event_id",)).select(
+        "host", "event_id", "chain"
+    )
