@@ -1888,3 +1888,124 @@ def secure_log_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_chain(logs, key=("host",), order=("event_id",)).select(
         "host", "event_id", "chain"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-1f additions: graphite/kmsg formats, doc chunking, deterministic
+# sampling
+# ---------------------------------------------------------------------------
+
+_GRAPHITE_SQL = """
+SELECT event_id,
+       'events.' || event_type || '.value ' || printf('%.3f', value)
+         || ' ' || epoch(date_trunc('second', ts))::BIGINT AS metric_line
+FROM events
+"""
+
+
+@register("format_graphite", _GRAPHITE_SQL)
+def format_graphite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite() destination format (reference: modules/graphite —
+    $(graphite-output)): 'path value unix_ts' plaintext protocol."""
+    ev = T(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("events."),
+        F.col("event_type"),
+        F.lit(".value "),
+        F.format_string("%.3f", F.col("value")),
+        F.lit(" "),
+        F.unix_timestamp(F.col("ts")).cast("string"),
+    )
+    return ev.select("event_id", line.alias("metric_line"))
+
+
+_KMSG_SQL = f"""
+SELECT event_id,
+       ({EVENT_FACILITY_SQL} * 8 + {EVENT_SEVERITY_SQL})::BIGINT AS pri,
+       event_id AS seq,
+       (event_id * 1000)::BIGINT AS mono_us,
+       {_MSG_SQL} AS message
+FROM events
+"""
+
+
+@register("kmsg_parse", _KMSG_SQL)
+def kmsg_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linux-kmsg-format (reference: modules/linux-kmsg-format —
+    /dev/kmsg lines 'pri,seq,monotonic_us,flags;message'): construct
+    and parse back with one split."""
+    from syslog_ng_spark.datamodel import event_facility, event_severity
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    pri_col = (
+        event_facility(F.col("event_type")) * 8 + event_severity(F.col("event_type"))
+    ).cast("long")
+    raw = F.format_string(
+        "%d,%d,%d,-;%s",
+        pri_col,
+        F.col("event_id"),
+        F.col("event_id") * 1000,
+        F.format_string(
+            "%s value=%.3f user=%d", F.col("event_type"), F.col("value"), F.col("user_id")
+        ),
+    )
+    staged = ev.select("event_id", raw.alias("raw"))
+    header = F.split(F.substring_index(F.col("raw"), ";", 1), ",")
+    return staged.select(
+        "event_id",
+        F.element_at(header, 1).cast("long").alias("pri"),
+        F.element_at(header, 2).cast("long").alias("seq"),
+        F.element_at(header, 3).cast("long").alias("mono_us"),
+        F.expr("substring(raw, instr(raw, ';') + 1)").alias("message"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 10, 1), 10)) AS start
+  FROM t)
+SELECT doc_id,
+       (start // 10)::BIGINT AS chunk_idx,
+       array_to_string(toks[start + 1 : least(start + 20, len(toks))], ' ') AS chunk_text,
+       least(start + 20, len(toks))::BIGINT - start AS n_tokens
+FROM idx
+"""
+
+
+@register("doc_chunk", _CHUNK_SQL)
+def doc_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 20-token windows with stride 10 (overlap
+    10) — the explode pattern every corpus prep pipeline runs before
+    tokenization; chunk count scales with corpus size, not doc count."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    toks = textstats.tokens(F.col("text"))
+    staged = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 10, F.lit(1)) - 1, F.lit(10))
+    exploded = staged.select("doc_id", "toks", F.explode(starts).alias("start"))
+    end = F.least(F.col("start") + 20, F.size("toks"))
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / 10).cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, end - F.col("start")), " "
+        ).alias("chunk_text"),
+        (end - F.col("start")).cast("long").alias("n_tokens"),
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 = 0
+"""
+
+
+@register("deterministic_sample", _SAMPLE_SQL)
+def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 10% sample: reproducible across engines and runs
+    (random sampling isn't replayable; hash-mod is the pipeline-safe
+    idiom for holdout splits)."""
+    docs = T(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    return docs.where(h % 10 == 0).select("doc_id", "lang")
