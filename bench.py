@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "format_cef",
     "template_stardate",
     "template_array_calc",
+    "tfidf_top_terms",
+    "pii_redact",
+    "doc_chunk",
+    "deterministic_sample",
 ]
 
 

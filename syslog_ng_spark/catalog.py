@@ -2009,3 +2009,88 @@ def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
     return docs.where(h % 10 == 0).select("doc_id", "lang")
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok,
+         round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok ASC) AS rn
+  FROM scored)
+SELECT doc_id, tok AS top_term, tfidf FROM ranked WHERE rn = 1
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with the most characteristic term per document: term
+    frequencies and document frequencies are two shuffles on the token
+    key; the doc-count scalar joins as a broadcast literal."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+_PII_SQL = """
+WITH synth AS (
+  SELECT event_id,
+         'contact user' || user_id || '@example.com or call 555-01'
+           || lpad((user_id % 100)::VARCHAR, 2, '0') || ' from 10.2.'
+           || (user_id % 250)::VARCHAR || '.9 re ' || event_type AS msg
+  FROM events)
+SELECT event_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(msg,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}-\\d{4,}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+FROM synth
+"""
+
+
+@register("pii_redact", _PII_SQL)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data prep): layered regex redaction of
+    emails, phone-like numbers, and IPs — all JVM regexp_replace, same
+    shape as the reference's subst() chains used for log scrubbing."""
+    ev = rebalance(T(spark, sf_dir, "events"))
+    msg = F.concat(
+        F.lit("contact user"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        F.lpad((F.col("user_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.2."),
+        (F.col("user_id") % 250).cast("string"),
+        F.lit(".9 re "),
+        F.col("event_type"),
+    )
+    staged = ev.select("event_id", msg.alias("msg"))
+    red = F.regexp_replace(
+        F.col("msg"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    red = F.regexp_replace(red, r"\b\d{3}-\d{4,}\b", "<PHONE>")
+    red = F.regexp_replace(red, r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>")
+    return staged.select("event_id", red.alias("redacted"))
