@@ -2094,3 +2094,56 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = F.regexp_replace(red, r"\b\d{3}-\d{4,}\b", "<PHONE>")
     red = F.regexp_replace(red, r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>")
     return staged.select("event_id", red.alias("redacted"))
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""
+
+
+@register("q13_order_histogram", _Q13_SQL)
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + count histogram (customers with zero orders
+    must survive — the outer-join distribution query)."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    orders = T(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_Q17_SQL = f"""
+WITH avg_qty AS (
+  SELECT l_partkey AS ap, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
+SELECT {money_sql('l_extendedprice')} AS small_order_revenue,
+       count(*) AS n_small
+FROM lineitem JOIN avg_qty ON l_partkey = ap
+WHERE l_quantity < 0.5 * aq
+"""
+
+
+@register("q17_small_quantity", _Q17_SQL)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated avg subquery → broadcast join against the per-part
+    aggregate (the decorrelated plan Catalyst/DuckDB both choose)."""
+    li = T(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .where(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            money(F.col("l_extendedprice")).alias("small_order_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )

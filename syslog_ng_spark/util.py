@@ -5,6 +5,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when the hot side is too big to
+    broadcast: salt the skewed (left) side's key into `salt` shards and
+    replicate the right side across shards, so one hot key spreads over
+    `salt` reducers instead of melting a single one. AQE's skew-join
+    split handles moderate skew automatically; this is the explicit
+    fallback for pathological keys (a handful of keys holding most
+    rows). Result is identical to a plain join on `key`."""
+    from pyspark.sql import functions as F
+
+    salted_l = left.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt).cast("int")
+    )
+    shards = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]).cast("array<int>"))
+    )
+    out = salted_l.join(shards, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
 def rebalance(df: DataFrame) -> DataFrame:
     """Spread rows across all cores before CPU-heavy per-row work
     (regex parse, tokenize/explode, vector math). A small parquet table

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.util import rebalance, salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of left rows share one key
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i % 50, i) for i in range(1000)], "k int, v int"
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(50)], "k int, name string")
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, "k", salt=8).select("k", "v", "name")
+    assert plain.count() == salted.count() == 1000
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, name string")
+    rows = {(r.k, r.name) for r in salted_join(left, right, "k", salt=4, how="left").collect()}
+    assert rows == {(1, "x"), (99, None)}
+
+
+def test_rebalance_spreads_partitions(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int").coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    out = rebalance(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 100
