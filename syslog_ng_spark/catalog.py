@@ -2147,3 +2147,105 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Upgrade rows-only queries to full oracles: LSH candidate generation,
+# SimHash near-dup, bucketed ANN (multimodal stays rows-only — Python
+# decode has no SQL equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from syslog_ng_spark.operators.dedup import MERSENNE31, _affine_params
+
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in ((i, _affine_params(i)) for i in range(num_hashes))
+    )
+    band_exprs = ",\n    ".join(
+        "'" + str(bi) + "_' || "
+        + " || '_' || ".join(f"mh_{bi * rows + r}::VARCHAR" for r in range(rows))
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS shingle
+  FROM toks WHERE len(t) >= 3),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([
+    {band_exprs}]) AS bucket
+  FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b USING (bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_lsh_sql(16, 4)
+
+
+def _simhash_neardup_sql(bits: int = 32, max_hamming: int = 3, chunks: int = 4) -> str:
+    width = bits // chunks
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (th // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)::BIGINT AS s{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    band_exprs = ",\n    ".join(
+        f"'{ci}_' || ((simhash // {1 << (ci * width)}) % {1 << width})::VARCHAR"
+        for ci in range(chunks)
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM toked),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums),
+banded AS (
+  SELECT doc_id, simhash, unnest([
+    {band_exprs}]) AS bucket
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b USING (bucket)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+ORACLES["simhash_neardup"] = _simhash_neardup_sql(32, 3, 4)
+
+
+def _ann_lsh_sql() -> str:
+    planes = [[(((i * 7 + j * 3) % 11) - 5.0) for j in range(64)] for i in range(1, 4)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(x) for x in p)}]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket_terms}) AS lsh_bucket FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv, lsh_bucket AS qb FROM bucketed WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+  FROM bucketed, q WHERE vec_id <> 0 AND lsh_bucket = qb)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_sql()

@@ -242,6 +242,6 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    return cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))).where(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
