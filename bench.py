@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "pii_redact",
     "doc_chunk",
     "deterministic_sample",
+    "q12_shipmode_priority",
+    "q19_disjunctive_join",
+    "q13_order_histogram",
+    "q17_small_quantity",
 ]
 
 

@@ -2249,3 +2249,66 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
+
+
+_Q12_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_kept,
+       count(*) AS n_total
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q12_shipmode_priority", _Q12_SQL)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional aggregation (CASE-pivot) — q12's plan shape."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+_Q19_SQL = f"""
+SELECT {money_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_type = 'PROMO' AND l_quantity >= 40)
+"""
+
+
+@register("q19_disjunctive_join", _Q19_SQL)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR-of-conjunctions) join predicate — q19's shape;
+    the equi-key still drives the broadcast join, residual ORs filter
+    after."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_type")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
