@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q19_disjunctive_join",
     "q13_order_histogram",
     "q17_small_quantity",
+    "q7_nation_volume",
+    "q9_product_profit",
 ]
 
 

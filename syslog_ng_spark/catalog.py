@@ -2312,3 +2312,90 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       {money_sql('l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q7_nation_volume", _Q7_SQL)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation shipping volume (q7 shape): two aliased broadcast
+    dims of the same nation table + supplier/customer sides."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    wanted = ["NATION_1", "NATION_2"]
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .where(
+            F.col("supp_nation").isin(wanted)
+            & F.col("cust_nation").isin(wanted)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       {money_sql('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')} AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", _Q9_SQL)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit rollup by supplier nation and order year (q9 shape;
+    ps_supplycost approximated by 0.6*p_retailprice — the partsupp
+    table isn't in the synthetic schema)."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = T(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(money(profit).alias("profit"))
+    )

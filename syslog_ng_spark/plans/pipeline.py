@@ -21,11 +21,9 @@ from pyspark.sql import Column, DataFrame
 class LogPath:
     def __init__(self, df: DataFrame):
         self.df = df
-        self._matched: Column | None = None
 
     def filter(self, cond: Column) -> "LogPath":
-        out = LogPath(self.df.filter(cond))
-        return out
+        return LogPath(self.df.filter(cond))
 
     def parser(self, fn: Callable[[DataFrame], DataFrame], *args, **kwargs) -> "LogPath":
         return LogPath(fn(self.df, *args, **kwargs))

@@ -30,8 +30,6 @@ def file_stream(spark: SparkSession, path: str, fmt: str = "text", schema: str |
     reader = spark.readStream.format(fmt)
     if schema:
         reader = reader.schema(schema)
-    elif fmt == "text":
-        pass
     df = reader.load(path)
     return df.withColumnRenamed("value", "raw") if fmt == "text" else df
 
