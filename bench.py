@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q17_small_quantity",
     "q7_nation_volume",
     "q9_product_profit",
+    "q8_market_share",
 ]
 
 

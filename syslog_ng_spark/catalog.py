@@ -2399,3 +2399,56 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(money(profit).alias("profit"))
     )
+
+
+_Q8_SQL = f"""
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+SELECT o_year::BIGINT AS o_year,
+       round({dsum_sql("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END")}
+             / {dsum_sql('volume')}, 6) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share ratio per year (q8 shape): conditional decimal sum
+    over total decimal sum, 7-table join with every dim broadcast."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_region"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    cond = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(F.lit(0.0))
+    return base.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
+        F.round(dsum(cond).cast("double") / dsum(F.col("volume")).cast("double"), 6).alias(
+            "mkt_share"
+        )
+    )
