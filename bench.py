@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q9_product_profit",
     "q8_market_share",
+    "repetition_ratio",
 ]
 
 

@@ -2452,3 +2452,37 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         )
     )
+
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS grams
+  FROM t WHERE len(toks) >= 2)
+SELECT doc_id,
+       len(grams)::BIGINT AS n_grams,
+       len(list_distinct(grams))::BIGINT AS n_distinct,
+       round(1.0 - len(list_distinct(grams)) / greatest(len(grams), 1), 6) AS repetition
+FROM g
+"""
+
+
+@register("repetition_ratio", _REPETITION_SQL)
+def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule): fraction
+    of duplicate word bigrams — high repetition flags boilerplate/spam
+    for corpus filtering."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    toks = textstats.tokens(F.col("text"))
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)))
+    staged = docs.where(F.size(toks) >= 2).select("doc_id", grams.alias("grams"))
+    return staged.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("grams")) / F.greatest(F.size("grams"), F.lit(1)), 6
+        ).alias("repetition"),
+    )
