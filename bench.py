@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "q8_market_share",
     "repetition_ratio",
+    "q11_important_suppliers",
+    "q22_lost_customers",
 ]
 
 

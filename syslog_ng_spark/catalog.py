@@ -2486,3 +2486,70 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct("grams")) / F.greatest(F.size("grams"), F.lit(1)), 6
         ).alias("repetition"),
     )
+
+
+_Q11_SQL = f"""
+WITH val AS (
+  SELECT l_suppkey, sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8))) AS v
+  FROM lineitem GROUP BY l_suppkey),
+tot AS (SELECT sum(v) AS tv FROM val)
+SELECT l_suppkey, CAST(round(v, 2) AS DOUBLE) AS supp_value
+FROM val, tot
+WHERE v > 0.012 * tv
+"""
+
+
+@register("q11_important_suppliers", _Q11_SQL)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery threshold (q11 shape): per-supplier value
+    compared against a fraction of the GLOBAL total — the global scalar
+    broadcasts (crossJoin with a 1-row aggregate), no second scan."""
+    li = T(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+    )
+    tot = val.agg(F.sum("v").alias("tv"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("v") > 0.012 * F.col("tv"))
+        .select("l_suppkey", F.round(F.col("v"), 2).cast("double").alias("supp_value"))
+    )
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+no_orders AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_bal
+FROM no_orders, avg_bal
+WHERE c_acctbal > ab
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_lost_customers", _Q22_SQL)
+def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: scalar avg subquery + anti join — well-funded
+    customers who never ordered, grouped by segment."""
+    cust = T(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    orders = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            money(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
