@@ -95,6 +95,9 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # dedup/LSH queries persist() intermediates their plans read
+        # twice; drop them so successive queries don't accumulate cache
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -2034,16 +2034,23 @@ SELECT doc_id, tok AS top_term, tfidf FROM ranked WHERE rn = 1
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with the most characteristic term per document: term
     frequencies and document frequencies are two shuffles on the token
-    key; the doc-count scalar joins as a broadcast literal."""
+    key; the doc-count scalar joins as a broadcast 1-row aggregate (no
+    eager count() on the driver). The tf-df join is NOT hinted: the
+    vocabulary grows with the corpus, so a forced broadcast would OOM at
+    scale — AQE picks broadcast when dfreq is actually small."""
     docs = rebalance(T(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
@@ -2492,26 +2499,29 @@ _Q11_SQL = f"""
 WITH val AS (
   SELECT l_suppkey, sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8))) AS v
   FROM lineitem GROUP BY l_suppkey),
-tot AS (SELECT sum(v) AS tv FROM val)
+tot AS (SELECT CAST(avg(v) AS DOUBLE) AS av FROM val)
 SELECT l_suppkey, CAST(round(v, 2) AS DOUBLE) AS supp_value
 FROM val, tot
-WHERE v > 0.012 * tv
+WHERE CAST(v AS DOUBLE) > 1.05 * av
 """
 
 
 @register("q11_important_suppliers", _Q11_SQL)
 def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery threshold (q11 shape): per-supplier value
-    compared against a fraction of the GLOBAL total — the global scalar
-    broadcasts (crossJoin with a 1-row aggregate), no second scan."""
+    compared against the GLOBAL mean — the global scalar broadcasts
+    (crossJoin with a 1-row aggregate), no second scan. The threshold
+    is relative to avg(v), not a fixed fraction of sum(v): a fixed
+    fraction scales with 1/|suppliers| and returns 0 rows at every SF
+    (TPC-H itself scales q11's fraction by 1/SF for the same reason)."""
     li = T(spark, sf_dir, "lineitem")
     val = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
     )
-    tot = val.agg(F.sum("v").alias("tv"))
+    tot = val.agg(F.avg("v").cast("double").alias("av"))
     return (
         val.crossJoin(F.broadcast(tot))
-        .where(F.col("v") > 0.012 * F.col("tv"))
+        .where(F.col("v").cast("double") > 1.05 * F.col("av"))
         .select("l_suppkey", F.round(F.col("v"), 2).cast("double").alias("supp_value"))
     )
 

@@ -4,6 +4,13 @@ Exact, n-gram Jaccard, MinHash+LSH and SimHash near-dup detection over
 a text column. All hashes derive from md5 (JVM builtin) so results are
 deterministic AND reproducible in the DuckDB oracle.
 
+Cache ownership: jaccard_pairs / minhash_lsh_pairs /
+simhash_neardup_pairs persist() an intermediate that their result plan
+reads twice; the cache can only be dropped after the caller
+materializes the result, so CALLERS own cleanup — call
+`spark.catalog.clearCache()` (bench.py does this between queries) or
+unpersist in long-lived sessions.
+
 Scale notes (100 TB):
 - exact: one shuffle on a 16-byte key; partial agg applies.
 - jaccard: |pairs| is bounded by document-frequency pruning (df_cap);
@@ -56,9 +63,12 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "s
     toks = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    # Filter BEFORE the explode: sequence(0, size-n) is descending for
+    # short docs, so correctness must not depend on the optimizer
+    # pushing the predicate below the Generate.
     return (
-        df.withColumn(target, F.explode(F.array_distinct(grams)))
-        .where(F.size(toks) >= n)
+        df.where(F.size(toks) >= n)
+        .withColumn(target, F.explode(F.array_distinct(grams)))
     )
 
 

@@ -81,8 +81,13 @@ def grouping_by_stateful(
             return
         state.update((n, tf, tl, sv))
         # context expires `timeout` seconds of *event time* after the
-        # last message — the reference's timer-wheel reschedule
-        state.setTimeoutTimestamp(tl // 1000 + timeout * 1000)
+        # last message — the reference's timer-wheel reschedule. Clamped
+        # above the current watermark: a timeout shorter than the
+        # watermark delay would otherwise compute a timestamp <= the
+        # watermark, which Spark rejects (IllegalArgumentException)
+        # and kills the whole streaming query.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(tl // 1000 + timeout * 1000, wm_ms + 1))
 
     return (
         events.withWatermark(ts, watermark)

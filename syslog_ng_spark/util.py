@@ -18,8 +18,17 @@ def salted_join(
     `salt` reducers instead of melting a single one. AQE's skew-join
     split handles moderate skew automatically; this is the explicit
     fallback for pathological keys (a handful of keys holding most
-    rows). Result is identical to a plain join on `key`."""
+    rows). Result is identical to a plain join on `key` ONLY for
+    inner/left/semi/anti joins; right/full outer would null-extend each
+    unmatched right row once per shard, so those modes are rejected."""
     from pyspark.sql import functions as F
+
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: unmatched "
+            "right rows would be replicated across salt shards; use "
+            "inner/left/left_semi/left_anti"
+        )
 
     salted_l = left.withColumn(
         "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % salt).cast("int")
@@ -33,9 +42,16 @@ def salted_join(
 
 def rebalance(df: DataFrame) -> DataFrame:
     """Spread rows across all cores before CPU-heavy per-row work
-    (regex parse, tokenize/explode, vector math). A small parquet table
-    arrives as ONE partition (single row group), so the whole chain
-    would run on one core — profiled 7.5s vs 0.3s for the shingle
-    explode at sf0.1. The same rebalance is what a real cluster needs
-    after scanning a few large files into wide CPU stages."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    (regex parse, tokenize/explode, vector math) — but ONLY when the
+    input is under-partitioned. A small parquet table arrives as ONE
+    partition (single row group), so the whole chain would run on one
+    core — profiled 7.5s vs 0.3s for the shingle explode at sf0.1.
+
+    At cluster scale the input is already thousands of splits, and an
+    unconditional repartition would be a pure-cost full shuffle of the
+    fact table; the partition-count gate makes this a no-op there. The
+    getNumPartitions() probe only plans the scan (no job runs)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
