@@ -1206,32 +1206,18 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
 
 @register("embed_neardup", _EMBED_NEARDUP_SQL)
 def embed_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs, brute force (correctness
-    baseline; the LSH-bucketed path is `simhash_neardup`/`lsh_buckets`
-    for linear candidates at scale)."""
+    """Embedding near-duplicate pairs, EXACT, via triangle block
+    partitioning (equi-join on block-pair keys; no broadcast of the
+    corpus, no BroadcastNestedLoopJoin, bounded task memory — see
+    similarity.cosine_pairs_blocked). tau=0.45 sits at ~63deg where
+    hyperplane-LSH cannot prune at recall 1.0 (measured here: pair
+    cosines are a continuous distribution topping out ~0.51, so every
+    banding that keeps recall ~1 regenerates ~all pairs); the bucketed
+    scale paths for real near-dup thresholds are `ann_lsh_topk` and
+    `simhash_neardup`."""
     emb = rebalance(T(spark, sf_dir, "embeddings"))
-    # precompute norms per vector: recomputing them per pair tripled the
-    # O(n^2 * dim) work (cos value is identical — same sequential sums)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("_va"),
-        similarity.norm(F.col("embedding")).alias("_na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("_vb"),
-        similarity.norm(F.col("embedding")).alias("_nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(
-                similarity.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.45)
+    return similarity.cosine_pairs_blocked(
+        emb, threshold=0.45, vec_col="embedding", id_col="vec_id", blocks=8
     )
 
 

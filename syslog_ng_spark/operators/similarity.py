@@ -84,6 +84,69 @@ def cosine_topk_pandas(
     return partial.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via triangle block
+    partitioning: vectors hash into `blocks` blocks; every unordered
+    block pair (i <= j) is one join task, so the n^2/2 comparisons
+    spread over blocks*(blocks+1)/2 equi-join tasks with bounded
+    memory ((n/blocks)^2 pairs each). Replication is blocks+1 copies
+    of each vector — one shuffle, NO broadcast of the corpus and no
+    BroadcastNestedLoopJoin, so the plan scales horizontally (raise
+    `blocks` until a task fits an executor).
+
+    Why not LSH here: candidate pruning only helps when the threshold
+    is high. At tau=0.45 (theta/pi ~ 0.35) the hyperplane-LSH gain
+    exponent is rho = ln(1/0.65)/ln(1/0.5) ~ 0.62, and any banding
+    with recall ~1 generates ~n^2 candidates anyway — the exact
+    blocked join is strictly better. For true near-dup thresholds
+    (cos >= 0.8) use the bucketed paths (`lsh_buckets`,
+    `ann_lsh_topk`, SimHash) where candidates are ~linear."""
+    normed = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("_b"),
+    )
+    # block b joins tasks (b, j) for j >= b as the low side and
+    # (i, b) for i <= b as the high side; task key packed as i*B+j
+    lo_tasks = F.expr(f"transform(sequence(_b, {blocks - 1}), j -> _b * {blocks} + j)")
+    hi_tasks = F.expr(f"transform(sequence(0, _b), i -> i * {blocks} + _b)")
+    left = normed.select(
+        F.col("_id").alias("id_l"),
+        F.col("_v").alias("_vl"),
+        F.col("_n").alias("_nl"),
+        F.col("_b").alias("_bl"),
+        F.explode(lo_tasks).alias("_t"),
+    )
+    right = normed.select(
+        F.col("_id").alias("id_r"),
+        F.col("_v").alias("_vr"),
+        F.col("_n").alias("_nr"),
+        F.col("_b").alias("_br"),
+        F.explode(hi_tasks).alias("_t"),
+    )
+    # distinct-block tasks see each unordered pair once; same-block
+    # tasks need the id ordering to drop self pairs and mirrors
+    pairs = left.join(right, "_t").where(
+        (F.col("_bl") != F.col("_br")) | (F.col("id_l") < F.col("id_r"))
+    )
+    return pairs.select(
+        F.least("id_l", "id_r").alias("id_a"),
+        F.greatest("id_l", "id_r").alias("id_b"),
+        # x*y terms and the fold order are symmetric, so the value is
+        # FP-identical whichever side the lower id lands on
+        F.round(
+            dot(F.col("_vl"), F.col("_vr")) / (F.col("_nl") * F.col("_nr")), 6
+        ).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)
+
+
 def lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

@@ -67,3 +67,47 @@ def test_lsh_buckets_groups_identical_vectors(spark):
     assert all(0 <= b < 8 for b in buckets.values())
     # vectors repeat with period 11 in construction → same bucket
     assert buckets[0] == buckets[11]
+
+
+def test_cosine_pairs_blocked_matches_bruteforce(spark):
+    """Triangle block partitioning is EXACT: same pairs and scores as
+    the quadratic broadcast join it replaced, for every block count
+    (including blocks > n and blocks == 1)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        similarity.norm(F.col("embedding")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        similarity.norm(F.col("embedding")).alias("_nb"),
+    )
+    brute = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                similarity.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    assert brute, "fixture should produce at least one pair"
+    for blocks in (1, 4, 64):
+        got = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in similarity.cosine_pairs_blocked(emb, 0.4, blocks=blocks).collect()
+        }
+        assert got == brute
+
+
+def test_cosine_pairs_blocked_plan_has_no_bnl(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = similarity.cosine_pairs_blocked(emb, 0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
