@@ -800,6 +800,48 @@ def macro_isodate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPLATE_COMPILE_SQL = f"""
+WITH logs AS (
+  SELECT event_id, ts,
+         {_HOST_SQL} AS host, {_PROG_SQL} AS program,
+         (event_id % 32768) AS pid,
+         {EVENT_FACILITY_SQL} AS facility,
+         {EVENT_SEVERITY_SQL} AS severity,
+         {_MSG_SQL} AS message
+  FROM events)
+SELECT event_id,
+       '<' || (facility * 8 + severity)::VARCHAR || '>'
+       || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00 '
+       || host || ' ' || program || '[' || pid::VARCHAR || ']: ' || message
+       || ' sev=' || CASE WHEN severity < 4 THEN 'high' ELSE 'low' END
+       || ' sig=' || substr(md5(message), 1, 8)
+       || ' n=' || (pid + 1)::VARCHAR
+       || ' none' AS line
+FROM logs
+"""
+
+
+@register("template_compile", _TEMPLATE_COMPILE_SQL)
+def template_compile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The template-string COMPILER end-to-end (template.py; reference
+    lib/template/compiler.c + eval.c): one template string covering
+    macros, nested functions, $(if), arithmetic and :-defaults is
+    compiled to a single Column; the oracle is the equivalent
+    hand-written DuckDB expression — proving the compiled plan equals
+    the hand translation a reference user would otherwise write."""
+    from syslog_ng_spark.template import compile_template
+
+    tpl = (
+        "<$PRI>$ISODATE $HOST $MSGHDR$MSG"
+        " sev=$(if ($SEVERITY_NUM < 4) high low)"
+        " sig=$(substr $(md5 $MSG) 0 8)"
+        " n=$(+ $PID 1)"
+        " ${missing:-none}"
+    )
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    return logs.select("event_id", compile_template(tpl, logs).alias("line"))
+
+
 # ---------------------------------------------------------------------------
 # §2.2 enrichment
 # ---------------------------------------------------------------------------

@@ -79,8 +79,21 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         return df.where(filters.netmask_filter(F.col(spec["column"]), spec["cidr"]))
     if op == "filter-in-list":
         return df.where(filters.in_list_filter(F.col(spec["column"]), spec["values"]))
+    if op == "format":
+        # render a syslog-ng template string per row (template.py);
+        # the rewrite/destination-template analog:
+        #   {"op": "format", "template": "$ISODATE $HOST $MSG",
+        #    "target": "line"}
+        from syslog_ng_spark.template import template_format
+
+        return template_format(df, spec["template"], target=spec.get("target", "rendered"))
     if op == "rewrite-set":
-        return rewrite.set_field(df, spec["field"], F.lit(spec["value"]))
+        value = spec["value"]
+        if isinstance(value, str) and "$" in value:
+            from syslog_ng_spark.template import compile_template
+
+            return rewrite.set_field(df, spec["field"], compile_template(value, df))
+        return rewrite.set_field(df, spec["field"], F.lit(value))
     if op == "rewrite-subst":
         return rewrite.subst(df, spec["field"], spec["pattern"], spec["replacement"])
     if op == "rewrite-unset":
