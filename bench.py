@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "repetition_ratio",
     "q11_important_suppliers",
     "q22_lost_customers",
+    "template_compile",
+    "patterndb_parse",
 ]
 
 

@@ -800,6 +800,60 @@ def macro_isodate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# patterndb ruleset over the synthetic event messages; regexes are
+# generated ONCE by compile_pattern and embedded verbatim in both the
+# Spark plan and the DuckDB oracle (shared RE2/Java-safe subset)
+_PDB_RULES = [
+    ("pdb_error", "error value=@FLOAT:val@ user=@NUMBER:uid@"),
+    ("pdb_purchase", "purchase value=@ESTRING:val: @user=@NUMBER:uid@"),
+    ("pdb_signup", "signup @ANYSTRING:rest@"),
+    ("pdb_click", "click value=@FLOAT:val@ user=@NUMBER:uid@"),
+    ("pdb_view", "view value=@ESTRING:val: @@ANYSTRING:rest@"),
+]
+
+
+def _patterndb_sql() -> str:
+    from syslog_ng_spark.operators.patterndb import compile_pattern
+
+    compiled = [(cls, *compile_pattern(p)) for cls, p in _PDB_RULES]
+    cls_whens = "\n         ".join(
+        f"WHEN regexp_matches(message, '{rx}') THEN '{cls}'" for cls, rx, _ in compiled
+    )
+    field_cols = []
+    for name in ["val", "uid", "rest"]:
+        whens = "\n           ".join(
+            f"WHEN class = '{cls}' THEN regexp_extract(message, '{rx}', {fs.index(name) + 1})"
+            for cls, rx, fs in compiled
+            if name in fs
+        )
+        field_cols.append(f"CASE {whens} ELSE '' END AS {name}")
+    fields = ",\n       ".join(field_cols)
+    return f"""
+WITH logs AS (SELECT event_id, {_MSG_SQL} AS message FROM events),
+classed AS (
+  SELECT event_id, message,
+         CASE {cls_whens} ELSE 'unknown' END AS class
+  FROM logs)
+SELECT event_id, class,
+       {fields}
+FROM classed
+"""
+
+
+@register("patterndb_parse", _patterndb_sql())
+def patterndb_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patterndb @PARSER@ ruleset end-to-end (operators/patterndb.py;
+    reference modules/dbparser/radix.c): five reference-style patterns
+    (FLOAT/NUMBER/ESTRING/ANYSTRING) classify every event message and
+    extract typed fields, first match wins."""
+    from syslog_ng_spark.operators.patterndb import patterndb_parse
+
+    logs = events_as_logs(T(spark, sf_dir, "events")).select("event_id", "message")
+    return patterndb_parse(rebalance(logs), "message", _PDB_RULES).select(
+        "event_id", "class", "val", "uid", "rest"
+    )
+
+
 _TEMPLATE_COMPILE_SQL = f"""
 WITH logs AS (
   SELECT event_id, ts,
