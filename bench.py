@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q22_lost_customers",
     "template_compile",
     "patterndb_parse",
+    "multiline_reassemble",
 ]
 
 

@@ -800,6 +800,51 @@ def macro_isodate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTILINE_SQL = f"""
+WITH logs AS (SELECT event_id, user_id, {_MSG_SQL} AS message FROM events),
+lines AS (
+  SELECT (user_id % 8) AS src, event_id AS line_no,
+         CASE WHEN message LIKE 'error%' THEN message
+              ELSE '    ' || message END AS raw
+  FROM logs),
+flagged AS (
+  SELECT src, line_no, raw,
+         sum(CASE WHEN substr(raw, 1, 1) NOT IN (' ', chr(9)) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY src ORDER BY line_no
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS msg_id
+  FROM lines)
+SELECT src, msg_id,
+       string_agg(raw, chr(10) ORDER BY line_no) AS message,
+       count(*) AS n_lines,
+       min(line_no) AS first_line_no
+FROM flagged
+GROUP BY src, msg_id
+"""
+
+
+@register("multiline_reassemble", _MULTILINE_SQL)
+def multiline_reassemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indented multi-line reassembly (operators/multiline.py;
+    reference lib/logproto/logproto-indented-multiline-server.c):
+    'error' events start a message, every other event is rendered as
+    an indented continuation; the operator sessionizes each of 8
+    simulated files back into logical messages."""
+    from syslog_ng_spark.operators.multiline import reassemble_multiline
+
+    logs = events_as_logs(T(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "message"
+    )
+    lines = logs.select(
+        (F.col("user_id") % 8).alias("src"),
+        F.col("event_id").alias("line_no"),
+        F.when(F.col("message").startswith("error"), F.col("message"))
+        .otherwise(F.concat(F.lit("    "), F.col("message")))
+        .alias("raw"),
+    )
+    out = reassemble_multiline(lines, "raw", "line_no", "src", mode="indented")
+    return out.select("src", "msg_id", "message", "n_lines", "first_line_no")
+
+
 # patterndb ruleset over the synthetic event messages; regexes are
 # generated ONCE by compile_pattern and embedded verbatim in both the
 # Spark plan and the DuckDB oracle (shared RE2/Java-safe subset)

@@ -1,0 +1,124 @@
+"""Multi-line reassembly tests.
+
+Shapes modeled on the reference's logproto multiline tests
+(lib/logproto/tests/test-indented-multiline-server.c,
+test-regexp-multiline.c): indented continuations, prefix-started
+messages, suffix-terminated messages, plus the streaming tail held
+across micro-batches.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from syslog_ng_spark.operators.multiline import (
+    reassemble_multiline,
+    reassemble_multiline_stream,
+)
+
+TRACE = [
+    (1, "Exception in thread main java.lang.NullPointerException"),
+    (2, "    at com.example.Foo.bar(Foo.java:13)"),
+    (3, "    at com.example.Main.main(Main.java:4)"),
+    (4, "plain single-line message"),
+    (5, "2024-01-01 another message"),
+    (6, "\tcontinued with a tab"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "line_no long, raw string")
+
+
+def test_indented_reassembly(spark):
+    out = {
+        r.first_line_no: r
+        for r in reassemble_multiline(_df(spark, TRACE), "raw", "line_no").collect()
+    }
+    assert len(out) == 3
+    assert out[1].n_lines == 3 and out[1].message.count("\n") == 2
+    assert out[4].message == "plain single-line message"
+    assert out[5].n_lines == 2 and out[5].message.endswith("continued with a tab")
+
+
+def test_prefix_mode(spark):
+    rows = [
+        (1, "2024-01-01 first"),
+        (2, "continuation without indent"),
+        (3, "2024-01-02 second"),
+    ]
+    out = reassemble_multiline(
+        _df(spark, rows), "raw", "line_no", mode="prefix", prefix=r"^\d{4}-\d{2}-\d{2} "
+    ).collect()
+    msgs = sorted(r.message for r in out)
+    assert msgs == [
+        "2024-01-01 first\ncontinuation without indent",
+        "2024-01-02 second",
+    ]
+
+
+def test_prefix_suffix_mode(spark):
+    rows = [
+        (1, "BEGIN alpha"),
+        (2, "body END"),
+        (3, "stray line"),  # follows a suffix -> starts a new message
+        (4, "BEGIN beta"),
+    ]
+    out = reassemble_multiline(
+        _df(spark, rows),
+        "raw",
+        "line_no",
+        mode="prefix",
+        prefix=r"^BEGIN ",
+        suffix=r" END$",
+    ).collect()
+    msgs = sorted(r.message for r in out)
+    assert msgs == ["BEGIN alpha\nbody END", "BEGIN beta", "stray line"]
+
+
+def test_groups_are_independent(spark):
+    rows = [
+        ("a", 1, "start a"),
+        ("b", 1, "start b"),
+        ("a", 2, "  cont a"),
+        ("b", 2, "start b2"),
+    ]
+    df = spark.createDataFrame(rows, "src string, line_no long, raw string")
+    out = reassemble_multiline(df, "raw", "line_no", group_col="src").collect()
+    got = {(r.src, r.message) for r in out}
+    assert got == {("a", "start a\n  cont a"), ("b", "start b"), ("b", "start b2")}
+
+
+def test_streaming_tail_held_across_batches(spark):
+    schema = "path string, line_no long, raw string"
+    phase1 = [
+        ("f1", 1, "Exception: boom"),
+        ("f1", 2, "    at frame one"),
+    ]
+    # batch 2: the continuation arrives, then a NEW start flushes the tail
+    phase2 = [
+        ("f1", 3, "    at frame two"),
+        ("f1", 4, "next message"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        for rows in (phase1, phase2):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+                d + "/in"
+            )
+            q = (
+                reassemble_multiline_stream(
+                    spark.readStream.schema(schema).parquet(d + "/in")
+                )
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        rows = spark.read.parquet(d + "/out").collect()
+    # only the completed message is emitted; 'next message' stays open
+    assert len(rows) == 1
+    assert rows[0].message == "Exception: boom\n    at frame one\n    at frame two"
+    assert rows[0].n_lines == 3
