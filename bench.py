@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "template_compile",
     "patterndb_parse",
     "multiline_reassemble",
+    "geoip_range_enrich",
+    "format_json_scoped",
 ]
 
 

@@ -800,6 +800,96 @@ def macro_isodate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FMT_JSON_SCOPED_SQL = f"""
+WITH logs AS (
+  SELECT event_id, {_HOST_SQL} AS host, {_PROG_SQL} AS program,
+         (event_id % 32768) AS pid, {_MSG_SQL} AS message,
+         CASE WHEN {EVENT_SEVERITY_SQL} = 3 THEN 'err' ELSE 'ok' END AS cls
+  FROM events)
+SELECT event_id,
+       '{{"HOST":"' || host || '","MESSAGE":"' || message
+       || '","PID":"' || pid::VARCHAR || '","PROGRAM":"' || program
+       || '","app":"' || program || '","cls.class":"' || cls || '"}}' AS js
+FROM logs
+"""
+
+
+@register("format_json_scoped", _FMT_JSON_SCOPED_SQL)
+def format_json_scoped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value-pairs scoping end-to-end (functions/format.py; reference
+    lib/value-pairs/value-pairs.c): core scope + --key globs pulling
+    two NV names in, --exclude dropping one, --rekey replace-prefix
+    renaming the classifier keys — rendered as sorted-key JSON."""
+    from syslog_ng_spark.functions.format import format_json_scoped
+
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    nv = F.create_map(
+        F.lit("app"), F.col("program"),
+        F.lit("seq"), F.col("event_id").cast("string"),
+        F.lit(".classifier.class"),
+        F.when(F.col("severity") == 3, F.lit("err")).otherwise(F.lit("ok")),
+    )
+    js = format_json_scoped(
+        nv,
+        core={
+            "HOST": F.col("host"),
+            "PROGRAM": F.col("program"),
+            "PID": F.col("pid"),
+            "MESSAGE": F.col("message"),
+        },
+        scope="rfc3164",
+        key=["app", ".classifier.*"],
+        exclude=["seq"],
+        rekey_replace_prefix=(".classifier.", "cls."),
+    )
+    return logs.select("event_id", js.alias("js"))
+
+
+_GEOIP_RANGE_SQL = f"""
+WITH w AS (SELECT event_id, {_IP_SQL} AS ip FROM events),
+p AS (SELECT event_id, ip, string_split(ip, '.') AS o FROM w),
+i AS (SELECT event_id, ip,
+             (o[1]::BIGINT * 16777216 + o[2]::BIGINT * 65536
+              + o[3]::BIGINT * 256 + o[4]::BIGINT) AS ip_int FROM p),
+r AS (SELECT (167772160 + i * 43690)::BIGINT AS start_int,
+             (167772160 + i * 43690 + 39999)::BIGINT AS end_int,
+             'geo-' || (i % 10)::VARCHAR AS geo_name
+      FROM generate_series(0, 47) t(i))
+SELECT event_id, ip, coalesce(geo_name, 'unknown') AS geo_name
+FROM i LEFT JOIN r ON ip_int BETWEEN start_int AND end_int
+"""
+
+
+@register("geoip_range_enrich", _GEOIP_RANGE_SQL)
+def geoip_range_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval GeoIP lookup (operators/enrich.py geoip_range_enrich;
+    reference modules/geoip2/maxminddb-helper.c): a GeoLite-format
+    range table (48 disjoint intervals with gaps over the 10/8 space)
+    joined as a broadcast hash join on /16 prefix buckets — the fact
+    side never shuffles, no BroadcastNestedLoopJoin."""
+    from syslog_ng_spark.operators.enrich import geoip_range_enrich
+
+    ev = T(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    with_ip = ev.select("event_id", ip.alias("ip"))
+    ranges = spark.range(0, 48).select(
+        (167772160 + F.col("id") * 43690).cast("long").alias("start_int"),
+        (167772160 + F.col("id") * 43690 + 39999).cast("long").alias("end_int"),
+        F.concat(F.lit("geo-"), (F.col("id") % 10).cast("string")).alias("geo_name"),
+    )
+    out = geoip_range_enrich(with_ip, ranges, ip_col="ip")
+    return out.select(
+        "event_id", "ip", F.coalesce(F.col("geo_name"), F.lit("unknown")).alias("geo_name")
+    )
+
+
 _MULTILINE_SQL = f"""
 WITH logs AS (SELECT event_id, user_id, {_MSG_SQL} AS message FROM events),
 lines AS (

@@ -19,6 +19,142 @@ def format_json(**fields: Column) -> Column:
     return F.to_json(F.struct(*[c.alias(k) for k, c in fields.items()]))
 
 
+def _glob_rx(glob: str) -> str:
+    """fnmatch-style glob → anchored regex (value-pairs --key/--exclude
+    use glob patterns; lib/value-pairs/value-pairs.c vp_pairs_foreach)."""
+    import re as _re
+
+    return "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch) for ch in glob
+    ) + "$"
+
+
+def _match_any(k: Column, globs) -> Column:
+    out = F.lit(False)
+    for g in globs:
+        out = out | k.rlike(_glob_rx(g))
+    return out
+
+
+def value_pairs(
+    nv: Column,
+    core: dict[str, Column] | None = None,
+    scope: str = "all-nv-pairs",
+    key: list[str] | None = None,
+    exclude: list[str] | None = None,
+    rekey_add_prefix: str | None = None,
+    rekey_replace_prefix: tuple[str, str] | None = None,
+    rekey_shift: int = 0,
+) -> Column:
+    """value-pairs() selection → one map<string,string> Column.
+
+    Reference: lib/value-pairs/value-pairs.c (scopes vp_scope_names:
+    nv-pairs = names not starting with '.', dot-nv-pairs, all-nv-pairs,
+    rfc3164/core = the hard field set, sdata = .SDATA.*, everything)
+    and lib/value-pairs/transforms.c (rekey add-prefix / shift /
+    replace-prefix). --key globs ADD matching nv names to the scope
+    selection; --exclude globs remove after selection — the same
+    include-then-exclude order as vp_msg_nvpairs_foreach.
+
+    All map surgery is JVM-side (map_filter / transform_keys /
+    map_concat) — no UDFs."""
+    scopes = set(scope.replace(",", " ").split())
+
+    def scope_pred(k: Column) -> Column:
+        p = F.lit(False)
+        if {"all-nv-pairs", "everything"} & scopes:
+            p = p | F.lit(True)
+        if "nv-pairs" in scopes:
+            p = p | ~k.startswith(".")
+        if "dot-nv-pairs" in scopes:
+            p = p | k.startswith(".")
+        if "sdata" in scopes:
+            p = p | k.startswith(".SDATA.")
+        return p
+
+    def selected(k: Column, v: Column) -> Column:
+        pred = scope_pred(k)
+        if key:
+            pred = pred | _match_any(k, key)
+        if exclude:
+            pred = pred & ~_match_any(k, exclude)
+        return pred & v.isNotNull()
+
+    m = F.map_filter(nv, selected)
+
+    core_scoped = bool({"rfc3164", "core", "base", "rfc5424", "syslog-proto",
+                        "everything", "selected-macros"} & scopes)
+    core_map = None
+    if core:
+        import fnmatch
+
+        names = []
+        for name in core:
+            inc = core_scoped or (key and any(fnmatch.fnmatch(name, g) for g in key))
+            if inc and exclude and any(fnmatch.fnmatch(name, g) for g in exclude):
+                inc = False
+            if inc:
+                names.append(name)
+        if names:
+            kv = []
+            for name in sorted(names):
+                kv.extend([F.lit(name), core[name].cast("string")])
+            core_map = F.create_map(*kv)
+
+    if core_map is not None:
+        m = F.map_concat(core_map, m)
+
+    def rekey(k: Column) -> Column:
+        out = k
+        if rekey_shift:
+            out = F.substring(out, rekey_shift + 1, 2147483647)
+        if rekey_replace_prefix:
+            old, new = rekey_replace_prefix
+            out = F.when(
+                out.startswith(old),
+                F.concat(F.lit(new), F.substring(out, len(old) + 1, 2147483647)),
+            ).otherwise(out)
+        if rekey_add_prefix:
+            out = F.concat(F.lit(rekey_add_prefix), out)
+        return out
+
+    if rekey_shift or rekey_replace_prefix or rekey_add_prefix:
+        m = F.transform_keys(m, lambda k, v: rekey(k))
+    return m
+
+
+def _json_escape(c: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+
+
+def format_json_scoped(
+    nv: Column,
+    core: dict[str, Column] | None = None,
+    **vp_opts,
+) -> Column:
+    """$(format-json --scope ... --key ... --exclude ... --rekey ...):
+    the value_pairs selection rendered as a JSON object with keys in
+    binary-sorted order (deterministic across engines; the reference
+    emits insertion order, which has no stable analog for a dynamic
+    map)."""
+    m = value_pairs(nv, core, **vp_opts)
+    entries = F.array_sort(F.map_entries(m))
+    body = F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.concat(
+                F.lit('"'),
+                _json_escape(e["key"]),
+                F.lit('":"'),
+                _json_escape(e["value"]),
+                F.lit('"'),
+            ),
+        ),
+        ",",
+    )
+    return F.concat(F.lit("{"), body, F.lit("}"))
+
+
 def format_welf(**fields: Column) -> Column:
     """$(format-welf) — space-separated k=v pairs, values stringified."""
     pairs = [F.concat(F.lit(k + "="), c.cast("string")) for k, c in fields.items()]

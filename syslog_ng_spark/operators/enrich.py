@@ -44,6 +44,52 @@ def add_contextual_data(
     return joined
 
 
+def geoip_range_enrich(
+    events: DataFrame,
+    ranges: DataFrame,
+    ip_col: str = "ip",
+    start_col: str = "start_int",
+    end_col: str = "end_int",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """GeoIP by IP-range lookup (reference: modules/geoip2/
+    maxminddb-helper.c walks the mmdb binary trie per message). The
+    Spark-native database is a GeoLite-format interval table
+    (start_int <= ip_int <= end_int, attribute columns), and the
+    lookup is a broadcast HASH join, not a nested-loop range join:
+    every range is exploded into the /N prefix buckets it covers
+    (N=bucket_bits), the event side joins on its ip's bucket — an
+    equi-key — and the interval check rides along as a residual join
+    condition. GeoLite2 has ~400k ranges mostly finer than /16, so
+    the expansion factor stays near 1 and the broadcast stays small,
+    while the 100 TB fact side never shuffles and never sees a
+    BroadcastNestedLoopJoin.
+
+    Ranges must be disjoint (true of real GeoIP snapshots); an
+    overlapping table would duplicate matching rows."""
+    from syslog_ng_spark.functions.ipfuncs import ipv4_to_int
+
+    shift = 32 - bucket_bits
+    expanded = ranges.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col(start_col).cast("long"), shift),
+                F.shiftright(F.col(end_col).cast("long"), shift),
+            )
+        ),
+    )
+    ip_int = ipv4_to_int(F.col(ip_col)).cast("long")
+    ev = events.withColumn("_eb", F.shiftright(ip_int, shift))
+    joined = ev.join(
+        F.broadcast(expanded),
+        (F.col("_eb") == F.col("_rb"))
+        & ip_int.between(F.col(start_col), F.col(end_col)),
+        "left",
+    )
+    return joined.drop("_eb", "_rb", start_col, end_col)
+
+
 def geoip_stub(events: DataFrame, ip_col: str) -> DataFrame:
     """geoip2 plumbing with a deterministic fake database: real engines
     plug a broadcast range-join (ip_int BETWEEN lo AND hi) here. The

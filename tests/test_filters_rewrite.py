@@ -90,3 +90,28 @@ def test_map_rewrites(spark):
     assert dropped == {"a": "1"}
     upper = groupset(df, "m", lambda k, v: F.upper(v)).collect()[0].m
     assert upper == {"a": "1", "b": "2"}
+
+
+def test_geoip_range_enrich_plan_and_values(spark):
+    """Range lookup must be a broadcast HASH join on the prefix
+    bucket (no BroadcastNestedLoopJoin over the fact side)."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.enrich import geoip_range_enrich
+
+    events = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.156.20"), (3, "10.31.0.1")],
+        "id long, ip string",
+    )
+    # 10.0.0.0-10.0.155.255 -> geo-a (spans 156 /16-sub buckets? no:
+    # /16 bucketing, range spans buckets 2560..2560); second range in a gap test
+    ranges = spark.createDataFrame(
+        [(167772160, 167812159, "geo-a")],  # 10.0.0.0 .. 10.0.156.63
+        "start_int long, end_int long, geo_name string",
+    )
+    out = geoip_range_enrich(events, ranges, ip_col="ip")
+    got = {r.id: r.geo_name for r in out.collect()}
+    assert got[1] == "geo-a" and got[2] == "geo-a" and got[3] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -83,3 +83,62 @@ def test_hash_url_base64(spark):
 def test_ipfuncs(spark):
     assert one(spark, ipv4_to_int(F.lit("0.0.0.1"))) == 1
     assert one(spark, ipv4_to_int(F.lit("255.255.255.255"))) == 4294967295
+
+
+def test_value_pairs_scopes_and_rekey(spark):
+    """value-pairs selection semantics (lib/value-pairs/value-pairs.c):
+    scope picks by name shape, --key adds, --exclude removes, rekey
+    transforms names."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions.format import format_json_scoped, value_pairs
+
+    df = spark.createDataFrame(
+        [(1, "h1", {"user": "bob", ".classifier.class": "violation", ".SDATA.m.seq": "7"})],
+        "id long, host string, nv map<string,string>",
+    )
+
+    def render(**opts):
+        return df.select(
+            format_json_scoped(F.col("nv"), core={"HOST": F.col("host")}, **opts).alias("js")
+        ).collect()[0].js
+
+    assert render(scope="nv-pairs") == '{"user":"bob"}'
+    assert (
+        render(scope="dot-nv-pairs")
+        == '{".SDATA.m.seq":"7",".classifier.class":"violation"}'
+    )
+    assert render(scope="sdata") == '{".SDATA.m.seq":"7"}'
+    assert render(scope="rfc3164") == '{"HOST":"h1"}'
+    assert (
+        render(scope="rfc3164 nv-pairs", exclude=["user"]) == '{"HOST":"h1"}'
+    )
+    assert (
+        render(scope="nv-pairs", key=[".classifier.*"])
+        == '{".classifier.class":"violation","user":"bob"}'
+    )
+    assert (
+        render(scope="nv-pairs", rekey_add_prefix="np.") == '{"np.user":"bob"}'
+    )
+    assert (
+        render(scope="sdata", rekey_replace_prefix=(".SDATA.", "sd."))
+        == '{"sd.m.seq":"7"}'
+    )
+    # shift drops leading chars (transforms.c value_pairs_new_transform_shift)
+    assert render(scope="sdata", rekey_shift=1) == '{"SDATA.m.seq":"7"}'
+    # map form, not just json
+    m = df.select(value_pairs(F.col("nv"), scope="nv-pairs").alias("m")).collect()[0].m
+    assert m == {"user": "bob"}
+
+
+def test_value_pairs_json_escaping(spark):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions.format import format_json_scoped
+
+    df = spark.createDataFrame([({'q': 'say "hi" \\ bye'},)], "nv map<string,string>")
+    js = df.select(format_json_scoped(F.col("nv"), scope="nv-pairs").alias("js")).collect()[0].js
+    assert js == '{"q":"say \\"hi\\" \\\\ bye"}'
+    import json
+
+    assert json.loads(js) == {"q": 'say "hi" \\ bye'}
