@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "multiline_reassemble",
     "geoip_range_enrich",
     "format_json_scoped",
+    "ann_ivf_topk",
 ]
 
 
@@ -105,17 +106,27 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # regression floor: each query is compared against its recorded
+    # best-round time (BASELINE_LOCAL.json); >2x at the same SF is a
+    # regression the next round must explain or fix
+    base_path = Path(__file__).resolve().parent / "BASELINE_LOCAL.json"
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        if base.get("sf") == sf:
+            floor = {
+                q: round(t / b, 2)
+                for q, t in timings.items()
+                if (b := base["queries"].get(q)) and b >= 0.3 and t > 2 * b
             }
-        )
-    )
+            out["regressions_vs_baseline"] = floor
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

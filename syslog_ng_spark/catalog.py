@@ -1452,6 +1452,24 @@ def embed_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk")  # no oracle: iterative k-means training is not
+# SQL-expressible; pytest measures recall vs brute force (test_dedup_similarity)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (similarity.ivf_*): deterministic mini k-means coarse
+    quantizer, then the query probes only its nprobe nearest cells —
+    the partition-pruned scan. With the corpus written partitioned by
+    ivf_cell this is literal disk partition pruning at 100 TB; here it
+    prunes the in-memory scan the same way."""
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    cents = similarity.ivf_train(corpus, k=16, iters=2)
+    return similarity.ivf_topk(corpus, qvec, cents, k=10, nprobe=4)
+
+
 @register("simhash_neardup")  # no oracle: pytest-verified vs exact hamming
 def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")

@@ -147,6 +147,99 @@ def cosine_pairs_blocked(
     ).where(F.col("cos_sim") >= threshold)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    target: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse
+    quantizer). Centroids are a small python list (broadcast as
+    literals into the plan); assignment is argmax of dot with the
+    normalized centroids — pure Catalyst, no UDF."""
+    import math
+
+    scored = []
+    for i, c in enumerate(centroids):
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        plane = F.array(*[F.lit(float(x / n)) for x in c])
+        # |v| is constant across centroids, so plain dot against the
+        # NORMALIZED centroid has the same argmax as cosine
+        scored.append(F.struct(dot(F.col(vec_col), plane).alias("s"), F.lit(i).alias("i")))
+    best = F.array_max(F.array(*scored))
+    return df.withColumn(target, best["i"])
+
+
+def ivf_train(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic mini k-means for the IVF coarse quantizer:
+    centroids seed from k hash-selected vectors (reproducible, no
+    RNG), then `iters` Lloyd rounds, each ONE groupBy over the corpus
+    (assignment is in-plan; only k centroid vectors come back to the
+    driver per round). At 100 TB you'd train on a hash-sample —
+    assignment cost dominates and stays distributed either way."""
+    dim = len(df.select(vec_col).first()[0])
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.abs(F.hash(F.col(id_col).cast("string"))))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r[1])) for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col, "_cell")
+        sums = assigned.groupBy("_cell").agg(
+            *[F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}") for d in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = {r["_cell"]: r for r in sums.collect()}
+        centroids = [
+            [rows[i][f"s{d}"] / rows[i]["n"] for d in range(dim)] if i in rows else centroids[i]
+            for i in range(k)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN search: score ONLY the `nprobe` cells nearest to the
+    query — the partition-pruned scan that replaces the full linear
+    scan at scale (corpus written partitioned by ivf_cell makes this
+    literal partition pruning on disk)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        d = sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+        sims.append((d, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    cells = ivf_assign(corpus, centroids, vec_col, "_cell").where(F.col("_cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cells.select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * qn), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],
