@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "geoip_range_enrich",
     "format_json_scoped",
     "ann_ivf_topk",
+    "q15_top_supplier",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
 ]
 
 

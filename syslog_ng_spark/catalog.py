@@ -2798,3 +2798,204 @@ def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.col("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: the remaining TPC-H shapes (q2/q15/q20/q21),
+# reformulated partsupp-less / commitdate-less for this star schema
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {money_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+  GROUP BY l_suppkey),
+m AS (SELECT max(total_revenue) AS mr FROM rev)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey, m
+WHERE total_revenue = mr
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: revenue view + scalar max subquery. The max is a
+    1-row broadcast crossJoin; comparing the DECIMAL-rounded revenue
+    keeps the equality engine-portable."""
+    li = T(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    m = rev.agg(F.max("total_revenue").alias("mr"))
+    supp = T(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(m))
+        .where(F.col("total_revenue") == F.col("mr"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(30,8))) AS sq
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+totals AS (
+  SELECT l_partkey, sum(sq) AS tq, count(*) AS ns FROM shipped GROUP BY l_partkey),
+dominant AS (
+  SELECT s.l_partkey, s.l_suppkey
+  FROM shipped s JOIN totals t ON s.l_partkey = t.l_partkey
+  JOIN part ON p_partkey = s.l_partkey
+  WHERE CAST(s.sq AS DOUBLE) > 2.5 * CAST(t.tq AS DOUBLE) / ns
+    AND p_size >= 30)
+SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+@register("q20_dominant_suppliers", _Q20_SQL)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape (partsupp-less): suppliers who shipped over 2.5x the
+    fair per-supplier share of a large part's total quantity (a fixed
+    fraction would be SF-dependent and vacuous — suppliers per part
+    grows with SF). Two partial aggs on the same key (the per-part
+    total reuses the per-(part,supplier) aggregate — no second
+    lineitem scan), part dim broadcast."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").where(F.col("p_size") >= 30).select("p_partkey")
+    supp = T(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(dsum(F.col("l_quantity")).alias("sq"))
+    totals = shipped.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            F.col("sq").cast("double") > 2.5 * F.col("tq").cast("double") / F.col("ns")
+        )
+    )
+    return (
+        dominant.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
+_Q21_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late)::BIGINT AS n_late
+  FROM li GROUP BY l_orderkey),
+waits AS (
+  SELECT li.l_suppkey
+  FROM li JOIN per_order USING (l_orderkey)
+  WHERE li.late = 1 AND n_supp > 1 AND n_late = 1)
+SELECT s_name, count(*) AS numwait
+FROM waits JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+@register("q21_waiting_suppliers", _Q21_SQL)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape (commitdate-less: late = shipped >60 days after the
+    order date): suppliers who were the ONLY late shipper on a
+    multi-supplier order. The exists/not-exists pair collapses into
+    one per-(order,supplier) aggregate plus one per-order aggregate —
+    two shuffles total instead of two correlated subquery scans."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = T(spark, sf_dir, "supplier")
+    late_flag = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).cast("int")
+    per_pair = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("late"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").cast("long").alias("n_late")
+    )
+    waits = per_pair.join(per_order, "l_orderkey").where(
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        waits.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q2_SQL = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+costs AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+  FROM costs)
+SELECT p_partkey, s_name AS cheapest_supplier,
+       round(unit_cost, 2) AS unit_cost
+FROM ranked
+JOIN part ON p_partkey = l_partkey
+JOIN eu_supp ON ranked.l_suppkey = s_suppkey
+WHERE rn = 1 AND p_size % 5 = 0
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape (partsupp-less): the cheapest EUROPE supplier per part
+    (min observed unit price), correlated-min via one window over the
+    per-(part,supplier) aggregate. Region restriction is a broadcast
+    semi-side dim chain; the double unit price is compared UNROUNDED
+    (IEEE division is engine-exact) and only rounded for output."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    part = T(spark, sf_dir, "part").where(F.col("p_size") % 5 == 0).select("p_partkey")
+    costs = (
+        li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_cost"), F.asc("l_suppkey"))
+    ranked = costs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        ranked.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == eu_supp["s_suppkey"])
+        .select(
+            "p_partkey",
+            F.col("s_name").alias("cheapest_supplier"),
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+    )
