@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
+    "suppress_repeats",
+    "stats_sliding",
 ]
 
 

@@ -2999,3 +2999,78 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("unit_cost", 2).alias("unit_cost"),
         )
     )
+
+
+_SUPPRESS_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, ts FROM events),
+lagged AS (
+  SELECT user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM e),
+flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sess AS (
+  SELECT user_id, event_type, ts,
+         (sum(is_new) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+  FROM flagged)
+SELECT user_id, event_type, session_id,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       (count(*) - 1)::BIGINT AS n_suppressed
+FROM sess GROUP BY user_id, event_type, session_id
+"""
+
+
+@register("suppress_repeats", _SUPPRESS_SQL)
+def suppress_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """suppress() — 'last message repeated n times' (correlate.py;
+    reference lib/logwriter.c suppress option): repeats of the same
+    (user, event_type) within an hour collapse into the run's first
+    occurrence plus a suppressed count. One shuffle on the key."""
+    from syslog_ng_spark.operators.correlate import suppress
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    out = suppress(
+        ev, ["user_id", "event_type"], seconds=3600, order_tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", F.col("session_id").cast("long").alias("session_id"),
+        "first_ts", "last_ts", F.col("n_suppressed").cast("long").alias("n_suppressed"),
+    )
+
+
+_STATS_SLIDING_SQL = f"""
+WITH e AS (SELECT ts, event_type, value FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM e
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM e)
+SELECT window_start, event_type,
+       count(*) AS n,
+       {money_sql('value')} AS total_value
+FROM w GROUP BY window_start, event_type
+"""
+
+
+@register("stats_sliding", _STATS_SLIDING_SQL)
+def stats_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window stats (1h windows every 30min): each event lands
+    in exactly two overlapping windows — Spark's window(slide) is the
+    native form; the oracle unions the two shifted bucket truncs. The
+    streaming identical expression rides readStream unchanged."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money(F.col("value")).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

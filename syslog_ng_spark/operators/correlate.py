@@ -71,3 +71,44 @@ def grouping_by(
     if having is not None:
         out = out.filter(having)
     return out
+
+
+def suppress(
+    df: DataFrame,
+    key: Sequence[str],
+    ts: str = "ts",
+    seconds: int = 30,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """suppress() — collapse repeated identical messages.
+
+    Reference: lib/logwriter.c suppress option ("last message repeated
+    n times"): an identical message (same key columns, typically
+    host+message) arriving within `seconds` of the previously EMITTED
+    one is swallowed; the run's first occurrence is emitted with the
+    swallowed count. A run ends when the gap since the last occurrence
+    exceeds `seconds` — i.e. the reference's suppress timer expiring —
+    so this is sessionize() with the suppress window as the timeout:
+    one shuffle on the message key, all JVM-side.
+
+    Returns one row per emitted message: the key columns, first/last
+    ts, and n_suppressed (the 'repeated n times' counter)."""
+    sess = sessionize(df, key, ts, timeout=seconds, order_tiebreak=order_tiebreak)
+    return sess.groupBy(*key, "session_id").agg(
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+    )
+
+
+def suppress_stream(
+    events: DataFrame,
+    key: Sequence[str],
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming suppress: exact duplicates (same key columns) within
+    the watermark horizon are dropped, state expires automatically —
+    Spark's dropDuplicatesWithinWatermark is precisely the reference's
+    suppress timer with the watermark as the timer wheel."""
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(list(key))

@@ -50,11 +50,17 @@ def normalize_text(c):
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) text.
 
-    One shuffle on md5(text); the winner is chosen with min(id) —
-    cheaper than a window (partial aggregation map-side)."""
+    ONE shuffle on md5(text), and nothing else: the winning row rides
+    the aggregation as min(struct(id, payload)) — struct ordering
+    compares the id field first, so the minimum struct IS the
+    lowest-id row, with map-side partial aggregation. (The previous
+    min(id)+self-join formulation paid a second join shuffle.)"""
+    other = [c for c in df.columns if c != id_col]
     keyed = df.withColumn("_k", F.md5(normalize_text(F.col(text_col))))
-    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, [ "_k", id_col], "inner").drop("_k")
+    winners = keyed.groupBy("_k").agg(
+        F.min(F.struct(F.col(id_col), *[F.col(c) for c in other])).alias("_w")
+    )
+    return winners.select(*[F.col(f"_w.{c}") for c in df.columns])
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "shingle") -> DataFrame:

@@ -44,3 +44,28 @@ def test_grouping_by_aggregates_and_having(spark):
     assert by_user[1].context_length == 2 and by_user[1].sum_value == 3.0
     assert by_user[2].sum_value == 11.0
     assert by_user[2].time_last - by_user[2].time_first == datetime.timedelta(seconds=1800)
+
+
+def test_suppress_collapses_repeats(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("h1", "disk full", base),
+        ("h1", "disk full", base + dt.timedelta(seconds=10)),   # suppressed
+        ("h1", "disk full", base + dt.timedelta(seconds=25)),   # suppressed (25-10 < 30)
+        ("h1", "disk full", base + dt.timedelta(seconds=90)),   # new run (gap 65s)
+        ("h1", "other msg", base + dt.timedelta(seconds=5)),    # different message
+        ("h2", "disk full", base),                              # different host
+    ]
+    df = spark.createDataFrame(rows, "host string, message string, ts timestamp")
+    from syslog_ng_spark.operators.correlate import suppress
+
+    out = suppress(df, ["host", "message"], seconds=30)
+    got = {
+        (r.host, r.message, r.session_id): r.n_suppressed for r in out.collect()
+    }
+    assert got[("h1", "disk full", 0)] == 2   # 'repeated 2 times'
+    assert got[("h1", "disk full", 1)] == 0
+    assert got[("h1", "other msg", 0)] == 0
+    assert got[("h2", "disk full", 0)] == 0

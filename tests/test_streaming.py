@@ -83,3 +83,40 @@ def test_rate_limit_accounting(spark):
         )
     got = {r.user_id: (r.passed, r.dropped) for r in rows}
     assert got[1] == (3, 7)
+
+
+def test_suppress_stream_drops_duplicates(spark):
+    import datetime as dt
+    import tempfile
+
+    from syslog_ng_spark.operators.correlate import suppress_stream
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "host string, message string, ts timestamp"
+    rows = [
+        ("h1", "disk full", base),
+        ("h1", "disk full", base + dt.timedelta(seconds=10)),  # dropped
+        ("h1", "other", base + dt.timedelta(seconds=20)),
+        ("h2", "disk full", base + dt.timedelta(seconds=30)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d + "/in")
+        q = (
+            suppress_stream(
+                spark.readStream.schema(schema).parquet(d + "/in"),
+                ["host", "message"],
+                watermark="5 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", d + "/out")
+            .option("checkpointLocation", d + "/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(d + "/out").collect()
+    assert len(out) == 3
+    assert sorted((r.host, r.message) for r in out) == [
+        ("h1", "disk full"), ("h1", "other"), ("h2", "disk full"),
+    ]
