@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",
     "suppress_repeats",
     "stats_sliding",
+    "gopher_rules",
+    "multimodal_audio",
 ]
 
 

@@ -3074,3 +3074,64 @@ def stats_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         string_split({_NORM_SQL}, ' ') AS toks,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         round(len(regexp_extract_all(text, '[#*>|=~\\\\{{}}\\[\\]]|\\.\\.\\.'))
+               / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+         round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+               / greatest(len(lines), 1), 6) AS bullet_line_ratio,
+         round(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+               / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
+         round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / greatest(length(text), 1), 6) AS digit_ratio,
+         round(len(list_filter(words, w -> regexp_matches(w, '^[A-Z]{{2,}}$')))
+               / greatest(len(words), 1), 6) AS uppercase_word_ratio,
+         len(toks)::BIGINT AS n_tokens,
+         round(list_sum(list_transform(toks, x -> length(x)))
+               / greatest(len(toks), 1), 6) AS avg_token_len
+  FROM t)
+SELECT *,
+       (n_tokens >= 10 AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+        AND ellipsis_line_ratio <= 0.3 AND digit_ratio <= 0.3
+        AND avg_token_len BETWEEN 2.0 AND 12.0) AS gopher_keep
+FROM m
+"""
+
+
+@register("gopher_rules", _GOPHER_SQL)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus-filter rule bundle (textstats.gopher_rules):
+    symbol/bullet/ellipsis/digit/ALL-CAPS ratios + token-length band
+    with a keep/drop verdict — all codegen'd column arithmetic."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    out = textstats.gopher_rules(docs, "text")
+    return out.select(
+        "doc_id", "symbol_word_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+        "digit_ratio", "uppercase_word_ratio", "n_tokens", "avg_token_len",
+        "gopher_keep",
+    )
+
+
+@register("multimodal_audio")  # rows-only gate: frame splitting + DSP run in
+# Python (Arrow-batched numpy) — not SQL-expressible; pytest checks values
+def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-window feature plumbing (multimodal.audio_window_features):
+    document text bytes stand in for PCM-u8 samples — the framing,
+    fan-out (one media row -> many window rows) and Arrow batch shape
+    are the real thing; swap the byte source for decoded audio."""
+    from syslog_ng_spark.operators.multimodal import audio_window_features
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return audio_window_features(media, window=64, hop=32)

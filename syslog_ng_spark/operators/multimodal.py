@@ -93,3 +93,63 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     ]
     df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, mime string")
     return attach_metadata(df)
+
+
+AUDIO_FEATURE_SCHEMA = "media_id long, win_idx long, rms double, zcr double"
+
+
+def audio_window_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    window: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """Audio feature extraction over raw PCM-u8 payloads: frame the
+    byte stream into windows (window/hop), emit per-window RMS and
+    zero-crossing rate. Unlike the codec-backed decoders this needs
+    NO external library — it is real DSP, vectorized numpy over Arrow
+    batches, and shows the full fan-out shape (one media row → many
+    window rows) a production audio pipeline has. Windows shorter
+    than `window` at the tail are dropped (standard framing)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, rms, zcr = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                n = (len(x) - window) // hop + 1 if len(x) >= window else 0
+                for w in range(n):
+                    seg = x[w * hop : w * hop + window]
+                    centered = seg - 128.0
+                    ids.append(mid)
+                    widx.append(w)
+                    rms.append(round(float(np.sqrt(np.mean(centered**2))), 6))
+                    zcr.append(
+                        round(float(np.mean(np.signbit(centered[:-1]) != np.signbit(centered[1:]))), 6)
+                    )
+            yield pd.DataFrame({"media_id": ids, "win_idx": widx, "rms": rms, "zcr": zcr})
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col)
+    ).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def image_tile_plan(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    id_col: str = "media_id",
+    tile: int = 224,
+) -> DataFrame:
+    """Image tiling fan-out plan: one row per (tile_x, tile_y) crop a
+    downstream decoder would cut — the partition-sizing half of a
+    vision-preprocessing pipeline, computed JVM-side from metadata
+    only (no decode)."""
+    nx = F.ceil(F.col(width_col) / tile).cast("int")
+    ny = F.ceil(F.col(height_col) / tile).cast("int")
+    tx = F.explode(F.sequence(F.lit(0), F.greatest(nx - 1, F.lit(0)))).alias("tile_x")
+    out = df.select(F.col(id_col), F.col(width_col), F.col(height_col), tx)
+    ty = F.explode(F.sequence(F.lit(0), F.greatest(ny - 1, F.lit(0)))).alias("tile_y")
+    return out.select(id_col, "tile_x", ty)

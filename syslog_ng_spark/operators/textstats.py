@@ -108,3 +108,66 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def symbol_word_ratio(c: Column) -> Column:
+    """Gopher rule: #/... symbol count per word (high => boilerplate)."""
+    syms = F.size(F.regexp_extract_all(c, F.lit(r"[#*>|=~\\{}\[\]]|\.\.\."), 0))
+    return F.round(syms / F.greatest(token_count(c), F.lit(1)), 6)
+
+
+def bullet_line_ratio(c: Column) -> Column:
+    """Gopher rule: fraction of lines starting with a bullet marker."""
+    lines = F.split(c, "\n")
+    bullets = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    return F.round(bullets / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def ellipsis_line_ratio(c: Column) -> Column:
+    """Gopher rule: fraction of lines ending with an ellipsis."""
+    lines = F.split(c, "\n")
+    ell = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    return F.round(ell / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def digit_ratio(c: Column) -> Column:
+    return F.round(
+        F.length(F.regexp_replace(c, r"[^0-9]", ""))
+        / F.greatest(F.length(c), F.lit(1)),
+        6,
+    )
+
+
+def uppercase_word_ratio(c: Column) -> Column:
+    """Fraction of words that are ALL-CAPS (>=2 chars) on the RAW text
+    (casing is the signal, so this must not lowercase first)."""
+    words = F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+    caps = F.size(F.filter(words, lambda w: w.rlike(r"^[A-Z]{2,}$")))
+    return F.round(caps / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher-style repetition/format rule bundle as columns plus a
+    keep/drop verdict — the corpus-filtering companion to
+    quality_score (all pure column arithmetic, codegen'd)."""
+    c = F.col(text_col)
+    out = df.withColumns(
+        {
+            "symbol_word_ratio": symbol_word_ratio(c),
+            "bullet_line_ratio": bullet_line_ratio(c),
+            "ellipsis_line_ratio": ellipsis_line_ratio(c),
+            "digit_ratio": digit_ratio(c),
+            "uppercase_word_ratio": uppercase_word_ratio(c),
+            "n_tokens": token_count(c).cast("long"),
+            "avg_token_len": avg_token_len(c),
+        }
+    )
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_ratio") <= 0.9)
+        & (F.col("ellipsis_line_ratio") <= 0.3)
+        & (F.col("digit_ratio") <= 0.3)
+        & (F.col("avg_token_len").between(2.0, 12.0))
+    )
+    return out.withColumn("gopher_keep", keep)

@@ -53,3 +53,34 @@ def test_frame_sample_plan(spark):
     plan = multimodal.frame_sample_plan(media, every_n=10)
     rows = plan.collect()
     assert all(r.frame_idx % 10 == 0 for r in rows)
+
+
+def test_audio_window_features_values(spark):
+    import numpy as np
+
+    from syslog_ng_spark.operators.multimodal import audio_window_features
+
+    payload = bytes(range(200))  # deterministic ramp
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    rows = {r.win_idx: r for r in audio_window_features(df, window=64, hop=32).collect()}
+    # (200 - 64) // 32 + 1 = 5 windows
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    seg = x[0:64] - 128.0
+    assert rows[0].rms == round(float(np.sqrt(np.mean(seg ** 2))), 6)
+    assert 0.0 <= rows[0].zcr <= 1.0
+    # short payloads produce no windows, not an error
+    tiny = spark.createDataFrame([(2, bytearray(b"abc"))], "media_id long, payload binary")
+    assert audio_window_features(tiny, window=64, hop=32).count() == 0
+
+
+def test_image_tile_plan_counts(spark):
+    from syslog_ng_spark.operators.multimodal import image_tile_plan
+
+    df = spark.createDataFrame(
+        [(1, 500, 300), (2, 224, 224), (3, 10, 10)],
+        "media_id long, width int, height int",
+    )
+    out = image_tile_plan(df, tile=224).groupBy("media_id").count().collect()
+    got = {r.media_id: r["count"] for r in out}
+    assert got == {1: 3 * 2, 2: 1, 3: 1}
