@@ -79,6 +79,56 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         return df.where(filters.netmask_filter(F.col(spec["column"]), spec["cidr"]))
     if op == "filter-in-list":
         return df.where(filters.in_list_filter(F.col(spec["column"]), spec["values"]))
+    if op == "multiline":
+        # {"op": "multiline", "mode": "indented"|"prefix", "prefix": rx,
+        #  "order": "line_no", "group": "path"}
+        from syslog_ng_spark.operators.multiline import reassemble_multiline
+
+        return reassemble_multiline(
+            df,
+            line_col=spec.get("column", "raw"),
+            order_col=spec.get("order", "line_no"),
+            group_col=spec.get("group"),
+            mode=spec.get("mode", "indented"),
+            prefix=spec.get("prefix"),
+            suffix=spec.get("suffix"),
+        )
+    if op == "parse-patterndb":
+        # {"op": "parse-patterndb", "rules": [[class, pattern], ...]}
+        # or {"xml": "<patterndb>..."}
+        from syslog_ng_spark.operators.patterndb import (
+            load_patterndb_xml,
+            patterndb_parse,
+        )
+
+        rules = (
+            load_patterndb_xml(spec["xml"])
+            if "xml" in spec
+            else [tuple(r) for r in spec["rules"]]
+        )
+        return patterndb_parse(
+            df,
+            spec.get("column", "message"),
+            rules,
+            target=spec.get("target", "class"),
+            default=spec.get("default", "unknown"),
+        )
+    if op == "suppress":
+        from syslog_ng_spark.operators.correlate import suppress
+
+        return suppress(
+            df,
+            spec.get("key", ["host", "message"]),
+            ts=spec.get("ts", "ts"),
+            seconds=spec.get("seconds", 30),
+        )
+    if op == "enrich-geoip":
+        # {"op": "enrich-geoip", "ranges_path": parquet-with-
+        #  start_int/end_int/attrs, "column": "ip"}
+        from syslog_ng_spark.operators.enrich import geoip_range_enrich
+
+        ranges = df.sparkSession.read.parquet(spec["ranges_path"])
+        return geoip_range_enrich(df, ranges, ip_col=spec.get("column", "ip"))
     if op == "format":
         # render a syslog-ng template string per row (template.py);
         # the rewrite/destination-template analog:

@@ -45,8 +45,12 @@ def value_pairs(
     rekey_add_prefix: str | None = None,
     rekey_replace_prefix: tuple[str, str] | None = None,
     rekey_shift: int = 0,
+    pairs: dict[str, Column] | None = None,
 ) -> Column:
     """value-pairs() selection → one map<string,string> Column.
+    `pairs` are explicit --pair k=v entries: always included,
+    exempt from scope/exclude filtering AND from rekey (value-pairs.c
+    applies transforms to message names, not explicit pairs).
 
     Reference: lib/value-pairs/value-pairs.c (scopes vp_scope_names:
     nv-pairs = names not starting with '.', dot-nv-pairs, all-nv-pairs,
@@ -120,6 +124,11 @@ def value_pairs(
 
     if rekey_shift or rekey_replace_prefix or rekey_add_prefix:
         m = F.transform_keys(m, lambda k, v: rekey(k))
+    if pairs:
+        kv = []
+        for name in sorted(pairs):
+            kv.extend([F.lit(name), pairs[name].cast("string")])
+        m = F.map_concat(m, F.create_map(*kv))
     return m
 
 

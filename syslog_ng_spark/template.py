@@ -410,6 +410,8 @@ class TemplateCompiler:
         _, name, raw_args = node
         if name == "if":
             return self._fn_if(raw_args)
+        if name in ("format-json", "format-welf"):
+            return self._fn_format(name, raw_args)
         if name == "or":
             vals = [self._arg_col(a) for a in raw_args]
             cleaned = [F.when((c.isNotNull()) & (c != ""), c) for c in vals]
@@ -432,6 +434,69 @@ class TemplateCompiler:
 
     def _arg_col(self, arg) -> Column:
         return self._arg(arg).col
+
+    def _fn_format(self, name: str, raw_args) -> Column:
+        """$(format-json --scope S --key G --exclude G --add-prefix P
+        k=$V ...) and $(format-welf k=$V ...): option flags must be
+        literals; explicit k=v pairs compile their value side as a
+        template (modules/json/format-json.c option grammar)."""
+        opts: dict[str, object] = {}
+        pairs: list[tuple[str, Column]] = []
+        i = 0
+        while i < len(raw_args):
+            arg = raw_args[i]
+            a = self._arg(arg)
+            if a.lit is not None and a.lit.startswith("--"):
+                flag = a.lit[2:]
+                if i + 1 >= len(raw_args):
+                    raise TemplateCompileError(f"--{flag} needs a value")
+                val = self._arg(raw_args[i + 1])
+                if val.lit is None:
+                    raise TemplateCompileError(f"--{flag} value must be literal")
+                if flag == "scope":
+                    opts["scope"] = val.lit
+                elif flag == "key":
+                    opts.setdefault("key", []).append(val.lit)  # type: ignore[union-attr]
+                elif flag == "exclude":
+                    opts.setdefault("exclude", []).append(val.lit)  # type: ignore[union-attr]
+                elif flag == "add-prefix":
+                    opts["rekey_add_prefix"] = val.lit
+                elif flag == "shift":
+                    opts["rekey_shift"] = int(val.lit)
+                else:
+                    raise TemplateCompileError(f"unknown option --{flag}")
+                i += 2
+                continue
+            if a.lit is not None and "=" in a.lit:
+                k, v = a.lit.split("=", 1)
+                pairs.append((k, self._parts_col(parse_template(v))))
+            elif arg[0] == "tpl":
+                # k=$V where the value is a ref: re-render from raw parts
+                parts = arg[1]
+                if parts and parts[0][0] == "lit" and "=" in parts[0][1]:
+                    k, rest = parts[0][1].split("=", 1)
+                    tail = ([("lit", rest)] if rest else []) + parts[1:]
+                    pairs.append((k, self._parts_col(tail)))
+                else:
+                    raise TemplateCompileError(f"$({name}) argument must be k=v or --opt")
+            i += 1
+        from syslog_ng_spark.functions.format import (
+            format_json,
+            format_json_scoped,
+            format_welf,
+        )
+
+        core = dict(pairs)
+        if name == "format-welf":
+            return format_welf(**core)
+        if opts:
+            # scoped selection draws from the canonical sdata NV map;
+            # --key without --scope selects ONLY the key matches
+            # (value-pairs.c: an explicit key is its own selection);
+            # explicit k=v args ride as unconditional --pair entries
+            opts.setdefault("scope", "none")
+            return format_json_scoped(F.col("sdata"), pairs=core, **opts)  # type: ignore[arg-type]
+        return format_json(**core)
 
     def _fn_if(self, raw_args) -> Column:
         if len(raw_args) != 3 or raw_args[0][0] != "cond":

@@ -73,3 +73,52 @@ def test_config_unknown_op_raises(spark):
 
     with pytest.raises(ValueError, match="unknown step op"):
         _step(_logs(spark), {"op": "bogus"})
+
+
+def test_config_round2_steps(spark):
+    """The round-2 operators are reachable from a declarative config:
+    patterndb rules, suppress, template format."""
+    import datetime as dt
+    import tempfile
+
+    from syslog_ng_spark.config import build_pipeline
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("h1", "Accepted publickey for root", base),
+        ("h1", "Accepted publickey for root", base + dt.timedelta(seconds=5)),
+        ("h1", "Failed password for admin", base),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "host string, message string, ts timestamp"
+        ).write.parquet(d + "/in")
+        spec = {
+            "source": {"kind": "parquet", "path": d + "/in"},
+            "steps": [
+                {
+                    "op": "parse-patterndb",
+                    "rules": [
+                        ["auth_ok", "Accepted @ESTRING:method: @for @ANYSTRING:user@"],
+                        ["auth_fail", "Failed password for @ANYSTRING:user@"],
+                    ],
+                },
+                {"op": "format", "template": "$HOST $MSG class=${class}", "target": "line"},
+            ],
+        }
+        out = build_pipeline(spark, spec).collect()
+    lines = sorted(r.line for r in out)
+    assert lines[0] == "h1 Accepted publickey for root class=auth_ok"
+    assert lines[2] == "h1 Failed password for admin class=auth_fail"
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "host string, message string, ts timestamp"
+        ).write.parquet(d + "/in")
+        spec = {
+            "source": {"kind": "parquet", "path": d + "/in"},
+            "steps": [{"op": "suppress", "key": ["host", "message"], "seconds": 30}],
+        }
+        out = build_pipeline(spark, spec).collect()
+    got = {(r.host, r.message): r.n_suppressed for r in out}
+    assert got[("h1", "Accepted publickey for root")] == 1

@@ -261,3 +261,34 @@ def test_property_nested_templates(spark, asts):
     row = df.select(*cols).collect()[0]
     for i, a in enumerate(asts):
         assert row[f"c{i}"] == _expect(a), _to_text(a)
+
+
+def test_template_format_json_and_welf(spark):
+    df = sample_msg(spark)
+
+    def render1(t):
+        return df.select(compile_template(t, df).alias("o")).collect()[0].o
+
+    assert (
+        render1("$(format-welf host=$HOST sev=$SEVERITY_NUM)")
+        == "host=bzorp sev=3"
+    )
+    assert (
+        render1("$(format-json host=$HOST pid=$PID)")
+        == '{"host":"bzorp","pid":"23323"}'
+    )
+    # --key without --scope selects only the matching NV pairs
+    assert (
+        render1("$(format-json --key APP.VALUE host=$HOST)")
+        == '{"APP.VALUE":"value","host":"bzorp"}'
+    )
+    # rekey applies to message NV names, not explicit pairs
+    assert (
+        render1("$(format-json --key APP.* --exclude APP.QVALUE --add-prefix x. host=$HOST)")
+        == '{"host":"bzorp","x.APP.VALUE":"value"}'
+    )
+    # --scope nv-pairs pulls every non-dot NV pair from sdata
+    assert (
+        render1("$(format-json --scope nv-pairs --exclude 1 --exclude APP.QVALUE)")
+        == '{"APP.VALUE":"value"}'
+    )
