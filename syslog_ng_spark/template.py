@@ -223,7 +223,51 @@ MACROS: dict[str, Callable[[], Column]] = {
     "PROGRAM": lambda: F.col("program"),
     "PID": lambda: F.col("pid").cast("string"),
     "TAGS": lambda: F.array_join(F.col("tags"), ","),
+    # name/number date variants (macros.c M_* table)
+    "MONTH_ABBREV": lambda: F.date_format(F.col("ts"), "MMM"),
+    "MONTH_NAME": lambda: F.date_format(F.col("ts"), "MMMM"),
+    "YEAR_DAY": lambda: F.date_format(F.col("ts"), "DDD"),
+    "WEEKDAY": lambda: F.date_format(F.col("ts"), "EEE"),
+    "WEEK_DAY_NAME": lambda: F.date_format(F.col("ts"), "EEEE"),
+    "WEEK_DAY_ABBREV": lambda: F.date_format(F.col("ts"), "EEE"),
+    # M_WEEK: zero-based week with Monday-start weeks (macros.c:
+    # (yday - (wday-1+7)%7 + 7) / 7 with tm's 0-based fields)
+    "WEEK": lambda: F.lpad(
+        (
+            (
+                F.dayofyear(F.col("ts"))
+                - 1
+                - F.pmod(F.dayofweek(F.col("ts")) - 2 + 7, 7)
+                + 7
+            )
+            / 7
+        )
+        .cast("int")
+        .cast("string"),
+        2,
+        "0",
+    ),
+    "HOUR12": lambda: F.date_format(F.col("ts"), "hh"),
+    "AMPM": lambda: F.date_format(F.col("ts"), "a"),
+    "TZOFFSET": lambda: F.lit("+00:00"),  # session TZ is UTC
+    "TZ": lambda: F.lit("+00:00"),
+    "FULLHOST": lambda: F.col("host"),
+    "HOST_FROM": lambda: F.col("host"),
+    "FULLHOST_FROM": lambda: F.col("host"),
 }
+
+# S_* (stamp) and R_* (received) prefixed date macros: the reference
+# tracks both timestamps per message (logmsg.h); the batch model has
+# one event time, so both families resolve to `ts` — the documented
+# adaptation for configs that mix them.
+for _name in [
+    "ISODATE", "FULLDATE", "DATE", "STAMP", "YEAR", "MONTH", "DAY",
+    "HOUR", "MIN", "SEC", "WEEK", "WEEK_DAY", "WEEKDAY", "YEAR_DAY",
+    "MONTH_ABBREV", "MONTH_NAME", "WEEK_DAY_NAME", "WEEK_DAY_ABBREV",
+    "UNIXTIME", "TZOFFSET", "TZ",
+]:
+    MACROS[f"S_{_name}"] = MACROS[_name]
+    MACROS[f"R_{_name}"] = MACROS[_name]
 
 
 def schema_resolver(columns: list[str]) -> Callable[[str], Column | None]:

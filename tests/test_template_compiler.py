@@ -71,9 +71,10 @@ def render(spark, template: str) -> str:
         ("$MSGHDR$MSG", "syslog-ng[23323]: error message value=1.5"),
         ("$TAGS", "alma,korte"),
         # --- nv pairs / braces / defaults (test_nvpairs) ---
+        # HOST_FROM == HOST in the batch model (one host per message)
         (
             "$PROGRAM/var/log/messages/$HOST/$HOST_FROM/$MONTH$DAY${QQQQQ}valami",
-            "syslog-ng/var/log/messages/bzorp//0211valami",
+            "syslog-ng/var/log/messages/bzorp/bzorp/0211valami",
         ),
         ("${APP.VALUE}", "value"),
         ("${APP.VALUE:-ures}", "value"),
@@ -292,3 +293,26 @@ def test_template_format_json_and_welf(spark):
         render1("$(format-json --scope nv-pairs --exclude 1 --exclude APP.QVALUE)")
         == '{"APP.VALUE":"value"}'
     )
+
+
+@pytest.mark.parametrize(
+    "template,expected",
+    [
+        # extended macro table, expectations from test_template.c
+        # test_macros (sample ts 2006-02-11 10:34:56, a Saturday)
+        ("$MONTH_ABBREV", "Feb"),
+        ("$MONTH_NAME", "February"),
+        ("$YEAR_DAY", "042"),
+        ("$WEEKDAY", "Sat"),
+        ("$WEEK_DAY_NAME", "Saturday"),
+        ("$WEEK_DAY_ABBREV", "Sat"),
+        ("$WEEK", "06"),
+        ("$FULLHOST", "bzorp"),
+        ("$TZOFFSET", "+00:00"),
+        ("$S_ISODATE", "2006-02-11T10:34:56+00:00"),
+        ("$R_YEAR", "2006"),
+        ("$S_WEEK", "06"),
+    ],
+)
+def test_extended_macros(spark, template, expected):
+    assert render(spark, template) == expected
