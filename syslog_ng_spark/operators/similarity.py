@@ -107,7 +107,9 @@ def cosine_pairs_blocked(
     blocked join is strictly better. For true near-dup thresholds
     (cos >= 0.8) use the bucketed paths (`lsh_buckets`,
     `ann_lsh_topk`, SimHash) where candidates are ~linear."""
-    normed = corpus.select(
+    from syslog_ng_spark.util import rebalance
+
+    normed = rebalance(corpus).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
