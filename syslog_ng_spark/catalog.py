@@ -1470,7 +1470,9 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(corpus, qvec, cents, k=10, nprobe=4)
 
 
-@register("simhash_neardup")  # no oracle: pytest-verified vs exact hamming
+@register("simhash_neardup")  # oracle attached below (_simhash_neardup_sql)
+# once the signature SQL helpers are defined; also pytest-verified vs
+# exact hamming
 def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return dedup.simhash_neardup_pairs(docs, "text", "doc_id", bits=32, max_hamming=3)

@@ -420,13 +420,23 @@ _SYM = {"==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
 class TemplateCompiler:
     """Compiles template strings to Columns. `resolver` maps a value
     name to a Column or None (= unset); build one with
-    `schema_resolver(df.columns)` or pass your own."""
+    `schema_resolver(df.columns)` or pass your own. With
+    `escape=True`, substituted VALUES (not literal text) get " \\ '
+    backslash-escaped — the reference's template escape option for
+    rendering into quoted contexts (lib/template/escaping.c,
+    test_template.c test_escaping)."""
 
-    def __init__(self, resolver: Callable[[str], Column | None]):
+    def __init__(self, resolver: Callable[[str], Column | None], escape: bool = False):
         self.resolver = resolver
+        self.escape = escape
 
     def compile(self, template: str) -> Column:
         return self._parts_col(parse_template(template))
+
+    def _escaped(self, c: Column) -> Column:
+        if not self.escape:
+            return c
+        return F.regexp_replace(c, r"""([\\"'])""", r"\\$1")
 
     def _parts_col(self, parts: list) -> Column:
         if not parts:
@@ -443,11 +453,11 @@ class TemplateCompiler:
             val = self.resolver(name)
             if val is None:
                 return self._parts_col(default) if default is not None else F.lit("")
-            val = val.cast("string")
+            val = self._escaped(val.cast("string"))
             fallback = self._parts_col(default) if default is not None else F.lit("")
             return F.coalesce(val, fallback)
         if kind == "fn":
-            return F.coalesce(self._fn(node).cast("string"), F.lit(""))
+            return F.coalesce(self._escaped(self._fn(node).cast("string")), F.lit(""))
         raise TemplateCompileError(f"unknown node {kind}")
 
     def _fn(self, node) -> Column:
@@ -474,7 +484,14 @@ class TemplateCompiler:
             lit = ""
         elif len(parts) == 1 and parts[0][0] == "lit":
             lit = parts[0][1]
-        return Arg(self._parts_col(parts), lit)
+        # escaping applies ONLY at the outermost substitution
+        # (escaping.c wraps log_template_format, not argument eval)
+        saved, self.escape = self.escape, False
+        try:
+            col = self._parts_col(parts)
+        finally:
+            self.escape = saved
+        return Arg(col, lit)
 
     def _arg_col(self, arg) -> Column:
         return self._arg(arg).col
@@ -553,12 +570,18 @@ class TemplateCompiler:
         if not m:
             raise TemplateCompileError(f"cannot parse condition: {text!r}")
         lq, lsq, lbare, op, rq, rsq, rbare = m.groups()
-        left = self._parts_col(
-            parse_template(lq if lq is not None else lsq if lsq is not None else lbare)
-        )
-        right = self._parts_col(
-            parse_template(rq if rq is not None else rsq if rsq is not None else rbare)
-        )
+        # conditions compare raw values — escaping is an output
+        # concern and must not affect the comparison
+        saved, self.escape = self.escape, False
+        try:
+            left = self._parts_col(
+                parse_template(lq if lq is not None else lsq if lsq is not None else lbare)
+            )
+            right = self._parts_col(
+                parse_template(rq if rq is not None else rsq if rsq is not None else rbare)
+            )
+        finally:
+            self.escape = saved
         if op in _CMP:
             return _CMP[op](left, right)
         # try_cast, not cast: ANSI mode throws on non-numeric strings,
@@ -568,13 +591,16 @@ class TemplateCompiler:
         return F.when(both_num, _CMP[_SYM[op]](ln, rn)).otherwise(_CMP[_SYM[op]](left, right))
 
 
-def compile_template(template: str, df: DataFrame | None = None) -> Column:
+def compile_template(
+    template: str, df: DataFrame | None = None, escape: bool = False
+) -> Column:
     """Compile a syslog-ng template string to one string Column.
 
     With `df`, unknown names resolve as unset ('' / the :-default)
     against that schema; without, names beyond the macro table resolve
     to bare columns (missing ones fail at analysis, like referencing a
-    missing column by hand)."""
+    missing column by hand). `escape=True` backslash-escapes
+    substituted values (the reference's escape option)."""
     if df is not None:
         resolver = schema_resolver(df.columns)
     else:
@@ -586,7 +612,7 @@ def compile_template(template: str, df: DataFrame | None = None) -> Column:
             return F.col(name).cast("string")
 
         resolver = blind
-    return TemplateCompiler(resolver).compile(template)
+    return TemplateCompiler(resolver, escape=escape).compile(template)
 
 
 def template_format(df: DataFrame, template: str, target: str = "rendered") -> DataFrame:

@@ -316,3 +316,31 @@ def test_template_format_json_and_welf(spark):
 )
 def test_extended_macros(spark, template, expected):
     assert render(spark, template) == expected
+
+
+def test_escaping_option(spark):
+    """test_template.c test_escaping: with escaping on, substituted
+    values get backslash-escaped quotes; literals are untouched."""
+    df = sample_msg(spark)
+
+    def render_esc(t, esc):
+        return df.select(compile_template(t, df, escape=esc).alias("o")).collect()[0].o
+
+    assert render_esc("${APP.QVALUE}", False) == '"value"'
+    assert render_esc("${APP.QVALUE}", True) == '\\"value\\"'
+    assert (
+        render_esc('$(if ("${APP.VALUE}" == "value") "${APP.QVALUE}" "${APP.QVALUE}")', True)
+        == '\\"value\\"'
+    )
+    # literal text never escapes
+    assert render_esc('say "hi" $HOST', True) == 'say "hi" bzorp'
+
+
+def test_escaping_not_applied_inside_conditions(spark):
+    df = sample_msg(spark)
+    got = df.select(
+        compile_template(
+            '$(if ("${APP.QVALUE}" == \'"value"\') yes no)', df, escape=True
+        ).alias("o")
+    ).collect()[0].o
+    assert got == "yes"
