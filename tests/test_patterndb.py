@@ -114,3 +114,47 @@ def test_patterndb_parse_first_match_and_fields(spark):
     assert rows[2]["class"] == "auth_fail" and rows[2].who == "invalid user admin"
     assert rows[2].method == ""  # unbound fields render unset
     assert rows[3]["class"] == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# property test: random literal/parser compositions must match a string
+# constructed to fit them, extracting exactly the planted values
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# each entry: (pattern fragment builder, sample value, regex-safe literal?)
+_SEGMENTS = [
+    ("@NUMBER:f{i}@", "4711"),
+    ("@NUMBER:f{i}@", "-12"),
+    ("@FLOAT:f{i}@", "3.25"),
+    ("@IPv4:f{i}@", "192.168.1.45"),
+    ("@MACADDR:f{i}@", "0a:1b:2c:3d:4e:5f"),
+    ("@STRING:f{i}@", "word123"),
+    ("@SET:f{i}:xyz@", "yzx"),
+]
+_LITERALS = ["alpha ", "beta=", " : ", "log[", "] ", "x@y "]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(_LITERALS), st.sampled_from(_SEGMENTS)),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_property_random_pattern_compositions(pieces):
+    pattern_parts, text_parts, expected = [], [], {}
+    for i, (lit, (frag, value)) in enumerate(pieces):
+        # literal '@' must be doubled in the pattern text
+        pattern_parts.append(lit.replace("@", "@@") + frag.format(i=i))
+        text_parts.append(lit + value)
+        expected[f"f{i}"] = value
+        # separate adjacent parser segments so greedy runs can't merge
+        pattern_parts.append(";")
+        text_parts.append(";")
+    pattern = "".join(pattern_parts)
+    text = "".join(text_parts)
+    assert match(pattern, text) == expected
