@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "stats_sliding",
     "gopher_rules",
     "multimodal_audio",
+    "dup_clusters",
+    "decontaminate",
 ]
 
 

@@ -3137,3 +3137,72 @@ def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return audio_window_features(media, window=64, hop=32)
+
+
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+jp AS (SELECT id_a, id_b FROM ({_JACCARD_SQL.strip()}) j),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
+SELECT node, min(label) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dup_clusters", _DUP_CLUSTERS_SQL)
+def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly (dedup.connected_components): jaccard
+    near-dup pairs grow into components via min-label propagation —
+    each round one join + one groupBy, lineage truncated per round;
+    the DuckDB oracle computes the same components with a recursive
+    CTE (min reachable id per node)."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, df_cap=1000)
+    return dedup.connected_components(pairs)
+
+
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 20 = 0 AS is_bench
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_bench, unnest(list_distinct(
+           [list_aggregate(t[i:i+3], 'string_agg', ' ') FOR i IN range(1, len(t) - 2)])) AS g
+  FROM toks WHERE len(t) >= 4),
+bench AS (SELECT DISTINCT g FROM grams WHERE is_bench),
+hits AS (
+  SELECT doc_id, count(DISTINCT g) AS n_shared
+  FROM grams JOIN bench USING (g)
+  WHERE NOT is_bench GROUP BY doc_id)
+SELECT doc_id, n_shared FROM hits
+"""
+
+
+@register("decontaminate", _DECONTAM_SQL)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data staple): flag training
+    documents sharing any n-gram with the benchmark split (here a
+    deterministic 5% hash split of the corpus; n=4 fits this synthetic
+    corpus — production pipelines use 8-13). One shuffle on the gram
+    key; the benchmark gram set stays distributed (unbounded at scale,
+    so no broadcast hint — AQE decides). Counts are integers, fully
+    engine-portable."""
+    docs = T(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    split = docs.withColumn("is_bench", h % 20 == 0)
+    grams = dedup.shingles(split.select("doc_id", "is_bench", "text"), "text", n=4, target="g")
+    bench = grams.where(F.col("is_bench")).select("g").distinct()
+    return (
+        grams.where(~F.col("is_bench"))
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )

@@ -261,3 +261,53 @@ def simhash_neardup_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assembly: near-dup PAIRS → components, each
+    labeled by its minimum member id (the canonical document).
+
+    Min-label propagation: every node starts as its own label; each
+    round takes the min of its neighbors' labels; converges in
+    O(diameter) rounds (dup clusters are small, so a handful). Each
+    round is ONE join + ONE groupBy — the standard distributed CC
+    loop; only the convergence counter reaches the driver, and
+    localCheckpoint truncates the lineage so plans stay flat at scale.
+
+    Returns (node, cluster_id) for every node that appears in a pair;
+    dedup keeps rows where node == cluster_id (cluster canonicals)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -134,3 +134,24 @@ def test_ivf_assignment_is_deterministic(spark):
     a1 = similarity.ivf_assign(emb, c1).groupBy("ivf_cell").count().collect()
     sizes = {r.ivf_cell: r["count"] for r in a1}
     assert sum(sizes.values()) == emb.count() and len(sizes) > 1
+
+
+def test_connected_components_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)],  # {1,2,3,9} and {5,6}
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_chain_converges(spark):
+    # a path graph exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {1} and len(got) == 12
