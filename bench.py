@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "multimodal_audio",
     "dup_clusters",
     "decontaminate",
+    "oov_rate",
 ]
 
 

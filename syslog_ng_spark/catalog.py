@@ -3206,3 +3206,56 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared"))
     )
+
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY count(*) DESC, tok ASC LIMIT 1000),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n,
+         count(*) FILTER (v.tok IS NULL) AS oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id)
+SELECT doc_id, n::BIGINT AS n_tokens, oov::BIGINT AS n_oov,
+       round(oov / greatest(n, 1), 6) AS oov_rate
+FROM scored
+"""
+
+
+@register("oov_rate", _OOV_SQL)
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage quality signal: fraction of a document's
+    tokens outside the corpus top-1000 vocabulary (the deterministic
+    integer-arithmetic stand-in for LM-perplexity filtering — log-prob
+    sums are not bit-portable across engines, OOV counts are). The
+    vocabulary is a rank-take with a full ordering tiebreak; the doc
+    join keys on the token, one shuffle each side."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(1000)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.greatest(F.col("n_tokens"), F.lit(1)), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

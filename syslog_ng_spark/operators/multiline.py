@@ -97,13 +97,15 @@ def reassemble_multiline_stream(
     mode: str = "indented",
     prefix: str | None = None,
     joiner: str = "\n",
+    flush_timeout_s: int | None = None,
 ) -> DataFrame:
     """Streaming reassembly via keyed state: the open (unterminated)
     message tail is held per group across micro-batches and emitted
     when the next message start arrives — exactly the reference's
     read-loop behavior, where a partial message waits for its
-    continuation (flush on EOF/timeout is the sink's concern there
-    and the state timeout's here).
+    continuation. `flush_timeout_s` is the reference's
+    flush-timeout(): with no new lines for that long (processing
+    time), the pending tail is emitted and the key's state dropped.
 
     State is one partial message per file — bounded by the number of
     live files, not by throughput."""
@@ -163,14 +165,19 @@ def reassemble_multiline_stream(
             else:
                 pending, pending_n = pending + joiner + line, pending_n + 1
         state.update((pending, pending_n, first_o))
+        if flush_timeout_s is not None:
+            state.setTimeoutDuration(flush_timeout_s * 1000)
         if out:
             yield pd.DataFrame(
                 out, columns=[group_col, f"first_{order_col}", "message", "n_lines"]
             )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_timeout_s is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         lines.groupBy(group_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
     )

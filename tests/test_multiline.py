@@ -122,3 +122,45 @@ def test_streaming_tail_held_across_batches(spark):
     assert len(rows) == 1
     assert rows[0].message == "Exception: boom\n    at frame one\n    at frame two"
     assert rows[0].n_lines == 3
+
+
+def test_streaming_flush_timeout_emits_tail(spark):
+    """flush-timeout(): a pending tail with no new lines is emitted
+    once the processing-time timeout fires (second availableNow run
+    with no new data for the key)."""
+    import time
+
+    schema = "path string, line_no long, raw string"
+    # state-store maintenance threads may still be writing when the
+    # context manager cleans up; don't fail the test on that race
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as d:
+        spark.createDataFrame(
+            [("f1", 1, "Exception: boom"), ("f1", 2, "    at frame one")], schema
+        ).coalesce(1).write.mode("append").parquet(d + "/in")
+
+        def run():
+            q = (
+                reassemble_multiline_stream(
+                    spark.readStream.schema(schema).parquet(d + "/in"),
+                    flush_timeout_s=1,
+                )
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        time.sleep(2)  # let the processing-time timeout elapse
+        # new data for ANOTHER key advances the batch clock; f1 times out
+        spark.createDataFrame([("f2", 1, "x")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d + "/in")
+        run()
+        rows = spark.read.parquet(d + "/out").collect()
+    by_path = {r.path: r for r in rows}
+    assert by_path["f1"].message == "Exception: boom\n    at frame one"
+    assert by_path["f1"].n_lines == 2
