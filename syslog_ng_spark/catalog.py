@@ -1099,7 +1099,8 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, df_cap=1000)
 
 
-@register("dedup_minhash_lsh")  # no oracle: verified rows-only + pytest vs jaccard
+@register("dedup_minhash_lsh")  # oracle attached below (_minhash_lsh_sql);
+# also pytest-verified against jaccard ground truth
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=4, n=3)

@@ -80,6 +80,18 @@ def main():
             warnings.append(f"- `{name}`: row-at-a-time Python UDF in plan")
         if a["cartesian"]:
             warnings.append(f"- `{name}`: CartesianProduct in plan")
+        # a BNL marked Cross is an explicit crossJoin against a 1-row
+        # scalar aggregate (the correct scalar-subquery plan); any
+        # OTHER join type riding a BNL means a real join degenerated
+        # (inequality-only condition, e.g. the old embed_neardup)
+        non_cross_bnl = len(
+            re.findall(r"BroadcastNestedLoopJoin (?:BuildLeft|BuildRight), (?!Cross)", plan)
+        )
+        if non_cross_bnl:
+            warnings.append(
+                f"- `{name}`: non-Cross BroadcastNestedLoopJoin "
+                "(join degenerated to a nested loop)"
+            )
         if a["smj_joins"] and name.startswith(("q5", "enrich", "q10")):
             warnings.append(f"- `{name}`: sort-merge join where a dim broadcast was expected")
     print()
