@@ -88,3 +88,18 @@ def map_value_pairs(df: DataFrame, map_field: str, key_map: dict[str, str]) -> D
         map_field,
         F.transform_keys(F.col(map_field), lambda k, _: F.coalesce(mapping[k], k)),
     )
+
+
+def fix_timezone(df: DataFrame, tz: str, ts_col: str = "ts") -> DataFrame:
+    """fix-timezone(): the timestamp was PARSED in the wrong zone —
+    reinterpret the wall-clock reading as `tz` local time (reference:
+    modules/timestamp/rewrite-fix-timezone.c). Spark stores UTC
+    instants, so this is to_utc_timestamp over the naive reading."""
+    return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), tz))
+
+
+def set_timezone(df: DataFrame, tz: str, ts_col: str = "ts", target: str = "ts_local") -> DataFrame:
+    """set-timezone(): render the instant in another zone for display
+    grouping (reference: modules/timestamp/rewrite-set-timezone.c);
+    the instant itself is unchanged."""
+    return df.withColumn(target, F.from_utc_timestamp(F.col(ts_col), tz))

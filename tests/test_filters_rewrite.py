@@ -115,3 +115,19 @@ def test_geoip_range_enrich_plan_and_values(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_timezone_rewrites(spark):
+    import datetime as dt
+
+    from syslog_ng_spark.operators.rewrite import fix_timezone, set_timezone
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 12, 0, 0))], "id long, ts timestamp"
+    )
+    # wall clock 12:00 was actually CEST (UTC+2) -> instant is 10:00 UTC
+    fixed = fix_timezone(df, "Europe/Berlin").collect()[0].ts
+    assert fixed == dt.datetime(2024, 6, 1, 10, 0, 0)
+    # rendering 12:00 UTC in Berlin local time gives 14:00
+    local = set_timezone(df, "Europe/Berlin").collect()[0].ts_local
+    assert local == dt.datetime(2024, 6, 1, 14, 0, 0)
