@@ -52,3 +52,33 @@ def test_streaming_syslog_pipeline(spark):
         # exactly-once: rerunning with no new files adds nothing
         run_once()
         assert spark.read.parquet(d + "/out").count() == 2
+
+
+def test_patterndb_parse_works_on_streams(spark):
+    """patterndb classification is a per-row expression, so the same
+    call rides readStream unchanged (no window/state involved)."""
+    import tempfile
+
+    from syslog_ng_spark.operators.patterndb import patterndb_parse
+
+    schema = "id long, message string"
+    rules = [("auth_ok", "Accepted @ESTRING:method: @for @ANYSTRING:user@")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "Accepted publickey for root"), (2, "other line")], schema
+        ).coalesce(1).write.parquet(d + "/in")
+        q = (
+            patterndb_parse(
+                spark.readStream.schema(schema).parquet(d + "/in"), "message", rules
+            )
+            .writeStream.format("parquet")
+            .option("path", d + "/out")
+            .option("checkpointLocation", d + "/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r.id: r for r in spark.read.parquet(d + "/out").collect()}
+    assert rows[1]["class"] == "auth_ok" and rows[1].method == "publickey"
+    assert rows[2]["class"] == "unknown"

@@ -344,3 +344,46 @@ def test_escaping_not_applied_inside_conditions(spark):
         ).alias("o")
     ).collect()[0].o
     assert got == "yes"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dates(min_value=dt.date(1990, 1, 5), max_value=dt.date(2035, 12, 28)).map(
+        lambda d: dt.datetime(d.year, d.month, d.day, 11, 30, 0)
+    )
+)
+def test_property_week_and_yearday_macros(spark, ts):
+    """$WEEK must reproduce the reference formula
+    (yday - (wday-1+7)%7 + 7) / 7 over tm's 0-based fields for
+    arbitrary dates; $YEAR_DAY is the 3-padded day of year."""
+    df = spark.createDataFrame(
+        [
+            (
+                ts,
+                "h",
+                "p",
+                1,
+                16,
+                6,
+                "m",
+                {},
+                [],
+            )
+        ],
+        "ts timestamp, host string, program string, pid int, facility int, "
+        "severity int, message string, sdata map<string,string>, tags array<string>",
+    )
+    row = df.select(
+        compile_template("$WEEK", df).alias("week"),
+        compile_template("$YEAR_DAY", df).alias("yday"),
+        compile_template("$WEEK_DAY", df).alias("wday"),
+    ).collect()[0]
+    tm = ts.timetuple()
+    # reference formula: (tm_yday - (tm_wday - 1 + 7) % 7 + 7) / 7 with
+    # tm_yday 0-based and tm_wday 0=Sunday (python tm_wday is 0=Monday)
+    ref_yday = tm.tm_yday - 1
+    ref_wday = (tm.tm_wday + 1) % 7  # python Mon=0 -> C Sun=0
+    expected_week = (ref_yday - (ref_wday - 1 + 7) % 7 + 7) // 7
+    assert row.week == f"{expected_week:02d}", ts
+    assert row.yday == f"{tm.tm_yday:03d}"
+    assert row.wday == str(((tm.tm_wday + 1) % 7) + 1)  # 1=Sunday..7=Saturday
