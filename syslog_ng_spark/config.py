@@ -138,8 +138,11 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
 
         return template_format(df, spec["template"], target=spec.get("target", "rendered"))
     if op == "rewrite-set":
+        # set()'s value IS a template in the reference (use $$ to
+        # write a literal dollar); {"literal": true} opts out for
+        # values that must never be expanded
         value = spec["value"]
-        if isinstance(value, str) and "$" in value:
+        if isinstance(value, str) and "$" in value and not spec.get("literal"):
             from syslog_ng_spark.template import compile_template
 
             return rewrite.set_field(df, spec["field"], compile_template(value, df))

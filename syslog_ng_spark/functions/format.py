@@ -36,6 +36,23 @@ def _match_any(k: Column, globs) -> Column:
     return out
 
 
+def _merge_maps(*maps: Column) -> Column:
+    """map union where LATER maps override earlier keys. Not
+    map_concat: Spark's default mapKeyDedupPolicy=EXCEPTION turns a
+    key collision (an NV name shadowing a core macro, say) into a
+    job-killing DUPLICATED_MAP_KEY — the reference's semantics are
+    override, so dedup the entry list keeping the last occurrence."""
+    entries = F.concat(*[F.map_entries(m) for m in maps])
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.greatest(F.size(entries) - i - 1, F.lit(0))),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(deduped)
+
+
 def value_pairs(
     nv: Column,
     core: dict[str, Column] | None = None,
@@ -106,7 +123,7 @@ def value_pairs(
             core_map = F.create_map(*kv)
 
     if core_map is not None:
-        m = F.map_concat(core_map, m)
+        m = _merge_maps(core_map, m)
 
     def rekey(k: Column) -> Column:
         out = k
@@ -128,7 +145,7 @@ def value_pairs(
         kv = []
         for name in sorted(pairs):
             kv.extend([F.lit(name), pairs[name].cast("string")])
-        m = F.map_concat(m, F.create_map(*kv))
+        m = _merge_maps(m, F.create_map(*kv))
     return m
 
 

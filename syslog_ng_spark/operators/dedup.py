@@ -53,14 +53,20 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ONE shuffle on md5(text), and nothing else: the winning row rides
     the aggregation as min(struct(id, payload)) — struct ordering
     compares the id field first, so the minimum struct IS the
-    lowest-id row, with map-side partial aggregation. (The previous
-    min(id)+self-join formulation paid a second join shuffle.)"""
+    lowest-id row, with map-side partial aggregation. Rows carrying
+    unorderable columns (maps, e.g. the log schema's sdata) can't ride
+    a min(), so those fall back to the min(id)+join formulation (one
+    extra shuffle, same rows)."""
     other = [c for c in df.columns if c != id_col]
     keyed = df.withColumn("_k", F.md5(normalize_text(F.col(text_col))))
-    winners = keyed.groupBy("_k").agg(
-        F.min(F.struct(F.col(id_col), *[F.col(c) for c in other])).alias("_w")
-    )
-    return winners.select(*[F.col(f"_w.{c}") for c in df.columns])
+    # a map anywhere in the type tree makes the struct unorderable
+    if all("map<" not in f.dataType.simpleString() for f in df.schema.fields):
+        winners = keyed.groupBy("_k").agg(
+            F.min(F.struct(F.col(id_col), *[F.col(c) for c in other])).alias("_w")
+        )
+        return winners.select(*[F.col(f"_w.{c}") for c in df.columns])
+    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["_k", id_col], "inner").drop("_k")
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "shingle") -> DataFrame:
@@ -310,4 +316,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning unconverged labels would split one true
+        # component into several and let duplicates through as
+        # "deduplicated" — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

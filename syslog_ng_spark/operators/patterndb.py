@@ -117,7 +117,11 @@ def _parser_regex(spec: str) -> tuple[str, str | None]:
     if ptype == "PCRE":
         if param is None:
             raise PatternCompileError("Missing regular expression as 3rd argument")
-        return grp(param), field
+        # neutralize the param's own capturing groups — they would
+        # shift every later field's group index (fields are extracted
+        # by position)
+        neutral = re.sub(r"(?<!\\)\((?!\?)", "(?:", param)
+        return grp(neutral), field
     raise PatternCompileError(f"unknown @parser@ type: {ptype}")
 
 

@@ -24,36 +24,40 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 
 
-def split_frames(data: str) -> list[str]:
-    """Split one connection's accumulated byte stream (as str) into
-    messages. Octet-counted frames keep embedded newlines; between
+def split_frames(data: str | bytes) -> list[str]:
+    """Split one connection's accumulated byte stream into messages.
+    MSG-LEN counts OCTETS (RFC6587 §3.4.1), so all offsets operate on
+    bytes — a str input is re-encoded first; slicing the decoded
+    string would desynchronize every frame after a multi-byte UTF-8
+    character. Octet-counted frames keep embedded newlines; between
     octet-counted frames a bare LF trailer is tolerated (some senders
-    emit one); empty non-transparent lines are dropped."""
-    out: list[str] = []
-    i, n = 0, len(data)
+    emit one); empty non-transparent lines are dropped. Frames decode
+    utf-8 with replacement at the end."""
+    buf = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+    out: list[bytes] = []
+    i, n = 0, len(buf)
     while i < n:
-        ch = data[i]
-        if ch.isdigit():
+        if 0x30 <= buf[i] <= 0x39:  # ascii digit
             j = i
-            while j < n and data[j].isdigit():
+            while j < n and 0x30 <= buf[j] <= 0x39:
                 j += 1
-            if j < n and data[j] == " ":
-                length = int(data[i:j])
+            if j < n and buf[j] == 0x20:  # space
+                length = int(buf[i:j])
                 start = j + 1
-                out.append(data[start : start + length])
+                out.append(buf[start : start + length])
                 i = start + length
-                if i < n and data[i] == "\n":  # optional trailer
+                if i < n and buf[i : i + 1] == b"\n":  # optional trailer
                     i += 1
                 continue
-        j = data.find("\n", i)
+        j = buf.find(b"\n", i)
         if j < 0:
             if i < n:
-                out.append(data[i:])
+                out.append(buf[i:])
             break
         if j > i:
-            out.append(data[i:j])
+            out.append(buf[i:j])
         i = j + 1
-    return [m for m in out if m != ""]
+    return [m.decode("utf-8", errors="replace") for m in out if m != b""]
 
 
 def framed_messages(
@@ -69,8 +73,6 @@ def framed_messages(
         for pdf in batches:
             rows = []
             for origin, blob in zip(pdf[origin_col], pdf[blob_col]):
-                if isinstance(blob, (bytes, bytearray)):
-                    blob = blob.decode("utf-8", errors="replace")
                 for k, msg in enumerate(split_frames(blob)):
                     rows.append((origin, k, msg))
             yield pd.DataFrame(rows, columns=[origin_col, "frame_no", "message"])

@@ -312,20 +312,25 @@ class Arg:
 
 
 def _num(a: Arg) -> Column:
-    return a.col.cast("long")
+    # try_cast, never cast: ANSI mode (Spark 4 default) turns a single
+    # malformed value into a job-killing CAST_INVALID_INPUT; the
+    # reference renders unset instead, which null -> '' gives us
+    return a.col.try_cast("long")
 
 
 def _arith(op) -> Callable:
-    return lambda args: op(_num(args[0]), _num(args[1])).cast("long").cast("string")
+    return lambda args: op(_num(args[0]), _num(args[1])).try_cast("long").cast("string")
 
 
 def _tf_round(args: list[Arg]) -> Column:
     # numeric-funcs.c $(round value [frac-digits])
     digits = args[1].int_lit("round") if len(args) > 1 else 0
-    val = args[0].col.cast("double")
+    val = args[0].col.try_cast("double")
     if digits <= 0:
-        return F.round(val, 0).cast("long").cast("string")
-    return F.format_string(f"%.{digits}f", F.round(val, digits))
+        return F.round(val, 0).try_cast("long").cast("string")
+    return F.when(
+        val.isNotNull(), F.format_string(f"%.{digits}f", F.round(val, digits))
+    )
 
 
 def _tf_substr(args: list[Arg]) -> Column:
@@ -371,11 +376,12 @@ FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "+": _arith(lambda x, y: x + y),
     "-": _arith(lambda x, y: x - y),
     "*": _arith(lambda x, y: x * y),
-    "/": _arith(lambda x, y: (x / y)),  # cast long truncates (int div)
-    "%": _arith(F.pmod),
+    # try_divide: /0 renders unset, not DIVIDE_BY_ZERO; cast truncates
+    "/": _arith(F.try_divide),
+    "%": _arith(lambda x, y: F.when(y != 0, F.pmod(x, y))),
     "round": _tf_round,
-    "ceil": lambda a: F.ceil(a[0].col.cast("double")).cast("long").cast("string"),
-    "floor": lambda a: F.floor(a[0].col.cast("double")).cast("long").cast("string"),
+    "ceil": lambda a: F.ceil(a[0].col.try_cast("double")).try_cast("long").cast("string"),
+    "floor": lambda a: F.floor(a[0].col.try_cast("double")).try_cast("long").cast("string"),
     "substr": _tf_substr,
     "padding": _tf_padding,
     "list-head": lambda a: F.element_at(F.split(_list_col(a), ","), 1),
@@ -390,7 +396,12 @@ FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "list-count": lambda a: F.when(_list_col(a) == "", F.lit(0))
     .otherwise(F.size(F.split(_list_col(a), ",")))
     .cast("string"),
-    "list-nth": lambda a: F.element_at(F.split(a[0].col, ","), a[1].int_lit("list-nth") + 1),
+    # list-funcs.c tf_list_nth: the INDEX is the first argument; an
+    # out-of-range index renders unset (try_element_at, not the
+    # ANSI-crashing element_at)
+    "list-nth": lambda a: F.try_element_at(
+        F.split(_list_col(a[1:]), ","), F.lit(a[0].int_lit("list-nth") + 1)
+    ),
 }
 
 
@@ -545,18 +556,30 @@ class TemplateCompiler:
             format_json,
             format_json_scoped,
             format_welf,
+            value_pairs,
         )
 
         core = dict(pairs)
-        if name == "format-welf":
-            return format_welf(**core)
         if opts:
             # scoped selection draws from the canonical sdata NV map;
             # --key without --scope selects ONLY the key matches
             # (value-pairs.c: an explicit key is its own selection);
             # explicit k=v args ride as unconditional --pair entries
             opts.setdefault("scope", "none")
+            if name == "format-welf":
+                # welf shares the value-pairs option grammar: render
+                # the selected map as sorted k=v pairs
+                m = value_pairs(F.col("sdata"), pairs=core, **opts)  # type: ignore[arg-type]
+                return F.array_join(
+                    F.transform(
+                        F.array_sort(F.map_entries(m)),
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    ),
+                    " ",
+                )
             return format_json_scoped(F.col("sdata"), pairs=core, **opts)  # type: ignore[arg-type]
+        if name == "format-welf":
+            return format_welf(**core)
         return format_json(**core)
 
     def _fn_if(self, raw_args) -> Column:
@@ -604,7 +627,6 @@ def compile_template(
     if df is not None:
         resolver = schema_resolver(df.columns)
     else:
-        resolver = schema_resolver([])
 
         def blind(name: str) -> Column | None:
             if name in MACROS:

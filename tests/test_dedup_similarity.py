@@ -155,3 +155,24 @@ def test_connected_components_chain_converges(spark):
     )
     got = {r.node: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert set(got.values()) == {1} and len(got) == 12
+
+
+def test_dedup_exact_handles_map_columns(spark):
+    rows = [
+        (1, "same text", {"k": "v"}),
+        (2, "same text", {"k": "w"}),
+        (3, "other", {}),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, sdata map<string,string>")
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 3]
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=1)

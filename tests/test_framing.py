@@ -56,3 +56,12 @@ def test_framed_messages_dataframe(spark):
     assert ("conn1.log", 0, "hello") in got and ("conn1.log", 1, "world") in got
     assert ("conn2.log", 0, "alpha") in got and ("conn2.log", 1, "beta") in got
     assert len(got) == 4
+
+
+def test_octet_count_is_bytes_not_chars():
+    # 'héllo' is 6 octets / 5 chars: counting chars would steal the
+    # first byte of the next frame and desync the whole stream
+    msg = "héllo"
+    data = f"{len(msg.encode('utf-8'))} {msg}5 world"
+    assert split_frames(data) == ["héllo", "world"]
+    assert split_frames(data.encode("utf-8")) == ["héllo", "world"]

@@ -142,3 +142,28 @@ def test_value_pairs_json_escaping(spark):
     import json
 
     assert json.loads(js) == {"q": 'say "hi" \\ bye'}
+
+
+def test_value_pairs_key_collision_overrides(spark):
+    """An NV name shadowing a core name (or an explicit pair) must
+    override, not crash with DUPLICATED_MAP_KEY."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions.format import format_json_scoped
+
+    df = spark.createDataFrame(
+        [("h-core", {"HOST": "h-nv", "x": "1"})], "host string, nv map<string,string>"
+    )
+    js = df.select(
+        format_json_scoped(
+            F.col("nv"), core={"HOST": F.col("host")}, scope="rfc3164 nv-pairs"
+        ).alias("js")
+    ).collect()[0].js
+    assert js == '{"HOST":"h-nv","x":"1"}'
+    # explicit pairs override the NV selection
+    js2 = df.select(
+        format_json_scoped(
+            F.col("nv"), scope="nv-pairs", pairs={"x": F.lit("9")}
+        ).alias("js")
+    ).collect()[0].js
+    assert js2 == '{"HOST":"h-nv","x":"9"}'

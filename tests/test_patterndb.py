@@ -158,3 +158,11 @@ def test_property_random_pattern_compositions(pieces):
     pattern = "".join(pattern_parts)
     text = "".join(text_parts)
     assert match(pattern, text) == expected
+
+
+def test_pcre_param_groups_do_not_shift_fields():
+    got = match("p=@PCRE:p:(a|b)+x@ @NUMBER:n@", "p=abax 42")
+    assert got == {"p": "abax", "n": "42"}
+    # escaped parens stay literal
+    got = match(r"q=@PCRE:q:\(x\)@!", "q=(x)!")
+    assert got == {"q": "(x)"}

@@ -117,7 +117,11 @@ def render(spark, template: str) -> str:
         ("$(list-head alma,korte)", "alma"),
         ("$(list-tail alma,korte,citrom)", "korte,citrom"),
         ("$(list-count alma,korte,citrom)", "3"),
-        ("$(list-nth alma,korte,citrom 1)", "korte"),
+        ("$(list-nth 1 alma,korte,citrom)", "korte"),  # index FIRST (list-funcs.c)
+        ("$(list-nth 9 alma,korte)", ""),  # out of range renders unset
+        ("$(+ $MSG 1)", ""),  # non-numeric operand renders unset, no ANSI crash
+        ("$(/ 1 0)", ""),  # divide by zero renders unset
+        ("$(round $HOST)", ""),
         ("$(basename /var/log/messages)", "messages"),
         ("$(dirname /var/log/messages)", "/var/log"),
     ],
@@ -387,3 +391,13 @@ def test_property_week_and_yearday_macros(spark, ts):
     assert row.week == f"{expected_week:02d}", ts
     assert row.yday == f"{tm.tm_yday:03d}"
     assert row.wday == str(((tm.tm_wday + 1) % 7) + 1)  # 1=Sunday..7=Saturday
+
+
+def test_format_welf_scoped(spark):
+    df = sample_msg(spark)
+    got = df.select(
+        compile_template(
+            "$(format-welf --key APP.VALUE host=$HOST)", df
+        ).alias("o")
+    ).collect()[0].o
+    assert got == "APP.VALUE=value host=bzorp"
