@@ -43,14 +43,18 @@ def _merge_maps(*maps: Column) -> Column:
     job-killing DUPLICATED_MAP_KEY — the reference's semantics are
     override, so dedup the entry list keeping the last occurrence."""
     entries = F.concat(*[F.map_entries(m) for m in maps])
-    deduped = F.filter(
+    # fold the entry list into a map, overriding on collision — the
+    # accumulator never holds a duplicate so map_concat can't throw.
+    # (A filter(exists(slice(entries...))) formulation re-evaluated the
+    # whole concat per element and benchmarked 3.3x slower.)
+    return F.aggregate(
         entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + 2, F.greatest(F.size(entries) - i - 1, F.lit(0))),
-            lambda later: later["key"] == e["key"],
+        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != e["key"]),
+            F.map_from_entries(F.array(e)),
         ),
     )
-    return F.map_from_entries(deduped)
 
 
 def value_pairs(
