@@ -136,33 +136,65 @@ def csv_parser(
     return out.drop(col) if drop else out
 
 
+def _fold_kv_entries(entries) -> F.Column:
+    """entry array → map with LAST-wins key override (kv-scanner
+    overwrites repeated keys; str_to_map/map_from_entries would throw
+    DUPLICATED_MAP_KEY under the default ANSI dedup policy the moment
+    a dirty line repeats a key)."""
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return F.aggregate(
+        entries,
+        empty,
+        lambda acc, e: F.when(e["key"] == "", acc).otherwise(
+            F.map_concat(
+                F.map_filter(acc, lambda k, v: k != e["key"]),
+                F.map_from_entries(F.array(e)),
+            )
+        ),
+    )
+
+
 def kv_parser(
     df: DataFrame, col: str, target: str = "kv", pair_sep: str = " ", kv_sep: str = "="
 ) -> DataFrame:
     """kv-parser(): 'k=v k2=v2' → map<string,string>.
 
-    Reference: modules/kvformat/kv-scanner.c. `str_to_map` is a JVM
-    builtin; values containing the pair separator need the quoted form
-    (handled by kv_parser_quoted below).
-    """
-    return df.withColumn(target, F.str_to_map(F.col(col), F.lit(pair_sep), F.lit(kv_sep)))
+    Reference: modules/kvformat/kv-scanner.c — repeated keys overwrite
+    (last wins), malformed tokens never abort the scan. Values
+    containing the pair separator need the quoted form
+    (kv_parser_quoted below)."""
+    toks = F.split(F.col(col), pair_sep)
+    entries = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.substring_index(t, kv_sep, 1).alias("key"),
+            F.when(
+                t.contains(kv_sep),
+                t.substr(
+                    F.length(F.substring_index(t, kv_sep, 1)) + 1 + len(kv_sep),
+                    F.length(t),
+                ),
+            ).alias("value"),
+        ),
+    )
+    return df.withColumn(target, _fold_kv_entries(entries))
 
 
 def kv_parser_quoted(df: DataFrame, col: str, target: str = "kv") -> DataFrame:
     """kv-scanner's quoted-value mode: k="v with spaces" k2=v2."""
     entries = F.expr(
         f"""
-        map_from_entries(
-          transform(
-            regexp_extract_all({col}, '(\\\\S+)=("[^"]*"|\\\\S*)', 0),
-            kv -> struct(
-              regexp_extract(kv, '^([^=]+)=', 1) as key,
-              regexp_replace(regexp_extract(kv, '=(.*)$', 1), '^"|"$', '') as value)
-          )
+        transform(
+          regexp_extract_all({col}, '(\\\\S+)=("[^"]*"|\\\\S*)', 0),
+          kv -> struct(
+            regexp_extract(kv, '^([^=]+)=', 1) as key,
+            regexp_replace(regexp_extract(kv, '=(.*)$', 1), '^"|"$', '') as value)
         )
         """.strip()
     )
-    return df.withColumn(target, entries)
+    return df.withColumn(target, _fold_kv_entries(entries))
 
 
 def json_parser(df: DataFrame, col: str, target: str = "sdata") -> DataFrame:
@@ -174,8 +206,10 @@ def json_parser(df: DataFrame, col: str, target: str = "sdata") -> DataFrame:
 
 def date_parser(df: DataFrame, col: str, fmt: str, target: str = "ts") -> DataFrame:
     """date-parser(format(...)): string → timestamp with explicit format
-    (reference: modules/timestamp/date-parser.c, strptime-driven)."""
-    return df.withColumn(target, F.to_timestamp(F.col(col), fmt))
+    (reference: modules/timestamp/date-parser.c, strptime-driven).
+    try_to_timestamp: an unparseable string is null (the reference
+    drops to the next candidate format), not an ANSI job abort."""
+    return df.withColumn(target, F.try_to_timestamp(F.col(col), F.lit(fmt)))
 
 
 def xml_parser(
