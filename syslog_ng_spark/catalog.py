@@ -1453,14 +1453,81 @@ def embed_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # no oracle: iterative k-means training is not
-# SQL-expressible; pytest measures recall vs brute force (test_dedup_similarity)
+def _ivf_sql(k: int = 16, iters: int = 2, nprobe: int = 4, topk: int = 10) -> str:
+    """DuckDB oracle that REPLAYS the whole IVF pipeline — seed
+    selection, `iters` unrolled Lloyd rounds, probe choice, and the
+    pruned top-k scan — so the gate covers training, not just search.
+    Portability knobs shared with similarity.ivf_*: md5-derived seed
+    hash, every computed score/centroid rounded to 9 digits (FP sum
+    order differs across engines by ~1e-14; rounding pins the argmax
+    and cell boundaries), ties broken toward the larger cell index
+    (Spark's array_max(struct(s, i)) semantics)."""
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT c.vec_id, c.v, s.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             round(list_inner_product(c.v,
+               list_transform(s.v, x -> x / sqrt(list_inner_product(s.v, s.v)))), 9) DESC,
+             s.cid DESC) AS rn
+    FROM corpus c CROSS JOIN {cents} s)
+  WHERE rn = 1)"""
+
+    ctes = [
+        """corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)""",
+        """qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)""",
+        f"""cents0 AS (
+  SELECT row_number() OVER (
+    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1 AS cid, v
+  FROM corpus
+  QUALIFY cid < {k})""",
+    ]
+    for r in range(iters):
+        ctes.append(assign(f"cents{r}", f"a{r}"))
+        ctes.append(f"""cents{r + 1}_raw AS (
+  SELECT cid, list(m ORDER BY d) AS v FROM (
+    SELECT cid, d, round(avg(val), 9) AS m FROM (
+      SELECT cid, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS d FROM a{r})
+    GROUP BY cid, d)
+  GROUP BY cid)""")
+        # empty cells keep the previous centroid (ivf_train does too)
+        ctes.append(f"""cents{r + 1} AS (
+  SELECT p.cid, coalesce(n.v, p.v) AS v
+  FROM cents{r} p LEFT JOIN cents{r + 1}_raw n USING (cid))""")
+    ctes.append(f"""probe AS (
+  SELECT cid FROM (
+    SELECT s.cid, row_number() OVER (ORDER BY
+      round(list_inner_product(q.v, s.v)
+        / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(s.v, s.v))), 9) DESC,
+      s.cid DESC) AS rn
+    FROM qv q CROSS JOIN cents{iters} s)
+  WHERE rn <= {nprobe})""")
+    ctes.append(assign(f"cents{iters}", "a_final"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id,
+       round(list_inner_product(a.v, q.v)
+         / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.v, q.v))), 6)
+         AS cos_sim
+FROM a_final a JOIN probe USING (cid) CROSS JOIN qv q
+ORDER BY cos_sim DESC, vec_id LIMIT {topk}"""
+    )
+
+
+@register("ann_ivf_topk", _ivf_sql(k=16, iters=2, nprobe=4, topk=10))
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (similarity.ivf_*): deterministic mini k-means coarse
     quantizer, then the query probes only its nprobe nearest cells —
     the partition-pruned scan. With the corpus written partitioned by
     ivf_cell this is literal disk partition pruning at 100 TB; here it
-    prunes the in-memory scan the same way."""
+    prunes the in-memory scan the same way. The oracle replays
+    training AND search (seeds + unrolled Lloyd rounds as CTEs) —
+    engine-portable because seeds hash via md5 and every Lloyd
+    update / assignment score is rounded to 9 digits on both sides."""
     emb = rebalance(T(spark, sf_dir, "embeddings"))
     corpus = emb.where(F.col("vec_id") != 0)
     qvec = [

@@ -166,8 +166,13 @@ def ivf_assign(
         n = math.sqrt(sum(x * x for x in c)) or 1.0
         plane = F.array(*[F.lit(float(x / n)) for x in c])
         # |v| is constant across centroids, so plain dot against the
-        # NORMALIZED centroid has the same argmax as cosine
-        scored.append(F.struct(dot(F.col(vec_col), plane).alias("s"), F.lit(i).alias("i")))
+        # NORMALIZED centroid has the same argmax as cosine. The score
+        # is rounded to 9 digits so the argmax (and thus every cell
+        # boundary) is engine-portable — the DuckDB oracle recomputes
+        # this assignment bit-for-bit.
+        scored.append(
+            F.struct(F.round(dot(F.col(vec_col), plane), 9).alias("s"), F.lit(i).alias("i"))
+        )
     best = F.array_max(F.array(*scored))
     return df.withColumn(target, best["i"])
 
@@ -184,12 +189,22 @@ def ivf_train(
     RNG), then `iters` Lloyd rounds, each ONE groupBy over the corpus
     (assignment is in-plan; only k centroid vectors come back to the
     driver per round). At 100 TB you'd train on a hash-sample —
-    assignment cost dominates and stays distributed either way."""
+    assignment cost dominates and stays distributed either way.
+
+    Engine portability (the DuckDB oracle replays the whole training):
+    seeds are selected by the md5-derived hash (not Spark murmur3,
+    which no other engine reproduces), and every Lloyd update rounds
+    the new centroid to 9 digits — FP summation order differs across
+    engines by ~1e-14, and an unrounded centroid would propagate that
+    into divergent cell boundaries."""
     dim = len(df.select(vec_col).first()[0])
+    seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.abs(F.hash(F.col(id_col).cast("string"))))
-        .orderBy("_h")
+        .withColumn("_h", seed_hash)
+        .orderBy("_h", id_col)
         .limit(k)
         .collect()
     )
@@ -202,7 +217,9 @@ def ivf_train(
         )
         rows = {r["_cell"]: r for r in sums.collect()}
         centroids = [
-            [rows[i][f"s{d}"] / rows[i]["n"] for d in range(dim)] if i in rows else centroids[i]
+            [round(rows[i][f"s{d}"] / rows[i]["n"], 9) for d in range(dim)]
+            if i in rows
+            else centroids[i]
             for i in range(k)
         ]
     return centroids
@@ -227,7 +244,9 @@ def ivf_topk(
     sims = []
     for i, c in enumerate(centroids):
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        d = sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+        # rounded so the probe-set choice is engine-portable (ties
+        # break toward the larger cell index, matching the oracle)
+        d = round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 9)
         sims.append((d, i))
     probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
     cells = ivf_assign(corpus, centroids, vec_col, "_cell").where(F.col("_cell").isin(probe))
