@@ -3327,3 +3327,128 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# patterndb <actions> — synthetic messages (reference:
+# modules/dbparser/pdb-action.c, synthetic-message.c; tests
+# modules/dbparser/tests/test_patterndb.c)
+# ---------------------------------------------------------------------------
+
+
+def _actions_ruleset():
+    """Two-reference-style rules: a match action with a condition and
+    inherit last-message, and a correlation rule whose context emits a
+    synthetic summary on timeout (inherit none). The XML equivalent of
+    this ruleset is exercised in tests/test_actions.py."""
+    from syslog_ng_spark.operators.actions import PdbAction, PdbRule, SyntheticMessage
+
+    return [
+        PdbRule(
+            rule_id="act_error",
+            cls="violation",
+            patterns=["error value=@FLOAT:val@ user=@NUMBER:uid@"],
+            actions=[
+                PdbAction(
+                    condition='"${val}" < "0.25"',
+                    message=SyntheticMessage(
+                        values={
+                            "MESSAGE": "error-alert user=${uid} val=${val}",
+                            "alert_src": "${HOST}/${PROGRAM}",
+                        },
+                        tags=["alert"],
+                        inherit="last-message",
+                    ),
+                )
+            ],
+        ),
+        PdbRule(
+            rule_id="act_purchase",
+            cls="audit",
+            patterns=["purchase value=@ESTRING:val: @user=@NUMBER:uid@"],
+            context_id="${uid}",
+            context_timeout=600,
+            context_scope="program",
+            actions=[
+                PdbAction(
+                    trigger="timeout",
+                    message=SyntheticMessage(
+                        values={
+                            "MESSAGE": "purchase-session user=${uid} n=$(context-length)"
+                        },
+                        inherit="none",
+                    ),
+                )
+            ],
+        ),
+    ]
+
+
+def _actions_sql() -> str:
+    from syslog_ng_spark.operators.patterndb import compile_pattern
+
+    rx_err, f_err = compile_pattern("error value=@FLOAT:val@ user=@NUMBER:uid@")
+    rx_pur, f_pur = compile_pattern("purchase value=@ESTRING:val: @user=@NUMBER:uid@")
+    return f"""
+WITH logs AS (
+  SELECT event_id, user_id, value, ts,
+         {_HOST_SQL} AS host, {_PROG_SQL} AS program,
+         (event_id % 32768) AS pid,
+         {_MSG_SQL} AS message
+  FROM events),
+err AS (
+  SELECT *, regexp_extract(message, '{rx_err}', {f_err.index("val") + 1}) AS val,
+            regexp_extract(message, '{rx_err}', {f_err.index("uid") + 1}) AS uid
+  FROM logs WHERE regexp_matches(message, '{rx_err}')),
+match_out AS (
+  SELECT 'act_error' AS rule_id, 'match' AS "trigger", ts, host, program,
+         pid::BIGINT AS pid,
+         'error-alert user=' || uid || ' val=' || val AS message,
+         host || '/' || program AS alert_src
+  FROM err WHERE TRY_CAST(val AS DOUBLE) < 0.25),
+pur AS (
+  SELECT *, regexp_extract(message, '{rx_pur}', {f_pur.index("uid") + 1}) AS uid
+  FROM logs WHERE regexp_matches(message, '{rx_pur}')),
+ordered AS (
+  SELECT *, lag(ts) OVER (PARTITION BY host, program, uid ORDER BY ts, event_id) AS prev_ts
+  FROM pur),
+sessions AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) > 600
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY host, program, uid ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered),
+timeout_out AS (
+  SELECT 'act_purchase' AS rule_id, 'timeout' AS "trigger",
+         max(ts) AS ts, '' AS host, '' AS program, NULL::BIGINT AS pid,
+         'purchase-session user=' || uid || ' n=' || count(*)::VARCHAR AS message,
+         '' AS alert_src
+  FROM sessions GROUP BY host, program, uid, session_id)
+SELECT * FROM match_out UNION ALL SELECT * FROM timeout_out
+"""
+
+
+@register("patterndb_actions", _actions_sql())
+def patterndb_actions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patterndb <actions> end-to-end (operators/actions.py; reference
+    modules/dbparser/pdb-action.c + synthetic-message.c): a match
+    action with a template condition and inherit last-message, and a
+    timeout action emitting one synthetic summary per expired
+    correlation context ($(context-length), ${CONTEXT_ID} via the
+    template compiler). Plan: one classification pass, filter+project
+    for the match action, one sessionize+groupBy shuffle on the
+    correlation key for the timeout action."""
+    from syslog_ng_spark.operators.actions import patterndb_actions
+
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    synth = patterndb_actions(rebalance(logs), _actions_ruleset(), order_tiebreak="event_id")
+    return synth.select(
+        "rule_id",
+        "trigger",
+        "ts",
+        "host",
+        "program",
+        F.col("pid").cast("long").alias("pid"),
+        "message",
+        "alert_src",
+    )
