@@ -80,3 +80,118 @@ def framed_messages(
     return df.select(origin_col, blob_col).mapInPandas(
         explode, schema=f"{origin_col} string, frame_no long, message string"
     )
+
+
+def feed_line(
+    line: bytes, pending: int, buf: bytes, out: list[bytes]
+) -> tuple[int, bytes]:
+    """Feed ONE newline-terminated line (terminator stripped, as a
+    line reader delivers it) into the mixed-mode RFC6587 decoder.
+
+    Key invariant making line-at-a-time decode exact: an octet-count
+    HEADER (digits + space) contains no newline, so it never spans
+    lines — only frame PAYLOAD does, via embedded newlines, and each
+    eaten line terminator counts one octet toward MSG-LEN. `pending` =
+    payload bytes still owed to the current frame, `buf` = its
+    accumulated payload; completed frames append to `out`."""
+    import re
+
+    b = line
+    while True:
+        if pending > 0:
+            take = min(pending, len(b))
+            buf += b[:take]
+            pending -= take
+            b = b[take:]
+            if pending > 0:  # line exhausted: the '\n' counts
+                buf += b"\n"
+                pending -= 1
+                if pending == 0:
+                    out.append(buf)
+                    buf = b""
+                return pending, buf
+            out.append(buf)
+            buf = b""
+            if not b:
+                return 0, b""
+            continue
+        m = re.match(rb"([0-9]+) ", b)
+        if m:
+            length = int(m.group(1))
+            rest = b[m.end() :]
+            if length <= len(rest):
+                out.append(rest[:length])
+                b = rest[length:]
+                if not b:
+                    return 0, b""
+                continue
+            # payload continues on later lines; the eaten '\n' is
+            # payload byte number len(rest)+1
+            still = length - len(rest) - 1
+            buf = rest + b"\n"
+            if still == 0:
+                out.append(buf)
+                buf = b""
+            return still, buf
+        if b:  # newline-framed message (digits without a space too)
+            out.append(b)
+        return 0, b""
+
+
+def framed_lines_stream(
+    df: DataFrame, line_col: str = "raw", conn_col: str | None = None
+) -> DataFrame:
+    """Stateful RFC6587 decode over a LINE stream (the socket text
+    source): per-connection state carries the partial octet-counted
+    frame across micro-batches, so frames with embedded newlines —
+    which the line reader spreads over rows and batches — reassemble
+    exactly. This is the reference's per-connection framing state
+    (lib/logproto/logproto-framed-server.c) keyed and shuffled like
+    any stateful op, so it scales per connection. Caveat from the
+    line-reader transport (not the decoder): a stripped CR is not
+    restored, so CRLF senders' byte counts shift.
+
+    Output: (conn, frame_no, message) — frame_no is per-connection
+    and monotonic across batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = df
+    if conn_col is None:
+        conn_col = "_conn"
+        src = df.withColumn(conn_col, F.lit("0"))
+
+    out_schema = f"conn string, frame_no long, message string"
+    state_schema = "pending long, buf binary, counter long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        (conn,) = key_tuple
+        if state.hasTimedOut:  # pragma: no cover - no timeout set
+            state.remove()
+            return
+        pending, buf, counter = state.get if state.exists else (0, b"", 0)
+        buf = bytes(buf or b"")
+        frames: list[bytes] = []
+        for pdf in pdfs:
+            for line in pdf[line_col]:
+                pending, buf = feed_line(
+                    str(line).encode("utf-8"), pending, buf, frames
+                )
+        rows = [
+            (conn, counter + k, m.decode("utf-8", errors="replace"))
+            for k, m in enumerate(frames)
+            if m != b""
+        ]
+        counter += len(frames)
+        state.update((pending, buf, counter))
+        if rows:
+            yield pd.DataFrame(rows, columns=["conn", "frame_no", "message"])
+
+    return (
+        src.select(conn_col, line_col)
+        .groupBy(conn_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -56,3 +56,17 @@ def kafka_lines(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
         raise NotImplementedError(
             "kafka connector jar not available in this environment"
         ) from exc
+
+
+def framed_socket_lines(
+    spark: SparkSession, host: str = "localhost", port: int = 5140
+) -> DataFrame:
+    """TCP source with RFC6587 framing: octet-counted and
+    newline-framed messages may MIX on one connection, classified per
+    frame like the reference's auto-detecting syslog() source
+    (lib/logproto/logproto-framed-server.c). Frames spanning
+    micro-batches reassemble via per-connection decoder state.
+    Output: conn, frame_no, message."""
+    from syslog_ng_spark.sources.framing import framed_lines_stream
+
+    return framed_lines_stream(socket_lines(spark, host, port), line_col="raw")

@@ -65,3 +65,59 @@ def test_octet_count_is_bytes_not_chars():
     data = f"{len(msg.encode('utf-8'))} {msg}5 world"
     assert split_frames(data) == ["héllo", "world"]
     assert split_frames(data.encode("utf-8")) == ["héllo", "world"]
+
+
+def test_framed_socket_stream_mixed_framing(spark):
+    """Live-socket smoke: a TCP sender emits octet-counted frames
+    (one with an embedded newline) mixed with newline-framed lines;
+    framed_socket_lines must reassemble and split them exactly
+    (reference: logproto-framed-server.c auto-detection)."""
+    import socket
+    import threading
+    import time
+
+    from syslog_ng_spark.sources.streaming import framed_socket_lines
+
+    payload = b"11 hello\nworld\nplain line\n5 abcde28 <13>1 - h app - - - embedded\n"
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        time.sleep(3)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    frames = framed_socket_lines(spark, "127.0.0.1", port)
+    q = (
+        frames.writeStream.format("memory")
+        .queryName("framed_socket_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("select * from framed_socket_smoke").collect()
+            if len(rows) >= 4:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+
+    msgs = [r.message for r in sorted(rows, key=lambda r: r.frame_no)]
+    assert msgs == [
+        "hello\nworld",
+        "plain line",
+        "abcde",
+        "<13>1 - h app - - - embedded",
+    ]
