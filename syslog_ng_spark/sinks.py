@@ -35,11 +35,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
-    """sql() destination (reference: modules/afsql). Needs a JDBC driver
-    jar on the classpath; interface kept for cluster deployments."""
+    """sql() destination (reference: modules/afsql/afsql.c — INSERT
+    per message into a templated table; here one batched JDBC write).
+    Exercised end-to-end against embedded Derby (the one JDBC driver
+    bundled with Spark) in tests/test_sinks.py; any other driver is a
+    jar on the cluster classpath away."""
     df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table).options(
         **options
     ).save()
+
+
+def read_jdbc(spark, url: str, table: str, **options) -> DataFrame:
+    """sql() source counterpart (afsql reads back what it wrote in the
+    reference's tests; same here)."""
+    return (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        .options(**options)
+        .load()
+    )
 
 
 def stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
