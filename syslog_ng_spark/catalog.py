@@ -3452,3 +3452,121 @@ def patterndb_actions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "message",
         "alert_src",
     )
+
+
+# ---------------------------------------------------------------------------
+# csv-parser dialect flags + tags-parser (reference:
+# lib/scanner/csv-scanner/csv-scanner.c CSV_SCANNER_GREEDY,
+# modules/csvparser/csvparser.c drop_invalid,
+# modules/tagsparser/tags-parser.c)
+# ---------------------------------------------------------------------------
+
+# deterministic mixed corpus: every 7th line underfilled (1 field),
+# every 11th overfilled (4 fields) — built identically on both engines
+_CSV_LINE_SPARK = (
+    "CASE WHEN event_id % 7 = 0 THEN event_type "
+    "WHEN event_id % 11 = 0 THEN "
+    "concat(event_type, ',', format_number(value, '0.000'), ',', "
+    "cast(user_id as string), ',extra') "
+    "ELSE concat(event_type, ',', format_number(value, '0.000'), ',', "
+    "cast(user_id as string)) END"
+)
+_CSV_LINE_DUCK = (
+    "CASE WHEN event_id % 7 = 0 THEN event_type "
+    "WHEN event_id % 11 = 0 THEN "
+    "event_type || ',' || printf('%.3f', value) || ',' || user_id::VARCHAR || ',extra' "
+    "ELSE event_type || ',' || printf('%.3f', value) || ',' || user_id::VARCHAR END"
+)
+
+_CSV_DIALECT_SQL = f"""
+WITH lines AS (SELECT event_id, {_CSV_LINE_DUCK} AS line FROM events)
+SELECT event_id,
+       string_split(line, ',')[1] AS etype,
+       string_split(line, ',')[2] AS val,
+       string_split(line, ',')[3] AS uid
+FROM lines
+WHERE len(string_split(line, ',')) = 3
+"""
+
+
+@register("csv_dialect_parse", _CSV_DIALECT_SQL)
+def csv_dialect_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv-parser with drop-invalid over a corpus where ~1/7 of rows
+    underfill and ~1/11 overfill the declared columns: incomplete
+    scans drop the whole message (csvparser.c:164), they never emit a
+    half-parsed row."""
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    ev = rebalance(T(spark, sf_dir, "events")).withColumn("line", F.expr(_CSV_LINE_SPARK))
+    out = csv_parser(
+        ev.select("event_id", "line"),
+        "line",
+        ["etype", "val", "uid"],
+        sep=",",
+        drop_invalid=True,
+    )
+    return out.select("event_id", "etype", "val", "uid")
+
+
+_CSV_GREEDY_SQL = f"""
+WITH lines AS (SELECT event_id, {_CSV_LINE_DUCK} AS line FROM events)
+SELECT event_id,
+       regexp_extract(line, '^([^,]*),(.*)$', 1) AS etype,
+       regexp_extract(line, '^([^,]*),(.*)$', 2) AS rest
+FROM lines
+WHERE len(string_split(line, ',')) >= 2
+"""
+
+
+@register("csv_greedy_parse", _CSV_GREEDY_SQL)
+def csv_greedy_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv-parser greedy flag: the last column swallows the raw rest
+    of the line, separators included (csv-scanner.c greedy state) —
+    overfilled rows keep their surplus in `rest`, underfilled rows
+    are dropped by drop-invalid."""
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    ev = rebalance(T(spark, sf_dir, "events")).withColumn("line", F.expr(_CSV_LINE_SPARK))
+    out = csv_parser(
+        ev.select("event_id", "line"),
+        "line",
+        ["etype", "rest"],
+        sep=",",
+        greedy=True,
+        drop_invalid=True,
+    )
+    return out.select("event_id", "etype", "rest")
+
+
+_TAGS_PARSE_SQL = """
+WITH parsed AS (
+  SELECT event_id,
+         list_distinct(list_cat(
+           ['synthetic', event_type],
+           CASE WHEN value < 0.25 THEN [event_type, 'low-value'] ELSE [event_type] END
+         )) AS tags
+  FROM events)
+SELECT DISTINCT event_id, unnest(tags) AS tag FROM parsed
+"""
+
+
+@register("tags_parse", _TAGS_PARSE_SQL)
+def tags_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tags-parser() end-to-end: a templated comma-separated list is
+    parsed and set-merged into the message's existing tags
+    (tags-parser.c; set semantics because log_msg_set_tag_by_name is
+    idempotent), exploded to (event_id, tag) rows for the gate."""
+    from syslog_ng_spark.operators.parsers import tags_parser
+
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    # templated list: "<etype>,low-value" under the value threshold,
+    # plain "<etype>" otherwise — same template both engines
+    listed = rebalance(logs).withColumn(
+        "taglist",
+        F.when(
+            F.col("value") < 0.25,
+            F.concat_ws(",", F.split(F.col("message"), " ")[0], F.lit("low-value")),
+        ).otherwise(F.split(F.col("message"), " ")[0]),
+    )
+    tagged = tags_parser(listed, "taglist", "tags")
+    return tagged.select("event_id", F.explode("tags").alias("tag")).distinct()

@@ -120,20 +120,76 @@ def syslog_parser_5424(df: DataFrame, raw: str = "raw") -> DataFrame:
 
 
 def csv_parser(
-    df: DataFrame, col: str, names: Sequence[str], sep: str = ",", drop: bool = True
+    df: DataFrame,
+    col: str,
+    names: Sequence[str],
+    sep: str = ",",
+    drop: bool = True,
+    greedy: bool = False,
+    drop_invalid: bool = False,
 ) -> DataFrame:
-    """csv-parser(columns(...)): split a column into named fields.
+    """csv-parser(columns(...) flags(greedy, drop-invalid)).
 
-    Uses `from_csv` for quote-aware splitting (csvparser.c supports
-    quote pairs); plain split would break on quoted separators.
-    """
-    schema = ", ".join(f"`{n}` string" for n in names)
-    parsed = F.from_csv(F.col(col), schema, {"sep": sep})
-    out = df.withColumn("_csv", parsed)
-    for n in names:
-        out = out.withColumn(n, F.col(f"_csv.{n}"))
-    out = out.drop("_csv")
+    Default path uses `from_csv` for quote-aware splitting
+    (lib/scanner/csv-scanner supports quote pairs); plain split would
+    break on quoted separators.
+
+    `greedy` (CSV_SCANNER_GREEDY, csv-scanner.c:367): the LAST column
+    swallows the raw rest of the input, separators included —
+    implemented as one anchored regexp shared verbatim with the DuckDB
+    oracle, so this path is separator-literal (quote-aware + greedy is
+    not combined, matching typical message-tail usage).
+
+    `drop_invalid` (csvparser.c:164 csv_scanner_is_scan_complete):
+    a row must consume ALL input with EXACTLY the declared columns
+    (>= for greedy, the tail eats the surplus) or the whole message is
+    dropped, not half-parsed."""
+    import re as _re
+
+    nsep = F.size(F.split(F.col(col), _re.escape(sep), -1)) - 1
+    if greedy:
+        rx = "^" + "".join(f"([^{_re.escape(sep)}]*){_re.escape(sep)}" for _ in names[:-1]) + "(.*)$"
+        out = df
+        for i, n in enumerate(names):
+            out = out.withColumn(n, F.regexp_extract(F.col(col), rx, i + 1))
+        if drop_invalid:
+            out = out.where(nsep >= len(names) - 1)
+    else:
+        schema = ", ".join(f"`{n}` string" for n in names)
+        parsed = F.from_csv(F.col(col), schema, {"sep": sep})
+        out = df.withColumn("_csv", parsed)
+        if drop_invalid:
+            # completeness = exactly the declared separator count; a
+            # null surviving that check is an EMPTY field, which the
+            # reference scanner yields as '' (scan still complete) —
+            # univocity maps unquoted empties to null unconditionally
+            out = out.where(nsep == len(names) - 1)
+            for n in names:
+                out = out.withColumn(n, F.coalesce(F.col(f"_csv.{n}"), F.lit("")))
+        else:
+            for n in names:
+                out = out.withColumn(n, F.col(f"_csv.{n}"))
+        out = out.drop("_csv")
     return out.drop(col) if drop else out
+
+
+def tags_parser(df: DataFrame, col: str, tags_col: str = "tags") -> DataFrame:
+    """tags-parser(): parse a comma-separated list and SET each
+    element as a message tag (modules/tagsparser/tags-parser.c over
+    lib/scanner/list-scanner). Elements are trimmed, empties dropped,
+    and merged set-wise into an existing tags column
+    (log_msg_set_tag_by_name is idempotent)."""
+    parsed = F.filter(
+        F.transform(F.split(F.col(col), ",", -1), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    if tags_col in df.columns:
+        merged = F.array_union(
+            F.coalesce(F.col(tags_col), F.array().cast("array<string>")), parsed
+        )
+    else:
+        merged = F.array_distinct(parsed)
+    return df.withColumn(tags_col, merged)
 
 
 def _fold_kv_entries(entries) -> F.Column:

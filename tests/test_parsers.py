@@ -107,3 +107,56 @@ def test_pattern_parser_first_match_wins(spark):
     rules = [("^error disk", "disk"), ("^error", "generic")]
     rows = {r.m: r.cls for r in pattern_parser(df, "m", rules, target="cls").collect()}
     assert rows == {"error disk full": "disk", "error high": "generic", "ok": "unknown"}
+
+
+def test_csv_drop_invalid_drops_under_and_overfilled(spark):
+    df = spark.createDataFrame(
+        [(1, "a,b,c"), (2, "a,b"), (3, "a,b,c,d"), (4, ",,"), (5, "")],
+        "id int, line string",
+    )
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    out = csv_parser(df, "line", ["x", "y", "z"], drop_invalid=True).collect()
+    assert sorted(r.id for r in out) == [1, 4]  # ',,' = three empty fields
+    row = [r for r in out if r.id == 1][0]
+    assert (row.x, row.y, row.z) == ("a", "b", "c")
+
+
+def test_csv_greedy_last_column_swallows_rest(spark):
+    df = spark.createDataFrame(
+        [(1, "err,host=x,msg=a,b c"), (2, "plain")], "id int, line string"
+    )
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    out = csv_parser(df, "line", ["etype", "rest"], greedy=True, drop_invalid=True).collect()
+    assert len(out) == 1
+    assert out[0].etype == "err"
+    assert out[0].rest == "host=x,msg=a,b c"  # separators kept verbatim
+
+
+def test_csv_quote_aware_default_path_still_works(spark):
+    df = spark.createDataFrame([(1, '"a,b",c')], "id int, line string")
+    from syslog_ng_spark.operators.parsers import csv_parser
+
+    out = csv_parser(df, "line", ["x", "y"]).collect()
+    assert (out[0].x, out[0].y) == ("a,b", "c")
+
+
+def test_tags_parser_merges_setwise(spark):
+    from syslog_ng_spark.operators.parsers import tags_parser
+
+    df = spark.createDataFrame(
+        [(1, " alpha, beta ,,alpha ", ["existing", "alpha"]), (2, "", ["x"])],
+        "id int, taglist string, tags array<string>",
+    )
+    out = {r.id: r.tags for r in tags_parser(df, "taglist").collect()}
+    assert out[1] == ["existing", "alpha", "beta"]  # trimmed, deduped, order kept
+    assert out[2] == ["x"]
+
+
+def test_tags_parser_without_existing_tags_column(spark):
+    from syslog_ng_spark.operators.parsers import tags_parser
+
+    df = spark.createDataFrame([(1, "a,b,a")], "id int, taglist string")
+    out = tags_parser(df, "taglist").collect()
+    assert out[0].tags == ["a", "b"]
