@@ -47,6 +47,11 @@ def _merge_maps(*maps: Column) -> Column:
     # accumulator never holds a duplicate so map_concat can't throw.
     # (A filter(exists(slice(entries...))) formulation re-evaluated the
     # whole concat per element and benchmarked 3.3x slower.)
+    # O(k^2) per row, measured fine at NV-map scale: 0.396s warm at
+    # sf0.1 vs the 1.95s bench floor (the flagged 1.72x was cold-start
+    # codegen); a reversed-entries + map_contains_key first-wins
+    # variant measured 0.379s — within noise, not worth the key-order
+    # change. Revisit only if real corpora push k past ~32.
     return F.aggregate(
         entries,
         F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")),
