@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..util import epoch_seconds
+
 
 def format_json(**fields: Column) -> Column:
     """$(format-json k=v ...) — render named columns as a JSON object."""
@@ -233,7 +235,7 @@ def stardate(ts: Column, digits: int = 2) -> Column:
     year = F.year(ts)
     start = F.make_date(year, F.lit(1), F.lit(1)).cast("timestamp")
     end = F.make_date(year + 1, F.lit(1), F.lit(1)).cast("timestamp")
-    frac = (ts.cast("double") - start.cast("double")) / (
-        end.cast("double") - start.cast("double")
+    frac = (epoch_seconds(ts) - epoch_seconds(start)) / (
+        epoch_seconds(end) - epoch_seconds(start)
     )
     return F.round(year + frac, digits)

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from syslog_ng_spark.operators.patterndb import compile_pattern
 from syslog_ng_spark.template import TemplateCompiler, schema_resolver
+from syslog_ng_spark.util import epoch_seconds
 
 # reference macro name -> canonical log schema column
 _MACRO_COLS = {
@@ -238,7 +239,7 @@ def _rate_limit(cand: DataFrame, action: PdbAction, key: list[str], ts_col: str)
     if action.rate is None:
         return cand
     n, per = action.rate
-    bucket = F.floor(F.col(ts_col).cast("double") / per)
+    bucket = F.floor(epoch_seconds(F.col(ts_col)) / per)
     w = Window.partitionBy(*(key or [F.lit(1)]), bucket).orderBy(F.col(ts_col))
     return cand.withColumn("_rl", F.row_number().over(w)).where(F.col("_rl") <= n).drop("_rl")
 

@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -38,7 +40,7 @@ def sessionize(
     order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(*key).orderBy(*order)
     prev_ts = F.lag(F.col(ts)).over(w)
-    gap = F.col(ts).cast("double") - prev_ts.cast("double")
+    gap = epoch_seconds(F.col(ts)) - epoch_seconds(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap > timeout), F.lit(1)).otherwise(F.lit(0))
     return df.withColumn(
         "session_id",

@@ -40,6 +40,18 @@ def salted_join(
     return out.drop("_salt")
 
 
+def epoch_seconds(col):
+    """Timestamp → fractional epoch seconds, safe for both TIMESTAMP and
+    TIMESTAMP_NTZ inputs. Spark 4's ANSI rules forbid casting NTZ
+    straight to double; hopping through TIMESTAMP first is a no-op for
+    tz-aware values and interprets NTZ in the session timezone (UTC in
+    this engine — session.py pins it), which keeps arithmetic on two
+    hopped values (gaps, bucket floors) exact."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return col.cast("timestamp").cast("double")
+
+
 def rebalance(df: DataFrame) -> DataFrame:
     """Spread rows across all cores before CPU-heavy per-row work
     (regex parse, tokenize/explode, vector math) — but ONLY when the

@@ -46,6 +46,28 @@ def test_grouping_by_aggregates_and_having(spark):
     assert by_user[2].time_last - by_user[2].time_first == datetime.timedelta(seconds=1800)
 
 
+def test_sessionize_accepts_timestamp_ntz(spark):
+    # The driver's parquet ships TIMESTAMP_NTZ; Spark 4 forbids a direct
+    # NTZ→double cast, so sessionize must hop through TIMESTAMP
+    # (util.epoch_seconds). Same data as _events, NTZ-typed.
+    ntz = _events(spark).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = sessionize(ntz, ["user_id"], timeout=1800, order_tiebreak="event_id")
+    got = {(r.user_id, r.event_id): r.session_id for r in out.collect()}
+    assert got[(1, 3)] == 1 and got[(2, 5)] == 0
+
+
+def test_stardate_accepts_timestamp_ntz(spark):
+    from syslog_ng_spark.functions.format import stardate
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 7, 2),)], "ts timestamp"
+    ).withColumn("ts_ntz", F.col("ts").cast("timestamp_ntz"))
+    row = df.select(
+        stardate(F.col("ts")).alias("a"), stardate(F.col("ts_ntz")).alias("b")
+    ).collect()[0]
+    assert row.a == row.b == 2024.5
+
+
 def test_suppress_collapses_repeats(spark):
     import datetime as dt
 
