@@ -6,7 +6,7 @@ Each query is materialized through the noop sink so every column is
 computed (a bare .count() would let Catalyst prune the projection and
 understate the work).
 
-Methodology (r3): every query executes TWICE and reports the MIN.
+Methodology (r3): every query executes N times and reports the MIN.
 First executions carry 0.5-2s of one-time driver cost (janino codegen
 of the fresh plan, AQE re-optimization) with +/-1s run-to-run noise —
 at sf0.1 that noise is the same order as many queries' total work and
@@ -15,6 +15,15 @@ design point it is irrelevant against steady-state throughput, which
 is what the min measures. `queries_first_exec` keeps the cold numbers
 for transparency; caches are cleared between executions so
 persist()-based queries cannot hide work in the warm pass.
+
+Hardening (r4): N raised 2 -> 3 — r3's gate flagged two phantom
+regressions (3.78x, 2.12x) caused by BURSTY host contention landing on
+whichever query was in flight; a one-burst hit corrupts at most one of
+three runs, so the min survives it. The run also records
+os.getloadavg() at process start (external load — our own Spark work
+hasn't started yet) and marks any regression flags "suspect" when the
+host was already >25% loaded, so a flag raised on a contended host is
+visibly untrustworthy instead of crying wolf.
 """
 
 from __future__ import annotations
@@ -112,9 +121,14 @@ BENCH_QUERIES = [
 ]
 
 
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    loadavg_start = os.getloadavg()
+    cpus = os.cpu_count() or 1
     spark = get_session("syslog-ng-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -125,7 +139,7 @@ def main() -> None:
     first_exec: dict[str, float] = {}
     for name in BENCH_QUERIES:
         runs = []
-        for _ in range(2):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
@@ -145,6 +159,9 @@ def main() -> None:
         "queries_first_exec": first_exec,
         "total_first_exec": round(sum(first_exec.values()), 3),
         "sf": sf,
+        "n_runs": N_RUNS,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "cpus": cpus,
     }
     # regression floor: each query is compared against its recorded
     # best-round time (BASELINE_LOCAL.json). Ratios are NORMALIZED by
@@ -169,6 +186,12 @@ def main() -> None:
                 if b >= 0.3 and t / (b * drift) > 2 and t - b * drift > 0.5:
                     flagged[q] = round(t / (b * drift), 2)
             out["regressions_vs_baseline"] = flagged
+            # a flag raised while the host was already busy BEFORE our
+            # Spark work started is contention, not a code regression —
+            # say so in the artifact instead of asking the reader to guess
+            out["flags_suspect_host_contention"] = bool(flagged) and (
+                loadavg_start[0] > 0.25 * cpus
+            )
     print(json.dumps(out))
 
 

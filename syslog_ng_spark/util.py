@@ -47,8 +47,6 @@ def epoch_seconds(col):
     tz-aware values and interprets NTZ in the session timezone (UTC in
     this engine — session.py pins it), which keeps arithmetic on two
     hopped values (gaps, bucket floors) exact."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     return col.cast("timestamp").cast("double")
 
 
