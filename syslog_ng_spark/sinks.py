@@ -10,7 +10,11 @@ parquet+zstd.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import time
+import urllib.error
+import urllib.request
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
@@ -53,6 +57,274 @@ def read_jdbc(spark, url: str, table: str, **options) -> DataFrame:
         .options(**options)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# http() destination
+#
+# Reference semantics (modules/http/http-worker.c, response-handler.c,
+# http-loadbalancer.c):
+#   * messages accumulate into a request body — ``delimiter`` between
+#     entries, ``body_prefix``/``body_suffix`` around the batch — and
+#     flush at batch-lines() / batch-bytes() or end of queue
+#     (http-worker.c:_add_message_to_batch, _should_initiate_flush);
+#   * each message is rendered through body() template, default $MESSAGE
+#     (http-worker.c:272-282);
+#   * the response status maps to a worker verdict
+#     (http-worker.c:default_map_http_status_to_worker_status): 2xx
+#     success; 4xx retry except {410,416,422,424,425,451} drop; 5xx
+#     retry except 508 drop; per-code overrides via response-action()
+#     (response-handler.c) choose success/retry/drop/disconnect;
+#   * multiple url() targets form a load balancer — on failure the
+#     worker marks the target down and fails over, giving up after
+#     num_targets attempts (http-worker.c:_flush, 644-705).
+#
+# Spark mapping: the per-message template renders JVM-side as a Column
+# (template.py codegen — the hot path never enters Python); the Python
+# edge only concatenates rendered strings and does socket I/O, one
+# worker per partition (the reference's workers() knob == parallelism
+# of the upstream partitioning). Delivery stats come back as one tiny
+# row per partition, not per message. The daemon's two retry flavors
+# (LTR_ERROR = resend on same connection, LTR_NOT_CONNECTED = reconnect
+# then resend) collapse into one bounded retry-with-failover loop here:
+# HTTP/1.1 over urllib is connectionless per request, so the
+# distinction has no observable effect.
+# ---------------------------------------------------------------------------
+
+_HTTP_DROP_4XX = frozenset({410, 416, 422, 424, 425, 451})
+
+
+def default_http_action(status: int) -> str:
+    """Status → verdict, mirroring http-worker.c:368-397 defaults."""
+    family = status // 100
+    if family == 2:
+        return "success"
+    if family == 4 and status in _HTTP_DROP_4XX:
+        return "drop"
+    if status == 508:
+        return "drop"
+    return "retry"
+
+
+@dataclass
+class HttpDestination:
+    """http() destination: templated body, batching, response-code
+    handling, multi-target failover. ``urls`` are load-balancer
+    targets; ``template`` is a syslog-ng body() template (rendered
+    JVM-side before the data reaches Python); ``response_actions``
+    overrides the default status mapping per code, values in
+    {"success","retry","drop","disconnect"} (response-handler.c).
+    ``on_exhausted`` decides what happens when retries run out:
+    "raise" fails the Spark task (the cluster's own task-retry becomes
+    the daemon's time-reopen() loop) or "drop" counts the batch lost.
+    """
+
+    urls: Sequence[str]
+    template: str = "$MESSAGE"
+    method: str = "POST"
+    headers: Sequence[str] = ()
+    batch_lines: int = 1
+    batch_bytes: int = 0
+    delimiter: str = "\n"
+    body_prefix: str = ""
+    body_suffix: str = ""
+    timeout: float = 10.0
+    max_retries: int = 3
+    retry_backoff: float = 0.1
+    response_actions: Mapping[int, str] = field(default_factory=dict)
+    on_exhausted: str = "raise"
+
+    def __post_init__(self) -> None:
+        if isinstance(self.urls, str):
+            self.urls = [self.urls]
+        if not self.urls:
+            raise ValueError("http destination needs at least one url")
+        if self.on_exhausted not in {"raise", "drop"}:
+            raise ValueError("on_exhausted must be 'raise' or 'drop'")
+
+    # -- executor-side ----------------------------------------------------
+    def _post(self, url: str, body: str) -> int:
+        req = urllib.request.Request(
+            url,
+            data=body.encode("utf-8"),
+            method=self.method,
+        )
+        for h in self.headers:
+            name, _, value = h.partition(":")
+            req.add_header(name.strip(), value.strip())
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:  # non-2xx is still a response
+            return e.code
+
+    def _flush(self, batch: list[str], lb_state: dict) -> tuple[str, int]:
+        """Send one batch; returns (verdict, requests_made). Walks the
+        retry/failover loop: on a connection error or retry verdict the
+        next target is tried (http-worker.c:_flush); after
+        ``max_retries`` full passes over the target list the batch is
+        exhausted."""
+        body = self.body_prefix + self.delimiter.join(batch) + self.body_suffix
+        n_urls = len(self.urls)
+        requests = 0
+        for attempt in range(self.max_retries * n_urls):
+            url = self.urls[lb_state["target"] % n_urls]
+            try:
+                status = self._post(url, body)
+                requests += 1
+            except (urllib.error.URLError, OSError, TimeoutError):
+                # target down → mark failed, fail over
+                lb_state["target"] += 1
+                if attempt:
+                    time.sleep(self.retry_backoff * attempt)
+                continue
+            action = self.response_actions.get(status) or default_http_action(status)
+            if action == "success":
+                return "success", requests
+            if action == "drop":
+                return "drop", requests
+            # retry / disconnect: rotate target, back off, resend
+            lb_state["target"] += 1
+            if attempt:
+                time.sleep(self.retry_backoff * attempt)
+        if self.on_exhausted == "raise":
+            raise RuntimeError(
+                f"http destination: batch of {len(batch)} undeliverable to "
+                f"{list(self.urls)} after {self.max_retries} passes"
+            )
+        return "failed", requests
+
+    def _send_partition(self, pid: int, rows):
+        delivered = dropped = failed = requests = batches = 0
+        # seed round-robin by partition id so concurrent partitions
+        # spread over the targets instead of hammering urls[0]
+        lb_state = {"target": pid}
+        batch: list[str] = []
+        batch_bytes = 0
+
+        def flush():
+            nonlocal delivered, dropped, failed, requests, batches, batch_bytes
+            if not batch:
+                return
+            verdict, reqs = self._flush(batch, lb_state)
+            requests += reqs
+            batches += 1
+            n = len(batch)
+            if verdict == "success":
+                delivered += n
+            elif verdict == "drop":
+                dropped += n
+            else:
+                failed += n
+            batch.clear()
+            batch_bytes = 0
+
+        for row in rows:
+            rendered = row[0] if row[0] is not None else ""
+            batch.append(rendered)
+            batch_bytes += len(rendered)
+            if len(batch) >= max(self.batch_lines, 1) or (
+                self.batch_bytes and batch_bytes >= self.batch_bytes
+            ):
+                flush()
+        flush()
+        yield (delivered, dropped, failed, batches, requests)
+
+    # -- driver-side ------------------------------------------------------
+    def write(self, df: DataFrame) -> dict:
+        """Deliver a batch DataFrame; returns aggregate delivery stats
+        (one small tuple per partition reaches the driver)."""
+        from .template import compile_template
+
+        body = compile_template(self.template, df)
+        rendered = df.select(body.alias("_body"))
+        dest = self
+        stats = (
+            rendered.rdd.mapPartitionsWithIndex(
+                lambda pid, rows: dest._send_partition(pid, rows)
+            )
+            .collect()
+        )
+        keys = ("delivered", "dropped", "failed", "batches", "requests")
+        return {k: sum(s[i] for s in stats) for i, k in enumerate(keys)}
+
+    def write_stream(self, df: DataFrame, checkpoint: str, trigger_available_now: bool = True):
+        """Streaming flavor: each micro-batch goes through the same
+        batched POST path via foreachBatch."""
+        writer = df.writeStream.foreachBatch(lambda batch_df, _id: self.write(batch_df)).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+@dataclass
+class KvStoreDestination:
+    """Generic key-value connector destination — the representative of
+    the reference's connector family (redis SET/HSET —
+    modules/redis/redis.c; mongodb inserts — modules/afmongodb;
+    amqp/stomp/mqtt publishes): render a key and a value per message
+    (JVM-side templates), batch them, hand each batch to a
+    client supplied by ``client_factory`` (built once per partition —
+    the reference's one-connection-per-worker model). Swapping the
+    factory for a real redis/mongo client is a dependency change, not
+    engine code; none of those client libraries exist in this
+    container, so tests drive a local fake store.
+
+    ``client_factory() -> client`` where ``client.mset(pairs:
+    list[tuple[str, str]]) -> None`` delivers a batch (raise to signal
+    failure → Spark task retry) and optional ``client.close()``.
+    """
+
+    client_factory: object
+    key_template: str = "$HOST"
+    value_template: str = "$MESSAGE"
+    batch_size: int = 100
+
+    def _send_partition(self, rows):
+        client = self.client_factory()
+        sent = batches = 0
+        try:
+            batch: list[tuple[str, str]] = []
+            for row in rows:
+                batch.append((row[0] or "", row[1] or ""))
+                if len(batch) >= max(self.batch_size, 1):
+                    client.mset(batch)
+                    sent += len(batch)
+                    batches += 1
+                    batch = []
+            if batch:
+                client.mset(batch)
+                sent += len(batch)
+                batches += 1
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+        yield (sent, batches)
+
+    def write(self, df: DataFrame) -> dict:
+        from .template import compile_template
+
+        rendered = df.select(
+            compile_template(self.key_template, df).alias("_key"),
+            compile_template(self.value_template, df).alias("_value"),
+        )
+        dest = self
+        stats = rendered.rdd.mapPartitions(dest._send_partition).collect()
+        return {
+            "sent": sum(s[0] for s in stats),
+            "batches": sum(s[1] for s in stats),
+        }
+
+    def write_stream(self, df: DataFrame, checkpoint: str, trigger_available_now: bool = True):
+        writer = df.writeStream.foreachBatch(lambda batch_df, _id: self.write(batch_df)).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
 
 def stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
