@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "oov_rate",
     "patterndb_actions",
+    "patterndb_create_context",
     "csv_dialect_parse",
     "csv_greedy_parse",
     "tags_parse",

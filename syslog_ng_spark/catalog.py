@@ -3570,3 +3570,163 @@ def tags_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = tags_parser(listed, "taglist", "tags")
     return tagged.select("event_id", F.explode("tags").alias("tag")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# patterndb <create-context> + inherit-properties='context' sdata merge
+# (reference: pdb-action.h:62 RAC_CREATE_CONTEXT,
+# patterndb.c:_execute_action_create_context,
+# synthetic-message.c:168 _generate_message_inheriting_properties_from_
+# the_entire_context + logmsg.c:log_msg_merge_context; behavior tests
+# modules/dbparser/tests/test_patterndb.c
+# test_correlation_rule_with_create_context)
+# ---------------------------------------------------------------------------
+
+
+def _cc_ruleset():
+    """A signup seeds a global session context (create-context) that
+    later clicks of the same user join; on expiry the click rule —
+    the last to touch the context (patterndb.c:629) — emits a summary
+    whose sdata is the context union merge (latest setter per key)."""
+    from syslog_ng_spark.operators.actions import (
+        PdbAction,
+        PdbRule,
+        SyntheticContext,
+        SyntheticMessage,
+    )
+
+    return [
+        PdbRule(
+            rule_id="cc_signup",
+            cls="audit",
+            patterns=["signup value=@FLOAT:val@ user=@NUMBER:uid@"],
+            actions=[
+                PdbAction(
+                    trigger="match",
+                    message=SyntheticMessage(
+                        values={"MESSAGE": "session-seed user=${uid}"},
+                        inherit="context",
+                    ),
+                    create_context=SyntheticContext(
+                        id_template="sess-${uid}", timeout=900, scope="global"
+                    ),
+                )
+            ],
+        ),
+        PdbRule(
+            rule_id="cc_click",
+            cls="audit",
+            patterns=["click value=@FLOAT:cval@ user=@NUMBER:uid@"],
+            context_id="sess-${uid}",
+            context_timeout=900,
+            context_scope="global",
+            actions=[
+                PdbAction(
+                    trigger="timeout",
+                    message=SyntheticMessage(
+                        values={
+                            "MESSAGE": "session-end user=${uid} n=$(context-length)",
+                            "uid_v": "${uid}",
+                        },
+                        inherit="context",
+                    ),
+                )
+            ],
+        ),
+    ]
+
+
+def _cc_sql() -> str:
+    from syslog_ng_spark.operators.patterndb import compile_pattern
+
+    rx_su, f_su = compile_pattern("signup value=@FLOAT:val@ user=@NUMBER:uid@")
+    rx_cl, f_cl = compile_pattern("click value=@FLOAT:cval@ user=@NUMBER:uid@")
+    return f"""
+WITH logs AS (
+  SELECT event_id, ts, value,
+         {_MSG_SQL} AS message
+  FROM events),
+pool AS (
+  -- create-context seeds: one per signup match, carrying the
+  -- triggering message's sdata (origin key)
+  SELECT event_id, ts,
+         regexp_extract(message, '{rx_su}', {f_su.index("uid") + 1}) AS uid,
+         'cc_signup' AS rule, 1 AS seq,
+         'signup-' || printf('%.3f', value) AS origin,
+         NULL::VARCHAR AS last_click
+  FROM logs WHERE regexp_matches(message, '{rx_su}')
+  UNION ALL
+  SELECT event_id, ts,
+         regexp_extract(message, '{rx_cl}', {f_cl.index("uid") + 1}),
+         'cc_click', 0,
+         NULL, printf('%.3f', value)
+  FROM logs WHERE regexp_matches(message, '{rx_cl}')),
+ordered AS (
+  SELECT *, lag(ts) OVER (PARTITION BY uid ORDER BY ts, event_id, seq) AS prev_ts
+  FROM pool),
+sessions AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 900
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY uid ORDER BY ts, event_id, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered),
+final AS (
+  SELECT uid, ts, rule,
+         count(*) OVER sess AS n,
+         last_value(origin IGNORE NULLS) OVER sess_ord AS origin_m,
+         last_value(last_click IGNORE NULLS) OVER sess_ord AS lc_m,
+         row_number() OVER (PARTITION BY uid, session_id
+                            ORDER BY ts DESC, event_id DESC, seq DESC) AS rn
+  FROM sessions
+  WINDOW sess AS (PARTITION BY uid, session_id),
+         sess_ord AS (PARTITION BY uid, session_id ORDER BY ts, event_id, seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT uid, ts,
+       'session-end user=' || uid || ' n=' || n::VARCHAR AS message,
+       concat_ws(' ',
+         CASE WHEN lc_m IS NOT NULL THEN 'last_click=' || lc_m END,
+         CASE WHEN origin_m IS NOT NULL THEN 'origin=' || origin_m END) AS sdata_str
+FROM final WHERE rn = 1 AND rule = 'cc_click'
+"""
+
+
+@register("patterndb_create_context", _cc_sql())
+def patterndb_create_context_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create-context + shared correlation state + context-inherit
+    sdata merge end-to-end: signups seed per-user session contexts,
+    clicks join them, expiry emits one summary per session owned by
+    the click rule, with sdata = union of the context's maps (latest
+    setter wins), rendered canonically for the hash gate. Plan: one
+    classification pass + ONE pool shuffle keyed by (scope,
+    context-id) shared by every context in the ruleset."""
+    from syslog_ng_spark.operators.actions import patterndb_actions
+
+    logs = events_as_logs(T(spark, sf_dir, "events"))
+    logs = rebalance(logs).withColumn(
+        "sdata",
+        F.when(
+            F.col("message").startswith("signup"),
+            F.create_map(
+                F.lit("origin"), F.format_string("signup-%.3f", F.col("value"))
+            ),
+        )
+        .when(
+            F.col("message").startswith("click"),
+            F.create_map(F.lit("last_click"), F.format_string("%.3f", F.col("value"))),
+        )
+        .otherwise(F.map_from_arrays(F.array().cast("array<string>"),
+                                     F.array().cast("array<string>"))),
+    )
+    synth = patterndb_actions(logs, _cc_ruleset(), order_tiebreak="event_id")
+    return synth.select(
+        F.col("uid_v").alias("uid"),
+        "ts",
+        "message",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("sdata")),
+                lambda e: F.concat_ws("=", e["key"], e["value"]),
+            ),
+            " ",
+        ).alias("sdata_str"),
+    )

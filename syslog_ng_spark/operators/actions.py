@@ -77,13 +77,28 @@ class SyntheticMessage:
 
 
 @dataclass
+class SyntheticContext:
+    """<create-context> attributes (synthetic-context.h): the id
+    template, timeout and scope of the context the action starts."""
+
+    id_template: str
+    timeout: int = 60
+    scope: str = "program"
+
+
+@dataclass
 class PdbAction:
-    """<action> block (pdb-action.h PDBAction)."""
+    """<action> block (pdb-action.h PDBAction). ``create_context``
+    set ⇒ content-type RAC_CREATE_CONTEXT (pdb-action.h:62): instead
+    of emitting, the action seeds a NEW correlation context with one
+    synthetic message (patterndb.c:_execute_action_create_context);
+    ``message`` is then the seed's <message> block."""
 
     message: SyntheticMessage
     trigger: str = "match"  # match | timeout
     condition: str | None = None
     rate: tuple[int, int] | None = None  # (N, per-seconds)
+    create_context: SyntheticContext | None = None
 
 
 @dataclass
@@ -122,7 +137,16 @@ def load_patterndb_rules(xml_text: str) -> list[PdbRule]:
         actions = []
         for act in rule.iter("action"):
             msg_el = act.find("message")
-            if msg_el is None:  # create-context actions: not supported
+            create = None
+            cc_el = act.find("create-context")
+            if cc_el is not None:  # pdb-load.c:_process_create_context_element
+                create = SyntheticContext(
+                    id_template=cc_el.get("context-id") or "",
+                    timeout=int(cc_el.get("context-timeout") or 60),
+                    scope=cc_el.get("context-scope") or "program",
+                )
+                msg_el = cc_el.find("message")
+            if msg_el is None:
                 continue
             rate = None
             if act.get("rate"):
@@ -134,6 +158,7 @@ def load_patterndb_rules(xml_text: str) -> list[PdbRule]:
                     trigger=act.get("trigger") or "match",
                     condition=act.get("condition"),
                     rate=rate,
+                    create_context=create,
                 )
             )
         patterns = [
@@ -244,28 +269,50 @@ def _rate_limit(cand: DataFrame, action: PdbAction, key: list[str], ts_col: str)
     return cand.withColumn("_rl", F.row_number().over(w)).where(F.col("_rl") <= n).drop("_rl")
 
 
-def patterndb_actions(
+def _merge_fold(maps_col: Column, dtype: str) -> Column:
+    """Fold an ordered array of maps into one, later entries winning
+    per key — log_msg_merge_context's net effect (logmsg.c:1237: clone
+    of the last message, then walk messages last→first filling only
+    unset keys ⇒ for every key the LATEST setter wins). Policy-free:
+    the accumulator drops keys the incoming map re-sets before
+    concatenating, so it never produces duplicate keys regardless of
+    spark.sql.mapKeyDedupPolicy."""
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    ).cast(dtype)
+    return F.aggregate(
+        maps_col,
+        empty,
+        lambda acc, m: F.map_concat(
+            F.map_filter(acc, lambda k, _v: ~F.map_contains_key(m, k)),
+            F.coalesce(m, empty),
+        ),
+    )
+
+
+@dataclass
+class PreparedActions:
+    """Stateless (stream-safe) front half of the actions pipeline:
+    classification, per-rule capture frames, and the un-sessionized
+    correlation pool. Shared by the batch operator (which sessionizes
+    the pool with window functions) and the streaming operator (which
+    feeds it through applyInPandasWithState)."""
+
+    matched_by_rule: dict[str, DataFrame]
+    capture_cols: list[str]
+    extra_values: list[str]
+    out_columns: list[str]
+    pool: DataFrame | None
+    pool_payload: list[str]
+
+
+def prepare_actions(
     df: DataFrame,
     rules: list[PdbRule],
     msg_col: str = "message",
     ts_col: str = "ts",
-    order_tiebreak: str | None = None,
-) -> DataFrame:
-    """Synthetic messages emitted by every rule's actions.
-
-    Output schema: input columns ∪ extra value-name columns, plus
-    `rule_id` (emitting rule), `trigger`, and `synthetic_tags`. Use
-    `apply_actions` to union these back into the stream (the
-    reference's _emit_message path feeds them to the same log paths).
-
-    Plan shape: ONE first-match classification pass over the input
-    (shared CASE chain), then per match-action a filter+project (no
-    shuffle), per timeout-action one sessionize+groupBy shuffle keyed
-    by the correlation key — the same key the reference's timer wheel
-    hashes on, so it parallelizes at 100 TB and AQE splits skewed
-    keys."""
-    from syslog_ng_spark.operators.correlate import sessionize
-
+    sdata_col: str | None = None,
+) -> PreparedActions:
     compiled = {r.rule_id: [compile_pattern(p) for p in r.patterns] for r in rules}
 
     # first-match rule classification (radix order)
@@ -295,85 +342,276 @@ def patterndb_actions(
                     extra_values.append(target)
     out_columns = list(df.columns) + extra_values
 
-    outs: list[DataFrame] = []
+    # typed field capture (radix.c parser fields) so action templates
+    # can reference ${field} from @PARSER:field@
+    matched_by_rule: dict[str, DataFrame] = {}
+    capture_cols: list[str] = []
     for r in rules:
         matched = tagged.where(F.col("_rule") == r.rule_id)
-        # typed field capture (radix.c parser fields) so action
-        # templates can reference ${field} from @PARSER:field@
         for rx, fs in compiled[r.rule_id]:
             for name in fs:
                 if name in matched.columns:
                     continue
-                val = F.when(F.col(msg_col).rlike(rx), F.regexp_extract(F.col(msg_col), rx, fs.index(name) + 1)).otherwise(F.lit(""))
+                val = F.when(
+                    F.col(msg_col).rlike(rx),
+                    F.regexp_extract(F.col(msg_col), rx, fs.index(name) + 1),
+                ).otherwise(F.lit(""))
                 matched = matched.withColumn(name, val)
-        scope = _scope_cols(r.context_scope, df)
+                if name not in capture_cols:
+                    capture_cols.append(name)
         if r.context_id is not None:
-            # resolve against the matched frame so the context-id
-            # template can reference captured fields (${uid} etc.)
             ctx_id = TemplateCompiler(schema_resolver(matched.columns)).compile(r.context_id)
             matched = matched.withColumn("CONTEXT_ID", ctx_id)
-            ctx_key = scope + ["CONTEXT_ID"]
-        else:
-            ctx_key = scope
+        matched_by_rule[r.rule_id] = matched
 
+    base_types = dict(df.dtypes)
+    pool_payload = list(df.columns) + capture_cols + extra_values
+
+    def _pool_project(frame: DataFrame, rule_id: str, timeout: int,
+                      scope: str, seed: bool) -> DataFrame:
+        sel = []
+        for c in pool_payload:
+            if c in frame.columns:
+                sel.append(F.col(c).alias(c))
+            else:
+                sel.append(F.lit("").alias(c))
+        sel.append(F.col("CONTEXT_ID"))
+        sel.append(F.lit(rule_id).alias("_rule"))
+        sel.append(F.lit(timeout).cast("long").alias("_timeout"))
+        sel.append(F.lit(1 if seed else 0).alias("_seq"))
+        out = frame.select(*sel)
+        scope_cols = _scope_cols(scope, df)
+        return out.withColumn(
+            "_scope_key",
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in scope_cols])
+            if scope_cols
+            else F.lit(""),
+        )
+
+    def _seed_frame(r: PdbRule, a: PdbAction) -> DataFrame:
+        """patterndb.c:_execute_action_create_context — generate the
+        seed synthetic message from the triggering message (the rule
+        here has no triggering context of its own in the supported
+        shape, so inherit context == inherit last-message ==
+        clone-of-trigger, matching
+        synthetic_message_generate_without_context)."""
+        trig = matched_by_rule[r.rule_id]
+        if a.condition:
+            trig = trig.where(compile_condition(a.condition, trig))
+        compiler = TemplateCompiler(schema_resolver(trig.columns))
+        rendered = {
+            _MACRO_COLS.get(n, n): compiler.compile(_rewrite_context_funcs(t))
+            for n, t in a.message.values.items()
+        }
+        inherit = a.message.inherit != "none"
+        sel = []
+        for c in pool_payload:
+            dt = base_types.get(c, "string")
+            if c in rendered:
+                col = rendered[c]
+                if dt != "string":
+                    col = col.try_cast(dt)
+                sel.append(col.alias(c))
+            elif c == ts_col:
+                sel.append(F.col(ts_col).alias(c))
+            elif inherit and c in trig.columns:
+                sel.append(F.col(c).alias(c))
+            elif dt == "string":
+                sel.append(F.lit("").alias(c))
+            else:
+                sel.append(F.lit(None).cast(dt).alias(c))
+        # the context-id template renders against the TRIGGERING
+        # message (patterndb.c:333-336 log_template_format(triggering_msg))
+        ctx_id = TemplateCompiler(schema_resolver(trig.columns)).compile(
+            a.create_context.id_template
+        )
+        return trig.select(*sel, ctx_id.alias("CONTEXT_ID"))
+
+    # ---- shared correlation pool: one frame, one shuffle ----
+    pool_parts: list[DataFrame] = []
+    for r in rules:
+        if r.context_id is not None:
+            pool_parts.append(
+                _pool_project(
+                    matched_by_rule[r.rule_id], r.rule_id, r.context_timeout,
+                    r.context_scope, seed=False,
+                )
+            )
         for a in r.actions:
+            if a.create_context is None:
+                continue
+            if a.trigger != "match":
+                raise NotImplementedError(
+                    "create-context on trigger='timeout' (context chaining "
+                    "on expiry) is not supported"
+                )
+            pool_parts.append(
+                _pool_project(
+                    _seed_frame(r, a), r.rule_id, a.create_context.timeout,
+                    a.create_context.scope, seed=True,
+                )
+            )
+
+    pool = None
+    if pool_parts:
+        pool = pool_parts[0]
+        for p in pool_parts[1:]:
+            pool = pool.unionByName(p)
+
+    return PreparedActions(
+        matched_by_rule=matched_by_rule,
+        capture_cols=capture_cols,
+        extra_values=extra_values,
+        out_columns=out_columns,
+        pool=pool,
+        pool_payload=pool_payload,
+    )
+
+
+def patterndb_actions(
+    df: DataFrame,
+    rules: list[PdbRule],
+    msg_col: str = "message",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    sdata_col: str | None = None,
+) -> DataFrame:
+    """Synthetic messages emitted by every rule's actions.
+
+    Output schema: input columns ∪ extra value-name columns, plus
+    `rule_id` (emitting rule), `trigger`, and `synthetic_tags`. Use
+    `apply_actions` to union these back into the stream (the
+    reference's _emit_message path feeds them to the same log paths).
+
+    Correlation state is GLOBAL, exactly like the reference's one
+    `db->correlation.state` hash table (patterndb.c:579-635): contexts
+    are keyed by (scope fields, rendered context-id) and SHARED across
+    rules — a message matching rule B joins a context rule A created,
+    the last rule to add a message owns the context
+    (patterndb.c:629-634 `context->rule = rule`), and that rule's
+    timeout actions fire when it expires
+    (pattern_db_expire_entry:426). ``create-context`` actions
+    (patterndb.c:_execute_action_create_context) seed a context with
+    one synthetic message instead of emitting.
+
+    inherit-properties='context' performs the reference's NV union
+    merge (synthetic-message.c:168-174 + logmsg.c:log_msg_merge_context)
+    on the ``sdata_col`` map column (auto-detected as 'sdata'): the
+    synthetic message clones the context's last message and every
+    other sdata key takes the value of its latest setter. Core fields
+    are flat columns and always "set", so the merge only has meaning
+    for the map — same net semantics, documented shape.
+
+    Plan shape: ONE first-match classification pass over the input
+    (shared CASE chain); context-less match actions are a
+    filter+project (no shuffle); all correlation contexts ride ONE
+    shared pool shuffled once on (scope, context-id) — the same key
+    the reference's state hash table uses, so it parallelizes at
+    100 TB and AQE splits skewed keys. Not implemented (loud):
+    timeout-triggered create-context (context chaining on expiry) and
+    ${NAME}@n context-indexed template references.
+    """
+    if sdata_col is None and "sdata" in df.columns:
+        sdata_col = "sdata"
+
+    prep = prepare_actions(df, rules, msg_col=msg_col, ts_col=ts_col, sdata_col=sdata_col)
+    matched_by_rule = prep.matched_by_rule
+    extra_values = prep.extra_values
+    out_columns = prep.out_columns
+    pool_payload = prep.pool_payload
+    base_types = dict(df.dtypes)
+    ord_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    ) + [F.col("_seq")]
+
+    sess_pool = None
+    if prep.pool is not None:
+        pool = prep.pool
+        # variable-timeout sessionize: the gap allowed after a message
+        # is THAT message's rule's timeout (timer_wheel_mod_timer with
+        # rule->context.timeout, patterndb.c:621)
+        w = Window.partitionBy("_scope_key", "CONTEXT_ID").orderBy(*ord_cols)
+        prev_ts = F.lag(F.col(ts_col)).over(w)
+        prev_to = F.lag(F.col("_timeout")).over(w)
+        gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
+        is_new = F.when(prev_ts.isNull() | (gap > prev_to), F.lit(1)).otherwise(F.lit(0))
+        sess_pool = pool.withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+        wc = Window.partitionBy("_scope_key", "CONTEXT_ID", "session_id").orderBy(
+            *ord_cols
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        sess_pool = sess_pool.withColumn(
+            "CONTEXT_LENGTH", F.count(F.lit(1)).over(wc).cast("string")
+        )
+        if sdata_col:
+            # cumulative latest-setter-wins merge; at the last row of a
+            # session this is the full context merge
+            sess_pool = sess_pool.withColumn(
+                "_sdata_merged",
+                _merge_fold(F.collect_list(F.col(sdata_col)).over(wc), base_types[sdata_col]),
+            )
+
+    # ---- timeout-context aggregation (shared by all timeout actions) ----
+    ctx_frame = None
+    if sess_pool is not None:
+        ordcol = F.struct(*ord_cols)
+        keep = pool_payload + ["_rule"]
+        aggs = [
+            F.max_by(F.struct(*[F.col(c) for c in keep]), ordcol).alias("_last"),
+            F.count(F.lit(1)).cast("string").alias("CONTEXT_LENGTH"),
+        ]
+        if sdata_col:
+            aggs.append(F.max_by(F.col("_sdata_merged"), ordcol).alias("_sdata_merged"))
+        ctx_frame = (
+            sess_pool.groupBy("_scope_key", "CONTEXT_ID", "session_id")
+            .agg(*aggs)
+            .select(
+                *[F.col(f"_last.{c}").alias(c) for c in keep],
+                F.col("_scope_key"),
+                F.col("CONTEXT_ID"),
+                F.col("CONTEXT_LENGTH"),
+                *([F.col("_sdata_merged")] if sdata_col else []),
+            )
+        )
+
+    outs: list[DataFrame] = []
+    for r in rules:
+        matched = matched_by_rule[r.rule_id]
+        for a in r.actions:
+            if a.create_context is not None:
+                continue  # seeds the pool; emits nothing itself
             if a.trigger == "match":
-                cand = matched
                 if r.context_id is not None:
-                    # $(context-length) at match time = messages so
-                    # far in this context, including this one
-                    sess = sessionize(
-                        matched, ctx_key, ts=ts_col, timeout=r.context_timeout,
-                        order_tiebreak=order_tiebreak,
+                    # match actions of context rules see the SHARED
+                    # context: $(context-length) counts seeds and other
+                    # rules' messages too
+                    cand = sess_pool.where(
+                        (F.col("_rule") == r.rule_id) & (F.col("_seq") == 0)
                     )
-                    w = (
-                        Window.partitionBy(*ctx_key, "session_id")
-                        .orderBy(*([F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])))
-                        .rowsBetween(Window.unboundedPreceding, 0)
-                    )
-                    cand = sess.withColumn(
-                        "CONTEXT_LENGTH", F.count(F.lit(1)).over(w).cast("string")
-                    )
+                    if sdata_col and a.message.inherit == "context":
+                        cand = cand.withColumn(sdata_col, F.col("_sdata_merged"))
+                    rate_key = ["_scope_key", "CONTEXT_ID"]
                 else:
-                    cand = cand.withColumn("CONTEXT_LENGTH", F.lit("1"))
+                    cand = matched.withColumn("CONTEXT_LENGTH", F.lit("1"))
+                    rate_key = _scope_cols(r.context_scope, df)
                 if a.condition:
                     cand = cand.where(compile_condition(a.condition, cand))
-                cand = _rate_limit(cand, a, ctx_key, ts_col)
+                cand = _rate_limit(cand, a, rate_key, ts_col)
                 inherit = a.message.inherit != "none"
                 rendered = _render(cand, a, out_columns, extra_values, inherit, ts_col)
             elif a.trigger == "timeout":
                 if r.context_id is None:
                     continue  # timeout needs a correlation context
-                sess = sessionize(
-                    matched, ctx_key, ts=ts_col, timeout=r.context_timeout,
-                    order_tiebreak=order_tiebreak,
-                )
-                # the context's last message rides the agg as
-                # max_by(struct(cols), (ts, tiebreak)) — one shuffle
-                ordcol = (
-                    F.struct(F.col(ts_col), F.col(order_tiebreak))
-                    if order_tiebreak
-                    else F.col(ts_col)
-                )
-                # keep capture columns so timeout templates can
-                # reference ${field}; CONTEXT_ID comes from the key
-                keep = [c for c in matched.columns if c not in ("_rule", "CONTEXT_ID")]
-                last = F.max_by(F.struct(*[F.col(c) for c in keep]), ordcol)
-                cand = (
-                    sess.groupBy(*ctx_key, "session_id")
-                    .agg(
-                        last.alias("_last"),
-                        F.count(F.lit(1)).cast("string").alias("CONTEXT_LENGTH"),
-                    )
-                    .select(
-                        *[F.col(f"_last.{c}").alias(c) for c in keep],
-                        F.col("CONTEXT_ID"),
-                        F.col("CONTEXT_LENGTH"),
-                    )
-                )
+                # the rule that last touched the context owns its
+                # expiry (patterndb.c:629, pattern_db_expire_entry:426)
+                cand = ctx_frame.where(F.col("_rule") == r.rule_id)
+                if sdata_col and a.message.inherit == "context":
+                    cand = cand.withColumn(sdata_col, F.col("_sdata_merged"))
                 if a.condition:
                     cand = cand.where(compile_condition(a.condition, cand))
-                cand = _rate_limit(cand, a, ctx_key, ts_col)
+                cand = _rate_limit(cand, a, ["_scope_key", "CONTEXT_ID"], ts_col)
                 inherit = a.message.inherit != "none"
                 rendered = _render(cand, a, out_columns, extra_values, inherit, ts_col)
             else:

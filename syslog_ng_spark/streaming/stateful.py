@@ -247,19 +247,139 @@ def context_emit_stream(
     )
 
 
+def pool_context_stream(
+    pool: DataFrame,
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+    merge_json_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Expiry emitter for the SHARED patterndb correlation pool
+    (operators/actions.prepare_actions): contexts are keyed by
+    (_scope_key, CONTEXT_ID) — the reference's one correlation hash
+    table (patterndb.c:579-635) — and carry the last message's full
+    payload, the per-message `_timeout` (variable: the timer is reset
+    to the timeout of whichever rule added the last message,
+    patterndb.c:621), and optionally a latest-setter-wins merge of a
+    JSON-map column (`merge_json_col`) replicating
+    log_msg_merge_context. One output row per expired context with
+    `context_length`, `time_first`/`time_last`, and `merged_json`."""
+    import json
+
+    dtypes = dict(pool.dtypes)
+    key = ["_scope_key", "CONTEXT_ID"]
+    carry = [c for c in pool.columns if c not in key]
+
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in key]
+        + [f"`{c}` {dtypes[c]}" for c in carry]
+        + ["context_length long", "time_first timestamp", "time_last timestamp",
+           "merged_json string", "closed_by string"]
+    )
+    state_fields = ["n long", "tf long", "tl long", "mj string"]
+    for c in carry:
+        state_fields.append(f"`_c_{c}` " + ("long" if dtypes[c] == "timestamp" else dtypes[c]))
+    state_schema = ", ".join(state_fields)
+
+    sort_cols = [ts] + ([order_tiebreak] if order_tiebreak else []) + (
+        ["_seq"] if "_seq" in pool.columns else []
+    )
+
+    def _to_state(val, dt):
+        if val is None or (isinstance(val, float) and pd.isna(val)):
+            return None
+        if dt == "timestamp":
+            return int(pd.Timestamp(val).value // 1000)  # ns → µs
+        if hasattr(val, "item"):
+            return val.item()
+        return val
+
+    def _from_state(val, dt):
+        if val is None:
+            return None
+        if dt == "timestamp":
+            return pd.Timestamp(val, unit="us")
+        return val
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        def emit(n, tf, tl, mj, carried, how):
+            row = {c: [v] for c, v in zip(key, key_tuple)}
+            for c, v in zip(carry, carried):
+                row[c] = [_from_state(v, dtypes[c])]
+            row["context_length"] = [n]
+            row["time_first"] = [pd.Timestamp(tf, unit="us")]
+            row["time_last"] = [pd.Timestamp(tl, unit="us")]
+            row["merged_json"] = [mj]
+            row["closed_by"] = [how]
+            return pd.DataFrame(row)
+
+        if state.hasTimedOut:
+            packed = state.get
+            n, tf, tl, mj = packed[0], packed[1], packed[2], packed[3]
+            state.remove()
+            yield emit(n, tf, tl, mj, packed[4:], "timeout")
+            return
+
+        if state.exists:
+            packed = state.get
+            n, tf, tl, mj = packed[0], packed[1], packed[2], packed[3]
+            carried = list(packed[4:])
+        else:
+            n, tf, tl, mj, carried = 0, None, None, "{}", [None] * len(carry)
+        merged = json.loads(mj) if mj else {}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(sort_cols, kind="stable")
+            us = pdf[ts].astype("int64") // 1000
+            n += len(pdf)
+            tf = int(us.min()) if tf is None else min(tf, int(us.min()))
+            # walk rows in event order so the merge and the carried
+            # "last message" follow the reference's arrival semantics
+            for _, row in pdf.iterrows():
+                row_us = int(pd.Timestamp(row[ts]).value // 1000)
+                if tl is None or row_us >= tl:
+                    tl = row_us
+                    carried = [_to_state(row[c], dtypes[c]) for c in carry]
+                if merge_json_col is not None:
+                    rj = row[merge_json_col]
+                    if rj:
+                        merged.update(json.loads(rj))
+        state.update((n, tf, tl, json.dumps(merged, sort_keys=True), *carried))
+        wm_ms = state.getCurrentWatermarkMs()
+        # the last message's rule's timeout drives the timer
+        ito = carry.index("_timeout")
+        last_timeout = carried[ito] if carried[ito] is not None else 60
+        state.setTimeoutTimestamp(max(tl // 1000 + int(last_timeout) * 1000, wm_ms + 1))
+
+    return (
+        pool.withWatermark(ts, watermark)
+        .groupBy(*key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def patterndb_actions_stream(
     events: DataFrame,
     rules,
     msg_col: str = "message",
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    order_tiebreak: str | None = None,
+    sdata_col: str | None = None,
 ) -> DataFrame:
     """Streaming patterndb <actions>: match-trigger actions are a
     stateless filter + template projection on the live stream;
-    timeout-trigger actions ride `context_emit_stream` (the correlation
-    context state) and render from the emitted context row — the
-    streaming counterpart of operators/actions.patterndb_actions
-    (reference trigger plumbing: modules/dbparser/patterndb.c:257-400).
+    timeout-trigger actions ride the SHARED correlation pool
+    (`pool_context_stream`) exactly like the batch operator — contexts
+    are global across rules, `create-context` actions seed them, the
+    last rule to touch a context owns its expiry, and
+    inherit-properties='context' union-merges the sdata map
+    (latest setter wins) — the streaming counterpart of
+    operators/actions.patterndb_actions (reference trigger plumbing:
+    modules/dbparser/patterndb.c:257-400).
 
     Scope note: $(context-length) inside *match*-trigger templates
     renders as '1' here (per-message context position needs the
@@ -267,62 +387,25 @@ def patterndb_actions_stream(
     from pyspark.sql import functions as F
 
     from syslog_ng_spark.operators.actions import (
-        _MACRO_COLS,
         _render,
-        _scope_cols,
         compile_condition,
+        prepare_actions,
     )
-    from syslog_ng_spark.operators.patterndb import compile_pattern
-    from syslog_ng_spark.template import TemplateCompiler, schema_resolver
 
-    compiled = {r.rule_id: [compile_pattern(p) for p in r.patterns] for r in rules}
-    cls_expr = None
-    for r in rules:
-        cond = None
-        for rx, _ in compiled[r.rule_id]:
-            c = F.col(msg_col).rlike(rx)
-            cond = c if cond is None else (cond | c)
-        if cond is None:
-            continue
-        cls_expr = (
-            F.when(cond, F.lit(r.rule_id))
-            if cls_expr is None
-            else cls_expr.when(cond, F.lit(r.rule_id))
-        )
-    tagged = events.withColumn("_rule", cls_expr.otherwise(F.lit("")))
+    if sdata_col is None and "sdata" in events.columns:
+        sdata_col = "sdata"
 
-    extra_values = []
-    for r in rules:
-        for a in r.actions:
-            for name in a.message.values:
-                target = _MACRO_COLS.get(name, name)
-                if target not in events.columns and target not in extra_values:
-                    extra_values.append(target)
-    out_columns = list(events.columns) + extra_values
+    prep = prepare_actions(events, rules, msg_col=msg_col, ts_col=ts_col, sdata_col=sdata_col)
+    out_columns, extra_values = prep.out_columns, prep.extra_values
+    sdata_type = dict(events.dtypes).get(sdata_col) if sdata_col else None
 
     outs = []
+    timeout_actions = []
     for r in rules:
-        matched = tagged.where(F.col("_rule") == r.rule_id)
-        for rx, fs in compiled[r.rule_id]:
-            for name in fs:
-                if name in matched.columns:
-                    continue
-                matched = matched.withColumn(
-                    name,
-                    F.when(
-                        F.col(msg_col).rlike(rx),
-                        F.regexp_extract(F.col(msg_col), rx, fs.index(name) + 1),
-                    ).otherwise(F.lit("")),
-                )
-        scope = _scope_cols(r.context_scope, events)
-        if r.context_id is not None:
-            ctx_id = TemplateCompiler(schema_resolver(matched.columns)).compile(r.context_id)
-            matched = matched.withColumn("CONTEXT_ID", ctx_id)
-            ctx_key = scope + ["CONTEXT_ID"]
-        else:
-            ctx_key = scope
-
+        matched = prep.matched_by_rule[r.rule_id]
         for a in r.actions:
+            if a.create_context is not None:
+                continue  # seeds the pool; emits nothing itself
             if a.trigger == "match":
                 cand = matched.withColumn("CONTEXT_LENGTH", F.lit("1"))
                 if a.condition:
@@ -330,24 +413,46 @@ def patterndb_actions_stream(
                 rendered = _render(
                     cand, a, out_columns, extra_values, a.message.inherit != "none", ts_col
                 )
+                outs.append(
+                    rendered.withColumn("rule_id", F.lit(r.rule_id)).withColumn(
+                        "trigger", F.lit(a.trigger)
+                    )
+                )
             elif a.trigger == "timeout":
                 if r.context_id is None:
                     continue
-                carry = [c for c in matched.columns if c != "_rule"]
-                ctx = context_emit_stream(
-                    matched, ctx_key, carry, ts=ts_col, timeout=r.context_timeout,
-                    watermark=watermark,
-                ).withColumn("CONTEXT_LENGTH", F.col("context_length").cast("string"))
-                if a.condition:
-                    ctx = ctx.where(compile_condition(a.condition, ctx))
-                rendered = _render(
-                    ctx, a, out_columns, extra_values, a.message.inherit != "none", ts_col
-                )
+                timeout_actions.append((r, a))
             else:
                 raise ValueError(f"unknown trigger {a.trigger!r}")
+
+    if timeout_actions and prep.pool is not None:
+        pool = prep.pool
+        if sdata_col:
+            # map columns can't ride Arrow state cleanly — JSON-encode
+            # them through the stateful op and decode after
+            pool = pool.withColumn("_sdata_json", F.to_json(F.col(sdata_col))).drop(sdata_col)
+        ctx = pool_context_stream(
+            pool,
+            ts=ts_col,
+            order_tiebreak=order_tiebreak,
+            merge_json_col="_sdata_json" if sdata_col else None,
+            watermark=watermark,
+        ).withColumn("CONTEXT_LENGTH", F.col("context_length").cast("string"))
+        for r, a in timeout_actions:
+            # the rule that last touched the context owns its expiry
+            # (patterndb.c:629, pattern_db_expire_entry:426)
+            cand = ctx.where(F.col("_rule") == r.rule_id)
+            if sdata_col:
+                src = "merged_json" if a.message.inherit == "context" else "_sdata_json"
+                cand = cand.withColumn(sdata_col, F.from_json(F.col(src), sdata_type))
+            if a.condition:
+                cand = cand.where(compile_condition(a.condition, cand))
+            rendered = _render(
+                cand, a, out_columns, extra_values, a.message.inherit != "none", ts_col
+            )
             outs.append(
                 rendered.withColumn("rule_id", F.lit(r.rule_id)).withColumn(
-                    "trigger", F.lit(a.trigger)
+                    "trigger", F.lit("timeout")
                 )
             )
 

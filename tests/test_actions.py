@@ -246,6 +246,267 @@ def test_filter_style_condition(spark):
     assert out[0].message == "flagged"
 
 
+# mirrors test_patterndb.h rules 12/13 (create-context + a rule that
+# joins the created context) — test_correlation_rule_with_create_context
+CREATE_CONTEXT_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='testset' id='1'>
+  <rules>
+    <rule provider='test' id='12' class='violation'>
+     <patterns><pattern>simple-message-with-action-to-create-context</pattern></patterns>
+     <actions>
+       <action trigger='match'>
+         <create-context context-id='1000' context-timeout='60' context-scope='program'>
+           <message inherit-properties='context'>
+             <values><value name='MESSAGE'>context message</value></values>
+           </message>
+         </create-context>
+       </action>
+     </actions>
+    </rule>
+    <rule provider='test' id='13' class='violation' context-id='1000'
+          context-timeout='60' context-scope='program'>
+     <patterns><pattern>ctx-user-message</pattern></patterns>
+     <actions>
+       <action trigger='timeout'>
+         <message inherit-properties='last-message'>
+           <values><value name='MESSAGE'>closed n=$(context-length) last=${MESSAGE}</value></values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+
+def test_loader_parses_create_context():
+    rules = load_patterndb_rules(CREATE_CONTEXT_XML)
+    act = rules[0].actions[0]
+    assert act.create_context is not None
+    assert act.create_context.id_template == "1000"
+    assert act.create_context.timeout == 60
+    assert act.create_context.scope == "program"
+    assert act.message.values["MESSAGE"] == "context message"
+    assert act.message.inherit == "context"
+
+
+def test_create_context_seeds_shared_context(spark):
+    """Rule 12 creates context 1000 with a seed message; rule 13's
+    message joins it; on expiry the LAST rule to touch the context
+    (13) fires its timeout action over the shared context — so
+    $(context-length) counts the seed too."""
+    rules = load_patterndb_rules(CREATE_CONTEXT_XML)
+    df = _logs(
+        spark,
+        [
+            (0, "h1", "prog1", 23, "simple-message-with-action-to-create-context"),
+            (10, "h1", "prog1", 23, "ctx-user-message"),
+        ],
+    )
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.rule_id == "13" and r.trigger == "timeout"
+    assert r.message == "closed n=2 last=ctx-user-message"
+    assert r.host == "h1"  # inherit last-message
+    assert r.ts == T0 + dt.timedelta(seconds=10)
+
+
+def test_create_context_without_joiner_emits_nothing(spark):
+    """A context seeded by rule 12 whose last (only) message is the
+    seed is owned by rule 12 (patterndb.c:629 context->rule), which
+    has no timeout action — nothing fires."""
+    rules = load_patterndb_rules(CREATE_CONTEXT_XML)
+    df = _logs(
+        spark, [(0, "h1", "prog1", 23, "simple-message-with-action-to-create-context")]
+    )
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    assert out == []
+
+
+def test_create_context_seed_inherits_triggering_message(spark):
+    """The seed clones the triggering message (inherit context with no
+    triggering context == synthetic_message_generate_without_context);
+    a timeout whose last message IS a joiner that arrived before the
+    seed's timeout window closed sees the seed's values via
+    context-length; here we assert the seeded context groups under the
+    creating message's scope values."""
+    rules = load_patterndb_rules(CREATE_CONTEXT_XML)
+    df = _logs(
+        spark,
+        [
+            (0, "h1", "prog1", 23, "simple-message-with-action-to-create-context"),
+            # different program => different scope key => separate
+            # context that has no seed
+            (5, "h1", "prog2", 23, "ctx-user-message"),
+        ],
+    )
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    assert len(out) == 1
+    assert out[0].message == "closed n=1 last=ctx-user-message"
+
+
+def test_inherit_context_merges_sdata(spark):
+    """inherit-properties='context' union-merges the sdata map across
+    the context, the latest setter of each key winning
+    (synthetic-message.c:168 + logmsg.c:log_msg_merge_context)."""
+    rule = PdbRule(
+        rule_id="r1",
+        cls="violation",
+        patterns=["tick"],
+        context_id="${PID}",
+        context_timeout=60,
+        actions=[
+            PdbAction(
+                trigger="timeout",
+                message=SyntheticMessage(
+                    values={"MESSAGE": "merged"}, inherit="context"
+                ),
+            )
+        ],
+    )
+    df = spark.createDataFrame(
+        [
+            (0, T0, "h1", "p", 1, "tick", {"a": "1", "b": "1"}),
+            (1, T0 + dt.timedelta(seconds=5), "h1", "p", 1, "tick", {"b": "2", "c": "2"}),
+            (2, T0 + dt.timedelta(seconds=9), "h1", "p", 1, "tick", {"a": "3"}),
+        ],
+        "event_id long, ts timestamp, host string, program string, pid int, "
+        "message string, sdata map<string,string>",
+    )
+    out = patterndb_actions(df, [rule], order_tiebreak="event_id").collect()
+    assert len(out) == 1
+    assert out[0].message == "merged"
+    assert dict(out[0].sdata) == {"a": "3", "b": "2", "c": "2"}
+    # inherit last-message does NOT merge: same input, different mode
+    rule.actions[0].message.inherit = "last-message"
+    out2 = patterndb_actions(df, [rule], order_tiebreak="event_id").collect()
+    assert dict(out2[0].sdata) == {"a": "3"}
+
+
+# parity ruleset: a context-less match action, a correlation rule with
+# a timeout action (inherit context => sdata merge), and a
+# create-context rule seeding that correlation id
+PARITY_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='parity' id='1'>
+  <rules>
+    <rule provider='test' id='pm' class='violation'>
+     <patterns><pattern>pdb-par-match @ANYSTRING:what@</pattern></patterns>
+     <actions>
+       <action trigger='match'>
+         <message inherit-properties='TRUE'>
+           <values><value name='MESSAGE'>alert pid=${PID} what=${what}</value></values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+    <rule provider='test' id='p12' class='violation'>
+     <patterns><pattern>pdb-par-start</pattern></patterns>
+     <actions>
+       <action trigger='match'>
+         <create-context context-id='${PID}-cc' context-timeout='60' context-scope='program'>
+           <message inherit-properties='context'>
+             <values><value name='MESSAGE'>seed</value></values>
+           </message>
+         </create-context>
+       </action>
+     </actions>
+    </rule>
+    <rule provider='test' id='p13' class='violation' context-id='${PID}-cc'
+          context-timeout='60' context-scope='program'>
+     <patterns><pattern>pdb-par-evt @ANYSTRING:what@</pattern></patterns>
+     <actions>
+       <action trigger='timeout'>
+         <message inherit-properties='context'>
+           <values><value name='MESSAGE'>done n=$(context-length)</value></values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+PARITY_SCHEMA = (
+    "event_id long, ts timestamp, host string, program string, pid int, "
+    "message string, sdata map<string,string>"
+)
+
+
+def _parity_rows():
+    return [
+        (0, T0, "h1", "prog1", 23, "pdb-par-start", {"src": "start"}),
+        (1, T0 + dt.timedelta(seconds=10), "h1", "prog1", 23, "pdb-par-evt a", {"k1": "v1"}),
+        (2, T0 + dt.timedelta(seconds=20), "h1", "prog1", 23, "pdb-par-evt b", {"k2": "v2"}),
+        (3, T0 + dt.timedelta(seconds=2), "h2", "prog1", 5, "pdb-par-match boom", {"m": "x"}),
+    ]
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        d = r.asDict()
+        d["sdata"] = tuple(sorted((d["sdata"] or {}).items()))
+        d["synthetic_tags"] = tuple(d["synthetic_tags"] or ())
+        out.append(tuple(d[k] for k in sorted(d)))
+    return sorted(out)
+
+
+def test_batch_stream_parity_for_actions(spark):
+    """The streaming operator must emit exactly the batch operator's
+    rows for the same corpus replayed through a file stream — the
+    pattern the reference's own correlation tests use
+    (modules/dbparser/tests/test_patterndb.c with _advance_time)."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(PARITY_XML)
+    batch_df = spark.createDataFrame(_parity_rows(), PARITY_SCHEMA)
+    batch_out = patterndb_actions(batch_df, rules, order_tiebreak="event_id").collect()
+    # sanity: one match alert + one merged context summary
+    msgs = sorted(r.message for r in batch_out)
+    assert msgs == ["alert pid=5 what=boom", "done n=3"]
+    done = [r for r in batch_out if r.rule_id == "p13"][0]
+    assert dict(done.sdata) == {"src": "start", "k1": "v1", "k2": "v2"}
+
+    # watermark pusher: matches p13 under a different pid so it starts
+    # its own (never-expiring) context and emits nothing itself
+    pusher = [(9, T0 + dt.timedelta(seconds=86400), "h9", "prog9", 99,
+               "pdb-par-evt push", {})]
+
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(PARITY_SCHEMA).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds", order_tiebreak="event_id"
+                )
+                .select(*[c for c in batch_out[0].asDict()])
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(_parity_rows(), PARITY_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d + "/in")
+        run_once()
+        spark.createDataFrame(pusher, PARITY_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d + "/in")
+        run_once()
+        stream_out = [
+            r for r in spark.read.parquet(d + "/out").collect() if r.pid != 99
+        ]
+
+    assert _canon(stream_out) == _canon(batch_out)
+
+
 def test_streaming_timeout_action_emits_rendered_message(spark):
     """Two availableNow passes over one checkpoint: phase 2's
     far-future row pushes the watermark past phase 1's context
