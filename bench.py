@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "csv_dialect_parse",
     "csv_greedy_parse",
     "tags_parse",
+    "simhash_neardup_scale",
+    "fuzzy_dedup_pipeline",
 ]
 
 

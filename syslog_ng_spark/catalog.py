@@ -1546,6 +1546,28 @@ def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(docs, "text", "doc_id", bits=32, max_hamming=3)
 
 
+@register("simhash_neardup_scale")  # oracle attached below
+def simhash_neardup_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup — the scale variant of simhash_neardup.
+
+    The 32-bit/4-chunk scheme has a FIXED 4x256-value bucket space, so
+    bucket occupancy (and candidate pairs) grows quadratically with
+    corpus size once it saturates — measured in SCALE.md: candidate
+    pair instances grew ~98x for a 10x corpus. Two remedies, both
+    here: (1) 60 bits / 15-bit chunks multiplies the bucket space by
+    128 per chunk (size width so expected occupancy stays O(1):
+    width >= log2(n_docs / target_bucket_size)); (2) bucket_cap=1000
+    drops hot buckets outright — on a low-entropy corpus signature
+    mass concentrates and NO fixed width stays uniform, so the cap is
+    the guarantee (same skew guard + recall caveat as jaccard's
+    df_cap). Same pigeonhole recall otherwise: hamming <= chunks-1 =>
+    one equal chunk."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(
+        docs, "text", "doc_id", bits=60, max_hamming=3, chunks=4, bucket_cap=1000
+    )
+
+
 _GEOIP_SQL = f"""
 WITH w AS (SELECT event_id, {_IP_SQL} AS ip FROM events),
 p AS (SELECT event_id, ip, string_split(ip, '.') AS o FROM w),
@@ -2505,8 +2527,20 @@ WHERE a.doc_id < b.doc_id
 ORACLES["dedup_minhash_lsh"] = _minhash_lsh_sql(16, 4)
 
 
-def _simhash_neardup_sql(bits: int = 32, max_hamming: int = 3, chunks: int = 4) -> str:
+def _simhash_neardup_sql(
+    bits: int = 32, max_hamming: int = 3, chunks: int = 4, bucket_cap: int | None = None
+) -> str:
     width = bits // chunks
+    n_hex = (bits + 3) // 4  # token-hash hex chars, mirrors dedup.simhash
+    cap_cte = (
+        f""",
+capped AS (
+  SELECT * FROM banded
+  WHERE bucket IN (SELECT bucket FROM banded GROUP BY 1 HAVING count(*) <= {bucket_cap}))"""
+        if bucket_cap is not None
+        else ""
+    )
+    cand_src = "capped" if bucket_cap is not None else "banded"
     sums = ",\n         ".join(
         f"sum(CASE WHEN (th // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)::BIGINT AS s{i}"
         for i in range(bits)
@@ -2520,17 +2554,17 @@ def _simhash_neardup_sql(bits: int = 32, max_hamming: int = 3, chunks: int = 4) 
 WITH toked AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
 hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM toked),
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, {n_hex}))::BIGINT AS th FROM toked),
 sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
 sig AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums),
 banded AS (
   SELECT doc_id, simhash, unnest([
     {band_exprs}]) AS bucket
-  FROM sig),
+  FROM sig){cap_cte},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                   a.simhash AS sa, b.simhash AS sb
-  FROM banded a JOIN banded b USING (bucket)
+  FROM {cand_src} a JOIN {cand_src} b USING (bucket)
   WHERE a.doc_id < b.doc_id)
 SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
@@ -2538,6 +2572,7 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 
 
 ORACLES["simhash_neardup"] = _simhash_neardup_sql(32, 3, 4)
+ORACLES["simhash_neardup_scale"] = _simhash_neardup_sql(60, 3, 4, bucket_cap=1000)
 
 
 def _ann_lsh_sql() -> str:
@@ -3232,6 +3267,54 @@ def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, df_cap=1000)
     return dedup.connected_components(pairs)
+
+
+def _fuzzy_dedup_sql() -> str:
+    """LSH candidates → exact-Jaccard verify on candidates only →
+    recursive-CTE components → keep-list, mirroring dedup.fuzzy_dedup
+    stage for stage."""
+    return f"""
+WITH RECURSIVE
+cand AS ({_minhash_lsh_sql(16, 4).strip()}),
+toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS shingle
+  FROM toks WHERE len(t) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+ver AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+  WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM ver
+          UNION SELECT id_b, id_a FROM ver),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+dups AS (
+  SELECT node FROM reach GROUP BY node HAVING min(label) <> node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dups)
+"""
+
+
+@register("fuzzy_dedup_pipeline", _fuzzy_dedup_sql())
+def fuzzy_dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production training-data dedup recipe end-to-end
+    (dedup.fuzzy_dedup): MinHash-LSH candidates → exact Jaccard
+    verified on candidates only → connected components → keep
+    min-id per cluster. Returns the keep-list of doc_ids."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.fuzzy_dedup(docs, "text", "doc_id", num_hashes=16, bands=4, n=3, threshold=0.8)
 
 
 _DECONTAM_SQL = f"""

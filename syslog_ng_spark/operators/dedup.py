@@ -231,11 +231,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     Bit extraction uses integer DIV (not float division — portable and
     exact); one md5 per token, bits derived arithmetically. The DuckDB
-    oracle reproduces this bit-for-bit (see catalog)."""
+    oracle reproduces this bit-for-bit (see catalog).
+
+    The token hash takes ceil(bits/4) hex chars of the md5 so every
+    signature bit is backed by a real hash bit (capped at 15 hex =
+    60 bits to stay inside a signed long). bits<=32 keeps the original
+    8-hex hash, so existing oracles are unchanged; bits=60 is the
+    scale variant — SCALE.md measures how widening the signature
+    restores ~linear candidate growth when the 32-bit bucket space
+    saturates."""
+    if bits > 60:
+        raise ValueError("simhash supports at most 60 bits (signed-long token hash)")
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_hex = (bits + 3) // 4
     tokened = rebalance(df).select(id_col, F.explode(toks).alias("tok")).select(
         id_col,
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("th"),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, n_hex), 16, 10).cast("long").alias("th"),
     )
     sums = tokened.groupBy(id_col).agg(
         *[
@@ -264,11 +275,23 @@ def simhash_neardup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on 8-bit chunks (pigeonhole —
-    hamming <= chunks-1 guarantees one equal chunk), verify candidates
-    with an exact popcount. Candidate generation is linear, the classic
-    scale path vs. the quadratic all-pairs compare."""
+    """Near-dup pairs by SimHash: bucket on bits/chunks-bit chunks
+    (pigeonhole — hamming <= chunks-1 guarantees one equal chunk),
+    verify candidates with an exact popcount.
+
+    Candidate generation is linear only while bucket occupancy stays
+    O(1). SCALE.md measured the failure mode: on a low-entropy corpus
+    (fixed 31-word vocab) signature mass concentrates, hot buckets
+    grow with corpus size, and candidates went quadratic (99x for 10x
+    docs) even at 60 bits. `bucket_cap` is the skew guard, the exact
+    analog of jaccard_pairs' df_cap: buckets with more than cap
+    members are dropped before the self-join, bounding a bucket's pair
+    fan-out at cap^2/2. Recall caveat (same as df_cap): a pair whose
+    ONLY equal chunk is a hot bucket is missed — acceptable because a
+    chunk shared by >cap docs carries no similarity signal, exactly
+    like a stop-shingle."""
     sig = simhash(df, text_col, id_col, bits=bits).persist(StorageLevel.MEMORY_AND_DISK)
     width = bits // chunks
     chunk_cols = [
@@ -278,6 +301,14 @@ def simhash_neardup_pairs(
         for ci in range(chunks)
     ]
     banded = sig.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("bucket"))
+    if bucket_cap is not None:
+        keep = (
+            banded.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .where(F.col("_k") <= bucket_cap)
+            .select("bucket")
+        )
+        banded = banded.join(F.broadcast(keep), "bucket")
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
     cand = (
@@ -347,3 +378,56 @@ def connected_components(
             "(component diameter exceeds max_iters); raise max_iters"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end fuzzy dedup — the production training-data recipe:
+    MinHash-LSH candidates → exact Jaccard verify on candidates only →
+    connected components → keep the minimum-id doc per duplicate
+    cluster (plus every unclustered doc). Returns the KEEP list of ids.
+
+    Scale shape: candidates are ~linear in corpus size (banded LSH),
+    the verify join touches only candidate pairs (two hash joins
+    against the per-doc shingle-set table, ~50-element arrays — set
+    ops stay in codegen), and component assembly runs on the verified
+    pairs, which are a tiny fraction of the corpus. Nothing in the
+    pipeline materializes more than O(candidates) rows, so the whole
+    recipe is one LSH pass + joins — this is the composition
+    CCNet/Gopher-style dedup uses at web scale."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n)
+    shsets = (
+        shingles(df.select(id_col, text_col), text_col, n=n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_sh"))
+    )
+    verified = (
+        cand.join(
+            shsets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")), "id_a"
+        )
+        .join(
+            shsets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sha", "_shb"))
+                / F.size(F.array_union("_sha", "_shb")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(verified)
+    dup_nodes = labels.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.select(id_col).join(dup_nodes, id_col, "left_anti")

@@ -176,3 +176,48 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iters=1)
+
+
+def test_simhash60_recall_guarantee_and_subset(spark):
+    """60-bit/15-bit-chunk SimHash (the SCALE.md remedy for the
+    saturated 256-value bucket space): pigeonhole recall holds — every
+    pair within hamming<=chunks-1 of the 60-bit signature is found —
+    and the signature actually uses bits above 32 (a token hash wider
+    than 8 hex chars), which is what multiplies the bucket space."""
+    docs = _docs(spark)
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=60).collect()}
+    assert any(s >= (1 << 32) for s in sig.values())  # high bits populated
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(docs, bits=60, max_hamming=3, chunks=4).collect()
+    }
+    ids = sorted(sig)
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert found == expect
+    assert (1, 4) in found  # normalization-equal docs always pair
+
+
+def test_simhash_rejects_unbacked_bits(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash(_docs(spark), bits=64)
+
+
+def test_fuzzy_dedup_keeps_canonicals(spark):
+    """End-to-end recipe: docs 1/2/4 form one cluster — 4 is
+    normalization-equal to 1 (jaccard 1.0) and 2 differs in one word,
+    which flips exactly one of 11 distinct shingles (jaccard 10/12 =
+    0.833 >= 0.8). Keep list = min-id canonical (1) + the unrelated
+    doc (3); at threshold 0.9 doc 2 survives instead."""
+    kept = sorted(r.doc_id for r in dedup.fuzzy_dedup(_docs(spark)).collect())
+    assert kept == [1, 3]
+    kept_strict = sorted(
+        r.doc_id for r in dedup.fuzzy_dedup(_docs(spark), threshold=0.9).collect()
+    )
+    assert kept_strict == [1, 2, 3]
