@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "tags_parse",
     "simhash_neardup_scale",
     "fuzzy_dedup_pipeline",
+    "asof_join_orders",
+    "funnel_stages",
+    "bm25_search",
 ]
 
 

@@ -3813,3 +3813,177 @@ def patterndb_create_context_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("sdata_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins + funnel + ranked retrieval (round 4)
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.event_type,
+         o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT event_id, user_id, event_type,
+       o_orderkey AS last_orderkey,
+       o_totalprice AS last_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("asof_join_orders", _ASOF_SQL)
+def asof_join_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event gets the customer's most
+    recent order at-or-before the event timestamp (ties on date broken
+    by greatest orderkey). The reference resolves "latest state per
+    key" imperatively in its correlation contexts
+    (modules/dbparser/correlation-context.c); at batch scale this is
+    an AS-OF join. The oracle encodes it as the range join + row_number
+    (fine at sf0.01); our operator is the union-window algorithm —
+    ONE hash shuffle of |events|+|orders| on the key, no per-key cross
+    product — which is the shape that survives 100 TB."""
+    from syslog_ng_spark.operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    joined = asof_join(
+        rebalance(ev),
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_on="o_custkey",
+        tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+  FROM events GROUP BY user_id)
+SELECT count(t1) AS n_signup,
+       count(CASE WHEN t2 > t1 THEN 1 END) AS n_view,
+       count(CASE WHEN t3 > t2 AND t2 > t1 THEN 1 END) AS n_click,
+       count(CASE WHEN t4 > t3 AND t3 > t2 AND t2 > t1 THEN 1 END) AS n_purchase
+FROM firsts
+"""
+
+
+@register("funnel_stages", _FUNNEL_SQL)
+def funnel_stages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics (signup -> first view -> first click ->
+    first purchase, each stage's first occurrence strictly after the
+    previous stage's): ONE groupBy(user_id) with conditional min
+    aggregates (map-side partial agg), then a single global conditional
+    count — no self-joins, no windows; the per-user stage times reduce
+    to 4 timestamps regardless of event volume, so the shuffle carries
+    O(users) rows at any scale."""
+    ev = T(spark, sf_dir, "events")
+    t = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i + 1}")
+        for i, s in enumerate(["signup", "view", "click", "purchase"])
+    ]
+    firsts = ev.groupBy("user_id").agg(*t)
+    c = F.col
+    return firsts.agg(
+        F.count("t1").alias("n_signup"),
+        F.count(F.when(c("t2") > c("t1"), 1)).alias("n_view"),
+        F.count(F.when((c("t3") > c("t2")) & (c("t2") > c("t1")), 1)).alias("n_click"),
+        F.count(
+            F.when((c("t4") > c("t3")) & (c("t3") > c("t2")) & (c("t2") > c("t1")), 1)
+        ).alias("n_purchase"),
+    )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "join", "fast")
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN {_BM25_TERMS!r} GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+         ) AS score
+  FROM tf
+  JOIN df USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@register("bm25_search", _BM25_SQL)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Okapi, the classic
+    probabilistic ranking function) for a fixed 3-term query, top-20.
+    Scale shape: the query's term set is tiny and FIXED, so per-term
+    tf pivots into columns inside ONE groupBy(doc_id) over a single
+    token explode — conditional counts, map-side partial agg; tf, dl
+    for every query term come out of that one shuffle (a naive
+    tf/df/dl-as-separate-relations encoding re-explodes the corpus
+    per consumer — measured 22 shuffles vs 4 here). df per term,
+    n_docs and avgdl reduce the per-doc frame to ONE row that
+    crossJoins back as a constant broadcast; the final ordering is a
+    top-k (takeOrdered), not a full sort. All arithmetic JVM-side;
+    round(6) pins the float for the cross-engine hash like
+    tfidf_top_terms does."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("tok") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    norm = _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1)
+        term = F.when(tf > 0, idf * tf * (_BM25_K1 + 1) / (tf + norm)).otherwise(0.0)
+        score = term if score is None else score + term
+    scored = joined.where(
+        sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0
+    ).select("doc_id", F.round(score, 6).alias("bm25"))
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
