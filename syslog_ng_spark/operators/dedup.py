@@ -15,8 +15,11 @@ Scale notes (100 TB):
 - exact: one shuffle on a 16-byte key; partial agg applies.
 - jaccard: |pairs| is bounded by document-frequency pruning (df_cap);
   without it, stop-shingles produce quadratic blowup on skewed keys.
-- minhash-LSH: candidate generation is linear in corpus size (band
-  buckets), the classic alternative to the quadratic shingle join.
+- minhash-LSH: candidate generation is linear in corpus size on
+  open-vocab corpora (band buckets), the classic alternative to the
+  quadratic shingle join; on degenerate corpora hot buckets turn it
+  superlinear (measured in SCALE.md) — `bucket_cap` restores the
+  linear bound.
 - simhash: 64-bit signatures bucketed by 16-bit chunks (hamming<=3 →
   at least one of 4 chunks equal, pigeonhole) — again linear.
 """
@@ -199,11 +202,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signatures split into `bands` bands of
     num_hashes/bands rows; docs sharing any full band collide.
     Candidates are linear-ish in corpus size; verify with jaccard or
-    signature agreement downstream."""
+    signature agreement downstream.
+
+    `bucket_cap` drops band buckets holding more than that many docs
+    before the self-join. Collision probability between *unrelated*
+    docs is corpus-dependent: on a degenerate corpus (tiny vocabulary,
+    boilerplate-heavy web text) hot buckets make the candidate set
+    superlinear — the sf10 scale experiment (SCALE.md) measured 445k
+    candidates for 500k docs on a 31-word-vocab corpus, growing ~n²
+    with a tiny constant. A bucket with k docs contributes k(k-1)/2
+    pairs yet, past a few hundred, almost no *true* near-dups the
+    other bands wouldn't also catch — capping restores the linear
+    bound the same way `df_cap` does for the shingle join. Default
+    None = exact LSH semantics (the oracle-gated catalog query)."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
     band_cols = [
@@ -215,6 +231,16 @@ def minhash_lsh_pairs(
     banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bucket")).persist(
         StorageLevel.MEMORY_AND_DISK  # self-joined below; avoid recomputing signatures twice
     )
+    if bucket_cap is not None:
+        # one extra agg+join, both shuffling on `bucket` — co-partitioned
+        # with the candidate self-join below, so AQE reuses the exchange
+        surviving = (
+            banded.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .where(F.col("_k") <= bucket_cap)
+            .select("bucket")
+        )
+        banded = banded.join(surviving, "bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "bucket")
     return (
@@ -388,6 +414,7 @@ def fuzzy_dedup(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup — the production training-data recipe:
     MinHash-LSH candidates → exact Jaccard verify on candidates only →
@@ -402,7 +429,7 @@ def fuzzy_dedup(
     pipeline materializes more than O(candidates) rows, so the whole
     recipe is one LSH pass + joins — this is the composition
     CCNet/Gopher-style dedup uses at web scale."""
-    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n)
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, bucket_cap=bucket_cap)
     shsets = (
         shingles(df.select(id_col, text_col), text_col, n=n)
         .groupBy(id_col)

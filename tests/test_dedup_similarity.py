@@ -34,6 +34,23 @@ def test_minhash_lsh_candidates_cover_jaccard_pairs(spark):
     assert jp <= cand  # LSH candidates must cover true near-dups
 
 
+def test_minhash_lsh_bucket_cap_prunes_hot_buckets(spark):
+    # 30 copies of one boilerplate text form a hot band bucket
+    # (30*29/2 = 435 degenerate pairs); one genuine near-dup pair sits
+    # in its own small bucket and must survive the cap.
+    rows = [(i, "spam spam spam spam the same boilerplate every time") for i in range(30)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "the quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    capped = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, bucket_cap=10).collect()}
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert len(uncapped) >= 435 + 1
+    assert capped == {(100, 101)}  # every hot-bucket pair dropped
+
+
 def test_simhash_deterministic_and_close(spark):
     sig = {r.doc_id: r.simhash for r in dedup.simhash(_docs(spark)).collect()}
     sig2 = {r.doc_id: r.simhash for r in dedup.simhash(_docs(spark)).collect()}
