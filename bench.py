@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "asof_join_orders",
     "funnel_stages",
     "bm25_search",
+    "dedup_minhash_lsh_capped",
 ]
 
 

@@ -2490,10 +2490,19 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, bucket_cap: int | None = None) -> str:
     from syslog_ng_spark.operators.dedup import MERSENNE31, _affine_params
 
     rows = num_hashes // bands
+    cap_cte = (
+        f""",
+capped AS (
+  SELECT doc_id, bucket FROM banded
+  WHERE bucket IN (SELECT bucket FROM banded GROUP BY 1 HAVING count(*) <= {bucket_cap}))"""
+        if bucket_cap is not None
+        else ""
+    )
+    src = "capped" if bucket_cap is not None else "banded"
     mins = ",\n         ".join(
         f"min((h * {a} + {b}) % {MERSENNE31}) AS mh_{i}"
         for i, (a, b) in ((i, _affine_params(i)) for i in range(num_hashes))
@@ -2517,14 +2526,30 @@ sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS (
   SELECT doc_id, unnest([
     {band_exprs}]) AS bucket
-  FROM sig)
+  FROM sig){cap_cte}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b USING (bucket)
+FROM {src} a JOIN {src} b USING (bucket)
 WHERE a.doc_id < b.doc_id
 """
 
 
 ORACLES["dedup_minhash_lsh"] = _minhash_lsh_sql(16, 4)
+
+
+@register("dedup_minhash_lsh_capped", _minhash_lsh_sql(16, 4, bucket_cap=2))
+def dedup_minhash_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for LSH candidate generation: band buckets
+    larger than bucket_cap are dropped before the self-join (hot
+    buckets on boilerplate-heavy corpora are what bend LSH candidates
+    superlinear — measured in SCALE.md at sf10: 445k candidates for
+    500k docs on the degenerate fixed-vocab corpus). cap=2 here so the
+    guard provably bites at sf0.01 (four size-3 buckets exist); at
+    production scale use a few hundred. Oracle replays the cap as a
+    HAVING filter on bucket counts."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, n=3, bucket_cap=2
+    )
 
 
 def _simhash_neardup_sql(
