@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "funnel_stages",
     "bm25_search",
     "dedup_minhash_lsh_capped",
+    "stratified_sample",
+    "sequence_pack",
+    "semantic_dedup",
 ]
 
 

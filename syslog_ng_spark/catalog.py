@@ -34,7 +34,7 @@ from syslog_ng_spark.functions.fname import basename, dirname
 from syslog_ng_spark.functions.format import format_json
 from syslog_ng_spark.functions.ipfuncs import ipv4_to_int
 from syslog_ng_spark.functions.strfuncs import replace_delimiter, substr
-from syslog_ng_spark.operators import dedup, similarity, textstats
+from syslog_ng_spark.operators import dedup, sampling, similarity, textstats
 from syslog_ng_spark.operators.correlate import grouping_by
 from syslog_ng_spark.operators.enrich import add_contextual_data
 from syslog_ng_spark.operators.filters import (
@@ -1538,6 +1538,71 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(corpus, qvec, cents, k=10, nprobe=4)
 
 
+def _semantic_dedup_sql(k: int = 16, iters: int = 2, threshold: float = 0.45) -> str:
+    """DuckDB oracle for SemDeDup: replays IVF training on the FULL
+    embeddings table (same md5 seeds / unrolled Lloyd rounds / 9-digit
+    rounding as _ivf_sql), then emits within-cell pairs above the
+    cosine threshold."""
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT c.vec_id, c.v, s.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             round(list_inner_product(c.v,
+               list_transform(s.v, x -> x / sqrt(list_inner_product(s.v, s.v)))), 9) DESC,
+             s.cid DESC) AS rn
+    FROM corpus c CROSS JOIN {cents} s)
+  WHERE rn = 1)"""
+
+    ctes = [
+        """corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        f"""cents0 AS (
+  SELECT row_number() OVER (
+    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1 AS cid, v
+  FROM corpus
+  QUALIFY cid < {k})""",
+    ]
+    for r in range(iters):
+        ctes.append(assign(f"cents{r}", f"a{r}"))
+        ctes.append(f"""cents{r + 1}_raw AS (
+  SELECT cid, list(m ORDER BY d) AS v FROM (
+    SELECT cid, d, round(avg(val), 9) AS m FROM (
+      SELECT cid, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS d FROM a{r})
+    GROUP BY cid, d)
+  GROUP BY cid)""")
+        ctes.append(f"""cents{r + 1} AS (
+  SELECT p.cid, coalesce(n.v, p.v) AS v
+  FROM cents{r} p LEFT JOIN cents{r + 1}_raw n USING (cid))""")
+    ctes.append(assign(f"cents{iters}", "a_final"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid::BIGINT AS ivf_cell,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM a_final a JOIN a_final b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}"""
+    )
+
+
+@register("semantic_dedup", _semantic_dedup_sql(k=16, iters=2, threshold=0.45))
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup_pairs): IVF-cell-pruned
+    embedding near-dup — the scale path that `embed_neardup` (exact
+    all-pairs, quadratic) is the baseline for. Candidates shrink from
+    n^2/2 to sum(c_i^2) within cells (~n^2/k balanced); the pair join
+    is an equi-join on the cell id. Oracle replays training AND the
+    within-cell verify. Recall vs exact is measured in pytest (cell
+    boundaries cost some pairs — the SemDeDup tradeoff)."""
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    cents = similarity.ivf_train(emb, k=16, iters=2)
+    return similarity.semantic_dedup_pairs(emb, cents, threshold=0.45).withColumn(
+        "ivf_cell", F.col("ivf_cell").cast("long")
+    )
+
+
 @register("simhash_neardup")  # oracle attached below (_simhash_neardup_sql)
 # once the signature SQL helpers are defined; also pytest-verified vs
 # exact hamming
@@ -2336,6 +2401,58 @@ def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
     return docs.where(h % 10 == 0).select("doc_id", "lang")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 5000 ELSE 10000 END
+"""
+
+
+@register("stratified_sample", _STRATIFIED_SQL)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture control (sampling.stratified_sample): keep 10% of 'en',
+    50% of 'zh', 100% of everything else — per-stratum deterministic
+    hash sampling, zero shuffles, the predicate runs inside the scan's
+    codegen stage. Same hash → same sample on every rerun and engine."""
+    docs = T(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", {"en": 0.10, "zh": 0.50}, default_rate=1.0, id_col="doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+_SEQPACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 15))::BIGINT % 16 AS shard,
+         len(string_split({_NORM_SQL}, ' '))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS tok_start
+  FROM t)
+SELECT doc_id, shard, n_tokens, tok_start,
+       (tok_start // 2048)::BIGINT AS pack_id,
+       (tok_start % 2048)::BIGINT AS pack_offset
+FROM c
+"""
+
+
+@register("sequence_pack", _SEQPACK_SQL)
+def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (sampling.sequence_pack): docs concatenated in
+    deterministic per-shard order and cut into 2048-token training
+    sequences; emits the pack id + token offset each doc starts at.
+    Sharding (md5-mod 16) replaces the global sort — each shard's
+    running sum is one window partition, so the only exchange is the
+    hash partition by shard."""
+    docs = T(spark, sf_dir, "documents")
+    return sampling.sequence_pack(
+        docs, textstats.token_count(F.col("text")), context_len=2048, id_col="doc_id", shards=16
+    )
 
 
 _TFIDF_SQL = f"""

@@ -1,0 +1,114 @@
+"""Sampling and sequence-packing operators (LLM-pipeline extensions).
+
+Training-data pipelines control the *mixture* of a corpus (per-source /
+per-language quotas) and pack variable-length documents into
+fixed-length training sequences. Both are deterministic here — hash
+selection, not RNG — so a pipeline re-run (or a second engine, the
+DuckDB oracle) reproduces the exact same sample and packing.
+
+Scale notes (100 TB):
+- stratified_sample: one codegen'd column expression per row, no
+  shuffle at all — the filter pushes into the scan stage. Rates are a
+  small literal CASE, not a join.
+- sequence_pack: packing needs an ORDER — a global sort is a total
+  exchange, the classic scale killer. Instead docs are hash-sharded
+  (md5-mod, engine-portable) and packed per shard with a window; each
+  shard's window is one partition's local sort. Shard count scales
+  with the cluster; packs never span shards, so the result is stable
+  under any executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# hash denominator: rates are expressed in basis points out of 10_000
+# so a rate like 0.0731 is exact and the SQL oracle needs no float
+# comparison
+_DENOM = 10_000
+
+
+def _hash_mod(c: Column, denom: int = _DENOM, salt: str = "") -> Column:
+    """md5-derived uniform bucket in [0, denom) — the engine-portable
+    equivalent of `hash(x) % denom` (Spark's murmur3 is not
+    reproducible in other engines; md5 is everywhere). `salt` decouples
+    independent sampling decisions on the same key."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15), 16, 10
+        ).cast("long")
+        % denom
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixture-control
+    step of a training-data pipeline ("keep 10% of Common Crawl, 100%
+    of books"). A row survives iff md5-hash(id+salt) mod 10000 falls
+    under its stratum's rate; rates are interpreted as fractions and
+    quantized to basis points.
+
+    Being a pure column predicate it costs zero shuffles and the
+    filter runs inside the scan's codegen stage; re-running with the
+    same salt reproduces the exact sample (hash, not RNG), and a
+    DIFFERENT salt draws an independent sample for holdout splits."""
+    rate_bp = F.lit(int(round(default_rate * _DENOM)))
+    expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        bp = F.lit(int(round(rate * _DENOM)))
+        expr = F.when(cond, bp) if expr is None else expr.when(cond, bp)
+    rate_col = expr.otherwise(rate_bp) if expr is not None else rate_bp
+    return df.where(_hash_mod(F.col(id_col), salt=salt) < rate_col)
+
+
+def sequence_pack(
+    df: DataFrame,
+    len_col: Column,
+    context_len: int = 2048,
+    id_col: str = "doc_id",
+    shards: int = 16,
+) -> DataFrame:
+    """Sequential sequence packing: concatenate documents in a
+    deterministic order and cut the stream into `context_len`-token
+    training sequences. Each doc is tagged with the pack it STARTS in
+    plus its token offset — the metadata a downstream tokenizer worker
+    needs to materialize the packed batches.
+
+    This is the "pack-then-split" recipe (docs may straddle a pack
+    boundary and get split, nothing is padded away); true first-fit
+    bin packing is NP-ish and order-dependent, while sequential
+    packing is a pure running sum — expressible as a window, verified
+    by a SQL oracle, and identical on any engine.
+
+    Packing is per-shard (md5-mod on the id), NOT a global sort:
+    window `PARTITION BY shard ORDER BY id` sorts only within each
+    shard, shards run in parallel, and pack ids are (shard, local)
+    pairs so output is stable no matter how many executors run it."""
+    shard = _hash_mod(F.col(id_col), denom=shards, salt="pack")
+    out = df.select(F.col(id_col), shard.alias("shard"), len_col.cast("long").alias("n_tokens"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("tok_start")
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start,
+        ((cum - F.col("n_tokens")) / context_len).cast("long").alias("pack_id"),
+        ((cum - F.col("n_tokens")) % context_len).cast("long").alias("pack_offset"),
+    )

@@ -261,6 +261,59 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF coarse
+    quantizer, then compare pairs ONLY within a cluster — semantic
+    duplicates are by construction near the same centroid, so the
+    quadratic all-pairs verify shrinks to sum(c_i^2) over cell sizes
+    (~n^2/k for balanced cells, embarrassingly parallel per cell).
+
+    The shape at 100 TB: ivf_assign is a pure column expression, the
+    pair generation is an equi-join on the cell id (one hash shuffle;
+    with the corpus written partitioned by cell it's a co-located
+    join), and nothing is broadcast. Known tradeoff vs the exact
+    blocked join (`cosine_pairs_blocked`): pairs straddling a cell
+    boundary are missed — recall measured in
+    tests/test_dedup_similarity.py; raise k for finer cells or run
+    both on a sample to calibrate.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, "_cell").select(
+        id_col, vec_col, "_cell"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+        "_cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+        "_cell",
+    )
+    return (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_cell").alias("ivf_cell"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

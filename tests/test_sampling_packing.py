@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators import sampling, similarity, textstats
+
+
+def _docs(spark, n=2000):
+    rows = [(i, ["en", "zh", "de"][i % 3], f"word{i % 7} text sample number {i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark)
+    s1 = sampling.stratified_sample(docs, "lang", {"en": 0.1, "zh": 0.5}).collect()
+    s2 = sampling.stratified_sample(docs, "lang", {"en": 0.1, "zh": 0.5}).collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)  # replayable
+    by_lang = {}
+    for r in s1:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    # ~667 docs per lang; hash-uniform within ±6 sigma
+    assert 25 <= by_lang.get("en", 0) <= 140        # 10% of ~667
+    assert 230 <= by_lang.get("zh", 0) <= 430       # 50% of ~667
+    assert by_lang["de"] in (666, 667)              # default 100%
+
+
+def test_stratified_sample_salt_draws_independent_sample(spark):
+    docs = _docs(spark)
+    a = {r.doc_id for r in sampling.stratified_sample(docs, "lang", {}, default_rate=0.2).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.stratified_sample(docs, "lang", {}, default_rate=0.2, salt="v2").collect()
+    }
+    assert a != b
+    # independent 20% draws overlap ~4%
+    assert len(a & b) < len(a) * 0.6
+
+
+def test_sequence_pack_invariants(spark):
+    docs = _docs(spark, n=500)
+    packed = sampling.sequence_pack(
+        docs, textstats.token_count(F.col("text")), context_len=64, id_col="doc_id", shards=4
+    ).collect()
+    assert len(packed) == 500
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in shard_rows:
+            assert r.tok_start == cum                      # contiguous stream
+            assert r.pack_id == cum // 64                  # starts in the right pack
+            assert r.pack_offset == cum % 64
+            cum += r.n_tokens
+
+
+def test_sequence_pack_stable_under_repartition(spark):
+    docs = _docs(spark, n=300)
+    a = sampling.sequence_pack(docs, textstats.token_count(F.col("text")), 64).collect()
+    b = sampling.sequence_pack(
+        docs.repartition(13), textstats.token_count(F.col("text")), 64
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _emb(spark, n=300, dim=8):
+    import math
+
+    rows = []
+    for i in range(n):
+        base = [(1.0 if d == i % 4 else 0.1) for d in range(dim)]
+        base = [x + 0.01 * ((i * 7 + d) % 5) for d, x in enumerate(base)]
+        nrm = math.sqrt(sum(x * x for x in base))
+        rows.append((i, [x / nrm for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_recall_vs_exact(spark):
+    emb = _emb(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_blocked(emb, 0.995, "embedding", "vec_id").collect()
+    }
+    cents = similarity.ivf_train(emb, k=4, iters=2)
+    sem = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dedup_pairs(emb, cents, threshold=0.995).collect()
+    }
+    assert sem <= exact                     # within-cell pairs are a subset, never false positives
+    assert exact, "test corpus must contain near-dup pairs"
+    recall = len(sem) / len(exact)
+    # 4 well-separated direction clusters -> near-dups share a cell
+    assert recall >= 0.9, f"recall {recall}"
