@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "sequence_pack",
     "semantic_dedup",
+    "temperature_sample",
 ]
 
 

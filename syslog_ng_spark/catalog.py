@@ -2423,6 +2423,29 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+_TEMPERATURE_SQL = """
+WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+m AS (SELECT min(cnt) AS mn FROM n),
+r AS (SELECT lang, floor(round(pow(mn / cnt, 0.5) * 10000, 6))::BIGINT AS bp
+      FROM n CROSS JOIN m)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < r.bp
+"""
+
+
+@register("temperature_sample", _TEMPERATURE_SQL)
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual mixture rebalancing (sampling.temperature_sample,
+    alpha=0.5): head languages are downsampled toward p^alpha shares,
+    the smallest stratum keeps rate 1. Rates are DATA — one tiny
+    groupBy broadcast back as a join — so the plan is scan + broadcast
+    hash join + codegen predicate, no wide shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    return sampling.temperature_sample(docs, "lang", alpha=0.5, id_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 _SEQPACK_SQL = f"""
 WITH t AS (
   SELECT doc_id,

@@ -70,6 +70,48 @@ def stratified_sample(
     return df.where(_hash_mod(F.col(id_col), salt=salt) < rate_col)
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the exponential-
+    smoothing recipe multilingual LM pipelines use (mBERT/XLM-R style):
+    target stratum shares q_s ∝ p_s^alpha, where p_s is the stratum's
+    corpus share. Achieved by per-stratum keep-rate
+    r_s = (n_min / n_s)^(1 - alpha), which is ∝ p_s^(alpha-1) and
+    normalized so the smallest stratum keeps rate 1 — downsample-only,
+    no stratum is ever upsampled. alpha=1 keeps everything unchanged;
+    alpha=0 flattens every stratum down to the smallest one's size;
+    0<alpha<1 interpolates (head languages shed data, tail languages
+    keep theirs).
+
+    Unlike `stratified_sample` the rates are DATA (one tiny aggregate,
+    broadcast back), not literals — one groupBy over the stratum
+    column plus a broadcast join, then the same md5 keep-predicate."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    p_min = counts.agg(F.min("_n").alias("_m"))
+    rates = (
+        counts.crossJoin(F.broadcast(p_min))
+        # quantize to basis points; the pre-floor round(…, 6) absorbs
+        # the ~1-ulp pow() differences between engines so the floor
+        # boundary (and thus every keep/drop decision) is portable
+        .select(
+            strata_col,
+            F.floor(
+                F.round(F.pow(F.col("_m") / F.col("_n"), F.lit(1.0 - alpha)) * _DENOM, 6)
+            ).cast("long").alias("_rate_bp"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(_hash_mod(F.col(id_col), salt=salt) < F.col("_rate_bp"))
+        .drop("_rate_bp")
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     len_col: Column,

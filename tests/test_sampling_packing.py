@@ -36,6 +36,21 @@ def test_stratified_sample_salt_draws_independent_sample(spark):
     assert len(a & b) < len(a) * 0.6
 
 
+def test_temperature_sample_flattens_head(spark):
+    # 1200 en / 600 zh / 300 de
+    rows = [(i, "en" if i < 1200 else "zh" if i < 1800 else "de", "t") for i in range(2100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = sampling.temperature_sample(docs, "lang", alpha=0.5).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in kept}
+    # keep-rates: de=1.0, zh=sqrt(300/600)=.7071 -> ~424, en=sqrt(300/1200)=.5 -> ~600
+    assert got["de"] == 300
+    assert 530 <= got["en"] <= 670
+    assert 360 <= got["zh"] <= 490
+    # alpha=1 keeps everything
+    full = sampling.temperature_sample(docs, "lang", alpha=1.0).count()
+    assert full == 2100
+
+
 def test_sequence_pack_invariants(spark):
     docs = _docs(spark, n=500)
     packed = sampling.sequence_pack(
