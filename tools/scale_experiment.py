@@ -149,6 +149,12 @@ def main() -> None:
         tel["minhash_pair_instances"] = pair_instances(mband, "bucket")
         tel["embed_comparisons"] = n_emb * (n_emb - 1) // 2
 
+        # SemDeDup: within-cell pair instances after IVF assignment —
+        # the candidate volume of semantic_dedup vs the n^2/2 exact scan
+        cents = similarity.ivf_train(emb, k=16, iters=2)
+        cells = similarity.ivf_assign(emb, cents, "embedding", "_cell")
+        tel["semantic_dedup_pair_instances"] = pair_instances(cells, "_cell")
+
         # materialized (distinct) candidate sets + surviving pairs —
         # only below the blowup ceiling
         if sf <= MAX_SF["dedup_jaccard"]:
