@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "sequence_pack",
     "semantic_dedup",
     "temperature_sample",
+    "ann_pq_topk",
 ]
 
 

@@ -1538,6 +1538,97 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(corpus, qvec, cents, k=10, nprobe=4)
 
 
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10, dim: int = 64) -> str:
+    """DuckDB oracle replaying the WHOLE product-quantization pipeline
+    (similarity.pq_train/pq_encode/pq_topk): md5-hash seed selection,
+    per-subspace unrolled L2 Lloyd rounds, code assignment (score
+    round(-2·x·c + |c|², 9) ASC, cid ASC — matching Spark's
+    array_min(struct) tie-break), LUT scoring with the same fixed
+    left-associative sum, true row norms, final round(…, 6)."""
+    sub = dim // m
+
+    def sl(expr: str, s: int) -> str:
+        return f"{expr}[{s * sub + 1}:{(s + 1) * sub}]"
+
+    def assign(cents: str, name: str, s: int) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT c.vec_id, {sl('c.v', s)} AS v, s.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             round(list_inner_product({sl('c.v', s)}, s.v) * -2 + list_inner_product(s.v, s.v), 9) ASC,
+             s.cid ASC) AS rn
+    FROM corpus c CROSS JOIN {cents} s)
+  WHERE rn = 1)"""
+
+    ctes = [
+        """corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)""",
+        """qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)""",
+        f"""seeds AS (
+  SELECT row_number() OVER (
+    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1 AS cid, v
+  FROM corpus
+  QUALIFY cid < {k})""",
+    ]
+    for s in range(m):
+        ctes.append(f"cents0_{s} AS (SELECT cid, {sl('v', s)} AS v FROM seeds)")
+        for r in range(iters):
+            ctes.append(assign(f"cents{r}_{s}", f"a{r}_{s}", s))
+            ctes.append(f"""cents{r + 1}_{s}_raw AS (
+  SELECT cid, list(mn ORDER BY d) AS v FROM (
+    SELECT cid, d, round(avg(val), 9) AS mn FROM (
+      SELECT cid, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS d FROM a{r}_{s})
+    GROUP BY cid, d)
+  GROUP BY cid)""")
+            ctes.append(f"""cents{r + 1}_{s} AS (
+  SELECT p.cid, coalesce(n.v, p.v) AS v
+  FROM cents{r}_{s} p LEFT JOIN cents{r + 1}_{s}_raw n USING (cid))""")
+        ctes.append(assign(f"cents{iters}_{s}", f"af_{s}", s))
+        ctes.append(f"""lut_{s} AS (
+  SELECT s.cid, round(list_inner_product({sl('q.v', s)}, s.v), 9) AS ip
+  FROM cents{iters}_{s} s CROSS JOIN qv q)""")
+    ctes.append("""vn AS (
+  SELECT vec_id, round(sqrt(list_inner_product(v, v)), 9) AS nrm FROM corpus)""")
+    ctes.append("""qn AS (SELECT sqrt(list_inner_product(v, v)) AS n FROM qv)""")
+    ip_sum = "l_0.ip"
+    for s in range(1, m):
+        ip_sum = f"({ip_sum} + l_{s}.ip)"
+    joins = "af_0 a_0"
+    for s in range(1, m):
+        joins += f" JOIN af_{s} a_{s} USING (vec_id)"
+    for s in range(m):
+        joins += f" JOIN lut_{s} l_{s} ON l_{s}.cid = a_{s}.cid"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a_0.vec_id,
+       round({ip_sum} / (qn.n * vn.nrm), 6) AS cos_sim_adc
+FROM {joins} JOIN vn ON vn.vec_id = a_0.vec_id CROSS JOIN qn
+ORDER BY cos_sim_adc DESC, a_0.vec_id LIMIT {topk}"""
+    )
+
+
+@register("ann_pq_topk", _pq_sql(m=4, k=8, iters=2, topk=10))
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_*): the memory-side
+    scale path — the corpus collapses to m=4 one-byte codes + a norm
+    (~21x smaller than 64 float32 dims), and the ADC scan does m
+    array-literal lookups + a fixed-order sum per row, no vector math,
+    no shuffle before the top-k. Complements ann_ivf_topk (which
+    prunes ROWS; PQ shrinks BYTES — production IVF-PQ composes both).
+    Oracle replays seed selection, per-subspace Lloyd training,
+    encoding, and the LUT scan."""
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    books = similarity.pq_train(corpus, m=4, k=8, iters=2)
+    return similarity.pq_topk(corpus, qvec, books, k=10)
+
+
 def _semantic_dedup_sql(k: int = 16, iters: int = 2, threshold: float = 0.45) -> str:
     """DuckDB oracle for SemDeDup: replays IVF training on the FULL
     embeddings table (same md5 seeds / unrolled Lloyd rounds / 9-digit

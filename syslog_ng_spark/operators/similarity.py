@@ -314,6 +314,161 @@ def semantic_dedup_pairs(
     )
 
 
+def _subvec(vec_col: Column, s: int, sub: int) -> Column:
+    return F.slice(_as_double(vec_col), s * sub + 1, sub)
+
+
+def _pq_assign_expr(vec_col: Column, codebook_s: list[list[float]], s: int, sub: int) -> Column:
+    """Code for subspace s = argmin over the codebook of squared L2
+    distance to the subvector. |x_s|^2 is constant across codes, so the
+    comparable score is round(-2*x_s·c + |c|^2, 9) — the rounding pins
+    the argmin across engines (the oracle computes the identical
+    formula); ties break toward the SMALLER code index (array_min on
+    struct(score, idx) — the oracle orders score ASC, cid ASC)."""
+    x = _subvec(vec_col, s, sub)
+    scored = []
+    for i, c in enumerate(codebook_s):
+        c2 = sum(v * v for v in c)
+        plane = F.array(*[F.lit(float(v)) for v in c])
+        scored.append(
+            F.struct(
+                F.round(dot(x, plane) * F.lit(-2.0) + F.lit(float(c2)), 9).alias("d"),
+                F.lit(i).alias("i"),
+            )
+        )
+    return F.array_min(F.array(*scored))["i"]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector splits into `m`
+    contiguous subspaces, each trained with its own k-means (classic
+    L2 Lloyd — means, not spherical). Returns codebooks[m][k][dim/m].
+
+    Determinism/portability mirrors ivf_train: seeds are the first k
+    vectors by md5-derived hash (their slices seed every subspace),
+    every Lloyd mean is rounded to 9 digits, every assignment score is
+    rounded to 9 digits. The DuckDB oracle replays the whole thing.
+
+    Scale: training touches the corpus iters*m times but each pass is
+    one groupBy of 16-dim slices; at 100 TB train on a hash-sample
+    (codebooks are tiny — m*k*sub floats) and only ENCODING (one
+    column expression, no shuffle) runs over the full corpus."""
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+    assert m * sub == dim, f"dim {dim} not divisible by m={m}"
+    seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", seed_hash)
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [[float(v) for v in r[1][s * sub : (s + 1) * sub]] for r in seeds] for s in range(m)
+    ]
+    for _ in range(iters):
+        assigned = df.select(
+            vec_col,
+            *[
+                _pq_assign_expr(F.col(vec_col), books[s], s, sub).alias(f"_c{s}")
+                for s in range(m)
+            ],
+        )
+        for s in range(m):
+            sums = assigned.groupBy(f"_c{s}").agg(
+                *[
+                    F.sum(F.element_at(_subvec(F.col(vec_col), s, sub), d + 1)).alias(f"s{d}")
+                    for d in range(sub)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            rows = {r[f"_c{s}"]: r for r in sums.collect()}
+            books[s] = [
+                [round(rows[i][f"s{d}"] / rows[i]["n"], 9) for d in range(sub)]
+                if i in rows
+                else books[s][i]
+                for i in range(k)
+            ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus → (id, norm, code_0..code_{m-1}): m small ints + one
+    double instead of the full vector — the 100 TB memory story (64
+    float32 dims = 256 B → 4 bytes of codes + 8 of norm, ~21x). Pure
+    column expressions, no shuffle; the encoded table is what an ADC
+    scan reads, so the big vectors never leave the encode stage."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col),
+        F.round(norm(F.col(vec_col)), 9).alias("vnorm"),
+        *[
+            _pq_assign_expr(F.col(vec_col), codebooks[s], s, sub).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation:
+    encode the corpus, then score rows from per-subspace lookup tables
+    lut_s[code] = q_s·c (computed once on the driver — m*k dots) —
+    cos(q, x) ~ sum_s lut_s[code_s] / (|q|*|x|) with the TRUE row norm
+    kept at encode time. The scan reads m+1 tiny columns, does m
+    array lookups and a fixed-order sum per row — no vector math on
+    the hot path and no shuffle before the top-k."""
+    import math
+
+    m = len(codebooks)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sub = len(codebooks[0][0])
+    luts = []
+    for s in range(m):
+        qs = query_vec[s * sub : (s + 1) * sub]
+        luts.append(
+            [round(sum(a * b for a, b in zip(qs, c)), 9) for c in codebooks[s]]
+        )
+    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+    # fixed left-assoc sum (((ip0+ip1)+ip2)+...) — the oracle writes the
+    # identical parenthesisation so FP addition order matches
+    score = F.element_at(F.array(*[F.lit(v) for v in luts[0]]), F.col("code_0") + 1)
+    for s in range(1, m):
+        score = score + F.element_at(
+            F.array(*[F.lit(v) for v in luts[s]]), F.col(f"code_{s}") + 1
+        )
+    return (
+        enc.select(
+            id_col,
+            F.round(score / (F.lit(qn) * F.col("vnorm")), 6).alias("cos_sim_adc"),
+        )
+        .orderBy(F.desc("cos_sim_adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

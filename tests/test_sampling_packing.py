@@ -92,6 +92,26 @@ def _emb(spark, n=300, dim=8):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_pq_topk_recall_vs_exact(spark):
+    emb = _emb(spark, n=200, dim=16)
+    corpus = emb.where("vec_id != 0")
+    query = emb.where("vec_id = 0")
+    qvec = [float(x) for x in query.select("embedding").first()[0]]
+    books = similarity.pq_train(corpus, m=4, k=8, iters=2)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    approx = {r.vec_id for r in similarity.pq_topk(corpus, qvec, books, k=10).collect()}
+    exact = {
+        r.vec_id for r in similarity.cosine_topk_bruteforce(corpus, query, k=10).collect()
+    }
+    assert len(approx & exact) >= 8  # recall@10 >= 0.8 on clustered data
+    # deterministic end-to-end: retrain + rescore gives identical codes
+    books2 = similarity.pq_train(corpus, m=4, k=8, iters=2)
+    assert books == books2
+    enc1 = sorted(map(tuple, similarity.pq_encode(corpus, books).collect()))
+    enc2 = sorted(map(tuple, similarity.pq_encode(corpus, books2).collect()))
+    assert enc1 == enc2
+
+
 def test_semantic_dedup_recall_vs_exact(spark):
     emb = _emb(spark)
     exact = {
