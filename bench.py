@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "temperature_sample",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

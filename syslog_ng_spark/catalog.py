@@ -1453,15 +1453,19 @@ def embed_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql(k: int = 16, iters: int = 2, nprobe: int = 4, topk: int = 10) -> str:
-    """DuckDB oracle that REPLAYS the whole IVF pipeline — seed
-    selection, `iters` unrolled Lloyd rounds, probe choice, and the
-    pruned top-k scan — so the gate covers training, not just search.
-    Portability knobs shared with similarity.ivf_*: md5-derived seed
-    hash, every computed score/centroid rounded to 9 digits (FP sum
-    order differs across engines by ~1e-14; rounding pins the argmax
-    and cell boundaries), ties broken toward the larger cell index
-    (Spark's array_max(struct(s, i)) semantics)."""
+_CORPUS_CTES = [
+    """corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)""",
+    """qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)""",
+]
+
+
+def _ivf_ctes(k: int = 16, iters: int = 2, nprobe: int = 4):
+    """Shared CTE builder for the IVF oracles: md5-hash seed
+    selection, unrolled Lloyd rounds, probe choice, final cell
+    assignment (`a_final`). Assumes `corpus` and `qv` are defined by
+    the caller. Ties broken toward the larger cell index (Spark's
+    array_max(struct(s, i)) semantics)."""
 
     def assign(cents: str, name: str) -> str:
         return f"""{name} AS (
@@ -1475,9 +1479,6 @@ def _ivf_sql(k: int = 16, iters: int = 2, nprobe: int = 4, topk: int = 10) -> st
   WHERE rn = 1)"""
 
     ctes = [
-        """corpus AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)""",
-        """qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)""",
         f"""cents0 AS (
   SELECT row_number() OVER (
     ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1 AS cid, v
@@ -1505,6 +1506,19 @@ def _ivf_sql(k: int = 16, iters: int = 2, nprobe: int = 4, topk: int = 10) -> st
     FROM qv q CROSS JOIN cents{iters} s)
   WHERE rn <= {nprobe})""")
     ctes.append(assign(f"cents{iters}", "a_final"))
+    return ctes
+
+
+def _ivf_sql(k: int = 16, iters: int = 2, nprobe: int = 4, topk: int = 10) -> str:
+    """DuckDB oracle that REPLAYS the whole IVF pipeline — seed
+    selection, `iters` unrolled Lloyd rounds, probe choice, and the
+    pruned top-k scan — so the gate covers training, not just search.
+    Portability knobs shared with similarity.ivf_*: md5-derived seed
+    hash, every computed score/centroid rounded to 9 digits (FP sum
+    order differs across engines by ~1e-14; rounding pins the argmax
+    and cell boundaries), ties broken toward the larger cell index
+    (Spark's array_max(struct(s, i)) semantics)."""
+    ctes = _CORPUS_CTES + _ivf_ctes(k, iters, nprobe)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1538,13 +1552,12 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(corpus, qvec, cents, k=10, nprobe=4)
 
 
-def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10, dim: int = 64) -> str:
-    """DuckDB oracle replaying the WHOLE product-quantization pipeline
-    (similarity.pq_train/pq_encode/pq_topk): md5-hash seed selection,
-    per-subspace unrolled L2 Lloyd rounds, code assignment (score
-    round(-2·x·c + |c|², 9) ASC, cid ASC — matching Spark's
-    array_min(struct) tie-break), LUT scoring with the same fixed
-    left-associative sum, true row norms, final round(…, 6)."""
+def _pq_ctes(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64):
+    """Shared CTE builder for the PQ oracles: per-subspace seed
+    slices, unrolled L2 Lloyd rounds, final code assignment (af_s),
+    LUTs against the query subvectors, row norms. Assumes `corpus`
+    and `qv` CTEs are already defined by the caller. Returns
+    (ctes, ip_sum_expr, joins_clause)."""
     sub = dim // m
 
     def sl(expr: str, s: int) -> str:
@@ -1561,9 +1574,6 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10, dim: int = 6
   WHERE rn = 1)"""
 
     ctes = [
-        """corpus AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)""",
-        """qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)""",
         f"""seeds AS (
   SELECT row_number() OVER (
     ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1 AS cid, v
@@ -1598,9 +1608,20 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10, dim: int = 6
         joins += f" JOIN af_{s} a_{s} USING (vec_id)"
     for s in range(m):
         joins += f" JOIN lut_{s} l_{s} ON l_{s}.cid = a_{s}.cid"
+    return ctes, ip_sum, joins
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10, dim: int = 64) -> str:
+    """DuckDB oracle replaying the WHOLE product-quantization pipeline
+    (similarity.pq_train/pq_encode/pq_topk): md5-hash seed selection,
+    per-subspace unrolled L2 Lloyd rounds, code assignment (score
+    round(-2·x·c + |c|², 9) ASC, cid ASC — matching Spark's
+    array_min(struct) tie-break), LUT scoring with the same fixed
+    left-associative sum, true row norms, final round(…, 6)."""
+    ctes, ip_sum, joins = _pq_ctes(m, k, iters, dim)
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_CORPUS_CTES + ctes)
         + f"""
 SELECT a_0.vec_id,
        round({ip_sum} / (qn.n * vn.nrm), 6) AS cos_sim_adc
@@ -1627,6 +1648,57 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     books = similarity.pq_train(corpus, m=4, k=8, iters=2)
     return similarity.pq_topk(corpus, qvec, books, k=10)
+
+
+def _ivfpq_sql(
+    k_ivf: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    m: int = 4,
+    k_pq: int = 8,
+    topk: int = 10,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for IVF-PQ: the IVF CTE chain supplies the probe
+    set and per-row cell (`a_final`), the PQ chain supplies codes and
+    LUTs; the final scan keeps only rows whose cell is probed and
+    scores them from the LUT sum. CTE names are disjoint by
+    construction (cents{r} vs cents{r}_{s})."""
+    ctes = _CORPUS_CTES + _ivf_ctes(k_ivf, iters, nprobe)
+    pq_ctes, ip_sum, joins = _pq_ctes(m, k_pq, iters, dim)
+    ctes = ctes + pq_ctes
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a_0.vec_id,
+       round({ip_sum} / (qn.n * vn.nrm), 6) AS cos_sim_adc
+FROM {joins}
+  JOIN vn ON vn.vec_id = a_0.vec_id
+  JOIN a_final iv ON iv.vec_id = a_0.vec_id
+  JOIN probe ON probe.cid = iv.cid
+  CROSS JOIN qn
+ORDER BY cos_sim_adc DESC, a_0.vec_id LIMIT {topk}"""
+    )
+
+
+@register("ann_ivfpq_topk", _ivfpq_sql(k_ivf=16, iters=2, nprobe=4, m=4, k_pq=8, topk=10))
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (similarity.ivfpq_topk) — the production composition:
+    IVF prunes ROWS (nprobe/k_ivf selectivity; disk partition pruning
+    when the encoded table is written by cell), PQ shrinks BYTES
+    (m codes + norm per row, LUT scoring). The stored 100 TB artifact
+    is (cell, codes, norm) ~25 B/vector vs 256 B raw. Oracle replays
+    BOTH training pipelines and the pruned LUT scan."""
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    cents = similarity.ivf_train(corpus, k=16, iters=2)
+    books = similarity.pq_train(corpus, m=4, k=8, iters=2)
+    return similarity.ivfpq_topk(corpus, qvec, cents, books, k=10, nprobe=4)
 
 
 def _semantic_dedup_sql(k: int = 16, iters: int = 2, threshold: float = 0.45) -> str:

@@ -469,6 +469,41 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition: the IVF coarse
+    quantizer prunes ROWS (only the query's `nprobe` nearest cells are
+    scanned; corpus written partitioned by cell = disk partition
+    pruning), and PQ shrinks BYTES (the scanned rows are m one-byte
+    codes + a norm, scored from lookup tables — no vector math on the
+    hot path). At 100 TB the stored table is (cell, codes, norm):
+    ~25 bytes/vector instead of 256, scanned at 1/k_ivf selectivity.
+
+    Encoding is independent of the cell assignment, so encode-then-
+    filter and filter-then-encode give identical results; this
+    implementation filters first so only probed rows pay the encode
+    expressions (on a pre-encoded table it's a plain filter)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        d = round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 9)
+        sims.append((d, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    pruned = ivf_assign(corpus, centroids, vec_col, "_cell").where(F.col("_cell").isin(probe))
+    return pq_topk(pruned.drop("_cell"), query_vec, codebooks, k, vec_col, id_col)
+
+
 def lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

@@ -112,6 +112,25 @@ def test_pq_topk_recall_vs_exact(spark):
     assert enc1 == enc2
 
 
+def test_ivfpq_topk_prunes_and_recalls(spark):
+    emb = _emb(spark, n=200, dim=16)
+    corpus = emb.where("vec_id != 0")
+    query = emb.where("vec_id = 0")
+    qvec = [float(x) for x in query.select("embedding").first()[0]]
+    cents = similarity.ivf_train(corpus, k=4, iters=2)
+    books = similarity.pq_train(corpus, m=4, k=8, iters=2)
+    got = similarity.ivfpq_topk(corpus, qvec, cents, books, k=10, nprobe=2).collect()
+    exact = {
+        r.vec_id for r in similarity.cosine_topk_bruteforce(corpus, query, k=10).collect()
+    }
+    assert len({r.vec_id for r in got} & exact) >= 8
+    # pruning really happened: every result must sit in a probed cell
+    assigned = similarity.ivf_assign(corpus, cents, "embedding", "cell")
+    cells = {r.cell for r in assigned.where(
+        F.col("vec_id").isin([r.vec_id for r in got])).collect()}
+    assert len(cells) <= 2  # nprobe=2
+
+
 def test_semantic_dedup_recall_vs_exact(spark):
     emb = _emb(spark)
     exact = {
