@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "temperature_sample",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "unigram_logprob",
 ]
 
 

@@ -2641,6 +2641,29 @@ def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_LP_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+tot AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM toked),
+uni AS (
+  SELECT tok, ln((count(*) + 0.5) / (n + 0.5 * v)) AS lp
+  FROM toked CROSS JOIN tot GROUP BY tok, n, v)
+SELECT doc_id, round(-avg(lp), 6) AS neg_logprob, count(*) AS n_tokens
+FROM toked JOIN uni USING (tok) GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob", _UNIGRAM_LP_SQL)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal (textstats.unigram_logprob):
+    mean unigram -ln p per doc under the corpus's own smoothed unigram
+    distribution — the in-corpus analog of CCNet's LM filter. One
+    explode, one vocabulary-sized groupBy joined back on the token
+    key; nothing driver-side."""
+    docs = T(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(docs, "text", "doc_id")
+
+
 _TFIDF_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),

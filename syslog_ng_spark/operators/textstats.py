@@ -171,3 +171,48 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("avg_token_len").between(2.0, 12.0))
     )
     return out.withColumn("gopher_keep", keep)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability under the
+    corpus's OWN unigram distribution — the in-corpus stand-in for
+    CCNet-style LM-perplexity quality filtering (no external model in
+    this sandbox; the statistic is the same shape: low = head-token
+    boilerplate, high = rare-token / noisy text). Add-`smoothing`
+    estimates keep unseen-token mass finite.
+
+    Shape at 100 TB: one explode + two aggregations. The unigram table
+    is a groupBy over tokens (map-side partial agg; vocabulary, not
+    corpus, sized) joined back on the token key — the same join the
+    OOV-rate filter uses; nothing is collected to the driver.
+
+    ln() on both engines is libm log — cross-engine ULP noise is
+    absorbed by round(…, 6) AFTER the mean (the oracle mirrors the
+    exact expression shape)."""
+    toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    totals = toked.agg(
+        F.count(F.lit(1)).alias("_n"), F.countDistinct("tok").alias("_v")
+    )
+    uni = (
+        toked.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            # ln p(tok) with add-k smoothing; NOT rounded here — the
+            # per-doc mean is rounded once at the end on both engines
+            F.log((F.col("_c") + smoothing) / (F.col("_n") + smoothing * F.col("_v"))).alias(
+                "_lp"
+            ),
+        )
+    )
+    return (
+        toked.join(uni, "tok")
+        .groupBy(id_col)
+        .agg(F.round(-F.avg("_lp"), 6).alias("neg_logprob"), F.count(F.lit(1)).alias("n_tokens"))
+    )

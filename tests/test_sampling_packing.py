@@ -147,3 +147,14 @@ def test_semantic_dedup_recall_vs_exact(spark):
     recall = len(sem) / len(exact)
     # 4 well-separated direction clusters -> near-dups share a cell
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_unigram_logprob_orders_quality(spark):
+    rows = [(1, "the the the the the the the the"),        # head tokens only
+            (2, "the quick zephyr quixotic jabberwock"),   # rare tokens
+            (3, "the the quick quick zephyr the")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.neg_logprob for r in textstats.unigram_logprob(docs).collect()}
+    assert got[1] < got[3] < got[2]   # more rare mass -> higher -ln p
+    n = {r.doc_id: r.n_tokens for r in textstats.unigram_logprob(docs).collect()}
+    assert n[1] == 8 and n[2] == 5 and n[3] == 6
