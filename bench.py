@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "unigram_logprob",
+    "dedup_containment",
 ]
 
 

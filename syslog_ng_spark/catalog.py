@@ -1099,6 +1099,42 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8, df_cap=1000)
 
 
+_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS shingle
+  FROM toks WHERE len(t) >= 3),
+pruned AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM pruned a JOIN pruned b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common / least(x.sz, y.sz), 6) AS containment
+FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE round(common / least(x.sz, y.sz), 6) >= 0.9
+"""
+
+
+@register("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment near-dup (dedup.jaccard_pairs
+    metric='containment'): common/min(|A|,|B|) — the asymmetric
+    variant that catches a short doc wholly embedded in a long one
+    (syndication, quoting, template expansion), which Jaccard's union
+    denominator pushes below threshold. Same single-shuffle pair
+    pipeline and df_cap skew guard as dedup_jaccard."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.9, df_cap=1000, metric="containment"
+    )
+
+
 @register("dedup_minhash_lsh")  # oracle attached below (_minhash_lsh_sql);
 # also pytest-verified against jaccard ground truth
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -116,13 +116,21 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int = 1000,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """All document pairs with n-gram Jaccard >= threshold.
+    """All document pairs with n-gram similarity >= threshold.
+
+    `metric`: "jaccard" = common/(|A|+|B|-common); "containment"
+    (Broder) = common/min(|A|,|B|) — asymmetric near-dup, catches a
+    short doc embedded in a long one (quotes, syndication, prompt
+    templates) that Jaccard's union denominator dilutes away.
 
     Pipeline: shingle-explode → df-prune hot shingles (df_cap) →
     self-join on shingle → count common → join sizes → filter. The
     df_cap prune is the skew guard: a shingle shared by k docs creates
     k^2 candidate pairs."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     sh = (
         shingles(df.select(id_col, text_col), text_col, n=n)
         .select(id_col, "shingle")
@@ -162,11 +170,15 @@ def jaccard_pairs(
             "id_b",
         )
         .withColumn(
-            "jaccard",
-            F.round(F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6),
+            metric,
+            F.round(
+                F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6
+            )
+            if metric == "jaccard"
+            else F.round(F.col("_common") / F.least("_sza", "_szb"), 6),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .where(F.col(metric) >= threshold)
+        .select("id_a", "id_b", metric)
     )
     return out
 

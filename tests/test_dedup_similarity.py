@@ -238,3 +238,28 @@ def test_fuzzy_dedup_keeps_canonicals(spark):
         r.doc_id for r in dedup.fuzzy_dedup(_docs(spark), threshold=0.9).collect()
     )
     assert kept_strict == [1, 2, 3]
+
+
+def test_containment_catches_embedded_doc(spark):
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa " + filler
+    rows = [
+        (1, long_doc),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # subset of 1
+        (3, "totally unrelated words about spark catalyst tungsten engine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jac = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()}
+    con = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.9, metric="containment").collect()
+    }
+    assert (1, 2) not in jac        # union denominator dilutes the subset
+    assert (1, 2) in con            # containment catches it
+    assert not any(3 in p for p in con)
+    row = (
+        dedup.jaccard_pairs(docs, threshold=0.9, metric="containment")
+        .where("id_a = 1 and id_b = 2")
+        .first()
+    )
+    assert row.containment == 1.0   # every shingle of 2 is in 1
