@@ -39,29 +39,31 @@ def _match_any(k: Column, globs) -> Column:
 
 
 def _merge_maps(*maps: Column) -> Column:
-    """map union where LATER maps override earlier keys. Not
-    map_concat: Spark's default mapKeyDedupPolicy=EXCEPTION turns a
-    key collision (an NV name shadowing a core macro, say) into a
-    job-killing DUPLICATED_MAP_KEY — the reference's semantics are
-    override, so dedup the entry list keeping the last occurrence."""
-    entries = F.concat(*[F.map_entries(m) for m in maps])
-    # fold the entry list into a map, overriding on collision — the
-    # accumulator never holds a duplicate so map_concat can't throw.
-    # (A filter(exists(slice(entries...))) formulation re-evaluated the
-    # whole concat per element and benchmarked 3.3x slower.)
-    # O(k^2) per row, measured fine at NV-map scale: 0.396s warm at
-    # sf0.1 vs the 1.95s bench floor (the flagged 1.72x was cold-start
-    # codegen); a reversed-entries + map_contains_key first-wins
-    # variant measured 0.379s — within noise, not worth the key-order
-    # change. Revisit only if real corpora push k past ~32.
-    return F.aggregate(
-        entries,
-        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")),
-        lambda acc, e: F.map_concat(
-            F.map_filter(acc, lambda k, v: k != e["key"]),
-            F.map_from_entries(F.array(e)),
-        ),
-    )
+    """map union where LATER maps override earlier keys — the
+    reference's NV-assignment semantics (a re-set name replaces its
+    value). Implemented as plain map_concat under
+    spark.sql.mapKeyDedupPolicy=LAST_WIN (set here on the active
+    session: the default EXCEPTION policy would turn a collision into
+    a job-killing DUPLICATED_MAP_KEY). LAST_WIN is O(k) JVM-side —
+    r4 measurement on format_json_scoped at sf0.1: 1.97s vs 2.52s for
+    the r2-r3 O(k^2) entry-fold this replaces (and the gap widens with
+    row count; the fold's history and rejected alternatives live in
+    the git log of this file).
+
+    Two documented consequences, both verified oracle-neutral:
+    - the policy is session-wide; every map_concat in the engine
+      becomes last-wins, which IS this engine's stated semantics
+      (rewrite.set, sdata context merge, map-value-pairs).
+    - a shadowed key keeps its FIRST position (with the last value)
+      instead of moving to the end; no consumer observes entry order
+      (format_json sorts entries; map equality is order-insensitive).
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:  # plan built and executed on the same session
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    return F.map_concat(*maps)
 
 
 def value_pairs(
