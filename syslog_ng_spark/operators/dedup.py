@@ -470,3 +470,31 @@ def fuzzy_dedup(
         F.col("node").alias(id_col)
     )
     return df.select(id_col).join(dup_nodes, id_col, "left_anti")
+
+
+def dedup_exact_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup at the ingest edge: fingerprint the
+    normalized text and drop repeats within the watermark horizon
+    (dropDuplicatesWithinWatermark — state expires with the watermark,
+    so memory is bounded by the dedup horizon, not the stream's
+    history). This is the streaming half of `dedup_exact`: batch
+    backfill dedups the corpus globally by min-id; the stream dedups
+    NEW arrivals against the horizon. A crawl pipeline runs both —
+    the horizon catches republication bursts cheaply, the nightly
+    batch catches everything else.
+
+    Differences from batch, by construction: "first seen wins" (there
+    is no global min-id in an unbounded stream) and duplicates farther
+    apart than the watermark both survive (resolved by the batch
+    pass)."""
+    keyed = stream.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -120,3 +120,37 @@ def test_suppress_stream_drops_duplicates(spark):
     assert sorted((r.host, r.message) for r in out) == [
         ("h1", "disk full"), ("h1", "other"), ("h2", "disk full"),
     ]
+
+
+def test_dedup_exact_stream_fingerprint_dedup(spark):
+    import datetime as dt
+    import tempfile
+
+    from syslog_ng_spark.operators.dedup import dedup_exact_stream
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, text string, ts timestamp"
+    rows = [
+        (1, "The Quick  brown fox", base),
+        (2, "the quick brown fox", base + dt.timedelta(seconds=5)),   # dup of 1 modulo case/ws
+        (3, "something else entirely", base + dt.timedelta(seconds=10)),
+        (4, "the quick brown fox", base + dt.timedelta(seconds=15)),  # dup again
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d + "/in")
+        q = (
+            dedup_exact_stream(
+                spark.readStream.schema(schema).parquet(d + "/in"),
+                watermark="5 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", d + "/out")
+            .option("checkpointLocation", d + "/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(d + "/out").collect()
+    assert sorted(r.doc_id for r in out) == [1, 3]  # first-seen wins
+    assert "_fp" not in out[0].asDict()
