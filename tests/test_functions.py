@@ -167,3 +167,22 @@ def test_value_pairs_key_collision_overrides(spark):
         ).alias("js")
     ).collect()[0].js
     assert js2 == '{"HOST":"h-nv","x":"9"}'
+
+
+def test_merge_maps_self_arms_dedup_policy(spark):
+    """The driver gate runs a VANILLA session (default
+    mapKeyDedupPolicy=EXCEPTION, where map_concat on a duplicate key
+    kills the job). _merge_maps must set LAST_WIN on the active
+    session at expression-build time so value_pairs works anywhere."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions.format import _merge_maps
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        m1 = F.create_map(F.lit("k"), F.lit("old"), F.lit("a"), F.lit("1"))
+        m2 = F.create_map(F.lit("k"), F.lit("new"))
+        got = spark.range(1).select(_merge_maps(m1, m2).alias("m")).first()["m"]
+        assert got == {"k": "new", "a": "1"}  # no DUPLICATED_MAP_KEY, last wins
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
