@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "unigram_logprob",
     "dedup_containment",
+    "dedup_incremental",
 ]
 
 

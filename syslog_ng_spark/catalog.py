@@ -2898,6 +2898,81 @@ WHERE a.doc_id < b.doc_id
 ORACLES["dedup_minhash_lsh"] = _minhash_lsh_sql(16, 4)
 
 
+def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    """Oracle for cross-corpus incremental dedup: a deterministic
+    md5 10% split plays the 'new batch', the rest the corpus; LSH band
+    join between the sides, exact Jaccard verify (integer common/size
+    counts — identical arithmetic to Spark's set ops), anti-join."""
+    from syslog_ng_spark.operators.dedup import MERSENNE31, _affine_params
+
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in ((i, _affine_params(i)) for i in range(num_hashes))
+    )
+    band_exprs = ",\n    ".join(
+        "'" + str(bi) + "_' || "
+        + " || '_' || ".join(f"mh_{bi * rows + r}::VARCHAR" for r in range(rows))
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS shingle
+  FROM toks WHERE len(t) >= 3),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([
+    {band_exprs}]) AS bucket
+  FROM sig),
+newids AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 = 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corp
+  FROM banded a JOIN banded b USING (bucket)
+  WHERE a.doc_id IN (SELECT doc_id FROM newids)
+    AND b.doc_id NOT IN (SELECT doc_id FROM newids)),
+common AS (
+  SELECT c.id_new, c.id_corp, count(*) AS common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_new
+  JOIN sh y ON y.doc_id = c.id_corp AND y.shingle = x.shingle
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+matched AS (
+  SELECT DISTINCT id_new FROM common
+  JOIN sz a ON a.doc_id = id_new
+  JOIN sz b ON b.doc_id = id_corp
+  WHERE round(common / (a.sz + b.sz - common), 6) >= {threshold})
+SELECT d.doc_id, d.lang FROM documents d
+JOIN newids USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT id_new FROM matched)
+"""
+
+
+@register("dedup_incremental", _incremental_dedup_sql(16, 4, 0.8))
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl ingestion (dedup.incremental_dedup): a
+    deterministic 10% hash split plays the new batch, the rest the
+    standing corpus; new docs near-duplicating the corpus (LSH band
+    join → exact Jaccard verify) are anti-joined away. At 100 TB the
+    corpus band/signature tables are persisted once and only the new
+    side is derived per batch."""
+    docs = T(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    new_df = docs.where(h % 10 == 0)
+    corpus_df = docs.where(h % 10 != 0)
+    return dedup.incremental_dedup(new_df, corpus_df, "text", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 @register("dedup_minhash_lsh_capped", _minhash_lsh_sql(16, 4, bucket_cap=2))
 def dedup_minhash_lsh_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB scale path for LSH candidate generation: band buckets

@@ -207,6 +207,18 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """Signature rows → exploded (id, band bucket) keys."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"mh_{bi * rows + r}").cast("string") for r in range(rows)]
+        ).alias(f"band_{bi}")
+        for bi in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -232,15 +244,9 @@ def minhash_lsh_pairs(
     other bands wouldn't also catch — capping restores the linear
     bound the same way `df_cap` does for the shingle join. Default
     None = exact LSH semantics (the oracle-gated catalog query)."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    band_cols = [
-        F.concat_ws(
-            "_", F.lit(bi), *[F.col(f"mh_{bi * rows + r}").cast("string") for r in range(rows)]
-        ).alias(f"band_{bi}")
-        for bi in range(bands)
-    ]
-    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bucket")).persist(
+    banded = _band_buckets(
+        minhash_signatures(df, text_col, id_col, num_hashes, n), id_col, num_hashes, bands
+    ).persist(
         StorageLevel.MEMORY_AND_DISK  # self-joined below; avoid recomputing signatures twice
     )
     if bucket_cap is not None:
@@ -498,3 +504,82 @@ def dedup_exact_stream(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Cross-corpus dedup for incremental ingestion: keep the NEW docs
+    that are NOT near-dups of anything already in `corpus_df` —
+    LSH-band join between the two tables, exact Jaccard verify on the
+    candidates, anti-join the matched new docs away. Returns surviving
+    rows of `new_df` (all columns).
+
+    This is the nightly-crawl shape: the corpus side's band table is
+    computed once per batch (at 100 TB you PERSIST the corpus's band
+    buckets and signatures as a table and only re-derive the new
+    side); candidates are one equi-join on the bucket key; the verify
+    join touches candidate pairs only. Self-duplicates WITHIN the new
+    batch are out of scope — run `fuzzy_dedup` on the survivors for
+    that (two ops, two clear semantics).
+
+    `bucket_cap` drops band buckets whose COMBINED (new + corpus)
+    membership exceeds the cap — same degenerate-boilerplate guard as
+    minhash_lsh_pairs."""
+    nb = _band_buckets(
+        minhash_signatures(new_df, text_col, id_col, num_hashes, n), id_col, num_hashes, bands
+    )
+    cb = _band_buckets(
+        minhash_signatures(corpus_df, text_col, id_col, num_hashes, n), id_col, num_hashes, bands
+    )
+    if bucket_cap is not None:
+        both = nb.select("bucket").unionAll(cb.select("bucket"))
+        surviving = (
+            both.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .where(F.col("_k") <= bucket_cap)
+            .select("bucket")
+        )
+        nb = nb.join(surviving, "bucket")
+        cb = cb.join(surviving, "bucket")
+    cand = (
+        nb.select(F.col(id_col).alias("_id_new"), "bucket")
+        .join(cb.select(F.col(id_col).alias("_id_corp"), "bucket"), "bucket")
+        .select("_id_new", "_id_corp")
+        .distinct()
+    )
+    sh_new = (
+        shingles(new_df.select(id_col, text_col), text_col, n=n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_shn"))
+        .select(F.col(id_col).alias("_id_new"), "_shn")
+    )
+    sh_corp = (
+        shingles(corpus_df.select(id_col, text_col), text_col, n=n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_shc"))
+        .select(F.col(id_col).alias("_id_corp"), "_shc")
+    )
+    matched = (
+        cand.join(sh_new, "_id_new")
+        .join(sh_corp, "_id_corp")
+        .where(
+            F.round(
+                F.size(F.array_intersect("_shn", "_shc"))
+                / F.size(F.array_union("_shn", "_shc")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("_id_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")

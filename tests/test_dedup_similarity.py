@@ -263,3 +263,26 @@ def test_containment_catches_embedded_doc(spark):
         .first()
     )
     assert row.containment == 1.0   # every shingle of 2 is in 1
+
+
+def test_incremental_dedup_filters_known_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "completely different text about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 100
+            (2, "a genuinely novel document with brand new words and content here"),
+            (3, "THE QUICK  brown fox jumps over the lazy dog near the river bank"),  # exact dup of 100
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup.incremental_dedup(new, corpus, threshold=0.5).collect())
+    assert kept == [2]
+    # higher threshold lets the near-dup through but not the exact dup
+    kept9 = sorted(r.doc_id for r in dedup.incremental_dedup(new, corpus, threshold=0.99).collect())
+    assert kept9 == [1, 2]
