@@ -145,12 +145,16 @@ def sequence_pack(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("tok_start")
-    return out.select(
+    staged = out.select(
+        id_col, "shard", "n_tokens", (cum - F.col("n_tokens")).alias("tok_start")
+    )
+    # integer DIV, not float `/`: a double round-trip is only exact up
+    # to 2^53 and a busy shard's running token count can pass that
+    return staged.select(
         id_col,
         "shard",
         "n_tokens",
-        start,
-        ((cum - F.col("n_tokens")) / context_len).cast("long").alias("pack_id"),
-        ((cum - F.col("n_tokens")) % context_len).cast("long").alias("pack_offset"),
+        "tok_start",
+        F.expr(f"tok_start DIV {int(context_len)}").alias("pack_id"),
+        (F.col("tok_start") % context_len).cast("long").alias("pack_offset"),
     )
