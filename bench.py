@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "dedup_containment",
     "dedup_incremental",
+    "text_ann_topk",
 ]
 
 

@@ -2677,6 +2677,41 @@ def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXT_ANN_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toked),
+bow AS (
+  SELECT doc_id, h % 64 AS bucket,
+         sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END)::BIGINT AS weight
+  FROM hashed GROUP BY 1, 2
+  HAVING sum(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) <> 0),
+norms AS (SELECT doc_id, sum(weight * weight)::BIGINT AS n2 FROM bow GROUP BY 1),
+q AS (SELECT bucket, weight AS qw FROM bow WHERE doc_id = 0),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 0),
+dots AS (
+  SELECT b.doc_id, sum(b.weight * q.qw)::BIGINT AS dot
+  FROM bow b JOIN q USING (bucket)
+  WHERE b.doc_id <> 0 GROUP BY 1)
+SELECT d.doc_id, round(dot / (sqrt(n.n2) * sqrt(qn.qn2)), 6) AS cos_sim
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+ORDER BY cos_sim DESC, d.doc_id LIMIT 10
+"""
+
+
+@register("text_ann_topk", _TEXT_ANN_SQL)
+def text_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text similarity search (textstats.hashed_bow_topk):
+    feature-hashing embedding kept SPARSE as (doc, bucket, ±tf)
+    integer rows, cosine via one bucket-key hash join against the
+    broadcast query vector, integer dot/norms, ONE final division.
+    The sparse layout is the 100 TB shape — no dense arrays, and
+    buckets the query doesn't touch are never read."""
+    docs = T(spark, sf_dir, "documents")
+    return textstats.hashed_bow_topk(docs, query_id=0, k=10, dim=64)
+
+
 _UNIGRAM_LP_SQL = f"""
 WITH toked AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),

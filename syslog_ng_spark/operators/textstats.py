@@ -216,3 +216,79 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(F.round(-F.avg("_lp"), 6).alias("neg_logprob"), F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+def hashed_bow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing text embedding (the hashing trick, Weinberger
+    et al. 2009), kept SPARSE: one row per (doc, bucket) with an
+    INTEGER weight — each token occurrence adds ±1 to bucket
+    md5(token) % dim, sign from the next hash bit. Integer weights
+    make every downstream dot product / norm exact and
+    engine-portable until the single final division.
+
+    Sparse is also the right 100 TB layout: a (doc, bucket, weight)
+    table joins on `bucket` (hash shuffle, co-partitionable) instead
+    of materializing dense arrays per row; density is min(n_tokens,
+    dim) per doc."""
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .select(id_col, h.alias("_h"))
+        .select(
+            id_col,
+            (F.col("_h") % dim).alias("bucket"),
+            # integer DIV — float `/` on a 60-bit hash loses exactness
+            F.when(F.expr(f"(_h DIV {int(dim)}) % 2") == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("_s"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+def hashed_bow_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Text similarity search with no model: hashed-BoW embed, cosine
+    against the query doc, top-k. The query's sparse vector is a few
+    dozen rows — broadcast; the corpus side joins on `bucket`, so the
+    dot product is one hash join + groupBy over only the buckets the
+    query touches (classic sparse-retrieval pruning: buckets the query
+    lacks contribute nothing and are never read). Norms are integer
+    sums; the only FP step is the final divide, rounded to 6."""
+    bow = hashed_bow(df, text_col, id_col, dim)
+    norms = bow.groupBy(id_col).agg(F.sum(F.col("weight") * F.col("weight")).alias("_n2"))
+    q = bow.where(F.col(id_col) == query_id).select(
+        "bucket", F.col("weight").alias("_qw")
+    )
+    dots = (
+        bow.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("weight") * F.col("_qw")).alias("_dot"))
+    )
+    qn2 = norms.where(F.col(id_col) == query_id).select(F.col("_n2").alias("_qn2"))
+    return (
+        dots.join(norms, id_col)
+        .crossJoin(F.broadcast(qn2))
+        .select(
+            id_col,
+            F.round(
+                F.col("_dot") / (F.sqrt(F.col("_n2")) * F.sqrt(F.col("_qn2"))), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -84,3 +84,21 @@ def test_image_tile_plan_counts(spark):
     out = image_tile_plan(df, tile=224).groupBy("media_id").count().collect()
     got = {r.media_id: r["count"] for r in out}
     assert got == {1: 3 * 2, 2: 1, 3: 1}
+
+
+def test_hashed_bow_topk_ranks_near_dup_first(spark):
+    from syslog_ng_spark.operators import textstats
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different text about spark query engines and shuffles"),
+        (3, "the quick brown fox"),                                              # partial overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textstats.hashed_bow_topk(docs, query_id=0, k=3).collect()
+    assert [r.doc_id for r in got][0] == 1          # near-dup ranks first
+    assert got[0].cos_sim > got[-1].cos_sim
+    # integer weights: rerun is bit-identical
+    again = textstats.hashed_bow_topk(docs, query_id=0, k=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
