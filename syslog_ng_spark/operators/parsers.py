@@ -239,11 +239,19 @@ def kv_parser(
 
 
 def kv_parser_quoted(df: DataFrame, col: str, target: str = "kv") -> DataFrame:
-    """kv-scanner's quoted-value mode: k="v with spaces" k2=v2."""
+    """kv-scanner's quoted-value mode: k="v with spaces" k2=v2.
+
+    Key charclass is [^\\s="]+ — keys cannot contain '=' or '"'
+    (reference: modules/kvformat/kv-scanner.c key scan stops at '=').
+    A greedy \\S+ key would backtrack INTO the opening quote when a
+    quoted value contains '=' (e.g. a="= " parsed key as 'a="'), starving
+    the quoted alternative and truncating the value at the next space
+    — found by hypothesis (tests/test_property_parsers.py), frozen as a
+    regression case there."""
     entries = F.expr(
         f"""
         transform(
-          regexp_extract_all({col}, '(\\\\S+)=("[^"]*"|\\\\S*)', 0),
+          regexp_extract_all({col}, '([^\\\\s="]+)=("[^"]*"|\\\\S*)', 0),
           kv -> struct(
             regexp_extract(kv, '^([^=]+)=', 1) as key,
             regexp_replace(regexp_extract(kv, '=(.*)$', 1), '^"|"$', '') as value)

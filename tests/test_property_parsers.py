@@ -95,3 +95,20 @@ def test_kv_quoted_roundtrip(k1, v1, v2):
     row = kv_parser_quoted(spark.createDataFrame([(line,)], "s string"), "s").collect()[0]
     assert row.kv[k1] == v1
     assert row.kv["other"] == v2
+
+
+def test_kv_quoted_value_containing_equals():
+    """Frozen hypothesis counterexample (round 4): a quoted value that
+    contains '=' must not let the key regex backtrack into the opening
+    quote. Input a="= " other= used to parse kv[a] as '=' (truncated)."""
+    spark = _get_spark()
+    cases = [
+        ('a="= " other=', {"a": "= ", "other": ""}),
+        ('k="x=y z=w" t=1', {"k": "x=y z=w", "t": "1"}),
+        ('u="a = b" v="="', {"u": "a = b", "v": "="}),
+    ]
+    df = spark.createDataFrame([(line,) for line, _ in cases], "s string")
+    rows = kv_parser_quoted(df, "s").collect()
+    got = {r.s: dict(r.kv) for r in rows}
+    for line, want in cases:
+        assert got[line] == want, f"{line!r}: {got[line]} != {want}"
