@@ -2627,7 +2627,7 @@ WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
 m AS (SELECT min(cnt) AS mn FROM n),
 r AS (SELECT lang, floor(round(pow(mn / cnt, 0.5) * 10000, 6))::BIGINT AS bp
       FROM n CROSS JOIN m)
-SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < r.bp
 """
 

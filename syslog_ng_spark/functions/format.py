@@ -61,8 +61,19 @@ def _merge_maps(*maps: Column) -> Column:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
-    if spark is not None:  # plan built and executed on the same session
-        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    if spark is None:
+        # Without an armed LAST_WIN policy the returned map_concat would
+        # die at runtime with DUPLICATED_MAP_KEY on the first collision
+        # (default policy is EXCEPTION) — fail loudly at plan-build time
+        # instead of silently deferring the blow-up. Callers must build
+        # plans with an active session (session.get_session()).
+        raise RuntimeError(
+            "_merge_maps requires an active SparkSession to set "
+            "spark.sql.mapKeyDedupPolicy=LAST_WIN (map re-assignment is "
+            "last-wins in this engine); build plans via "
+            "syslog_ng_spark.session.get_session() or inside an active session"
+        )
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     return F.map_concat(*maps)
 
 

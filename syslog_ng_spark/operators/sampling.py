@@ -29,6 +29,23 @@ from pyspark.sql import functions as F
 _DENOM = 10_000
 
 
+def _rate_to_bp(rate: float, what: str) -> int:
+    """Validate and quantize a keep-rate to basis points. Rates outside
+    [0, 1] are caller bugs; a nonzero rate that quantizes to 0 bp would
+    SILENTLY drop the whole stratum (anything below 0.00005), which is
+    never what the caller meant — raise instead of rounding to zero."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"{what}: rate {rate} outside [0, 1]")
+    bp = int(round(rate * _DENOM))
+    if bp == 0 and rate > 0.0:
+        raise ValueError(
+            f"{what}: rate {rate} quantizes to 0 of {_DENOM} basis points "
+            "and would drop the entire stratum; use 0.0 explicitly or a "
+            f"rate >= {1.0 / _DENOM}"
+        )
+    return bp
+
+
 def _hash_mod(c: Column, denom: int = _DENOM, salt: str = "") -> Column:
     """md5-derived uniform bucket in [0, denom) — the engine-portable
     equivalent of `hash(x) % denom` (Spark's murmur3 is not
@@ -60,11 +77,11 @@ def stratified_sample(
     filter runs inside the scan's codegen stage; re-running with the
     same salt reproduces the exact sample (hash, not RNG), and a
     DIFFERENT salt draws an independent sample for holdout splits."""
-    rate_bp = F.lit(int(round(default_rate * _DENOM)))
+    rate_bp = F.lit(_rate_to_bp(default_rate, "default_rate"))
     expr = None
     for value, rate in sorted(rates.items()):
         cond = F.col(strata_col) == value
-        bp = F.lit(int(round(rate * _DENOM)))
+        bp = F.lit(_rate_to_bp(rate, f"rates[{value!r}]"))
         expr = F.when(cond, bp) if expr is None else expr.when(cond, bp)
     rate_col = expr.otherwise(rate_bp) if expr is not None else rate_bp
     return df.where(_hash_mod(F.col(id_col), salt=salt) < rate_col)
@@ -90,7 +107,13 @@ def temperature_sample(
 
     Unlike `stratified_sample` the rates are DATA (one tiny aggregate,
     broadcast back), not literals — one groupBy over the stratum
-    column plus a broadcast join, then the same md5 keep-predicate."""
+    column plus a broadcast join, then the same md5 keep-predicate.
+
+    Rows with a NULL stratum form their own stratum: groupBy keeps the
+    NULL group and the rate join is null-safe (`eqNullSafe` / SQL
+    `IS NOT DISTINCT FROM`), so they are rebalanced like any other
+    stratum instead of being silently dropped by a null join key —
+    consistent with stratified_sample's default-rate handling."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
     p_min = counts.agg(F.min("_n").alias("_m"))
     rates = (
@@ -99,16 +122,16 @@ def temperature_sample(
         # the ~1-ulp pow() differences between engines so the floor
         # boundary (and thus every keep/drop decision) is portable
         .select(
-            strata_col,
+            F.col(strata_col).alias("_stratum"),
             F.floor(
                 F.round(F.pow(F.col("_m") / F.col("_n"), F.lit(1.0 - alpha)) * _DENOM, 6)
             ).cast("long").alias("_rate_bp"),
         )
     )
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(F.broadcast(rates), F.col(strata_col).eqNullSafe(F.col("_stratum")))
         .where(_hash_mod(F.col(id_col), salt=salt) < F.col("_rate_bp"))
-        .drop("_rate_bp")
+        .drop("_rate_bp", "_stratum")
     )
 
 

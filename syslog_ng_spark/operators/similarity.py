@@ -14,6 +14,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _corpus_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first corpus row, with a clear
+    error on an empty corpus (first() returns None, which would
+    otherwise surface as an opaque TypeError deep in training)."""
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(f"empty corpus: no rows with a non-null {vec_col!r} vector")
+    return len(first[0])
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -197,7 +207,7 @@ def ivf_train(
     the new centroid to 9 digits — FP summation order differs across
     engines by ~1e-14, and an unrounded centroid would propagate that
     into divergent cell boundaries."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _corpus_dim(df, vec_col)
     seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -360,7 +370,7 @@ def pq_train(
     one groupBy of 16-dim slices; at 100 TB train on a hash-sample
     (codebooks are tiny — m*k*sub floats) and only ENCODING (one
     column expression, no shuffle) runs over the full corpus."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _corpus_dim(df, vec_col)
     sub = dim // m
     assert m * sub == dim, f"dim {dim} not divisible by m={m}"
     seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(

@@ -268,7 +268,13 @@ def hashed_bow_topk(
     query touches (classic sparse-retrieval pruning: buckets the query
     lacks contribute nothing and are never read). Norms are integer
     sums; the only FP step is the final divide, rounded to 6."""
-    bow = hashed_bow(df, text_col, id_col, dim)
+    from pyspark import StorageLevel
+
+    # the tokenize→explode→md5→groupBy sub-plan feeds norms, q, dots
+    # AND qn2 — persist it once instead of recomputing ~4x (same
+    # convention as dedup.py: persisted intermediate, Spark evicts
+    # under pressure, unpersisted with the session)
+    bow = hashed_bow(df, text_col, id_col, dim).persist(StorageLevel.MEMORY_AND_DISK)
     norms = bow.groupBy(id_col).agg(F.sum(F.col("weight") * F.col("weight")).alias("_n2"))
     q = bow.where(F.col(id_col) == query_id).select(
         "bucket", F.col("weight").alias("_qw")
