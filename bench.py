@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline catalog queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS]. Prints two JSON lines: a cold-run
+transparency line first, then the contract line (min-of-N timings,
+regression flags, loadavg) LAST so a stdout tail-truncating collector
+always keeps it.
 
 Each query is materialized through the noop sink so every column is
 computed (a bare .count() would let Catalyst prune the projection and
@@ -173,8 +176,6 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_first_exec": first_exec,
-        "total_first_exec": round(sum(first_exec.values()), 3),
         "sf": sf,
         "n_runs": N_RUNS,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
@@ -209,6 +210,23 @@ def main() -> None:
             out["flags_suspect_host_contention"] = bool(flagged) and (
                 loadavg_start[0] > 0.25 * cpus
             )
+    # Line order matters: the driver preserves only the TAIL of stdout,
+    # and in round 4 the min-of-3 `queries` dict was truncated away
+    # while the noisy first-exec dict survived. The cold-run numbers
+    # (transparency only) therefore go FIRST, and the contract line —
+    # min-of-3 timings + regression flags + loadavg — is the LAST thing
+    # this process prints.
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall_first_exec",
+                "value": round(sum(first_exec.values()), 3),
+                "unit": "sec",
+                "queries_first_exec": first_exec,
+                "note": "cold-run transparency only; the min-of-3 contract line follows",
+            }
+        )
+    )
     print(json.dumps(out))
 
 
