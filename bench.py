@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dedup_incremental",
     "text_ann_topk",
+    "filter_netmask6",
 ]
 
 

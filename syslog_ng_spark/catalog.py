@@ -343,6 +343,57 @@ def filter_netmask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTER_NETMASK6_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 10 = 0
+              THEN '::ffff:' || {_IP_SQL}
+              ELSE '2001:db8:' || printf('%x', user_id % 256)
+                   || '::' || printf('%x', event_id % 65536)
+         END AS ip6
+  FROM events)
+SELECT event_id, ip6 FROM w
+WHERE (event_id % 10 <> 0 AND user_id % 256 = 160)
+   OR (event_id % 10 = 0 AND user_id % 32 BETWEEN 16 AND 31)
+"""
+
+
+@register("filter_netmask6", _FILTER_NETMASK6_SQL)
+def filter_netmask6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netmask6() (reference: lib/filter/filter-netmask6.c) over a
+    synthetic mixed corpus: 90% native IPv6 ('2001:db8:X::Y', '::'
+    compression exercised on every row), 10% mapped-IPv4 ('::ffff:…').
+    Two filters OR'd: a /48 on the native range and a /108 on the
+    mapped range (= 10.16.0.0/12 in the embedded v4). The oracle does
+    NOT replay the parser — it derives membership straight from the
+    generators (user_id % 256 = 0xa0; v4 second octet in 16..31), so
+    a parsing bug cannot hide behind oracle symmetry."""
+    from syslog_ng_spark.operators.filters import netmask6_filter
+
+    ev = T(spark, sf_dir, "events")
+    v4 = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    ip6 = F.when(F.col("event_id") % 10 == 0, F.concat(F.lit("::ffff:"), v4)).otherwise(
+        F.concat(
+            F.lit("2001:db8:"),
+            F.lower(F.hex(F.col("user_id") % 256)),
+            F.lit("::"),
+            F.lower(F.hex(F.col("event_id") % 65536)),
+        )
+    )
+    w = ev.select("event_id", ip6.alias("ip6"))
+    keep = netmask6_filter(F.col("ip6"), "2001:db8:a0::/48") | netmask6_filter(
+        F.col("ip6"), "::ffff:10.16.0.0/108"
+    )
+    return w.where(keep)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 parsers (construct a raw line from events, parse it back, verify
 # the parse recovers the original fields)

@@ -1,12 +1,17 @@
-"""IP functions + netmask math.
+"""IP functions + netmask math, IPv4 and IPv6.
 
-Reference: modules/basicfuncs/ip-funcs.c ($(ipv4-to-int)) and
-lib/filter/filter-netmask.c (netmask() filter). Pure integer bit math
-on JVM columns — the same arithmetic is expressible in the DuckDB
-oracle, so these are hash-verifiable.
+Reference: modules/basicfuncs/ip-funcs.c ($(ipv4-to-int)),
+lib/filter/filter-netmask.c (netmask() filter) and
+lib/filter/filter-netmask6.c (netmask6()). Pure integer bit math on
+JVM columns — the same arithmetic is expressible in the DuckDB
+oracle, so these are hash-verifiable. IPv6 addresses are carried as
+two signed 64-bit longs (hi, lo) holding the exact 128-bit pattern;
+all masking is bitwise so two's complement never matters.
 """
 
 from __future__ import annotations
+
+import ipaddress
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -37,3 +42,94 @@ def in_netmask(ip: Column, cidr: str) -> Column:
     hi = lo + (1 << (32 - bits)) - 1
     v = ipv4_to_int(ip)
     return (v >= lo) & (v <= hi)
+
+
+def _side_groups(side: Column) -> Column:
+    """One side of a '::' split → array<long> of 16-bit group values.
+    A dotted-quad token (mapped-IPv4 tail, '::ffff:10.1.2.3')
+    contributes TWO groups; hex groups go through conv(…, 16, 10)."""
+    toks = F.filter(F.split(side, ":"), lambda t: t != "")
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                t.contains("."),
+                F.array(
+                    F.element_at(F.split(t, "\\."), 1).cast("long") * 256
+                    + F.element_at(F.split(t, "\\."), 2).cast("long"),
+                    F.element_at(F.split(t, "\\."), 3).cast("long") * 256
+                    + F.element_at(F.split(t, "\\."), 4).cast("long"),
+                ),
+            ).otherwise(F.array(F.conv(t, 16, 10).cast("long"))),
+        )
+    )
+
+
+def ipv6_to_longs(ip: Column) -> Column:
+    """IPv6 string → struct(hi: long, lo: long): the exact 128-bit
+    address as two signed longs (hi = first 64 bits). Handles
+    '::'-compression and the dotted-quad mapped-IPv4 tail; everything
+    is Catalyst array/string functions (split/transform/flatten/conv/
+    shiftleft) — no UDF, and the identical arithmetic runs in DuckDB.
+
+    Malformed input produces deterministic garbage (conv parses what
+    it can), matching the reference's "invalid address never aborts
+    the pipeline" stance (filter-netmask6.c returns false, it doesn't
+    error); gate on a validity regex first if you need strictness."""
+    s = F.lower(F.trim(ip))
+    has_dc = s.contains("::")
+    left_g = _side_groups(F.when(has_dc, F.substring_index(s, "::", 1)).otherwise(s))
+    right_g = _side_groups(F.when(has_dc, F.substring_index(s, "::", -1)).otherwise(F.lit("")))
+    mid = F.array_repeat(
+        F.lit(0).cast("long"), (F.lit(8) - F.size(left_g) - F.size(right_g)).cast("int")
+    )
+    g = F.when(has_dc, F.concat(left_g, mid, right_g)).otherwise(left_g)
+    hi = (
+        F.shiftleft(F.element_at(g, 1), 48)
+        .bitwiseOR(F.shiftleft(F.element_at(g, 2), 32))
+        .bitwiseOR(F.shiftleft(F.element_at(g, 3), 16))
+        .bitwiseOR(F.element_at(g, 4))
+    )
+    lo = (
+        F.shiftleft(F.element_at(g, 5), 48)
+        .bitwiseOR(F.shiftleft(F.element_at(g, 6), 32))
+        .bitwiseOR(F.shiftleft(F.element_at(g, 7), 16))
+        .bitwiseOR(F.element_at(g, 8))
+    )
+    return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def in_netmask6(ip: Column, cidr: str) -> Column:
+    """netmask6('addr/prefix') filter (reference:
+    lib/filter/filter-netmask6.c). The network constant is computed
+    driver-side with the stdlib ipaddress module (which accepts every
+    textual form the reference's inet_pton does, including mapped
+    IPv4); the per-row side is masked-equality on the (hi, lo) longs.
+
+    Reference semantics preserved exactly: prefix <= 64 compares only
+    the masked high 64 bits (get_network_address zeroes the rest);
+    prefix > 64 compares hi fully and lo under the remaining mask. A
+    missing '/prefix' means /128, and a prefix outside [1, 128] is
+    invalid (the reference silently never matches; we raise — a config
+    typo should be loud in a batch engine)."""
+    addr_s, slash, bits_s = cidr.partition("/")
+    prefix = int(bits_s) if slash else 128
+    if not 1 <= prefix <= 128:
+        raise ValueError(f"netmask6: prefix {prefix} outside [1, 128] in {cidr!r}")
+    a = int(ipaddress.IPv6Address(addr_s))
+    mask = ((1 << prefix) - 1) << (128 - prefix)
+    net = a & mask
+    v = ipv6_to_longs(ip)
+    hi_cond = v["hi"].bitwiseAND(F.lit(_signed64((mask >> 64) & 0xFFFFFFFFFFFFFFFF))) == F.lit(
+        _signed64(net >> 64)
+    )
+    if prefix <= 64:
+        return hi_cond
+    lo_cond = v["lo"].bitwiseAND(F.lit(_signed64(mask & 0xFFFFFFFFFFFFFFFF))) == F.lit(
+        _signed64(net & 0xFFFFFFFFFFFFFFFF)
+    )
+    return hi_cond & lo_cond

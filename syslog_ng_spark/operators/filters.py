@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from syslog_ng_spark.datamodel import FACILITY_NAMES, SEVERITY_NAMES
-from syslog_ng_spark.functions.ipfuncs import in_netmask  # noqa: F401  (re-export)
+from syslog_ng_spark.functions.ipfuncs import in_netmask, in_netmask6  # noqa: F401  (re-export)
 
 
 def _sev_num(level: int | str) -> int:
@@ -75,6 +75,13 @@ def in_list_join(df: DataFrame, col: str, values_df: DataFrame, value_col: str) 
 def netmask_filter(ip_col: Column, cidr: str) -> Column:
     """netmask() (lib/filter/filter-netmask.c) as int range compare."""
     return in_netmask(ip_col, cidr)
+
+
+def netmask6_filter(ip_col: Column, cidr: str) -> Column:
+    """netmask6() (lib/filter/filter-netmask6.c) — masked equality on
+    the address's (hi, lo) 64-bit halves; handles '::' compression and
+    mapped-IPv4 text forms."""
+    return in_netmask6(ip_col, cidr)
 
 
 def tags_filter(tags: Column, *wanted: str) -> Column:

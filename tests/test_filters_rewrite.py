@@ -54,6 +54,52 @@ def test_netmask_edges(spark):
     assert got == ["10.0.0.0", "10.0.0.255"]
 
 
+def test_netmask6_against_stdlib_ipaddress(spark):
+    """Randomized parity with the stdlib ipaddress module (independent
+    ground truth): 60 addresses in every textual form str() emits
+    (compressed '::', mapped v4) against prefixes spanning both 64-bit
+    halves, plus the hand-picked edges /1, /64, /65, /128 and mapped."""
+    import ipaddress
+    import random
+
+    from syslog_ng_spark.operators.filters import netmask6_filter
+
+    rng = random.Random(5424)
+    addrs = []
+    for _ in range(40):
+        # bias toward structured addresses so prefixes actually match
+        hi = rng.choice([0x20010DB8 << 32, 0xFE800000 << 32, 0]) | rng.getrandbits(40)
+        lo = rng.getrandbits(rng.choice([8, 32, 64]))
+        addrs.append(str(ipaddress.IPv6Address((hi << 64) | lo)))
+    for _ in range(10):
+        addrs.append(str(ipaddress.IPv6Address(0xFFFF00000000 | rng.getrandbits(32))))
+    addrs += ["::", "::1", "2001:db8::", "fe80::1%0".replace("%0", ""), "::ffff:10.16.3.4"]
+    df = spark.createDataFrame([(a,) for a in addrs], "ip string")
+    nets = [
+        "2001:db8::/32", "2001:db8::/64", "2001:db8::/65", "2001:db8::1/128",
+        "fe80::/10", "8000::/1", "::ffff:10.16.0.0/108", "::ffff:0:0/96",
+    ]
+    for net in nets:
+        got = {r.ip for r in df.where(netmask6_filter(F.col("ip"), net)).collect()}
+        want = {
+            a for a in addrs
+            if ipaddress.IPv6Address(a) in ipaddress.IPv6Network(net, strict=False)
+        }
+        assert got == want, f"{net}: got {got ^ want} disagreement"
+
+
+def test_netmask6_invalid_prefix_raises(spark):
+    """Reference treats prefix outside [1,128] as an invalid filter
+    (never matches); a batch engine should refuse the config loudly."""
+    import pytest
+
+    from syslog_ng_spark.operators.filters import netmask6_filter
+
+    for bad in ("::/0", "2001:db8::/129", "2001:db8::/-1"):
+        with pytest.raises(ValueError):
+            netmask6_filter(F.col("ip"), bad)
+
+
 def test_in_list_join_matches_isin(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "v int")
     lst = spark.createDataFrame([(3,), (50, ), (99,)], "x int")
