@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "text_ann_topk",
     "filter_netmask6",
+    "audit_parse",
 ]
 
 

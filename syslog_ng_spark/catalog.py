@@ -394,6 +394,59 @@ def filter_netmask6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.where(keep)
 
 
+_AUDIT_PARSE_SQL = """
+SELECT event_id,
+       'SYSCALL' AS type_v,
+       event_type AS comm_v,
+       hex(event_type) AS name_v,
+       '/bin/' || event_type || chr(9) || '--id=' || user_id::VARCHAR AS proctitle_v,
+       '59' AS syscall_v
+FROM events
+"""
+
+
+@register("audit_parse", _AUDIT_PARSE_SQL)
+def audit_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linux-audit() scanner (reference: modules/kvformat/
+    linux-audit-parser.c): auditd SYSCALL lines with a hex-encoded
+    proctitle (contains a NUL → decoded, NUL → tab), a hex 'name'
+    whose bytes are all printable (kernel wouldn't have encoded it →
+    stays hex text), a quoted comm, and plain kv fields. The oracle
+    derives every expected value from the generators — it never runs
+    the scanner — so decode bugs can't hide behind oracle symmetry."""
+    from syslog_ng_spark.operators.parsers import linux_audit_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit("type=SYSCALL msg=audit(1436259640."),
+        F.col("event_id").cast("string"),
+        F.lit(":"),
+        F.col("event_id").cast("string"),
+        F.lit('): arch=c000003e syscall=59 success=yes comm="'),
+        F.col("event_type"),
+        F.lit('" name='),
+        F.hex(F.col("event_type")),
+        F.lit(" proctitle="),
+        F.hex(
+            F.concat(
+                F.lit("/bin/"),
+                F.col("event_type"),
+                F.lit("\x00--id="),
+                F.col("user_id").cast("string"),
+            )
+        ),
+    )
+    parsed = linux_audit_parser(ev.select("event_id", line.alias("line")), "line")
+    return parsed.select(
+        "event_id",
+        F.element_at("kv", "type").alias("type_v"),
+        F.element_at("kv", "comm").alias("comm_v"),
+        F.element_at("kv", "name").alias("name_v"),
+        F.element_at("kv", "proctitle").alias("proctitle_v"),
+        F.element_at("kv", "syscall").alias("syscall_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 parsers (construct a raw line from events, parse it back, verify
 # the parse recovers the original fields)

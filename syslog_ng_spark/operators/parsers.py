@@ -261,6 +261,73 @@ def kv_parser_quoted(df: DataFrame, col: str, target: str = "kv") -> DataFrame:
     return df.withColumn(target, _fold_kv_entries(entries))
 
 
+# Fields the Linux kernel audit subsystem hex-encodes when the value
+# contains characters outside 0x21..0x7e or a double quote
+# (reference: modules/kvformat/linux-audit-parser.c hexcoded_fields[])
+_AUDIT_HEX_FIELDS = ("name", "proctitle", "path", "dir", "comm", "ocomm", "data", "old", "new")
+
+
+def linux_audit_parser(df: DataFrame, col: str, target: str = "kv") -> DataFrame:
+    """linux-audit() kv mode: auditd lines ('type=SYSCALL msg=audit(…):
+    a0=… proctitle=2F62696E…') where the kernel hex-encodes certain
+    fields. Reference: modules/kvformat/linux-audit-parser.c
+    (parse_linux_audit_style_hexdump), exercised by its criterion
+    suite — those cases are replicated in tests/test_parsers.py.
+
+    A value is decoded iff ALL of: the key is a known hexcoded field
+    (or a0/a1/… arg), the value was NOT quoted, has even nonzero
+    length, is entirely hex digits, at least one decoded byte is
+    outside 0x21..0x7e or is '"' (otherwise the kernel would not have
+    hex-encoded it — '41607E' stays as-is), and the decode is valid
+    UTF-8. NUL bytes become tabs (the kernel's argv separator).
+    Everything is Catalyst array/string expressions; UTF-8 validity
+    uses is_valid_utf8 over the raw bytes (decode() would abort the
+    job on malformed input), exactly g_utf8_validate's role in the
+    reference."""
+    entries = F.expr(
+        f"""
+        transform(
+          regexp_extract_all({col}, '([^\\\\s="]+)=("[^"]*"|\\\\S*)', 0),
+          kv -> struct(
+            regexp_extract(kv, '^([^=]+)=', 1) as key,
+            regexp_extract(kv, '=(.*)$', 1) as raw)
+        )
+        """.strip()
+    )
+
+    def decode_value(key: Column, raw: Column) -> Column:
+        unq = F.regexp_replace(raw, '^"|"$', "")
+        hexish = (
+            (~raw.startswith('"'))
+            & (F.length(raw) > 0)
+            & (F.length(raw) % 2 == 0)
+            & raw.rlike("^[0-9A-Fa-f]+$")
+        )
+        applicable = key.isin(*_AUDIT_HEX_FIELDS) | key.rlike("^a[0-9]")
+        pairs = F.regexp_extract_all(raw, F.lit("[0-9A-Fa-f]{2}"), 0)
+        byte_vals = F.transform(pairs, lambda p: F.conv(p, 16, 10).cast("int"))
+        kernel_would = F.exists(
+            byte_vals, lambda b: (b < 0x21) | (b > 0x7E) | (b == 0x22)
+        )
+        hex2 = F.array_join(
+            F.transform(
+                pairs, lambda p: F.when(p == "00", F.lit("09")).otherwise(F.upper(p))
+            ),
+            "",
+        )
+        decoded = F.unhex(hex2).cast("string")
+        valid = F.is_valid_utf8(decoded)
+        return F.when(applicable & hexish & kernel_would & valid, decoded).otherwise(unq)
+
+    decoded_entries = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["key"].alias("key"), decode_value(e["key"], e["raw"]).alias("value")
+        ),
+    )
+    return df.withColumn(target, _fold_kv_entries(decoded_entries))
+
+
 def json_parser(df: DataFrame, col: str, target: str = "sdata") -> DataFrame:
     """json-parser(): JSON object string → map<string,string> (reference
     flattens scalar members into NV pairs; nested objects keep their

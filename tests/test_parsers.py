@@ -13,6 +13,7 @@ from syslog_ng_spark.operators.parsers import (
     json_parser,
     kv_parser,
     kv_parser_quoted,
+    linux_audit_parser,
     pattern_parser,
     syslog_parser_3164,
     syslog_parser_5424,
@@ -160,3 +161,44 @@ def test_tags_parser_without_existing_tags_column(spark):
     df = spark.createDataFrame([(1, "a,b,a")], "id int, taglist string")
     out = tags_parser(df, "taglist").collect()
     assert out[0].tags == ["a", "b"]
+
+
+def test_linux_audit_scanner_reference_cases(spark):
+    """The reference's criterion suite for the audit hexdump transform
+    (modules/kvformat/tests/test_linux_audit_scanner.c), line for line:
+    decode only when a hexcoded field's bytes include something the
+    kernel escapes (<0x21, >0x7e, '"'); NUL becomes tab; odd-length,
+    all-printable, invalid-UTF-8, unknown-field, and quoted values all
+    stay raw."""
+    cases = [
+        ("proctitle=41607E", {"proctitle": "41607E"}),
+        ("proctitle=412042", {"proctitle": "A B"}),
+        (
+            "proctitle=C3A17276C3AD7A74C5B172C59174C3BC6BC3B67266C3BA72C3B367C3A970",
+            {"proctitle": "árvíztűrőtükörfúrógép"},
+        ),
+        (
+            "proctitle=2F62696E2F7368002D65002F6574632F696E69742E642F706F737466697800737461747573",
+            {"proctitle": "/bin/sh\t-e\t/etc/init.d/postfix\tstatus"},
+        ),
+        ("a1=2F62696E2F7368202D6C", {"a1": "/bin/sh -l"}),
+        ("proctitle=41204", {"proctitle": "41204"}),
+        (
+            'type=SYSCALL msg=audit(1436259640.156:596): arch=c000003e comm="cat" exit=0',
+            {
+                "type": "SYSCALL",
+                "msg": "audit(1436259640.156:596):",
+                "arch": "c000003e",
+                "comm": "cat",
+                "exit": "0",
+            },
+        ),
+        ("data=FFFE41", {"data": "FFFE41"}),
+        ("other=412042", {"other": "412042"}),
+        ('comm="412042"', {"comm": "412042"}),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "line string")
+    got = {r.line: dict(r.kv) for r in linux_audit_parser(df, "line").collect()}
+    for line, want in cases:
+        for k, v in want.items():
+            assert got[line].get(k) == v, f"{line!r}[{k}]: {got[line].get(k)!r} != {v!r}"
