@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "text_ann_topk",
     "filter_netmask6",
     "audit_parse",
+    "journal_parse",
 ]
 
 

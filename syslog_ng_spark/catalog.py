@@ -394,6 +394,77 @@ def filter_netmask6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.where(keep)
 
 
+_JOURNAL_PARSE_SQL = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       'host-' || (user_id % 50)::VARCHAR AS host_v,
+       event_type AS program_v,
+       user_id::INTEGER AS pid_v,
+       (user_id % 8)::INTEGER AS severity_v,
+       (user_id % 24)::INTEGER AS facility_v,
+       event_type || ' event from ' || user_id::VARCHAR AS message_v,
+       's=abc;i=' || event_id::VARCHAR AS cursor_v
+FROM events
+"""
+
+
+@register("journal_parse", _JOURNAL_PARSE_SQL)
+def journal_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """systemd-journal source analog (reference: modules/
+    systemd-journal/journal-reader.c): events rendered as journal
+    export entries, several entries per blob (blank-line separated, so
+    record splitting is exercised), then parsed back to the canonical
+    log schema — MESSAGE/_HOSTNAME/_PID/PRIORITY/SYSLOG_FACILITY
+    mapping, SYSLOG_IDENTIFIER program, __REALTIME_TIMESTAMP µs
+    round-trip, and the '.journald.' sdata prefix. Oracle derives all
+    expected values from the generators, never from the parser."""
+    from syslog_ng_spark.operators.parsers import (
+        journal_export_parser,
+        journal_export_records,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    rec = F.concat(
+        F.lit("__REALTIME_TIMESTAMP="),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        F.lit("\n__CURSOR=s=abc;i="),
+        F.col("event_id").cast("string"),
+        F.lit("\nPRIORITY="),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit("\nSYSLOG_FACILITY="),
+        (F.col("user_id") % 24).cast("string"),
+        F.lit("\n_HOSTNAME=host-"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit("\nSYSLOG_IDENTIFIER="),
+        F.col("event_type"),
+        F.lit("\n_PID="),
+        F.col("user_id").cast("string"),
+        F.lit("\n_EVENT_ID="),
+        F.col("event_id").cast("string"),
+        F.lit("\nMESSAGE="),
+        F.col("event_type"),
+        F.lit(" event from "),
+        F.col("user_id").cast("string"),
+    )
+    blobs = (
+        ev.select((F.col("user_id") % 64).alias("grp"), rec.alias("rec"))
+        .groupBy("grp")
+        .agg(F.array_join(F.array_sort(F.collect_list("rec")), "\n\n").alias("blob"))
+    )
+    parsed = journal_export_parser(journal_export_records(blobs, "blob"))
+    return parsed.select(
+        F.element_at("sdata", ".journald._EVENT_ID").cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("host").alias("host_v"),
+        F.col("program").alias("program_v"),
+        F.col("pid").alias("pid_v"),
+        F.col("severity").alias("severity_v"),
+        F.col("facility").alias("facility_v"),
+        F.col("message").alias("message_v"),
+        F.element_at("sdata", ".journald.__CURSOR").alias("cursor_v"),
+    )
+
+
 _AUDIT_PARSE_SQL = """
 SELECT event_id,
        'SYSCALL' AS type_v,

@@ -328,6 +328,56 @@ def linux_audit_parser(df: DataFrame, col: str, target: str = "kv") -> DataFrame
     return df.withColumn(target, _fold_kv_entries(decoded_entries))
 
 
+def journal_export_records(df: DataFrame, col: str, target: str = "record") -> DataFrame:
+    """systemd journal export stream → one row per journal entry.
+    The export format separates entries with an empty line; `col`
+    holds a chunk of the stream (e.g. one wholetext file). Binary
+    size-prefixed fields (FIELD\\n<le64 len><data>) are a §6 non-goal —
+    they need byte-level framing, not line splitting; journalctl -o
+    export emits them only for fields with embedded newlines."""
+    recs = F.filter(F.split(F.col(col), "\n\n+"), lambda r: F.trim(r) != "")
+    return df.withColumn(target, F.explode(recs))
+
+
+def journal_export_parser(
+    df: DataFrame, col: str = "record", prefix: str = ".journald."
+) -> DataFrame:
+    """One journal export entry (FIELD=value lines) → canonical log
+    columns. Reference: modules/systemd-journal/journal-reader.c
+    (_map_key_value_pairs_to_syslog_macros + _handle_data):
+    MESSAGE→message, _HOSTNAME→host, _PID→pid, PRIORITY→severity,
+    SYSLOG_FACILITY→facility, program = SYSLOG_IDENTIFIER falling back
+    to _COMM (_set_program), timestamp from __REALTIME_TIMESTAMP
+    (microseconds, journald_get_realtime_usec), and EVERY field —
+    including the mapped ones — lands in sdata under the source's
+    prefix() (default '.journald.', journal_reader_options_defaults).
+    Lines without '=' (would-be binary fields) are skipped."""
+    lines = F.filter(F.split(F.col(col), "\n"), lambda line: line.contains("="))
+    entries = F.transform(
+        lines,
+        lambda line: F.struct(
+            F.substring_index(line, "=", 1).alias("key"),
+            line.substr(
+                F.length(F.substring_index(line, "=", 1)) + 2, F.length(line)
+            ).alias("value"),
+        ),
+    )
+    m = _fold_kv_entries(entries)
+    out = df.withColumn("_j", m)
+    g = lambda k: F.element_at(F.col("_j"), k)  # noqa: E731
+    return (
+        out.withColumn("ts", F.timestamp_micros(g("__REALTIME_TIMESTAMP").cast("long")))
+        .withColumn("host", g("_HOSTNAME"))
+        .withColumn("program", F.coalesce(g("SYSLOG_IDENTIFIER"), g("_COMM")))
+        .withColumn("pid", g("_PID").cast("int"))
+        .withColumn("severity", g("PRIORITY").cast("int"))
+        .withColumn("facility", g("SYSLOG_FACILITY").cast("int"))
+        .withColumn("message", g("MESSAGE"))
+        .withColumn("sdata", F.transform_keys(F.col("_j"), lambda k, v: F.concat(F.lit(prefix), k)))
+        .drop("_j")
+    )
+
+
 def json_parser(df: DataFrame, col: str, target: str = "sdata") -> DataFrame:
     """json-parser(): JSON object string → map<string,string> (reference
     flattens scalar members into NV pairs; nested objects keep their

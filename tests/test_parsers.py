@@ -202,3 +202,39 @@ def test_linux_audit_scanner_reference_cases(spark):
     for line, want in cases:
         for k, v in want.items():
             assert got[line].get(k) == v, f"{line!r}[{k}]: {got[line].get(k)!r} != {v!r}"
+
+
+def test_journal_export_parser(spark):
+    """Journal export format: blank-line record separation, field→macro
+    mapping (journal-reader.c), SYSLOG_IDENTIFIER→_COMM program
+    fallback, '.journald.' sdata prefix, µs timestamp, and lines
+    without '=' (binary fields) skipped."""
+    import datetime
+
+    from syslog_ng_spark.operators.parsers import (
+        journal_export_parser,
+        journal_export_records,
+    )
+
+    blob = (
+        "__REALTIME_TIMESTAMP=1704067200123456\n"
+        "PRIORITY=3\nSYSLOG_FACILITY=4\n_HOSTNAME=web-01\n"
+        "SYSLOG_IDENTIFIER=sshd\n_PID=1234\nMESSAGE=login failed\n"
+        "\n"
+        "__REALTIME_TIMESTAMP=1704067201000000\n"
+        "PRIORITY=6\n_HOSTNAME=web-02\n_COMM=cron\n_PID=77\n"
+        "BINARYISH\nMESSAGE=job done\n"
+    )
+    df = spark.createDataFrame([(blob,)], "blob string")
+    rows = sorted(
+        journal_export_parser(journal_export_records(df, "blob")).collect(),
+        key=lambda r: r.pid,
+    )
+    a, b = rows[1], rows[0]
+    assert a.host == "web-01" and a.program == "sshd" and a.pid == 1234
+    assert a.severity == 3 and a.facility == 4 and a.message == "login failed"
+    assert a.ts == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    assert a.sdata[".journald.SYSLOG_IDENTIFIER"] == "sshd"
+    assert b.program == "cron"  # _COMM fallback
+    assert b.facility is None
+    assert ".journald.BINARYISH" not in b.sdata  # no '=' -> skipped
