@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "filter_netmask6",
     "audit_parse",
     "journal_parse",
+    "ann_ivf_scan",
+    "ann_pq_scan",
+    "ann_ivfpq_scan",
+    "semantic_dedup_scan",
 ]
 
 

@@ -1671,15 +1671,12 @@ _CORPUS_CTES = [
 ]
 
 
-def _ivf_ctes(k: int = 16, iters: int = 2, nprobe: int = 4):
-    """Shared CTE builder for the IVF oracles: md5-hash seed
-    selection, unrolled Lloyd rounds, probe choice, final cell
-    assignment (`a_final`). Assumes `corpus` and `qv` are defined by
-    the caller. Ties broken toward the larger cell index (Spark's
+def _ivf_assign_cte(cents: str, name: str) -> str:
+    """CTE assigning each corpus row to its nearest centroid in
+    `cents` — the SQL mirror of similarity.ivf_assign (9-digit score
+    rounding, ties toward the larger cell index = Spark's
     array_max(struct(s, i)) semantics)."""
-
-    def assign(cents: str, name: str) -> str:
-        return f"""{name} AS (
+    return f"""{name} AS (
   SELECT vec_id, v, cid FROM (
     SELECT c.vec_id, c.v, s.cid,
            row_number() OVER (PARTITION BY c.vec_id ORDER BY
@@ -1688,6 +1685,39 @@ def _ivf_ctes(k: int = 16, iters: int = 2, nprobe: int = 4):
              s.cid DESC) AS rn
     FROM corpus c CROSS JOIN {cents} s)
   WHERE rn = 1)"""
+
+
+def _ivf_probe_cte(cents: str, nprobe: int) -> str:
+    """CTE choosing the query's nprobe nearest cells (mirror of
+    similarity.ivf_topk's probe selection)."""
+    return f"""probe AS (
+  SELECT cid FROM (
+    SELECT s.cid, row_number() OVER (ORDER BY
+      round(list_inner_product(q.v, s.v)
+        / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(s.v, s.v))), 9) DESC,
+      s.cid DESC) AS rn
+    FROM qv q CROSS JOIN {cents} s)
+  WHERE rn <= {nprobe})"""
+
+
+def _vec_literal_cte(vectors, name: str) -> str:
+    """(cid, v) literal table from a Python list of vectors — how the
+    frozen ann_fixtures surface inside a DuckDB oracle."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[])"
+        for i, v in enumerate(vectors)
+    )
+    return f"{name} AS (SELECT cid, v FROM (VALUES {rows}) AS t(cid, v))"
+
+
+def _ivf_ctes(k: int = 16, iters: int = 2, nprobe: int = 4):
+    """Shared CTE builder for the IVF oracles: md5-hash seed
+    selection, unrolled Lloyd rounds, probe choice, final cell
+    assignment (`a_final`). Assumes `corpus` and `qv` are defined by
+    the caller. Ties broken toward the larger cell index (Spark's
+    array_max(struct(s, i)) semantics)."""
+
+    assign = _ivf_assign_cte
 
     ctes = [
         f"""cents0 AS (
@@ -1708,14 +1738,7 @@ def _ivf_ctes(k: int = 16, iters: int = 2, nprobe: int = 4):
         ctes.append(f"""cents{r + 1} AS (
   SELECT p.cid, coalesce(n.v, p.v) AS v
   FROM cents{r} p LEFT JOIN cents{r + 1}_raw n USING (cid))""")
-    ctes.append(f"""probe AS (
-  SELECT cid FROM (
-    SELECT s.cid, row_number() OVER (ORDER BY
-      round(list_inner_product(q.v, s.v)
-        / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(s.v, s.v))), 9) DESC,
-      s.cid DESC) AS rn
-    FROM qv q CROSS JOIN cents{iters} s)
-  WHERE rn <= {nprobe})""")
+    ctes.append(_ivf_probe_cte(f"cents{iters}", nprobe))
     ctes.append(assign(f"cents{iters}", "a_final"))
     return ctes
 
@@ -1761,6 +1784,43 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cents = similarity.ivf_train(corpus, k=16, iters=2)
     return similarity.ivf_topk(corpus, qvec, cents, k=10, nprobe=4)
+
+
+def _pq_assign_cte(cents: str, name: str, s: int, sub: int) -> str:
+    """CTE assigning subspace `s` of each corpus row to its nearest
+    code in `cents` — mirror of similarity's _pq_assign_expr (L2 via
+    -2·x·c + |c|², 9-digit rounding, ties toward the smaller cid =
+    Spark's array_min(struct) semantics)."""
+    lo, hi = s * sub + 1, (s + 1) * sub
+    return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT c.vec_id, c.v[{lo}:{hi}] AS v, s.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             round(list_inner_product(c.v[{lo}:{hi}], s.v) * -2 + list_inner_product(s.v, s.v), 9) ASC,
+             s.cid ASC) AS rn
+    FROM corpus c CROSS JOIN {cents} s)
+  WHERE rn = 1)"""
+
+
+def _pq_lut_cte(cents: str, s: int, sub: int) -> str:
+    lo, hi = s * sub + 1, (s + 1) * sub
+    return f"""lut_{s} AS (
+  SELECT s.cid, round(list_inner_product(q.v[{lo}:{hi}], s.v), 9) AS ip
+  FROM {cents} s CROSS JOIN qv q)"""
+
+
+def _pq_scan_joins(m: int):
+    """(ip_sum_expr, joins_clause) for the final PQ LUT scan — the
+    fixed left-associative sum Spark's pq_topk uses."""
+    ip_sum = "l_0.ip"
+    for s in range(1, m):
+        ip_sum = f"({ip_sum} + l_{s}.ip)"
+    joins = "af_0 a_0"
+    for s in range(1, m):
+        joins += f" JOIN af_{s} a_{s} USING (vec_id)"
+    for s in range(m):
+        joins += f" JOIN lut_{s} l_{s} ON l_{s}.cid = a_{s}.cid"
+    return ip_sum, joins
 
 
 def _pq_ctes(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64):
@@ -1973,6 +2033,179 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalance(T(spark, sf_dir, "embeddings"))
     cents = similarity.ivf_train(emb, k=16, iters=2)
     return similarity.semantic_dedup_pairs(emb, cents, threshold=0.45).withColumn(
+        "ivf_cell", F.col("ivf_cell").cast("long")
+    )
+
+
+# --- scan-only ANN gates: frozen ann_fixtures (train-once offline) ----------
+# The ann_*_topk gates above replay TRAINING in-query so the oracle can
+# verify the Lloyd pipeline — but that makes their floors measure
+# train+scan, while at 100 TB training happens once offline and only
+# the scan runs over the corpus. These *_scan gates load the frozen
+# fixtures (tools/gen_ann_fixtures.py) as literals on BOTH engines, so
+# their floors guard the scan path alone.
+
+
+def _ivf_scan_sql(nprobe: int = 4, topk: int = 10) -> str:
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+
+    ctes = _CORPUS_CTES + [
+        _vec_literal_cte(IVF_CENTROIDS, "centsF"),
+        _ivf_probe_cte("centsF", nprobe),
+        _ivf_assign_cte("centsF", "a_final"),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id,
+       round(list_inner_product(a.v, q.v)
+         / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.v, q.v))), 6)
+         AS cos_sim
+FROM a_final a JOIN probe USING (cid) CROSS JOIN qv q
+ORDER BY cos_sim DESC, vec_id LIMIT {topk}"""
+    )
+
+
+@register("ann_ivf_scan", _ivf_scan_sql(nprobe=4, topk=10))
+def ann_ivf_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, scan only: frozen centroids (ann_fixtures), assignment
+    + nprobe cell pruning + top-k — the per-query work at 100 TB where
+    the quantizer is trained offline. Training correctness lives in
+    ann_ivf_topk; this gate's bench floor guards scan regressions."""
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.ivf_topk(corpus, qvec, IVF_CENTROIDS, k=10, nprobe=4)
+
+
+def _pq_scan_sql(topk: int = 10, dim: int = 64) -> str:
+    from syslog_ng_spark.ann_fixtures import PQ_CODEBOOKS
+
+    m = len(PQ_CODEBOOKS)
+    sub = dim // m
+    ctes = list(_CORPUS_CTES)
+    for s in range(m):
+        ctes.append(_vec_literal_cte(PQ_CODEBOOKS[s], f"centsF_{s}"))
+        ctes.append(_pq_assign_cte(f"centsF_{s}", f"af_{s}", s, sub))
+        ctes.append(_pq_lut_cte(f"centsF_{s}", s, sub))
+    ctes.append(
+        """vn AS (
+  SELECT vec_id, round(sqrt(list_inner_product(v, v)), 9) AS nrm FROM corpus)"""
+    )
+    ctes.append("""qn AS (SELECT sqrt(list_inner_product(v, v)) AS n FROM qv)""")
+    ip_sum, joins = _pq_scan_joins(m)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a_0.vec_id,
+       round({ip_sum} / (qn.n * vn.nrm), 6) AS cos_sim_adc
+FROM {joins} JOIN vn ON vn.vec_id = a_0.vec_id CROSS JOIN qn
+ORDER BY cos_sim_adc DESC, a_0.vec_id LIMIT {topk}"""
+    )
+
+
+@register("ann_pq_scan", _pq_scan_sql(topk=10))
+def ann_pq_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN, scan only: frozen codebooks, encode + LUT ADC scan +
+    top-k. Training correctness lives in ann_pq_topk."""
+    from syslog_ng_spark.ann_fixtures import PQ_CODEBOOKS
+
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.pq_topk(corpus, qvec, PQ_CODEBOOKS, k=10)
+
+
+def _ivfpq_scan_sql(nprobe: int = 4, topk: int = 10, dim: int = 64) -> str:
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS, PQ_CODEBOOKS
+
+    m = len(PQ_CODEBOOKS)
+    sub = dim // m
+    ctes = _CORPUS_CTES + [
+        _vec_literal_cte(IVF_CENTROIDS, "centsF"),
+        _ivf_probe_cte("centsF", nprobe),
+        _ivf_assign_cte("centsF", "a_final"),
+    ]
+    for s in range(m):
+        ctes.append(_vec_literal_cte(PQ_CODEBOOKS[s], f"centsF_{s}"))
+        ctes.append(_pq_assign_cte(f"centsF_{s}", f"af_{s}", s, sub))
+        ctes.append(_pq_lut_cte(f"centsF_{s}", s, sub))
+    ctes.append(
+        """vn AS (
+  SELECT vec_id, round(sqrt(list_inner_product(v, v)), 9) AS nrm FROM corpus)"""
+    )
+    ctes.append("""qn AS (SELECT sqrt(list_inner_product(v, v)) AS n FROM qv)""")
+    ip_sum, joins = _pq_scan_joins(m)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a_0.vec_id,
+       round({ip_sum} / (qn.n * vn.nrm), 6) AS cos_sim_adc
+FROM {joins}
+  JOIN vn ON vn.vec_id = a_0.vec_id
+  JOIN a_final iv ON iv.vec_id = a_0.vec_id
+  JOIN probe ON probe.cid = iv.cid
+  CROSS JOIN qn
+ORDER BY cos_sim_adc DESC, a_0.vec_id LIMIT {topk}"""
+    )
+
+
+@register("ann_ivfpq_scan", _ivfpq_scan_sql(nprobe=4, topk=10))
+def ann_ivfpq_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN, scan only: frozen centroids + codebooks, pruned LUT
+    scan — the exact per-query plan of a production 100 TB ANN serve
+    (rows pruned by cell, bytes shrunk to m codes + norm)."""
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS, PQ_CODEBOOKS
+
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return similarity.ivfpq_topk(corpus, qvec, IVF_CENTROIDS, PQ_CODEBOOKS, k=10, nprobe=4)
+
+
+def _semantic_dedup_scan_sql(threshold: float = 0.45) -> str:
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+
+    ctes = [
+        """corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        _vec_literal_cte(IVF_CENTROIDS, "centsF"),
+        _ivf_assign_cte("centsF", "a_final"),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid::BIGINT AS ivf_cell,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM a_final a JOIN a_final b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}"""
+    )
+
+
+@register("semantic_dedup_scan", _semantic_dedup_scan_sql(threshold=0.45))
+def semantic_dedup_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, scan only: frozen quantizer, cell assignment + within-
+    cell pair verify. The floor guards the candidate-generation +
+    verify path; training correctness lives in semantic_dedup."""
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup_pairs(emb, IVF_CENTROIDS, threshold=0.45).withColumn(
         "ivf_cell", F.col("ivf_cell").cast("long")
     )
 
