@@ -4174,6 +4174,39 @@ def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _dup_clusters_capped_sql() -> str:
+    """Recursive-CTE components over the CAPPED simhash60 pair set —
+    the linear-candidate edge source (bucket_cap drops degenerate
+    buckets), vs dup_clusters' uncapped jaccard edges."""
+    return f"""
+WITH RECURSIVE
+sp AS ({_simhash_neardup_sql(60, 3, 4, bucket_cap=1000).strip()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM sp
+          UNION SELECT id_b, id_a FROM sp),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node)
+SELECT node, min(label) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dup_clusters_capped", _dup_clusters_capped_sql())
+def dup_clusters_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the capped candidate path: simhash60
+    pairs with bucket_cap=1000 (linear candidates, SCALE.md-measured)
+    → min-label components. This is the variant whose wall time stays
+    benchable at sf10 — dup_clusters (uncapped jaccard edges) is the
+    small-sf oracle baseline; this gate is the 100 TB recipe."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.simhash_neardup_pairs(
+        docs, "text", "doc_id", bits=60, max_hamming=3, chunks=4, bucket_cap=1000
+    )
+    return dedup.connected_components(pairs)
+
+
 def _fuzzy_dedup_sql() -> str:
     """LSH candidates → exact-Jaccard verify on candidates only →
     recursive-CTE components → keep-list, mirroring dedup.fuzzy_dedup

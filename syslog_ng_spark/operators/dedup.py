@@ -375,12 +375,18 @@ def connected_components(
     """Duplicate-cluster assembly: near-dup PAIRS → components, each
     labeled by its minimum member id (the canonical document).
 
-    Min-label propagation: every node starts as its own label; each
-    round takes the min of its neighbors' labels; converges in
-    O(diameter) rounds (dup clusters are small, so a handful). Each
-    round is ONE join + ONE groupBy — the standard distributed CC
-    loop; only the convergence counter reaches the driver, and
-    localCheckpoint truncates the lineage so plans stay flat at scale.
+    Min-label propagation WITH pointer jumping: every node starts as
+    its own label; each round takes the min of its neighbors' labels,
+    then shortcuts label <- label(label). The neighbor step alone
+    converges in O(diameter) rounds — fine for blob-shaped dup
+    clusters, but a CHAIN of near-dups (doc_i ~ doc_{i+1}, the shape
+    the 1.5%-mutation synthetic corpus actually builds) has diameter
+    O(cluster size) and blew past 20 rounds at sf1. The shortcut
+    halves every label path per round, so convergence is
+    O(log diameter) — 2^20 diameter headroom within max_iters=20.
+    Each round is TWO joins + ONE groupBy; only the convergence
+    counter reaches the driver, and localCheckpoint truncates the
+    lineage so plans stay flat at scale.
 
     Returns (node, cluster_id) for every node that appears in a pair;
     dedup keeps rows where node == cluster_id (cluster canonicals)."""
@@ -397,11 +403,19 @@ def connected_components(
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), F.col("label")
         )
-        new_labels = (
+        stepped = (
             labels.select("node", "label")
             .union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: a label is itself a node id, so label(label)
+        # is defined for every row; it only ever decreases, and chasing
+        # one hop per round gives the logarithmic contraction
+        parent = stepped.select(F.col("node").alias("label"), F.col("label").alias("_pl"))
+        new_labels = (
+            stepped.join(parent, "label", "left")
+            .select("node", F.least(F.col("label"), F.coalesce("_pl", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (

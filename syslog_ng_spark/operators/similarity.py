@@ -187,6 +187,47 @@ def ivf_assign(
     return df.withColumn(target, best["i"])
 
 
+def ivf_assign_pandas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target: str = "ivf_cell",
+) -> DataFrame:
+    """ivf_assign's large-k kernel: one Arrow-batched numpy matmul per
+    partition instead of a k-way unrolled Catalyst argmax. The
+    expression form is ideal up to a few dozen centroids, but its
+    codegen grows with k (k dot products inlined per row) — at k=256
+    janino compile time dominates the query (measured while scaling
+    SemDeDup's cell count with the corpus). Matmul cost is identical
+    per row regardless of how k factors into the expression tree.
+
+    Semantics match ivf_assign exactly (parity-tested): scores are
+    dot(v, centroid/|centroid|) rounded to 9 digits, ties broken
+    toward the LARGER cell index."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype="float64")
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    Cn = (C / norms[:, None]).T  # dim x k
+
+    def assign(iterator):
+        for pdf in iterator:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            scores = np.round(mat @ Cn, 9)
+            # argmax with ties toward the larger index: reverse, argmax
+            # (first hit = largest original index), map back
+            best = (scores.shape[1] - 1) - np.argmax(scores[:, ::-1], axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], target: best.astype("int32")})
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {target} int"
+    )
+    return df.join(assigned, id_col)
+
+
 def ivf_train(
     df: DataFrame,
     k: int = 16,
@@ -277,6 +318,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.45,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_kernel: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the IVF coarse
@@ -293,10 +335,22 @@ def semantic_dedup_pairs(
     boundary are missed — recall measured in
     tests/test_dedup_similarity.py; raise k for finer cells or run
     both on a sample to calibrate.
+
+    Scaling law (SCALE.md r5): with FIXED k the within-cell pair count
+    is Σc_i² ~ n²/k — quadratic. Holding CELL SIZE constant (k ∝ n)
+    makes it linear; past a few dozen centroids the unrolled argmax
+    expression hits janino compile blow-up, so pass
+    assign_kernel='pandas' (Arrow matmul, identical semantics) for
+    large k.
     """
-    assigned = ivf_assign(corpus, centroids, vec_col, "_cell").select(
-        id_col, vec_col, "_cell"
-    )
+    if assign_kernel == "pandas":
+        assigned = ivf_assign_pandas(corpus, centroids, vec_col, id_col, "_cell").select(
+            id_col, vec_col, "_cell"
+        )
+    else:
+        assigned = ivf_assign(corpus, centroids, vec_col, "_cell").select(
+            id_col, vec_col, "_cell"
+        )
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),

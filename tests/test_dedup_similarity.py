@@ -286,3 +286,37 @@ def test_incremental_dedup_filters_known_docs(spark):
     # higher threshold lets the near-dup through but not the exact dup
     kept9 = sorted(r.doc_id for r in dedup.incremental_dedup(new, corpus, threshold=0.99).collect())
     assert kept9 == [1, 2]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph has diameter 199 — plain min-label
+    propagation needs 199 rounds, pointer jumping needs ~8. Regression
+    for the sf1 blow-up where chain-shaped near-dup clusters exceeded
+    max_iters=20."""
+    from syslog_ng_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)] + [(500, 501)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iters=20).collect()
+    labels = {r.node: r.cluster_id for r in out}
+    assert all(labels[i] == 0 for i in range(200))
+    assert labels[500] == labels[501] == 500
+
+
+def test_ivf_assign_pandas_matches_expr_kernel(spark):
+    """The Arrow-matmul assignment (large-k kernel) must agree with the
+    Catalyst expression kernel row for row — same 9-digit rounding,
+    same tie-break toward the larger cell index."""
+    import random
+
+    from syslog_ng_spark.operators.similarity import ivf_assign, ivf_assign_pandas
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    # force exact ties: duplicate centroids
+    cents = [rows[i][1] for i in range(6)] + [rows[0][1]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r.vec_id: r.c for r in ivf_assign(df, cents, "embedding", "c").collect()}
+    b = {r.vec_id: r.c for r in ivf_assign_pandas(df, cents, target="c").collect()}
+    assert a == b
