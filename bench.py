@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "multimodal_audio",
     "dup_clusters",
+    "dup_clusters_capped",
     "decontaminate",
     "oov_rate",
     "patterndb_actions",
