@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "ann_pq_scan",
     "ann_ivfpq_scan",
     "semantic_dedup_scan",
+    "apache_accesslog_parse",
+    "cisco_parse",
+    "iptables_parse",
 ]
 
 

@@ -394,6 +394,212 @@ def filter_netmask6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.where(keep)
 
 
+_APACHE_PARSE_SQL = f"""
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN 'vh' || (user_id % 10)::VARCHAR END AS vhost_v,
+       CASE WHEN event_id % 5 = 0 THEN 443 END::INTEGER AS port_v,
+       {_IP_SQL} AS clientip_v,
+       'u' || user_id::VARCHAR AS auth_v,
+       epoch_us(date_trunc('second', ts)) AS ts_us,
+       CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS verb_v,
+       '/page/' || event_id::VARCHAR AS request_v,
+       '1.1' AS httpversion_v,
+       (200 + (user_id % 4) * 100)::INTEGER AS response_v,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id * 10 END::BIGINT AS bytes_v,
+       CASE WHEN event_id % 3 <> 0 THEN 'http://ref/' || user_id::VARCHAR END AS referrer_v,
+       CASE WHEN event_id % 3 <> 0 THEN 'UA ' || event_type END AS agent_v
+FROM events
+"""
+
+
+@register("apache_accesslog_parse", _APACHE_PARSE_SQL)
+def apache_accesslog_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apache-accesslog-parser() (reference: scl/apache/apache.conf):
+    events rendered as access-log lines across all four recognized
+    formats (common / combined / vhost_common / vhost_combined, plus
+    '-' bytes), parsed back to the logstash-like schema incl. the
+    %d/%b/%Y:%H:%M:%S %z date and the HTTP/ strip. The oracle derives
+    every expected value from the generators, never from the parser."""
+    from syslog_ng_spark.operators.app_parsers import apache_accesslog_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    v4 = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    ts_txt = F.date_format(F.col("ts").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss Z")
+    req = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")),
+        F.lit(" /page/"),
+        F.col("event_id").cast("string"),
+        F.lit(" HTTP/1.1"),
+    )
+    core = F.concat(
+        v4,
+        F.lit(" - u"),
+        F.col("user_id").cast("string"),
+        F.lit(" ["),
+        ts_txt,
+        F.lit('] "'),
+        req,
+        F.lit('" '),
+        (200 + (F.col("user_id") % 4) * 100).cast("string"),
+        F.lit(" "),
+        F.when(F.col("event_id") % 7 == 0, F.lit("-")).otherwise(
+            (F.col("user_id") * 10).cast("string")
+        ),
+    )
+    tail = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(
+            F.lit(' "http://ref/'),
+            F.col("user_id").cast("string"),
+            F.lit('" "UA '),
+            F.col("event_type"),
+            F.lit('"'),
+        ),
+    ).otherwise(F.lit(""))
+    head = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(F.lit("vh"), (F.col("user_id") % 10).cast("string"), F.lit(":443 ")),
+    ).otherwise(F.lit(""))
+    line = F.concat(head, core, tail)
+    parsed = apache_accesslog_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.col("apache_vhost").alias("vhost_v"),
+        F.col("apache_port").alias("port_v"),
+        F.col("apache_clientip").alias("clientip_v"),
+        F.col("apache_auth").alias("auth_v"),
+        F.unix_micros(F.col("apache_ts")).alias("ts_us"),
+        F.col("apache_verb").alias("verb_v"),
+        F.col("apache_request").alias("request_v"),
+        F.col("apache_httpversion").alias("httpversion_v"),
+        F.col("apache_response").alias("response_v"),
+        F.col("apache_bytes").alias("bytes_v"),
+        F.col("apache_referrer").alias("referrer_v"),
+        F.col("apache_agent").alias("agent_v"),
+    )
+
+
+_CISCO_PARSE_SQL = """
+SELECT event_id,
+       (128 + user_id % 64)::INTEGER AS pri_v,
+       ((128 + user_id % 64) // 8)::INTEGER AS fac_num_v,
+       ((128 + user_id % 64) % 8)::INTEGER AS sev_num_v,
+       event_id AS seqno_v,
+       epoch_us(date_trunc('second', ts)) AS ts_us,
+       CASE user_id % 4 WHEN 0 THEN 'FW-SESSION' WHEN 1 THEN 'SYS'
+                        WHEN 2 THEN 'LINK' ELSE 'SEC' END AS facility_v,
+       (user_id % 8)::INTEGER AS severity_v,
+       upper(event_type) || '_EV' AS mnemonic_v,
+       'event ' || event_id::VARCHAR AS message_v
+FROM events
+"""
+
+
+@register("cisco_parse", _CISCO_PARSE_SQL)
+def cisco_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cisco-parser() (reference: scl/cisco/plugin.conf): IOS syslog
+    lines with <pri>, sequence number, '*'-marked timestamp, and the
+    %FACILITY-SEVERITY-MNEMONIC triplet — every 4th row uses the
+    4-part FACILITY-subfac-SEVERITY form that folds into
+    'FAC-subfac'. Oracle derives all values from the generators."""
+    from syslog_ng_spark.operators.app_parsers import cisco_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    fac = (
+        F.when(F.col("user_id") % 4 == 0, F.lit("FW-SESSION"))
+        .when(F.col("user_id") % 4 == 1, F.lit("SYS"))
+        .when(F.col("user_id") % 4 == 2, F.lit("LINK"))
+        .otherwise(F.lit("SEC"))
+    )
+    line = F.concat(
+        F.lit("<"),
+        (128 + F.col("user_id") % 64).cast("string"),
+        F.lit(">"),
+        F.col("event_id").cast("string"),
+        F.lit(": *"),
+        F.date_format(F.col("ts").cast("timestamp"), "MMM d yyyy HH:mm:ss"),
+        F.lit(": %"),
+        fac,
+        F.lit("-"),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit("-"),
+        F.upper(F.col("event_type")),
+        F.lit("_EV: event "),
+        F.col("event_id").cast("string"),
+    )
+    parsed = cisco_parser(ev.select("event_id", line.alias("raw")), "raw")
+    return parsed.select(
+        "event_id",
+        F.col("cisco_pri").alias("pri_v"),
+        F.col("cisco_facility_num").alias("fac_num_v"),
+        F.col("cisco_severity_num").alias("sev_num_v"),
+        F.col("cisco_seqno").alias("seqno_v"),
+        F.unix_micros(F.col("cisco_ts")).alias("ts_us"),
+        F.col("cisco_facility").alias("facility_v"),
+        F.col("cisco_severity").alias("severity_v"),
+        F.col("cisco_mnemonic").alias("mnemonic_v"),
+        F.col("cisco_message").alias("message_v"),
+    )
+
+
+_IPTABLES_PARSE_SQL = f"""
+SELECT event_id,
+       'eth' || (user_id % 4)::VARCHAR AS in_v,
+       '' AS out_v,
+       {_IP_SQL} AS src_v,
+       CASE WHEN event_id % 2 = 0 THEN 'TCP' ELSE 'UDP' END AS proto_v,
+       (1000 + event_id % 60000)::VARCHAR AS spt_v
+FROM events
+"""
+
+
+@register("iptables_parse", _IPTABLES_PARSE_SQL)
+def iptables_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iptables-parser() (reference: scl/iptables/iptables.conf):
+    netfilter kernel lines through the kv-parser under the
+    '.iptables.' prefix — empty values ('OUT=') survive as empty
+    strings, valueless flag words ('SYN', 'DF') are stray words and
+    skipped. Oracle derives the values from the generators."""
+    from syslog_ng_spark.operators.app_parsers import iptables_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    v4 = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    line = F.concat(
+        F.lit("IN=eth"),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit(" OUT= SRC="),
+        v4,
+        F.lit(" DST=10.0.0.1 PROTO="),
+        F.when(F.col("event_id") % 2 == 0, F.lit("TCP")).otherwise(F.lit("UDP")),
+        F.lit(" SPT="),
+        (1000 + F.col("event_id") % 60000).cast("string"),
+        F.lit(" DPT=22 SYN DF"),
+    )
+    parsed = iptables_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.element_at("sdata", ".iptables.IN").alias("in_v"),
+        F.element_at("sdata", ".iptables.OUT").alias("out_v"),
+        F.element_at("sdata", ".iptables.SRC").alias("src_v"),
+        F.element_at("sdata", ".iptables.PROTO").alias("proto_v"),
+        F.element_at("sdata", ".iptables.SPT").alias("spt_v"),
+    )
+
+
 _JOURNAL_PARSE_SQL = """
 SELECT event_id,
        epoch_us(ts) AS ts_us,

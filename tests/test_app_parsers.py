@@ -1,0 +1,103 @@
+"""SCL application parsers — corpora straight from the reference's
+documented examples (scl/apache/apache.conf header comments,
+IOS-style cisco lines, netfilter kernel lines)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators.app_parsers import (
+    apache_accesslog_parser,
+    cisco_parser,
+    iptables_parser,
+)
+
+
+def test_apache_all_four_documented_formats(spark):
+    lines = [
+        'virtualhost:443 127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"',
+        'virtualhost:443 127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326',
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"',
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 -',
+    ]
+    df = spark.createDataFrame([(line,) for line in lines], "message string")
+    rows = apache_accesslog_parser(df, "message").collect()
+    for r in rows:
+        assert r.apache_clientip == "127.0.0.1"
+        assert r.apache_ident == "-"  # '-' is a literal column value in the csv schema
+    rows = {
+        (r.apache_vhost, r.apache_referrer is not None, r.apache_bytes): r for r in rows
+    }
+    vc = rows[("virtualhost", True, 2326)]
+    assert vc.apache_port == 443 and vc.apache_auth == "frank"
+    assert vc.apache_verb == "GET" and vc.apache_request == "/apache_pb.gif"
+    assert vc.apache_httpversion == "1.0" and vc.apache_response == 200
+    assert vc.apache_agent.startswith("Mozilla/4.08")
+    # -0700 offset -> 20:55:36 UTC
+    assert vc.apache_ts == datetime.datetime(2000, 10, 10, 20, 55, 36)
+    assert ("virtualhost", False, 2326) in rows  # vhost_common
+    plain_dash = rows[(None, False, None)]  # common with '-' bytes
+    assert plain_dash.apache_response == 200 and plain_dash.apache_bytes is None
+
+
+def test_apache_ident_is_literal_dash(spark):
+    df = spark.createDataFrame(
+        [('127.0.0.1 ident42 frank [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 1',)],
+        "message string",
+    )
+    r = apache_accesslog_parser(df, "message").collect()[0]
+    assert r.apache_ident == "ident42"
+
+
+def test_apache_nonmatching_line_yields_nulls(spark):
+    df = spark.createDataFrame([("not an access log",)], "message string")
+    r = apache_accesslog_parser(df, "message").collect()[0]
+    assert r.apache_response is None and r.apache_clientip is None
+
+
+def test_cisco_parser_forms(spark):
+    lines = [
+        "<189>123: *Mar  1 18:46:11.299: %SYS-5-CONFIG_I: Configured from console by vty2",
+        "%LINK-3-UPDOWN: Interface FastEthernet0/1, changed state to down",
+        "<190>Jan  5 2024 03:04:05: %SEC-6-IPACCESSLOGP: list 102 denied tcp",
+        "<134>456: Feb 14 11:22:33 UTC: %FW-SESSION-6-SESS_AUDIT_TRAIL: Start tcp session",
+    ]
+    df = spark.createDataFrame([(line,) for line in lines], "raw string")
+    rows = {r.cisco_mnemonic: r for r in cisco_parser(df, "raw").collect()}
+    a = rows["CONFIG_I"]
+    assert a.cisco_pri == 189 and a.cisco_facility_num == 23 and a.cisco_severity_num == 5
+    assert a.cisco_seqno == 123 and a.cisco_facility == "SYS" and a.cisco_severity == 5
+    assert a.cisco_ts.month == 3 and a.cisco_ts.second == 11
+    b = rows["UPDOWN"]  # bare triplet, no pri/seq/ts
+    assert b.cisco_pri is None and b.cisco_ts is None and b.cisco_facility == "LINK"
+    c = rows["IPACCESSLOGP"]
+    assert c.cisco_ts == datetime.datetime(2024, 1, 5, 3, 4, 5)
+    d = rows["SESS_AUDIT_TRAIL"]  # 4-part triplet + tz abbrev in ts
+    assert d.cisco_facility == "FW-SESSION" and d.cisco_severity == 6
+    assert d.cisco_message == "Start tcp session"
+
+
+def test_iptables_parser_strays_and_empty_values(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "IN=eth0 OUT= MAC=00:11:22 SRC=192.168.1.2 DST=10.0.0.1 LEN=60 "
+                "PROTO=TCP SPT=51812 DPT=22 WINDOW=64240 SYN URGP=0",
+            )
+        ],
+        "message string",
+    )
+    sd = dict(iptables_parser(df, "message").collect()[0].sdata)
+    assert sd[".iptables.IN"] == "eth0"
+    assert sd[".iptables.OUT"] == ""  # empty value survives
+    assert sd[".iptables.SRC"] == "192.168.1.2"
+    assert sd[".iptables.SPT"] == "51812"
+    assert ".iptables.SYN" not in sd  # flag word = stray, skipped
