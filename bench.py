@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "apache_accesslog_parse",
     "cisco_parse",
     "iptables_parse",
+    "sudo_parse",
+    "ewmm_parse",
+    "app_detect",
 ]
 
 

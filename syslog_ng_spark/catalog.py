@@ -600,6 +600,137 @@ def iptables_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUDO_PARSE_SQL = """
+SELECT event_id,
+       'u' || user_id::VARCHAR AS subject_v,
+       'pts/' || (user_id % 10)::VARCHAR AS tty_v,
+       '/home/u' || user_id::VARCHAR AS pwd_v,
+       'root' AS user_v,
+       '/bin/cmd' || event_id::VARCHAR || ' --flag arg' AS command_v
+FROM events
+"""
+
+
+@register("sudo_parse", _SUDO_PARSE_SQL)
+def sudo_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sudo-parser() (reference: scl/sudo/sudo.conf): ';'-separated
+    kv pairs with the invoking user as a stray word → SUBJECT;
+    COMMAND keeps its embedded spaces. Oracle derives values from the
+    generators."""
+    from syslog_ng_spark.operators.app_parsers import sudo_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit("    u"),
+        F.col("user_id").cast("string"),
+        F.lit(" : TTY=pts/"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(" ; PWD=/home/u"),
+        F.col("user_id").cast("string"),
+        F.lit(" ; USER=root ; COMMAND=/bin/cmd"),
+        F.col("event_id").cast("string"),
+        F.lit(" --flag arg"),
+    )
+    parsed = sudo_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.element_at("sdata", ".sudo.SUBJECT").alias("subject_v"),
+        F.element_at("sdata", ".sudo.TTY").alias("tty_v"),
+        F.element_at("sdata", ".sudo.PWD").alias("pwd_v"),
+        F.element_at("sdata", ".sudo.USER").alias("user_v"),
+        F.element_at("sdata", ".sudo.COMMAND").alias("command_v"),
+    )
+
+
+_EWMM_PARSE_SQL = """
+SELECT event_id,
+       event_type || ' happened' AS msg_v,
+       'origin-' || (user_id % 50)::VARCHAR AS host_v,
+       'app' || (user_id % 7)::VARCHAR AS program_v,
+       'stable,t' || (user_id % 3)::VARCHAR AS tags_v,
+       (user_id * 3)::VARCHAR AS custom_v
+FROM events
+"""
+
+
+@register("ewmm_parse", _EWMM_PARSE_SQL)
+def ewmm_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewmm-parser() (reference: scl/ewmm/ewmm.conf): the syslog-ng
+    relay format — a 5424 frame, program '@syslog-ng', MSG = JSON of
+    all NV pairs. End-to-end: format-ewmm-shaped line → 5424 parse →
+    JSON explode, builtin overwrite (MESSAGE/HOST/PROGRAM from the
+    JSON), ._TAGS → tags (hop-by-hop field consumed), '.'-prefixed
+    user pairs into sdata. Oracle derives from the generators."""
+    from syslog_ng_spark.operators.app_parsers import ewmm_parser
+    from syslog_ng_spark.operators.parsers import syslog_parser_5424
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    j = F.to_json(
+        F.create_map(
+            F.lit("MESSAGE"), F.concat(F.col("event_type"), F.lit(" happened")),
+            F.lit("HOST"), F.concat(F.lit("origin-"), (F.col("user_id") % 50).cast("string")),
+            F.lit("PROGRAM"), F.concat(F.lit("app"), (F.col("user_id") % 7).cast("string")),
+            F.lit("._TAGS"), F.concat(F.lit("stable,t"), (F.col("user_id") % 3).cast("string")),
+            F.lit(".cust.k"), (F.col("user_id") * 3).cast("string"),
+        )
+    )
+    line = F.concat(
+        F.lit("<134>1 2024-01-01T00:00:00Z relay-host @syslog-ng - - - "), j
+    )
+    framed = syslog_parser_5424(ev.select("event_id", line.alias("raw")), raw="raw")
+    parsed = ewmm_parser(framed)
+    return parsed.where(F.col("is_ewmm")).select(
+        "event_id",
+        F.col("ewmm_message").alias("msg_v"),
+        F.col("ewmm_host").alias("host_v"),
+        F.col("ewmm_program").alias("program_v"),
+        F.array_join(F.col("ewmm_tags"), ",").alias("tags_v"),
+        F.element_at("ewmm_sdata", ".cust.k").alias("custom_v"),
+    )
+
+
+_APP_DETECT_SQL = """
+SELECT event_id,
+       CASE event_id % 6
+         WHEN 0 THEN 'iptables' WHEN 1 THEN 'sudo' WHEN 2 THEN 'ewmm'
+         WHEN 3 THEN 'cisco' WHEN 4 THEN 'apache' ELSE 'unknown'
+       END AS app
+FROM events
+"""
+
+
+@register("app_detect", _APP_DETECT_SQL)
+def app_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app-parser()-style auto-detection (reference: each SCL block's
+    application[] filter, routed by scl/default-network-drivers): a
+    mixed corpus of five app shapes plus noise, classified by the
+    first matching application filter. Oracle derives the expected
+    label from the generator, not the classifier."""
+    from syslog_ng_spark.operators.app_parsers import detect_app
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    m = F.col("event_id") % 6
+    program = (
+        F.when(m == 0, F.lit("kernel"))
+        .when(m == 1, F.lit("sudo"))
+        .when(m == 2, F.lit("@syslog-ng"))
+        .otherwise(F.lit("someapp"))
+    )
+    message = (
+        F.when(m == 0, F.lit("IN=eth0 OUT= SRC=1.2.3.4 PROTO=TCP SPT=1 DPT=22"))
+        .when(m == 1, F.lit("u : TTY=pts/0 ; COMMAND=/bin/ls"))
+        .when(m == 2, F.lit('{"MESSAGE":"m"}'))
+        .when(m == 3, F.lit("%SYS-5-CONFIG_I: configured"))
+        .when(
+            m == 4,
+            F.lit('1.2.3.4 - u [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 5'),
+        )
+        .otherwise(F.concat(F.lit("plain text "), F.col("event_type")))
+    )
+    df = ev.select("event_id", program.alias("program"), message.alias("message"))
+    return detect_app(df).select("event_id", "app")
+
+
 _JOURNAL_PARSE_SQL = """
 SELECT event_id,
        epoch_us(ts) AS ts_us,

@@ -163,3 +163,104 @@ def iptables_parser(
     return parsed.withColumn(
         target, F.transform_keys(pruned, lambda k, v: F.concat(F.lit(prefix), k))
     ).drop("_kv_tmp")
+
+
+def sudo_parser(
+    df: DataFrame, col: str = "message", prefix: str = ".sudo.", drop_non_command: bool = True
+) -> DataFrame:
+    """sudo-parser() (reference: scl/sudo/sudo.conf): sudo's audit
+    line — stray words before the first ';'-separated k=v pair carry
+    the invoking user ('   alice : TTY=pts/0 ; PWD=/x ; USER=root ;
+    COMMAND=/bin/ls -l'). kv-parser(pair-separator(';')) semantics:
+    pairs split on ';', key = text before '=', values keep inner
+    spaces (COMMAND with arguments survives whole); the first stray
+    word becomes SUBJECT (the conf's extract-stray-words-into('0') +
+    list-head). Rows without COMMAND are dropped by default (the
+    conf's pam-noise filter)."""
+    # stray words may precede the pair inside a segment ('alice : TTY=x')
+    # — the key is the word immediately left of '=', wherever it sits
+    segs = F.split(F.col(col), ";")
+    entries = F.filter(
+        F.transform(
+            segs,
+            lambda s: F.struct(
+                F.regexp_extract(s, r"(?:^|\s)([A-Za-z_][A-Za-z0-9_]*)=", 1).alias("key"),
+                F.regexp_extract(
+                    s, r"(?:^|\s)[A-Za-z_][A-Za-z0-9_]*=(.*?)\s*$", 1
+                ).alias("value"),
+            ),
+        ),
+        lambda e: e["key"] != "",
+    )
+    kv = F.map_from_entries(entries)
+    subject = F.regexp_extract(F.col(col), r"^\s*(\S+)", 1)
+    out = df.withColumn(
+        "sdata",
+        F.map_concat(
+            F.transform_keys(kv, lambda k, v: F.concat(F.lit(prefix), k)),
+            F.create_map(F.lit(prefix + "SUBJECT"), subject),
+        ),
+    )
+    if drop_non_command:
+        out = out.where(F.element_at("sdata", prefix + "COMMAND").isNotNull())
+    return out
+
+
+def ewmm_parser(df: DataFrame, msg_col: str = "message", program_col: str = "program") -> DataFrame:
+    """ewmm-parser() (reference: scl/ewmm/ewmm.conf): syslog-ng's
+    enterprise-wide message model — a 5424 frame whose program is
+    '@syslog-ng' and whose MSG is a JSON object of ALL name-value
+    pairs (names keep their initial dot). Reconstructs: MESSAGE and
+    HOST promoted from the JSON (json-parser overwrites builtins),
+    tags from the hop-by-hop ._TAGS list (tags-parser), remaining
+    pairs as sdata with '._'-prefixed hop-by-hop fields removed.
+    Non-EWMM rows (program != '@syslog-ng') pass through with null
+    outputs — keep or route on `is_ewmm`."""
+    from pyspark.sql.types import MapType, StringType
+
+    is_ewmm = F.col(program_col) == "@syslog-ng"
+    j = F.when(is_ewmm, F.from_json(F.col(msg_col), MapType(StringType(), StringType())))
+    tags = F.filter(
+        F.transform(F.split(F.element_at(j, "._TAGS"), ","), lambda t: F.trim(t)),
+        lambda t: t != "",
+    )
+    sdata = F.map_filter(
+        j, lambda k, v: ~k.startswith("._") & ~k.isin("MESSAGE", "HOST", "PROGRAM")
+    )
+    return (
+        df.withColumn("is_ewmm", is_ewmm)
+        .withColumn("ewmm_message", F.element_at(j, "MESSAGE"))
+        .withColumn("ewmm_host", F.element_at(j, "HOST"))
+        .withColumn("ewmm_program", F.element_at(j, "PROGRAM"))
+        .withColumn("ewmm_tags", tags)
+        .withColumn("ewmm_sdata", sdata)
+    )
+
+
+def detect_app(
+    df: DataFrame,
+    program_col: str = "program",
+    msg_col: str = "message",
+    target: str = "app",
+) -> DataFrame:
+    """app-parser()-style application auto-detection (reference:
+    scl/default-network-drivers + each scl block's application[]
+    registration): the first matching application[] filter tags the
+    row, downstream routes to that app's parser. Rules mirror the
+    shipped application blocks: iptables = kernel + 'PROTO='
+    substring (iptables.conf), sudo = program sudo (sudo.conf),
+    ewmm = program '@syslog-ng' (ewmm.conf), cisco = the %TRIPLET
+    mark, apache = the access-log shape. One codegen'd CASE WHEN —
+    first match wins, like the reference's app-parser topic ordering."""
+    p, m = F.col(program_col), F.col(msg_col)
+    rules = [
+        ("ewmm", p == "@syslog-ng"),
+        ("iptables", (p == "kernel") & m.contains("PROTO=")),
+        ("sudo", p == "sudo"),
+        ("cisco", m.rlike(r"%[A-Z0-9_]+(-[A-Z0-9_]+)?-\d-[A-Z0-9_]+: ")),
+        ("apache", m.rlike(_APACHE_RE)),
+    ]
+    expr = None
+    for name, cond in rules:
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(target, expr.otherwise(F.lit("unknown")))

@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 from syslog_ng_spark.operators.app_parsers import (
     apache_accesslog_parser,
     cisco_parser,
+    detect_app,
+    ewmm_parser,
     iptables_parser,
+    sudo_parser,
 )
 
 
@@ -101,3 +104,55 @@ def test_iptables_parser_strays_and_empty_values(spark):
     assert sd[".iptables.SRC"] == "192.168.1.2"
     assert sd[".iptables.SPT"] == "51812"
     assert ".iptables.SYN" not in sd  # flag word = stray, skipped
+
+
+def test_sudo_parser_strays_and_command_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ("   alice : TTY=pts/0 ; PWD=/home/alice ; USER=root ; COMMAND=/bin/ls -l /tmp",),
+            ("pam_unix(sudo:session): session opened for user root",),
+        ],
+        "message string",
+    )
+    rows = sudo_parser(df, "message").collect()
+    assert len(rows) == 1  # pam noise dropped (no COMMAND)
+    sd = dict(rows[0].sdata)
+    assert sd[".sudo.SUBJECT"] == "alice"
+    assert sd[".sudo.TTY"] == "pts/0"
+    assert sd[".sudo.COMMAND"] == "/bin/ls -l /tmp"  # inner spaces kept
+
+
+def test_ewmm_parser_roundtrip_and_hop_by_hop(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "@syslog-ng",
+                '{"MESSAGE":"real msg","HOST":"web-01","PROGRAM":"nginx",'
+                '".custom.k":"v","._TAGS":"a,b"}',
+            ),
+            ("other", "plain text"),
+        ],
+        "program string, message string",
+    )
+    rows = {r.program: r for r in ewmm_parser(df).collect()}
+    e = rows["@syslog-ng"]
+    assert e.is_ewmm and e.ewmm_message == "real msg" and e.ewmm_host == "web-01"
+    assert e.ewmm_program == "nginx" and e.ewmm_tags == ["a", "b"]
+    assert dict(e.ewmm_sdata) == {".custom.k": "v"}  # ._TAGS consumed
+    assert not rows["other"].is_ewmm and rows["other"].ewmm_message is None
+
+
+def test_detect_app_first_match_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("kernel", "IN=eth0 OUT= PROTO=TCP SPT=1"),
+            ("sudo", "x : COMMAND=/bin/true"),
+            ("@syslog-ng", "{}"),
+            ("cron", "%SYS-5-CONFIG_I: done"),
+            ("httpd", '1.2.3.4 - u [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 5'),
+            ("cron", "job ran"),
+        ],
+        "program string, message string",
+    )
+    got = [r.app for r in detect_app(df).collect()]
+    assert got == ["iptables", "sudo", "ewmm", "cisco", "apache", "unknown"]
