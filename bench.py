@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "sudo_parse",
     "ewmm_parse",
     "app_detect",
+    "repeated_passages",
 ]
 
 

@@ -4511,6 +4511,42 @@ def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+_REPEATED_PASSAGES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+d AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, t FROM t WHERE len(t) >= 8),
+gr AS (
+  SELECT doc_id, n_tokens, i AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM d, unnest(range(1, n_tokens - 8 + 2)) AS u(i)),
+shared AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS dcount FROM gr GROUP BY 1)
+  WHERE dcount BETWEEN 2 AND 1000),
+cov AS (
+  SELECT DISTINCT gr.doc_id, gr.n_tokens, c.tok_i
+  FROM gr JOIN shared USING (g), unnest(range(gr.pos, gr.pos + 8)) AS c(tok_i)),
+per AS (SELECT doc_id, n_tokens, count(*)::BIGINT AS dup_tokens FROM cov GROUP BY 1, 2)
+SELECT d.doc_id, d.n_tokens,
+       coalesce(per.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(per.dup_tokens, 0)::DOUBLE / d.n_tokens, 6) AS dup_ratio
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("repeated_passages", _REPEATED_PASSAGES_SQL)
+def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-passage mass (dedup.repeated_passages): the
+    exact-substring dedup recipe at 8-gram granularity — per doc, how
+    many token positions sit inside an n-gram that also occurs in
+    another document. The training-pipeline filter column for
+    boilerplate/syndication trimming. Oracle replays the rolling-gram
+    coverage with DuckDB list slicing."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.repeated_passages(docs, "text", "doc_id", n=8, min_docs=2, df_cap=1000)
+
+
+
 def _dup_clusters_capped_sql() -> str:
     """Recursive-CTE components over the CAPPED simhash60 pair set —
     the linear-candidate edge source (bucket_cap drops degenerate

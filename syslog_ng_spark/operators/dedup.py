@@ -597,3 +597,79 @@ def incremental_dedup(
         .distinct()
     )
     return new_df.join(matched, id_col, "left_anti")
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Cross-document repeated-passage mass per document — the
+    exact-substring dedup recipe (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") at word-n-gram
+    granularity: a token position is "duplicated" if it is covered by
+    any n-gram that also appears in >= min_docs distinct documents.
+    Returns (doc_id, n_tokens, dup_tokens, dup_ratio) — the filter
+    column a training pipeline thresholds on (drop or trim docs whose
+    passage mass is mostly boilerplate shared with other docs).
+
+    Plan shape at 100 TB: positions explode only for grams that ARE
+    cross-doc duplicated (the hits join), so the heavy explode is
+    proportional to duplicated mass, not corpus size; df_cap drops
+    degenerate boilerplate grams exactly like jaccard_pairs' shingle
+    cap (a gram in >cap docs contributes coverage to every doc and
+    carries no discriminative signal — at that point it's the
+    boilerplate REMOVER's job, not the dedup scorer's). Suffix-array
+    exactness (maximal spans, arbitrary lengths) needs a different
+    engine; fixed-n rolling coverage is the distributable
+    approximation and upper-bounds span recall for spans >= n."""
+    base = rebalance(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    with_toks = base.select(F.col(id_col), toks.alias("_t")).where(F.size("_t") >= n)
+    idx = F.sequence(F.lit(0), F.size("_t") - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(F.col("_t"), i + 1, n), " ")).alias("g"),
+        ),
+    )
+    exploded = with_toks.select(
+        id_col, F.size("_t").alias("n_tokens"), F.explode(grams).alias("e")
+    ).select(id_col, "n_tokens", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    shared = (
+        exploded.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("_d"))
+        .where((F.col("_d") >= min_docs) & (F.col("_d") <= df_cap))
+        .select("g")
+    )
+    # countDistinct instead of distinct()+count: one shuffle with
+    # partial aggregation rather than two full exchanges, and n_tokens
+    # rides the final doc join instead of the wide coverage rows
+    per_doc = (
+        exploded.join(shared, "g")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tok_i"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("tok_i").alias("dup_tokens"))
+    )
+    all_docs = with_toks.select(id_col, F.size("_t").cast("long").alias("n_tokens"))
+    return (
+        all_docs.join(
+            per_doc.select(id_col, F.col("dup_tokens").cast("long")), id_col, "left"
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )

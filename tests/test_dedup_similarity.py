@@ -320,3 +320,37 @@ def test_ivf_assign_pandas_matches_expr_kernel(spark):
     a = {r.vec_id: r.c for r in ivf_assign(df, cents, "embedding", "c").collect()}
     b = {r.vec_id: r.c for r in ivf_assign_pandas(df, cents, target="c").collect()}
     assert a == b
+
+
+def test_repeated_passages_coverage(spark):
+    """Hand-built corpus: docs A and B share an 8-token passage; C is
+    unique. Coverage must count exactly the positions under shared
+    8-grams, and unique docs report 0."""
+    from syslog_ng_spark.operators.dedup import repeated_passages
+
+    shared = "the quick brown fox jumps over the lazy"  # 8 tokens
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),          # 12 tokens
+        (2, f"{shared} epsilon zeta eta theta"),          # 12 tokens
+        (3, "one two three four five six seven eight nine ten"),  # unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_passages(df, n=8, min_docs=2).collect()}
+    # only the single shared 8-gram matches across docs -> 8 covered
+    # positions in each of A and B
+    assert out[1].dup_tokens == 8 and out[2].dup_tokens == 8
+    assert out[3].dup_tokens == 0 and out[3].dup_ratio == 0.0
+    assert abs(out[1].dup_ratio - 8 / 12) < 1e-6
+
+
+def test_repeated_passages_overlapping_grams_merge(spark):
+    """Two docs sharing a 10-token run: overlapping shared 8-grams must
+    merge into one 10-position covered span, not double-count."""
+    from syslog_ng_spark.operators.dedup import repeated_passages
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"p q {run}")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.dup_tokens for r in repeated_passages(df, n=8, min_docs=2).collect()}
+    assert out == {1: 10, 2: 10}
