@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "ewmm_parse",
     "app_detect",
     "repeated_passages",
+    "cee_parse",
+    "template_numagg",
 ]
 
 

@@ -600,6 +600,87 @@ def iptables_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CEE_PARSE_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 4 <> 0 THEN TRUE ELSE FALSE END AS is_cee,
+       CASE WHEN event_id % 4 <> 0 THEN event_type END AS etype_v,
+       CASE WHEN event_id % 4 <> 0 THEN user_id::VARCHAR END AS uid_v
+FROM events
+"""
+
+
+@register("cee_parse", _CEE_PARSE_SQL)
+def cee_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cee adapter (reference: scl/cee/adapter.conf): '@cee:'-marked
+    JSON payloads into '.cee.'-prefixed pairs; unmarked rows pass with
+    a null map. Oracle derives from the generators."""
+    from syslog_ng_spark.operators.app_parsers import cee_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.when(
+        F.col("event_id") % 4 != 0,
+        F.concat(
+            F.lit("@cee: "),
+            F.to_json(
+                F.create_map(
+                    F.lit("etype"), F.col("event_type"),
+                    F.lit("uid"), F.col("user_id").cast("string"),
+                )
+            ),
+        ),
+    ).otherwise(F.concat(F.lit("plain message "), F.col("event_type")))
+    parsed = cee_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        "is_cee",
+        F.element_at("sdata", ".cee.etype").alias("etype_v"),
+        F.element_at("sdata", ".cee.uid").alias("uid_v"),
+    )
+
+
+_NUMAGG_SQL = """
+SELECT event_id,
+       (user_id % 10 + user_id % 7 + event_id % 5)::BIGINT AS sum_v,
+       least(user_id % 10, user_id % 7, event_id % 5)::BIGINT AS min_v,
+       greatest(user_id % 10, user_id % 7, event_id % 5)::BIGINT AS max_v,
+       ((user_id % 10 + user_id % 7 + event_id % 5) // 3)::BIGINT AS avg_v,
+       CASE event_type WHEN 'click' THEN '0' WHEN 'error' THEN '1'
+                       WHEN 'purchase' THEN '2' WHEN 'view' THEN '3'
+                       ELSE '' END AS idx_v
+FROM events
+"""
+
+
+@register("template_numagg", _NUMAGG_SQL)
+def template_numagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(sum)/$(min)/$(max)/$(average) numeric list aggregates
+    (reference: modules/basicfuncs/numeric-funcs.c — int64 arithmetic,
+    non-numeric elements skipped, truncating average) plus
+    $(list-search) first-match index (list-funcs.c). The list mixes a
+    non-numeric element to prove the skip; oracle derives everything
+    from the generators."""
+    from syslog_ng_spark.functions.listfuncs import list_search
+    from syslog_ng_spark.functions.numfuncs import num_average, num_max, num_min, num_sum
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    arr = F.array(
+        (F.col("user_id") % 10).cast("string"),
+        F.lit("not-a-number"),
+        (F.col("user_id") % 7).cast("string"),
+        (F.col("event_id") % 5).cast("string"),
+    )
+    searchable = F.array(F.lit("click"), F.lit("error"), F.lit("purchase"), F.lit("view"))
+    ev2 = ev.select("event_id", "event_type", arr.alias("_a"))
+    return ev2.select(
+        "event_id",
+        num_sum(F.col("_a")).alias("sum_v"),
+        num_min(F.col("_a")).alias("min_v"),
+        num_max(F.col("_a")).alias("max_v"),
+        num_average(F.col("_a")).alias("avg_v"),
+        list_search(searchable, F.col("event_type")).alias("idx_v"),
+    )
+
+
 _SUDO_PARSE_SQL = """
 SELECT event_id,
        'u' || user_id::VARCHAR AS subject_v,

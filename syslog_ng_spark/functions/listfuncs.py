@@ -44,3 +44,26 @@ def list_append(arr: Column, *items) -> Column:
 
 def list_concat(*arrs) -> Column:
     return F.concat(*arrs)
+
+
+def list_search(
+    arr: Column, pattern: str | Column, mode: str = "literal", start_index: int = 0
+) -> Column:
+    """$(list-search): 0-based index of the FIRST element matching
+    `pattern` from `start_index` on, empty string when nothing matches
+    (reference: modules/basicfuncs/list-funcs.c tf_list_search_call —
+    index printed, loop breaks on first hit). Modes mirror the
+    reference's string_matcher: literal, prefix, substring, pcre
+    (glob is approximated by translating to pcre upstream)."""
+    preds = {
+        "literal": lambda x: x == pattern,
+        "prefix": lambda x: x.startswith(pattern),
+        "substring": lambda x: x.contains(pattern),
+        "pcre": lambda x: x.rlike(pattern),
+    }
+    if mode not in preds:
+        raise ValueError(f"list-search: invalid mode {mode!r}")
+    p = preds[mode]
+    flags = F.transform(arr, lambda x, i: p(x) & (i >= start_index))
+    idx = F.array_position(flags, F.lit(True))
+    return F.when(idx > 0, (idx - 1).cast("string")).otherwise(F.lit(""))

@@ -264,3 +264,22 @@ def detect_app(
     for name, cond in rules:
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(target, expr.otherwise(F.lit("unknown")))
+
+
+def cee_parser(
+    df: DataFrame, col: str = "message", target: str = "sdata", prefix: str = ".cee."
+) -> DataFrame:
+    """cee application adapter (reference: scl/cee/adapter.conf):
+    messages whose MSG starts with the '@cee:' marker carry a JSON
+    payload — json-parser(marker('@cee:') prefix('.cee.')). Rows
+    without the marker pass through with a null map (route on
+    `is_cee`)."""
+    from pyspark.sql.types import MapType, StringType
+
+    is_cee = F.col(col).startswith("@cee:")
+    payload = F.when(
+        is_cee, F.from_json(F.ltrim(F.expr(f"substring({col}, 6)")), MapType(StringType(), StringType()))
+    )
+    return df.withColumn("is_cee", is_cee).withColumn(
+        target, F.transform_keys(payload, lambda k, v: F.concat(F.lit(prefix), k))
+    )

@@ -186,3 +186,52 @@ def test_merge_maps_self_arms_dedup_policy(spark):
         assert got == {"k": "new", "a": "1"}  # no DUPLICATED_MAP_KEY, last wins
     finally:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+
+def test_list_search_modes_and_start_index(spark):
+    from syslog_ng_spark.functions.listfuncs import list_search
+
+    df = spark.createDataFrame([(["alpha", "beta", "gamma", "beta"],)], "arr array<string>")
+    r = df.select(
+        list_search(F.col("arr"), "beta").alias("lit"),
+        list_search(F.col("arr"), "ga", "prefix").alias("pre"),
+        list_search(F.col("arr"), "et", "substring").alias("sub"),
+        list_search(F.col("arr"), "^b.ta$", "pcre").alias("rex"),
+        list_search(F.col("arr"), "beta", start_index=2).alias("si"),
+        list_search(F.col("arr"), "zz").alias("miss"),
+    ).collect()[0]
+    assert (r.lit, r.pre, r.sub, r.rex, r.si, r.miss) == ("1", "2", "1", "1", "3", "")
+
+
+def test_numeric_list_aggregates_skip_non_numbers(spark):
+    from syslog_ng_spark.functions.numfuncs import (
+        binary_chars,
+        num_average,
+        num_max,
+        num_min,
+        num_sum,
+    )
+
+    df = spark.createDataFrame([(["3", "7", "x", "-5"],)], "arr array<string>")
+    r = df.select(
+        num_sum(F.col("arr")).alias("s"),
+        num_min(F.col("arr")).alias("mn"),
+        num_max(F.col("arr")).alias("mx"),
+        num_average(F.col("arr")).alias("avg"),
+        binary_chars(72, 105).alias("b"),
+    ).collect()[0]
+    assert (r.s, r.mn, r.mx, r.avg, r.b) == (5, -5, 7, 1, "Hi")
+    empty = spark.createDataFrame([(["x", "y"],)], "arr array<string>")
+    assert empty.select(num_average(F.col("arr")).alias("a")).collect()[0].a is None
+
+
+def test_cee_parser_marker(spark):
+    from syslog_ng_spark.operators.app_parsers import cee_parser
+
+    df = spark.createDataFrame(
+        [('@cee: {"a":"1"}',), ("no marker",)], "message string"
+    )
+    rows = {r.message: r for r in cee_parser(df).collect()}
+    assert rows['@cee: {"a":"1"}'].is_cee
+    assert dict(rows['@cee: {"a":"1"}'].sdata) == {".cee.a": "1"}
+    assert not rows["no marker"].is_cee and rows["no marker"].sdata is None
