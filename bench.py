@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "repeated_passages",
     "cee_parse",
     "template_numagg",
+    "dsir_logweight",
 ]
 
 

@@ -4592,6 +4592,44 @@ def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+_DSIR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+feats0 AS (
+  SELECT doc_id, source, unnest(t) AS f FROM base
+  UNION ALL
+  SELECT doc_id, source, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS f
+  FROM base WHERE len(t) >= 2),
+feats AS (SELECT doc_id, source, f FROM feats0 WHERE f <> ''),
+b AS (SELECT doc_id, source,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bucket
+      FROM feats),
+rc AS (SELECT bucket, count(*) AS rcnt FROM b GROUP BY 1),
+rtot AS (SELECT count(*) AS rn FROM b),
+tc AS (SELECT bucket, count(*) AS tcnt FROM b WHERE source = 'src0' GROUP BY 1),
+ttot AS (SELECT count(*) AS tn FROM b WHERE source = 'src0'),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(tc.tcnt, 0) + 0.5) / (ttot.tn + 0.5 * 1024))
+         - ln((rc.rcnt + 0.5) / (rtot.rn + 0.5 * 1024)) AS lw
+  FROM b JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+  CROSS JOIN rtot CROSS JOIN ttot)
+SELECT doc_id, round(sum(lw), 6) AS logw, count(*)::BIGINT AS n_feats
+FROM scored GROUP BY 1
+"""
+
+
+@register("dsir_logweight", _DSIR_SQL)
+def dsir_logweight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (textstats.dsir_logweight): raw = the
+    whole documents table, target = the 'src0' slice (the quality-seed
+    stand-in). Oracle replays hashed unigram+bigram features, the two
+    smoothed bucket distributions, and the per-doc log-ratio sum."""
+    docs = T(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return textstats.dsir_logweight(docs, target, "text", "doc_id", dim=1024)
+
+
 _REPEATED_PASSAGES_SQL = f"""
 WITH t AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),

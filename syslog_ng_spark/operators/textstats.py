@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
 
@@ -297,4 +298,86 @@ def hashed_bow_topk(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def _hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """Hashed unigram+bigram feature instances per doc — the DSIR
+    feature space (Xie et al. 2023 use hashed n-grams into a fixed
+    bucket count). One row per feature OCCURRENCE (not distinct):
+    importance weights multiply per occurrence."""
+    toks = tokens(F.col(text_col))
+    bis = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    feats = F.when(F.size(toks) >= 2, F.concat(toks, bis)).otherwise(toks)
+    h = F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(F.col(id_col), F.explode(feats).alias("_f"))
+        .where(F.col("_f") != "")
+        .select(id_col, (h % dim).alias("bucket"))
+    )
+
+
+def dsir_logweight(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-n-gram features are
+    under the TARGET distribution than under the RAW distribution —
+    log w(doc) = Σ_features ln p_target(bucket) − ln p_raw(bucket).
+    Selection is then top-k / Gumbel sampling on logw (compose with
+    stratified_sample for the replayable draw).
+
+    Shape at 100 TB: the two bucket-probability tables are dim rows
+    (1024 here) — broadcast; the per-doc score is one explode + one
+    broadcast join + one groupBy with map-side partial agg. The
+    target corpus is typically tiny (the quality seed, e.g. wiki);
+    the raw side streams through once. ln ULP noise across engines is
+    absorbed by round(…, 6) after the sum (same convention as
+    unigram_logprob)."""
+    raw_f = _hashed_ngram_features(raw, text_col, id_col, dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tgt_f = _hashed_ngram_features(target, text_col, id_col, dim)
+
+    def probs(feats: DataFrame, prefix: str) -> DataFrame:
+        counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c"))
+        totals = feats.agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            counts.crossJoin(F.broadcast(totals))
+            .select(
+                "bucket",
+                F.col("_c").alias(prefix + "c"),
+                F.col("_n").alias(prefix + "n"),
+            )
+        )
+
+    tgt_n = tgt_f.agg(F.count(F.lit(1)).alias("_tn"))
+    scored = (
+        raw_f.join(F.broadcast(probs(raw_f, "r_")), "bucket")
+        .join(F.broadcast(probs(tgt_f, "t_").drop("t_n")), "bucket", "left")
+        .crossJoin(F.broadcast(tgt_n))
+        .select(
+            id_col,
+            (
+                F.log(
+                    (F.coalesce(F.col("t_c"), F.lit(0)) + smoothing)
+                    / (F.col("_tn") + smoothing * dim)
+                )
+                - F.log((F.col("r_c") + smoothing) / (F.col("r_n") + smoothing * dim))
+            ).alias("_lw"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("_lw"), 6).alias("logw"), F.count(F.lit(1)).alias("n_feats")
     )

@@ -102,3 +102,26 @@ def test_hashed_bow_topk_ranks_near_dup_first(spark):
     # integer weights: rerun is bit-identical
     again = textstats.hashed_bow_topk(docs, query_id=0, k=3).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_dsir_logweight_favors_target_like_docs(spark):
+    """Docs written in the target's vocabulary must score higher than
+    docs from a disjoint vocabulary; weights of target-vocab docs are
+    positive, alien-vocab docs negative (their features are missing
+    from the target distribution)."""
+    from syslog_ng_spark.operators.textstats import dsir_logweight
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics energy quantum field theory wave") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "physics energy quantum wave field"),
+            (2, "football goal striker penalty referee"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.logw for r in dsir_logweight(raw, target, dim=256).collect()}
+    assert out[1] > 0 > out[2]
+    assert out[1] > out[2] + 5  # clearly separated, not noise
