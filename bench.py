@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "cee_parse",
     "template_numagg",
     "dsir_logweight",
+    "gumbel_sample",
 ]
 
 

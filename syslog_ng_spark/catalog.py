@@ -681,6 +681,37 @@ def template_numagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GUMBEL_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, ln(1 + user_id % 100) AS logw FROM events),
+g AS (
+  SELECT event_id, user_id,
+         round(logw - ln(-ln(
+           ((('0x' || substr(md5(event_id::VARCHAR || 'gumbel'), 1, 15))::BIGINT
+             % 1000000007 + 0.5) / 1000000007.0))), 9) AS gkey
+  FROM w)
+SELECT event_id, user_id FROM g
+ORDER BY gkey DESC, event_id LIMIT 50
+"""
+
+
+@register("gumbel_sample", _GUMBEL_SQL)
+def gumbel_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k weighted sampling (sampling.gumbel_topk_sample):
+    k=50 draw ∝ exp(logw) with hash-seeded Gumbel noise — fully
+    deterministic and replayed bit-for-bit by the oracle (same md5 →
+    uniform → -ln(-ln u) chain). The selection step downstream of
+    dsir_logweight / any per-doc quality weight."""
+    from syslog_ng_spark.operators.sampling import gumbel_topk_sample
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.log(1 + F.col("user_id") % 100).alias("logw")
+    )
+    return gumbel_topk_sample(ev, "logw", k=50, id_col="event_id").select(
+        "event_id", "user_id"
+    )
+
+
 _SUDO_PARSE_SQL = """
 SELECT event_id,
        'u' || user_id::VARCHAR AS subject_v,

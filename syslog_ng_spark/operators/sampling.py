@@ -181,3 +181,38 @@ def sequence_pack(
         F.expr(f"tok_start DIV {int(context_len)}").alias("pack_id"),
         (F.col("tok_start") % context_len).cast("long").alias("pack_offset"),
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    log_weights: bool = True,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k
+    trick: drawing k items with probability ∝ exp(logw) is exactly
+    taking the k largest (logw + Gumbel noise). The noise is
+    hash-seeded (md5 of id+salt → uniform in (0,1) → -ln(-ln u)), so
+    the draw is deterministic, replayable, and engine-portable — the
+    same property stratified_sample gets from hash-mod, extended to
+    continuous weights. This is the SELECTION step downstream of
+    dsir_logweight (importance resampling: weight, then Gumbel-draw).
+
+    Scale shape: one column expression per row + a global top-k
+    (TakeOrderedAndProject — partial top-k per partition, only k rows
+    shuffle). A different salt draws an independent sample."""
+    u = (
+        _hash_mod(F.col(id_col), denom=1_000_000_007, salt="gumbel" + salt).cast("double")
+        + 0.5
+    ) / 1_000_000_007.0
+    gumbel = -F.log(-F.log(u))
+    w = F.col(weight_col) if log_weights else F.log(weight_col)
+    key = F.round(w + gumbel, 9)
+    return (
+        df.withColumn("_gkey", key)
+        .orderBy(F.desc("_gkey"), F.asc(id_col))
+        .limit(k)
+        .drop("_gkey")
+    )

@@ -158,3 +158,23 @@ def test_unigram_logprob_orders_quality(spark):
     assert got[1] < got[3] < got[2]   # more rare mass -> higher -ln p
     n = {r.doc_id: r.n_tokens for r in textstats.unigram_logprob(docs).collect()}
     assert n[1] == 8 and n[2] == 5 and n[3] == 6
+
+
+def test_gumbel_topk_sample_properties(spark):
+    """Deterministic across runs, different under a different salt, and
+    biased toward heavy weights (the point of the trick)."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 50 else 0.0) for i in range(1000)], "doc_id long, logw double"
+    )
+    a = {r.doc_id for r in gumbel_topk_sample(df, "logw", k=60).collect()}
+    b = {r.doc_id for r in gumbel_topk_sample(df, "logw", k=60).collect()}
+    c = {r.doc_id for r in gumbel_topk_sample(df, "logw", k=60, salt="2").collect()}
+    assert a == b  # replayable
+    assert a != c  # independent draw under a new salt
+    # exp(10) ~ 22000x weight: essentially all 50 heavy docs must be in
+    # any 60-draw
+    assert sum(1 for d in a if d < 50) == 50
