@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     "template_numagg",
     "dsir_logweight",
     "gumbel_sample",
+    "fortigate_parse",
+    "checkpoint_parse",
+    "osquery_parse",
 ]
 
 

@@ -681,6 +681,128 @@ def template_numagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FORTIGATE_PARSE_SQL = """
+SELECT event_id,
+       epoch_us(date_trunc('second', ts)) AS ts_us,
+       'FG' || (user_id % 20)::VARCHAR AS devname_v,
+       CASE WHEN user_id % 8 < 4 THEN 'warning' ELSE 'notice' END AS level_v,
+       event_type || ' traffic closed' AS msg_v
+FROM events
+"""
+
+
+@register("fortigate_parse", _FORTIGATE_PARSE_SQL)
+def fortigate_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fortigate-parser() (reference: scl/fortigate/fortigate.conf):
+    FortiOS kv lines with quoted values and the date+time pair parsed
+    back to a timestamp. Oracle derives from the generators."""
+    from syslog_ng_spark.operators.app_parsers import fortigate_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    ts = F.col("ts").cast("timestamp")
+    line = F.concat(
+        F.lit("date="),
+        F.date_format(ts, "yyyy-MM-dd"),
+        F.lit(" time="),
+        F.date_format(ts, "HH:mm:ss"),
+        F.lit(' devname="FG'),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit('" level='),
+        F.when(F.col("user_id") % 8 < 4, F.lit("warning")).otherwise(F.lit("notice")),
+        F.lit(' msg="'),
+        F.col("event_type"),
+        F.lit(' traffic closed"'),
+    )
+    parsed = fortigate_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.unix_micros(F.col("fortigate_ts")).alias("ts_us"),
+        F.element_at("sdata", ".fortigate.devname").alias("devname_v"),
+        F.element_at("sdata", ".fortigate.level").alias("level_v"),
+        F.element_at("sdata", ".fortigate.msg").alias("msg_v"),
+    )
+
+
+_CHECKPOINT_PARSE_SQL = """
+SELECT event_id,
+       'VPN-1 & FireWall-1' AS product_v,
+       CASE WHEN event_id % 2 = 0 THEN 'Accept' ELSE 'Drop' END AS action_v,
+       '10.' || (user_id % 32)::VARCHAR || '.' || ((user_id * 7) % 256)::VARCHAR
+            || '.' || (1 + user_id % 254)::VARCHAR AS src_v,
+       (1000 + event_id % 60000)::VARCHAR AS sport_v
+FROM events
+"""
+
+
+@register("checkpoint_parse", _CHECKPOINT_PARSE_SQL)
+def checkpoint_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checkpoint-parser() kv stage (reference: scl/checkpoint/
+    plugin.conf): 'key: value;' pairs with ':' value separator and ';'
+    pair separator, space-padded keys trimmed. Values containing
+    spaces (product names) survive whole. Oracle derives from the
+    generators."""
+    from syslog_ng_spark.operators.app_parsers import checkpoint_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    v4 = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    line = F.concat(
+        F.lit("product:VPN-1 & FireWall-1; action:"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("Accept")).otherwise(F.lit("Drop")),
+        F.lit("; src:"),
+        v4,
+        F.lit("; s_port:"),
+        (1000 + F.col("event_id") % 60000).cast("string"),
+    )
+    parsed = checkpoint_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.element_at("sdata", ".checkpoint.product").alias("product_v"),
+        F.element_at("sdata", ".checkpoint.action").alias("action_v"),
+        F.element_at("sdata", ".checkpoint.src").alias("src_v"),
+        F.element_at("sdata", ".checkpoint.s_port").alias("sport_v"),
+    )
+
+
+_OSQUERY_PARSE_SQL = """
+SELECT event_id,
+       'pack_' || event_type AS name_v,
+       'host-' || (user_id % 50)::VARCHAR AS host_v,
+       CASE WHEN event_id % 2 = 0 THEN 'added' ELSE 'removed' END AS action_v
+FROM events
+"""
+
+
+@register("osquery_parse", _OSQUERY_PARSE_SQL)
+def osquery_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osquery adapter (reference: scl/osquery/plugin.conf): result
+    JSON lines under the '.osquery.' prefix. Oracle derives from the
+    generators."""
+    from syslog_ng_spark.operators.app_parsers import osquery_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.to_json(
+        F.create_map(
+            F.lit("name"), F.concat(F.lit("pack_"), F.col("event_type")),
+            F.lit("hostIdentifier"), F.concat(F.lit("host-"), (F.col("user_id") % 50).cast("string")),
+            F.lit("action"), F.when(F.col("event_id") % 2 == 0, F.lit("added")).otherwise(F.lit("removed")),
+        )
+    )
+    parsed = osquery_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.element_at("sdata", ".osquery.name").alias("name_v"),
+        F.element_at("sdata", ".osquery.hostIdentifier").alias("host_v"),
+        F.element_at("sdata", ".osquery.action").alias("action_v"),
+    )
+
+
 _GUMBEL_SQL = """
 WITH w AS (
   SELECT event_id, user_id, ln(1 + user_id % 100) AS logw FROM events),

@@ -283,3 +283,72 @@ def cee_parser(
     return df.withColumn("is_cee", is_cee).withColumn(
         target, F.transform_keys(payload, lambda k, v: F.concat(F.lit(prefix), k))
     )
+
+
+def fortigate_parser(
+    df: DataFrame, col: str = "message", target: str = "sdata", prefix: str = ".fortigate."
+) -> DataFrame:
+    """fortigate-parser() (reference: scl/fortigate/fortigate.conf):
+    FortiOS logs are pure kv ('date=2024-01-05 time=03:04:05
+    devname="FG100" level=warning ...') — kv-parser under
+    '.fortigate.', quoted values unquoted, then date-parser over the
+    date+time pair into `fortigate_ts`. Rows without devname are not
+    fortigate rows (the conf's filter); kept here with is_fortigate
+    so callers can route."""
+    from syslog_ng_spark.operators.parsers import kv_parser_quoted
+
+    parsed = kv_parser_quoted(df, col, target="_kv_tmp")
+    pruned = F.map_filter(F.col("_kv_tmp"), lambda k, v: v.isNotNull())
+    out = parsed.withColumn(
+        target, F.transform_keys(pruned, lambda k, v: F.concat(F.lit(prefix), k))
+    ).drop("_kv_tmp")
+    ts = F.try_to_timestamp(
+        F.concat_ws(
+            " ",
+            F.element_at(target, prefix + "date"),
+            F.element_at(target, prefix + "time"),
+        ),
+        F.lit("yyyy-MM-dd HH:mm:ss"),
+    )
+    return out.withColumn("fortigate_ts", ts).withColumn(
+        "is_fortigate", F.element_at(target, prefix + "devname").isNotNull()
+    )
+
+
+def osquery_parser(
+    df: DataFrame, col: str = "message", target: str = "sdata", prefix: str = ".osquery."
+) -> DataFrame:
+    """osquery source adapter (reference: scl/osquery/plugin.conf):
+    osqueryd result lines are JSON objects — json-parser under
+    '.osquery.' (nested members keep their JSON rendering, the
+    reference's json-parser flattening for scalars)."""
+    from pyspark.sql.types import MapType, StringType
+
+    j = F.from_json(F.col(col), MapType(StringType(), StringType()))
+    return df.withColumn(
+        target, F.transform_keys(j, lambda k, v: F.concat(F.lit(prefix), k))
+    )
+
+
+def checkpoint_parser(
+    df: DataFrame, col: str = "message", target: str = "sdata", prefix: str = ".checkpoint."
+) -> DataFrame:
+    """checkpoint-parser() kv stage (reference: scl/checkpoint/
+    plugin.conf): Check Point's 'key:value;key:value' payload —
+    kv-parser(value-separator(':') pair-separator(';')) under
+    '.checkpoint.'; keys arrive space-padded after ';' and are
+    trimmed like kv-scanner's whitespace skip."""
+    segs = F.filter(F.split(F.col(col), ";"), lambda s: s.contains(":"))
+    entries = F.transform(
+        segs,
+        lambda s: F.struct(
+            F.trim(F.substring_index(s, ":", 1)).alias("key"),
+            s.substr(
+                F.length(F.substring_index(s, ":", 1)) + 2, F.length(s)
+            ).alias("value"),
+        ),
+    )
+    kv = F.map_from_entries(F.filter(entries, lambda e: e["key"] != ""))
+    return df.withColumn(
+        target, F.transform_keys(kv, lambda k, v: F.concat(F.lit(prefix), k))
+    )

@@ -156,3 +156,45 @@ def test_detect_app_first_match_rules(spark):
     )
     got = [r.app for r in detect_app(df).collect()]
     assert got == ["iptables", "sudo", "ewmm", "cisco", "apache", "unknown"]
+
+
+def test_fortigate_parser_kv_and_date(spark):
+    from syslog_ng_spark.operators.app_parsers import fortigate_parser
+
+    df = spark.createDataFrame(
+        [
+            ('date=2024-01-05 time=03:04:05 devname="FG100" level=warning msg="intrusion detected"',),
+            ("unrelated line",),
+        ],
+        "message string",
+    )
+    rows = fortigate_parser(df).collect()
+    fg = [r for r in rows if r.is_fortigate][0]
+    assert fg.sdata[".fortigate.devname"] == "FG100"
+    assert fg.sdata[".fortigate.msg"] == "intrusion detected"
+    assert str(fg.fortigate_ts) == "2024-01-05 03:04:05"
+    assert sum(1 for r in rows if r.is_fortigate) == 1
+
+
+def test_checkpoint_parser_colon_semicolon_kv(spark):
+    from syslog_ng_spark.operators.app_parsers import checkpoint_parser
+
+    df = spark.createDataFrame(
+        [("time:1577000000; product:VPN-1 & FireWall-1; action:Drop; src:1.2.3.4",)],
+        "message string",
+    )
+    sd = dict(checkpoint_parser(df).collect()[0].sdata)
+    assert sd[".checkpoint.product"] == "VPN-1 & FireWall-1"  # spaces kept
+    assert sd[".checkpoint.action"] == "Drop"
+    assert sd[".checkpoint.src"] == "1.2.3.4"
+
+
+def test_osquery_parser_json_prefix(spark):
+    from syslog_ng_spark.operators.app_parsers import osquery_parser
+
+    df = spark.createDataFrame(
+        [('{"name":"pack_proc","columns":{"pid":"42"}}',)], "message string"
+    )
+    sd = dict(osquery_parser(df).collect()[0].sdata)
+    assert sd[".osquery.name"] == "pack_proc"
+    assert sd[".osquery.columns"] == '{"pid":"42"}'  # nested keeps JSON rendering
