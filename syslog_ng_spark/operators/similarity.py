@@ -276,6 +276,23 @@ def ivf_train(
     return centroids
 
 
+def probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The query's nprobe nearest cells by rounded centroid cosine —
+    shared by the in-memory and materialized-table scans (ties break
+    toward the larger cell index, matching the oracle)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        d = round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 9)
+        sims.append((d, i))
+    return [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -292,14 +309,7 @@ def ivf_topk(
     import math
 
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    sims = []
-    for i, c in enumerate(centroids):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        # rounded so the probe-set choice is engine-portable (ties
-        # break toward the larger cell index, matching the oracle)
-        d = round(sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), 9)
-        sims.append((d, i))
-    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    probe = probe_cells(query_vec, centroids, nprobe)
     cells = ivf_assign(corpus, centroids, vec_col, "_cell").where(F.col("_cell").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
@@ -582,3 +592,56 @@ def lsh_buckets(
         plane = F.array(*[F.lit(float(x)) for x in p])
         bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     return df.withColumn(target, sum(bits[1:], bits[0]).cast("int"))
+
+
+def write_ivf_table(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF layout: the corpus written as parquet
+    PARTITIONED BY its coarse-quantizer cell. This is what the ivf_*
+    docstrings' "literal disk partition pruning" means — once the
+    table lives on disk keyed by cell, a top-k probe reads ONLY the
+    nprobe cell directories; the other k-nprobe cells are never
+    opened. At 100 TB this is the difference between scanning the
+    corpus and scanning nprobe/k of it, enforced by the storage
+    layout rather than per-query compute."""
+    assigned = ivf_assign(corpus, centroids, vec_col, "ivf_cell")
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_from_table(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a materialized IVF table (write_ivf_table): the
+    probe-cell filter is a partition-column predicate, so Catalyst
+    prunes the non-probed cell directories at planning time — verify
+    with explain() ("PartitionFilters: [ivf_cell IN (…)]") or by
+    collecting distinct input_file_name() over the probed scan (the
+    pruning test does; note df.inputFiles() lists PRE-pruning files
+    and cannot show this). Scoring is identical to ivf_topk; probe
+    choice is the shared probe_cells()."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    probe = probe_cells(query_vec, centroids, nprobe)
+    cells = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cells.select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * qn), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -354,3 +354,39 @@ def test_repeated_passages_overlapping_grams_merge(spark):
     )
     out = {r.doc_id: r.dup_tokens for r in repeated_passages(df, n=8, min_docs=2).collect()}
     assert out == {1: 10, 2: 10}
+
+
+def test_ivf_partitioned_table_prunes_cell_directories(spark, tmp_path):
+    """The materialized IVF layout must turn the probe filter into
+    literal partition pruning: inputFiles() of the probed scan lists
+    only the nprobe cell directories, and results match the in-memory
+    ivf_topk exactly."""
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+    from syslog_ng_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_table,
+        probe_cells,
+        write_ivf_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_table")
+    write_ivf_table(corpus, path, IVF_CENTROIDS)
+
+    # files ACTUALLY read by the probed scan (inputFiles() lists
+    # pre-pruning files so it cannot demonstrate pruning)
+    probe = probe_cells(qvec, IVF_CENTROIDS, nprobe=4)
+    probed = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
+    files = [r.f for r in probed.select(F.input_file_name().alias("f")).distinct().collect()]
+    cells_read = {f.split("ivf_cell=")[1].split("/")[0] for f in files if "ivf_cell=" in f}
+    assert cells_read == {str(c) for c in probe}, f"read {cells_read}, probe {probe}"
+    # and the planner sees it as a partition filter, not a data filter
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+
+    out = ivf_topk_from_table(spark, path, qvec, IVF_CENTROIDS, k=10, nprobe=4)
+    want = [(r.vec_id, r.cos_sim) for r in ivf_topk(corpus, qvec, IVF_CENTROIDS, k=10, nprobe=4).collect()]
+    got = [(r.vec_id, r.cos_sim) for r in out.collect()]
+    assert got == want
