@@ -450,14 +450,21 @@ def pq_train(
     books = [
         [[float(v) for v in r[1][s * sub : (s + 1) * sub]] for r in seeds] for s in range(m)
     ]
+    from pyspark.storagelevel import StorageLevel
+
     for _ in range(iters):
+        # persist the assigned frame: each of the m subspace groupBys
+        # below otherwise re-evaluates ALL m assignment expressions
+        # over the whole corpus (m× redundant scans per Lloyd round —
+        # ann_ivfpq_topk measured 18.9s → 13.3s at sf0.1 with this;
+        # plain ann_pq_topk is neutral, its scan dominates)
         assigned = df.select(
             vec_col,
             *[
                 _pq_assign_expr(F.col(vec_col), books[s], s, sub).alias(f"_c{s}")
                 for s in range(m)
             ],
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         for s in range(m):
             sums = assigned.groupBy(f"_c{s}").agg(
                 *[
@@ -473,6 +480,7 @@ def pq_train(
                 else books[s][i]
                 for i in range(k)
             ]
+        assigned.unpersist()
     return books
 
 
