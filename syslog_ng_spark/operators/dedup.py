@@ -95,17 +95,25 @@ def dedup_exact_keyed(
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "shingle") -> DataFrame:
-    """Distinct word n-gram shingles per document (exploded)."""
-    df = rebalance(df)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    """Distinct word n-gram shingles per document (exploded).
+
+    The token array is materialized as a column BEFORE the gram
+    lambda: an expression captured inside transform() is re-evaluated
+    per element, so an inlined split(normalize_text(…)) would re-run
+    the regex once per shingle — O(tokens²) per doc (the same
+    pathology fixed in textstats._hashed_ngram_features, measured 2×
+    there)."""
+    base = rebalance(df).withColumn("_toks", F.split(normalize_text(F.col(text_col)), " "))
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     # Filter BEFORE the explode: sequence(0, size-n) is descending for
     # short docs, so correctness must not depend on the optimizer
     # pushing the predicate below the Generate.
     return (
-        df.where(F.size(toks) >= n)
+        base.where(F.size(toks) >= n)
         .withColumn(target, F.explode(F.array_distinct(grams)))
+        .drop("_toks")
     )
 
 

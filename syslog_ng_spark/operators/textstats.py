@@ -307,16 +307,23 @@ def _hashed_ngram_features(
     """Hashed unigram+bigram feature instances per doc — the DSIR
     feature space (Xie et al. 2023 use hashed n-grams into a fixed
     bucket count). One row per feature OCCURRENCE (not distinct):
-    importance weights multiply per occurrence."""
-    toks = tokens(F.col(text_col))
+    importance weights multiply per occurrence.
+
+    The token array is materialized as a column BEFORE the bigram
+    lambda: an expression captured inside a higher-order function is
+    re-evaluated per element, so an inlined tokens() would re-run the
+    regex+split once per bigram — O(tokens²) per doc (measured 10.3s
+    → 1.9s for the sf0.1 feature pass)."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
     bis = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
     )
-    feats = F.when(F.size(toks) >= 2, F.concat(toks, bis)).otherwise(toks)
+    feats = F.when(F.size(t) >= 2, F.concat(t, bis)).otherwise(t)
     h = F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
     return (
-        df.select(F.col(id_col), F.explode(feats).alias("_f"))
+        base.select(F.col(id_col), F.explode(feats).alias("_f"))
         .where(F.col("_f") != "")
         .select(id_col, (h % dim).alias("bucket"))
     )
@@ -351,21 +358,17 @@ def dsir_logweight(
     tgt_f = _hashed_ngram_features(target, text_col, id_col, dim)
 
     def probs(feats: DataFrame, prefix: str) -> DataFrame:
-        counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c"))
-        totals = feats.agg(F.count(F.lit(1)).alias("_n"))
-        return (
-            counts.crossJoin(F.broadcast(totals))
-            .select(
-                "bucket",
-                F.col("_c").alias(prefix + "c"),
-                F.col("_n").alias(prefix + "n"),
-            )
-        )
+        # total = sum over the (≤ dim rows) counts table — one feature
+        # scan per corpus, not one per statistic
+        counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias(prefix + "c"))
+        totals = counts.agg(F.sum(prefix + "c").alias(prefix + "n"))
+        return counts.crossJoin(F.broadcast(totals))
 
-    tgt_n = tgt_f.agg(F.count(F.lit(1)).alias("_tn"))
+    tgt_p = probs(tgt_f, "t_").persist(StorageLevel.MEMORY_AND_DISK)
+    tgt_n = tgt_p.select(F.col("t_n").alias("_tn")).limit(1)
     scored = (
         raw_f.join(F.broadcast(probs(raw_f, "r_")), "bucket")
-        .join(F.broadcast(probs(tgt_f, "t_").drop("t_n")), "bucket", "left")
+        .join(F.broadcast(tgt_p.drop("t_n")), "bucket", "left")
         .crossJoin(F.broadcast(tgt_n))
         .select(
             id_col,
