@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "fortigate_parse",
     "checkpoint_parse",
     "osquery_parse",
+    "panos_parse",
 ]
 
 

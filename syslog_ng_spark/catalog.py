@@ -803,6 +803,70 @@ def osquery_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PANOS_PARSE_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN 'TRAFFIC' ELSE 'SYSTEM' END AS type_v,
+       'fw-' || (user_id % 10)::VARCHAR AS device_v,
+       CASE WHEN event_id % 2 = 0
+            THEN '10.' || (user_id % 32)::VARCHAR || '.' || ((user_id * 7) % 256)::VARCHAR
+                 || '.' || (1 + user_id % 254)::VARCHAR END AS src_v,
+       CASE WHEN event_id % 2 = 0 THEN (event_id % 65535)::VARCHAR END AS dport_v,
+       CASE WHEN event_id % 2 <> 0 THEN event_type || '-event' END AS eventid_v,
+       CASE WHEN event_id % 2 <> 0 THEN 'informational' END AS severity_v
+FROM events
+"""
+
+
+@register("panos_parse", _PANOS_PARSE_SQL)
+def panos_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """panos-parser() (reference: scl/paloalto/panos.conf): a mixed
+    PAN-OS stream — TRAFFIC and SYSTEM rows with the conf's verbatim
+    per-type column lists dispatched on the shared header's type
+    field. Oracle derives every expected value from the generators."""
+    from syslog_ng_spark.operators.app_parsers import panos_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    v4 = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("user_id") % 254).cast("string"),
+    )
+    dev = F.concat(F.lit("fw-"), (F.col("user_id") % 10).cast("string"))
+    header = F.lit("1,2024/01/05 03:04:05,001122,")
+    traffic = F.concat(
+        header, F.lit("TRAFFIC,end,x,2024/01/05 03:04:05,"),
+        v4,
+        F.lit(",8.8.8.8,0.0.0.0,0.0.0.0,allow-dns,u1,,dns,vsys1,trust,untrust,ae1,ae2,fwd,x,"),
+        F.col("event_id").cast("string"),
+        F.lit(",1,53211,"),
+        (F.col("event_id") % 65535).cast("string"),
+        F.lit(",0,0,0x0,udp,allow,120,60,60,2,2024/01/05 03:03:00,5,any,x,77,0x0,US,US,x,1,1,aged-out,1,2,3,4,vs1,"),
+        dev,
+    )
+    system = F.concat(
+        header, F.lit("SYSTEM,general,x,2024/01/05 03:04:05,vsys1,"),
+        F.col("event_type"),
+        F.lit("-event,obj,a,b,general,informational,desc,"),
+        F.col("event_id").cast("string"),
+        F.lit(",0x0,1,2,3,4,vs1,"),
+        dev,
+    )
+    line = F.when(F.col("event_id") % 2 == 0, traffic).otherwise(system)
+    parsed = panos_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.element_at("sdata", ".panos.type").alias("type_v"),
+        F.element_at("sdata", ".panos.device_name").alias("device_v"),
+        F.element_at("sdata", ".panos.src").alias("src_v"),
+        F.element_at("sdata", ".panos.dport").alias("dport_v"),
+        F.element_at("sdata", ".panos.eventid").alias("eventid_v"),
+        F.element_at("sdata", ".panos.severity").alias("severity_v"),
+    )
+
+
 _GUMBEL_SQL = """
 WITH w AS (
   SELECT event_id, user_id, ln(1 + user_id % 100) AS logw FROM events),

@@ -352,3 +352,89 @@ def checkpoint_parser(
     return df.withColumn(
         target, F.transform_keys(kv, lambda k, v: F.concat(F.lit(prefix), k))
     )
+
+
+# PAN-OS per-type second-stage column lists (reference:
+# scl/paloalto/panos.conf, verbatim order). The header stage is shared:
+# FUTURE_USE, Receive Time, Serial, Type, Subtype, FUTURE_USE,
+# Generated Time, then the type-specific remainder (greedy 'tmp').
+_PANOS_HEADER = [
+    "future_use1", "receive_time", "serial", "type", "subtype", "future_use2",
+    "time_generated",
+]
+_PANOS_COLUMNS = {
+    "SYSTEM": [
+        "vsys", "eventid", "object", "future_use3", "future_use4", "module",
+        "severity", "opaque", "seqno", "actionflags",
+        "dg_hier_level_1", "dg_hier_level_2", "dg_hier_level_3", "dg_hier_level_4",
+        "vsys_name", "device_name",
+    ],
+    "CONFIG": [
+        "host", "vsys", "cmd", "admin", "client", "result", "path", "seqno",
+        "actionflags",
+        "dg_hier_level_1", "dg_hier_level_2", "dg_hier_level_3", "dg_hier_level_4",
+        "vsys_name", "device_name",
+    ],
+    "TRAFFIC": [
+        "src", "dst", "natsrc", "natdst", "rule", "srcuser", "dstuser", "app",
+        "vsys", "from", "to", "inbound_if", "outbound_if", "logset",
+        "future_use3", "sessionid", "repeatcnt", "sport", "dport", "natsport",
+        "natdport", "flags", "proto", "action", "bytes", "bytes_sent",
+        "bytes_received", "packets", "start", "sec", "category", "future_use4",
+        "seqno", "actionflags", "srcloc", "dstloc", "future_use5", "pkts_sent",
+        "pkts_received", "session_end_reason",
+        "dg_hier_level_1", "dg_hier_level_2", "dg_hier_level_3", "dg_hier_level_4",
+        "vsys_name", "device_name",
+    ],
+    "THREAT": [
+        "src", "dst", "natsrc", "natdst", "rule", "srcuser", "dstuser", "app",
+        "vsys", "from", "to", "inbound_if", "outbound_if", "logset",
+        "future_use3", "sessionid", "repeatcnt", "sport", "dport", "natsport",
+        "natdport", "flags", "proto", "action", "misc", "threatid", "category",
+        "severity", "direction", "seqno", "actionflags", "srcloc", "dstloc",
+        "future_use4", "contenttype", "pcap_id", "filedigest", "cloud",
+        "url_idx", "user_agent", "filetype", "xff", "referer", "sender",
+        "subject", "recipient", "reportid",
+        "dg_hier_level_1", "dg_hier_level_2", "dg_hier_level_3", "dg_hier_level_4",
+        "vsys_name", "device_name",
+    ],
+}
+
+
+def panos_parser(
+    df: DataFrame, col: str = "message", target: str = "sdata", prefix: str = ".panos."
+) -> DataFrame:
+    """panos-parser() (reference: scl/paloalto/panos.conf): PAN-OS
+    comma-separated logs — a shared 7-column header stage (with the
+    greedy remainder in 'tmp'), then a type-dispatched second csv
+    stage whose column lists are the conf's, verbatim, for
+    SYSTEM / CONFIG / TRAFFIC / THREAT (the conf's 'custom format'
+    CONFIG variant and the optional post-device_name tail columns are
+    left unmapped — the reference itself only requires columns up to
+    device_name). All fields land under '.panos.' in one map; rows
+    with an unknown type get header fields only.
+
+    Per-type mapping is a single map_from_entries CASE — one pass, no
+    UDFs, and the split array is materialized once (higher-order
+    lambdas re-evaluate captured expressions per element)."""
+    base = df.withColumn("_c", F.split(F.col(col), ","))
+    c = F.col("_c")
+
+    def entry(name: str, idx: int) -> Column:
+        # try_element_at: short/malformed lines yield NULLs (filtered
+        # below), matching csv-parser's drop-invalid tolerance
+        return F.struct(
+            F.lit(prefix + name).alias("key"),
+            F.try_element_at(c, F.lit(idx)).alias("value"),
+        )
+
+    header = [entry(n, i + 1) for i, n in enumerate(_PANOS_HEADER)]
+    typ = F.try_element_at(c, F.lit(4))
+    body = None
+    for t, cols in _PANOS_COLUMNS.items():
+        ents = F.array(*[entry(n, len(_PANOS_HEADER) + 1 + i) for i, n in enumerate(cols)])
+        body = F.when(typ == t, ents) if body is None else body.when(typ == t, ents)
+    body = body.otherwise(F.array().cast("array<struct<key:string,value:string>>"))
+    entries = F.concat(F.array(*header), body)
+    kv = F.map_from_entries(F.filter(entries, lambda e: e["value"].isNotNull()))
+    return base.withColumn(target, kv).drop("_c")

@@ -198,3 +198,30 @@ def test_osquery_parser_json_prefix(spark):
     sd = dict(osquery_parser(df).collect()[0].sdata)
     assert sd[".osquery.name"] == "pack_proc"
     assert sd[".osquery.columns"] == '{"pid":"42"}'  # nested keeps JSON rendering
+
+
+def test_panos_parser_type_dispatch(spark):
+    from syslog_ng_spark.operators.app_parsers import panos_parser
+
+    lines = [
+        "1,2024/01/05 03:04:05,001122,SYSTEM,general,x,2024/01/05 03:04:05,"
+        "vsys1,general-ev,obj,a,b,general,informational,desc text,1234,0x0,"
+        "1,2,3,4,vs1,fw-edge-01",
+        "1,2024/01/05 03:04:05,001122,TRAFFIC,end,x,2024/01/05 03:04:05,"
+        "10.1.1.2,8.8.8.8,0.0.0.0,0.0.0.0,allow-dns,u1,,dns,vsys1,trust,"
+        "untrust,ae1,ae2,fwd,x,5555,1,53211,53,0,0,0x0,udp,allow,120,60,60,2,"
+        "2024/01/05 03:03:00,5,any,x,77,0x0,US,US,x,1,1,aged-out,1,2,3,4,vs1,"
+        "fw-edge-01",
+        "weird,line",
+    ]
+    df = spark.createDataFrame([(line,) for line in lines], "message string")
+    rows = [dict(r.sdata) for r in panos_parser(df).collect()]
+    sys_row = next(r for r in rows if r.get(".panos.type") == "SYSTEM")
+    assert sys_row[".panos.eventid"] == "general-ev"
+    assert sys_row[".panos.severity"] == "informational"
+    assert sys_row[".panos.device_name"] == "fw-edge-01"
+    tr = next(r for r in rows if r.get(".panos.type") == "TRAFFIC")
+    assert tr[".panos.src"] == "10.1.1.2" and tr[".panos.dport"] == "53"
+    assert tr[".panos.session_end_reason"] == "aged-out"
+    short = next(r for r in rows if r.get(".panos.type") is None)
+    assert len(short) == 2  # only the two header fields the line has
