@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "checkpoint_parse",
     "osquery_parse",
     "panos_parse",
+    "websense_parse",
+    "snmptrapd_parse",
 ]
 
 

@@ -5634,3 +5634,225 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0
     ).select("doc_id", F.round(score, 6).alias("bm25"))
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+_NETSKOPE_PARSE_SQL = """
+SELECT event_id,
+       'u' || (user_id % 500)::VARCHAR || '@corp.example' AS user_v,
+       event_type || ' ok' AS event_v,
+       (user_id % 5)::VARCHAR AS sev_v,
+       event_id::VARCHAR AS epoch_v
+FROM events
+"""
+
+
+@register("netskope_parse", _NETSKOPE_PARSE_SQL)
+def netskope_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netskope-parser() (reference: scl/netskope/plugin.conf): JSON
+    event behind a '<134>' syslog priority prefix — pri subst then
+    json-parser under '.netskope.', application filter replayed as
+    is_netskope. Oracle derives the members from the generators."""
+    from syslog_ng_spark.operators.app_parsers import netskope_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit('<134>{"count": 1, "_insertion_epoch_timestamp": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "user": "u'),
+        (F.col("user_id") % 500).cast("string"),
+        F.lit('@corp.example", "audit_log_event": "'),
+        F.col("event_type"),
+        F.lit(' ok", "severity_level": '),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit("}"),
+    )
+    parsed = netskope_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.where("is_netskope").select(
+        "event_id",
+        F.element_at("sdata", ".netskope.user").alias("user_v"),
+        F.element_at("sdata", ".netskope.audit_log_event").alias("event_v"),
+        F.element_at("sdata", ".netskope.severity_level").alias("sev_v"),
+        F.element_at("sdata", ".netskope._insertion_epoch_timestamp").alias("epoch_v"),
+    )
+
+
+_WEBSENSE_PARSE_SQL = """
+SELECT event_id,
+       '10.203.' || (user_id % 28)::VARCHAR || '.21' AS host_v,
+       'Websense' AS program_v,
+       epoch_us(TIMESTAMP '2024-12-19 00:48:57'
+                + to_hours(user_id % 24)) AS ts_us,
+       CASE WHEN user_id % 3 = 0 THEN 'blocked' ELSE 'permitted' END AS action_v,
+       (event_id % 10000)::VARCHAR AS bytes_v,
+       'https://site' || (user_id % 50)::VARCHAR || '.example.com' AS url_v
+FROM events
+"""
+
+
+@register("websense_parse", _WEBSENSE_PARSE_SQL)
+def websense_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """websense-parser() (reference: scl/websense/plugin.conf): the
+    conf's two substs (timezone strip, program injection) then
+    syslog-parser + kv-parser under '.websense.'. Oracle derives the
+    kv fields and the BSD timestamp from the generators."""
+    from syslog_ng_spark.operators.app_parsers import websense_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit("<159>Dec 19 "),
+        F.lpad((F.col("user_id") % 24).cast("string"), 2, "0"),
+        F.lit(":48:57 EST 10.203."),
+        (F.col("user_id") % 28).cast("string"),
+        F.lit(".21 vendor=Websense product=Security action="),
+        F.when(F.col("user_id") % 3 == 0, F.lit("blocked")).otherwise(F.lit("permitted")),
+        F.lit(" severity="),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(" bytes_out="),
+        (F.col("event_id") % 10000).cast("string"),
+        F.lit(" url=https://site"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    parsed = websense_parser(ev.select("event_id", line.alias("raw")), "raw", year=2024)
+    return parsed.where("is_websense").select(
+        "event_id",
+        F.col("host").alias("host_v"),
+        F.col("program").alias("program_v"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.element_at("sdata", ".websense.action").alias("action_v"),
+        F.element_at("sdata", ".websense.bytes_out").alias("bytes_v"),
+        F.element_at("sdata", ".websense.url").alias("url_v"),
+    )
+
+
+_JUNOS_PARSE_SQL = """
+SELECT event_id,
+       'fw' || (user_id % 10)::VARCHAR AS host_v,
+       event_type || ' close' AS reason_v,
+       '10.3.' || (user_id % 256)::VARCHAR || '.' || (1 + event_id % 254)::VARCHAR AS src_v,
+       (event_id % 65535)::VARCHAR AS dport_v
+FROM events
+WHERE event_id % 2 = 0
+"""
+
+
+@register("junos_parse", _JUNOS_PARSE_SQL)
+def junos_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """junos application (reference: scl/junos/plugin.conf): RT_FLOW
+    logs are RFC5424 + a [junos@2636...] SD element; the application
+    is syslog-parser() plus the '${.SDATA...reason} ne \"\"' routing
+    filter. Odd rows are junos-less 5424 messages the filter must
+    reject. Oracle derives the SD params from the generators."""
+    from syslog_ng_spark.operators.app_parsers import junos_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    junos_line = F.concat(
+        F.lit("<14>1 2019-04-12T14:29:06.576Z fw"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(' RT_FLOW - RT_FLOW_SESSION_CLOSE [junos@2636.1.1.1.2.129 reason="'),
+        F.col("event_type"),
+        F.lit(' close" source-address="10.3.'),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (1 + F.col("event_id") % 254).cast("string"),
+        F.lit('" destination-port="'),
+        (F.col("event_id") % 65535).cast("string"),
+        F.lit('"] session closed'),
+    )
+    plain = F.lit("<14>1 2019-04-12T14:29:06.576Z h app - - - plain message")
+    line = F.when(F.col("event_id") % 2 == 0, junos_line).otherwise(plain)
+    parsed = junos_parser(ev.select("event_id", line.alias("raw")), "raw")
+    sd = "junos@2636.1.1.1.2.129."
+    return parsed.where("is_junos").select(
+        "event_id",
+        F.col("host").alias("host_v"),
+        F.element_at("sdata", sd + "reason").alias("reason_v"),
+        F.element_at("sdata", sd + "source-address").alias("src_v"),
+        F.element_at("sdata", sd + "destination-port").alias("dport_v"),
+    )
+
+
+_SOLARIS_MSGID_SQL = """
+SELECT event_id,
+       CASE WHEN user_id % 4 <> 0
+            THEN (100000 + user_id % 899999)::VARCHAR END AS msgid_v,
+       event_type || ' happened on unit ' || (event_id % 16)::VARCHAR AS msg_v
+FROM events
+"""
+
+
+@register("solaris_msgid_parse", _SOLARIS_MSGID_SQL)
+def solaris_msgid_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract-solaris-msgid() (reference: scl/solaris/plugin.conf):
+    '[ID <msgid> <fac.level>]' prefix stripped into .solaris.msgid,
+    MESSAGE rewritten to the remainder; non-prefixed rows untouched.
+    Every 4th row has no msgid prefix."""
+    from syslog_ng_spark.operators.app_parsers import solaris_msgid_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    body = F.concat(
+        F.col("event_type"),
+        F.lit(" happened on unit "),
+        (F.col("event_id") % 16).cast("string"),
+    )
+    line = F.when(
+        F.col("user_id") % 4 != 0,
+        F.concat(
+            F.lit("[ID "),
+            (100000 + F.col("user_id") % 899999).cast("string"),
+            F.lit(" kern.notice] "),
+            body,
+        ),
+    ).otherwise(body)
+    parsed = solaris_msgid_parser(ev.select("event_id", line.alias("message")), "message")
+    return parsed.select(
+        "event_id",
+        F.col("solaris_msgid").alias("msgid_v"),
+        F.col("message").alias("msg_v"),
+    )
+
+
+_SNMPTRAPD_PARSE_SQL = """
+SELECT event_id,
+       'agent' || (user_id % 50)::VARCHAR AS host_v,
+       'UDP: [10.0.' || (user_id % 256)::VARCHAR || '.1]:'
+         || (1024 + event_id % 60000)::VARCHAR || '->[127.0.0.1]:162' AS transport_v,
+       '(' || event_id::VARCHAR || ') 0:00:01.00' AS ticks_v,
+       event_type || ' payload' AS str_v,
+       (user_id % 1000)::VARCHAR AS gauge_v
+FROM events
+"""
+
+
+@register("snmptrapd_parse", _SNMPTRAPD_PARSE_SQL)
+def snmptrapd_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snmptrapd() source parser (reference: modules/afsnmp/
+    snmptrapd-parser.c): header line + tab-separated varbind list with
+    type annotations stripped and STRING values unquoted. Oracle
+    derives header fields and varbind values from the generators."""
+    from syslog_ng_spark.operators.app_parsers import snmptrapd_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit("2017-05-10 12:46:14 agent"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(" [UDP: [10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".1]:"),
+        (1024 + F.col("event_id") % 60000).cast("string"),
+        F.lit("->[127.0.0.1]:162]:\niso.3.6.1.2.1.1.3.0 = Timeticks: ("),
+        F.col("event_id").cast("string"),
+        F.lit(') 0:00:01.00\tnetSnmpExampleString = STRING: "'),
+        F.col("event_type"),
+        F.lit(' payload"\torg.2.2 = Gauge32: '),
+        (F.col("user_id") % 1000).cast("string"),
+    )
+    parsed = snmptrapd_parser(ev.select("event_id", line.alias("raw")), "raw")
+    return parsed.where("is_trap").select(
+        "event_id",
+        F.element_at("sdata", ".snmp.hostname").alias("host_v"),
+        F.element_at("sdata", ".snmp.transport_info").alias("transport_v"),
+        F.element_at("sdata", ".snmp.iso.3.6.1.2.1.1.3.0").alias("ticks_v"),
+        F.element_at("sdata", ".snmp.netSnmpExampleString").alias("str_v"),
+        F.element_at("sdata", ".snmp.org.2.2").alias("gauge_v"),
+    )

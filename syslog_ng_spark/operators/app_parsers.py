@@ -438,3 +438,196 @@ def panos_parser(
     entries = F.concat(F.array(*header), body)
     kv = F.map_from_entries(F.filter(entries, lambda e: e["value"].isNotNull()))
     return base.withColumn(target, kv).drop("_c")
+
+
+def netskope_parser(
+    df: DataFrame, col: str = "message", target: str = "sdata", prefix: str = ".netskope."
+) -> DataFrame:
+    """netskope-parser() (reference: scl/netskope/plugin.conf): the
+    whole incoming line is a JSON event, optionally behind a syslog
+    <pri> prefix — subst('^<[0-9]+>', '') then json-parser under
+    '.netskope.'. `is_netskope` replays the conf's application
+    filter: literal '<134>{' prefix AND the
+    '_insertion_epoch_timestamp' member present."""
+    from pyspark.sql.types import MapType, StringType
+
+    stripped = F.regexp_replace(F.col(col), "^<[0-9]+>", "")
+    j = F.from_json(stripped, MapType(StringType(), StringType()))
+    return df.withColumn(
+        target, F.transform_keys(j, lambda k, v: F.concat(F.lit(prefix), k))
+    ).withColumn(
+        "is_netskope",
+        F.col(col).startswith("<134>{")
+        & F.col(col).contains("_insertion_epoch_timestamp"),
+    )
+
+
+def websense_parser(
+    df: DataFrame, col: str = "raw", target: str = "sdata", prefix: str = ".websense.",
+    year: int = 2024,
+) -> DataFrame:
+    """websense-parser() (reference: scl/websense/plugin.conf):
+    Websense lines are BSD-syslog-shaped except for (a) a timezone
+    code after the stamp and (b) no $PROGRAM. The conf's two substs
+    are replayed — drop the tz code, inject 'Websense: ' as program
+    before 'vendor=Websense' — then syslog-parser() and kv-parser()
+    under '.websense.'. `is_websense` is the application filter
+    (substring 'vendor=Websense')."""
+    from syslog_ng_spark.operators.parsers import kv_parser, syslog_parser_3164
+
+    # the conf substitutes '$1 ' which leaves a doubled space before
+    # the host ('...10:48:57  10.203...') — its syslog-parser tolerates
+    # whitespace runs, RFC3164_RE's single-space shape doesn't, so
+    # replace with '$1' and let the original pre-host space stand
+    r1 = F.regexp_replace(
+        F.col(col),
+        r"([A-Za-z]{3} [0-9 ]\d \d{2}:\d{2}:\d{2}) [A-Z]{3,4}",
+        r"$1",
+    )
+    r2 = F.regexp_replace(r1, "(vendor=Websense)", r"Websense: $1")
+    staged = df.withColumn("_ws_raw", r2).withColumn(
+        "is_websense", F.col(col).contains("vendor=Websense")
+    )
+    parsed = syslog_parser_3164(staged, raw="_ws_raw", year=year)
+    parsed = kv_parser(parsed, "message", target="_ws_kv")
+    pruned = F.map_filter(F.col("_ws_kv"), lambda k, v: v.isNotNull())
+    return parsed.withColumn(
+        target, F.transform_keys(pruned, lambda k, v: F.concat(F.lit(prefix), k))
+    ).drop("_ws_kv")
+
+
+_JUNOS_REASON_KEY = "junos@2636.1.1.1.2.129.reason"
+
+
+def junos_parser(df: DataFrame, col: str = "raw") -> DataFrame:
+    """junos application adapter (reference: scl/junos/plugin.conf):
+    Juniper RT_FLOW logs are plain RFC5424 with a [junos@2636...]
+    structured-data element — the parse IS syslog-parser(); the
+    application's only own logic is the routing filter
+    \"${.SDATA.junos@2636.1.1.1.2.129.reason}\" ne '', replayed here
+    as `is_junos`."""
+    from syslog_ng_spark.operators.parsers import syslog_parser_5424
+
+    parsed = syslog_parser_5424(df, raw=col)
+    return parsed.withColumn(
+        "is_junos",
+        F.coalesce(F.element_at("sdata", _JUNOS_REASON_KEY), F.lit("")) != "",
+    )
+
+
+def solaris_msgid_parser(df: DataFrame, col: str = "message") -> DataFrame:
+    """extract-solaris-msgid() (reference: scl/solaris/plugin.conf):
+    Solaris kernel lines open with '[ID <msgid> <facility.level>]'.
+    The conf runs a greedy csv-parser with '[]' quote-pairs (first
+    token = the bracket body, remainder -> MESSAGE) then re-splits the
+    body for the numeric msgid. Same result in one regex pass:
+    `.solaris.msgid` + MESSAGE stripped of the prefix; non-matching
+    rows pass through untouched (the conf's 'filter message([ID
+    prefix)' guard)."""
+    body = F.regexp_extract(F.col(col), r"^\[ID (\d+) [^\]]*\] ?(.*)$", 1)
+    rest = F.regexp_extract(F.col(col), r"^\[ID (\d+) [^\]]*\] ?(.*)$", 2)
+    hit = F.col(col).startswith("[ID ") & (body != "")
+    return df.withColumn("solaris_msgid", F.when(hit, body)).withColumn(
+        col, F.when(hit, rest).otherwise(F.col(col))
+    )
+
+
+# snmptrapd varbind key charset (reference: modules/afsnmp/
+# varbindlist-scanner.c _is_valid_key_character: alnum _ . - :)
+_SNMP_KEY = r"[A-Za-z0-9_.:\-]+"
+# one varbind: key [ws] = [ws] [TYPE:] (quoted | run-until-next-pair).
+# The TYPE annotation is a colon-terminated token with no space before
+# the ':' (varbindlist-scanner.c _extract_type: strpbrk(': \t') must
+# land on ':'); the unquoted value run stops before '\t' or a
+# ' key =' lookahead — the C kv-scanner's value-ends-at-next-key rule.
+_SNMP_VB_RE = (
+    rf'({_SNMP_KEY})[ \t]*=[ \t]*(?:[^:\s"]+:[ \t]*)?'
+    rf'("[^"]*"|(?:(?![ \t]+{_SNMP_KEY}[ \t]*=)[^\t\n])*)'
+)
+# header: ISO stamp, hostname, [transport (may contain nested
+# brackets — greedy to the LAST ']' before the colon)], ':', then the
+# v1 enterprise OID if present
+_SNMP_HDR_RE = (
+    r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\s+(\S+)\s+\[(.*)\]\s*:(?:\s*(\S+))?\s*$"
+)
+# v1 second line: '\t <type> Trap (<subtype>) Uptime: <uptime>'
+_SNMP_V1_RE = r"^\t\s*(.*? Trap) \((.*?)\) Uptime:\s*(.*?)\s*$"
+
+
+def snmptrapd_parser(
+    df: DataFrame, col: str = "raw", target: str = "sdata", prefix: str = ".snmp."
+) -> DataFrame:
+    """snmptrapd() source parser (reference: modules/afsnmp/
+    snmptrapd-parser.c + varbindlist-scanner.c, semantics pinned by
+    its criterion suite tests/test_snmptrapd_parser.c — those cases
+    are replicated in tests/test_app_parsers.py):
+
+    - header line 'YYYY-MM-DD HH:MM:SS host [transport]:' →
+      .snmp.hostname / .snmp.transport_info + `ts`
+    - SNMPv1 traps carry ' enterprise_oid' after the colon and a
+      second line '\\t <type> Trap (<subtype>) Uptime: <uptime>' →
+      .snmp.enterprise_oid/type/subtype/uptime
+    - the varbind list (next line) is 'key = TYPE: value' pairs —
+      TYPE annotation stripped, STRING quotes removed, values
+      trimmed, key ':' runs normalized to '_' per the reference's
+      key-normalization tests; scan stops at the next newline
+    - messages with no parseable header, or a v2 varbind list
+      opening with a tab, are dropped (`is_trap` false — the
+      reference returns FALSE from its process())
+
+    One regexp pass per stage, all Catalyst; varbind keys/values via
+    two regexp_extract_all group pulls zipped JVM-side."""
+    line1 = F.substring_index(F.col(col), "\n", 1)
+    has_nl = F.col(col).contains("\n")
+    rest = F.when(
+        has_nl, F.substr(F.col(col), F.length(line1) + 2, F.length(F.col(col)))
+    ).otherwise(F.lit(""))
+
+    def hg(i: int) -> Column:
+        return F.nullif(F.regexp_extract(line1, _SNMP_HDR_RE, i), F.lit(""))
+
+    header_ok = F.regexp_like(line1, F.lit(_SNMP_HDR_RE))
+    enterprise = hg(4)
+    is_v1 = enterprise.isNotNull()
+    rest_l1 = F.substring_index(rest, "\n", 1)
+    rest_l2 = F.when(
+        rest.contains("\n"),
+        F.substring_index(F.substr(rest, F.length(rest_l1) + 2), "\n", 1),
+    ).otherwise(F.lit(""))
+    vb_line = F.when(is_v1, rest_l2).otherwise(rest_l1)
+
+    def v1g(i: int) -> Column:
+        return F.nullif(F.regexp_extract(rest_l1, _SNMP_V1_RE, i), F.lit(""))
+
+    # zip keys/values; normalize ':'+ runs in keys to '_'; strip the
+    # quotes of quoted values, rtrim unquoted ones
+    vb_entries = F.expr(
+        f"""
+        transform(
+          arrays_zip(regexp_extract_all(_snmp_vb, r'{_SNMP_VB_RE}', 1),
+                     regexp_extract_all(_snmp_vb, r'{_SNMP_VB_RE}', 2)),
+          p -> struct(
+            concat('{prefix}', regexp_replace(p['0'], ':+', '_')) as key,
+            CASE WHEN startswith(p['1'], '"')
+                 THEN substring(p['1'], 2, length(p['1']) - 2)
+                 ELSE rtrim(p['1']) END as value))
+        """.strip()
+    )
+    staged = df.withColumn("_snmp_vb", vb_line)
+    hdr_entries = F.array(
+        F.struct(F.lit(prefix + "hostname").alias("key"), hg(2).alias("value")),
+        F.struct(F.lit(prefix + "transport_info").alias("key"), hg(3).alias("value")),
+        F.struct(F.lit(prefix + "enterprise_oid").alias("key"), enterprise.alias("value")),
+        F.struct(F.lit(prefix + "type").alias("key"), v1g(1).alias("value")),
+        F.struct(F.lit(prefix + "subtype").alias("key"), v1g(2).alias("value")),
+        F.struct(F.lit(prefix + "uptime").alias("key"), v1g(3).alias("value")),
+    )
+    all_entries = F.concat(hdr_entries, vb_entries)
+    kv = F.map_from_entries(F.filter(all_entries, lambda e: e["value"].isNotNull()))
+    dropped = ~header_ok | (~is_v1 & vb_line.startswith("\t"))
+    return (
+        staged.withColumn("ts", F.to_timestamp(hg(1), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn(target, F.when(~dropped, kv))
+        .withColumn("is_trap", ~dropped)
+        .drop("_snmp_vb")
+    )

@@ -225,3 +225,211 @@ def test_panos_parser_type_dispatch(spark):
     assert tr[".panos.session_end_reason"] == "aged-out"
     short = next(r for r in rows if r.get(".panos.type") is None)
     assert len(short) == 2  # only the two header fields the line has
+
+
+def test_netskope_parser_pri_strip_and_filter(spark):
+    from syslog_ng_spark.operators.app_parsers import netskope_parser
+
+    line = (
+        '<134>{"count": 1, "severity_level": 2, "timestamp": 1547421943, '
+        '"_insertion_epoch_timestamp": 1547421943, "user": "user@domain.com", '
+        '"audit_log_event": "Login Successful", "type": "admin_audit_logs"}'
+    )
+    df = spark.createDataFrame([(line,), ('<13>not netskope',)], "message string")
+    rows = {r.message: r for r in netskope_parser(df, "message").collect()}
+    r = rows[line]
+    assert r.is_netskope
+    assert r.sdata[".netskope.user"] == "user@domain.com"
+    assert r.sdata[".netskope.audit_log_event"] == "Login Successful"
+    assert r.sdata[".netskope._insertion_epoch_timestamp"] == "1547421943"
+    assert not rows['<13>not netskope'].is_netskope
+
+
+def test_websense_parser_conf_example(spark):
+    from syslog_ng_spark.operators.app_parsers import websense_parser
+
+    # the conf's own sample line (scl/websense/plugin.conf), shortened tail
+    line = (
+        "<159>Dec 19 10:48:57 EST 10.203.28.21 vendor=Websense product=Security "
+        "product_version=7.7.0 action=permitted severity=1 user=- "
+        "dst_host=mail.google.com dst_port=443 http_response=200 "
+        "http_method=CONNECT url=https://mail.google.com"
+    )
+    df = spark.createDataFrame([(line,)], "raw string")
+    r = websense_parser(df, "raw", year=2012).collect()[0]
+    assert r.is_websense
+    assert r.host == "10.203.28.21"
+    assert r.program == "Websense"
+    assert r.ts == datetime.datetime(2012, 12, 19, 10, 48, 57)
+    assert r.sdata[".websense.vendor"] == "Websense"
+    assert r.sdata[".websense.action"] == "permitted"
+    assert r.sdata[".websense.http_response"] == "200"
+    assert r.sdata[".websense.url"] == "https://mail.google.com"
+
+
+def test_junos_parser_sd_filter(spark):
+    from syslog_ng_spark.operators.app_parsers import junos_parser
+
+    line = (
+        "<14>1 2019-04-12T14:29:06.576Z - RT_FLOW - RT_FLOW_SESSION_CLOSE "
+        '[junos@2636.1.1.1.2.129 reason="TCP FIN" source-address="10.3.255.203" '
+        'destination-port="80" protocol-id="6"] session closed TCP FIN'
+    )
+    other = "<14>1 2019-04-12T14:29:06.576Z h app - - - plain message"
+    df = spark.createDataFrame([(line,), (other,)], "raw string")
+    rows = {r.msgid: r for r in junos_parser(df, "raw").collect()}
+    r = rows["RT_FLOW_SESSION_CLOSE"]
+    assert r.is_junos
+    assert r.sdata["junos@2636.1.1.1.2.129.reason"] == "TCP FIN"
+    assert r.sdata["junos@2636.1.1.1.2.129.destination-port"] == "80"
+    assert not rows[None].is_junos
+
+
+def test_solaris_msgid_extraction(spark):
+    from syslog_ng_spark.operators.app_parsers import solaris_msgid_parser
+
+    df = spark.createDataFrame(
+        [
+            ("[ID 702911 kern.notice] syncing file systems...",),
+            ("plain message without msgid",),
+        ],
+        "message string",
+    )
+    rows = {r.solaris_msgid: r for r in solaris_msgid_parser(df, "message").collect()}
+    assert rows["702911"].message == "syncing file systems..."
+    assert rows[None].message == "plain message without msgid"
+
+
+def _snmp_parse_one(spark, line):
+    from syslog_ng_spark.operators.app_parsers import snmptrapd_parser
+
+    df = spark.createDataFrame([(line,)], "raw string")
+    return snmptrapd_parser(df, "raw").collect()[0]
+
+
+def test_snmptrapd_v2_with_oids(spark):
+    # reference: modules/afsnmp/tests/test_snmptrapd_parser.c
+    # (test_general_v2_message_with_oids)
+    r = _snmp_parse_one(
+        spark,
+        "2017-05-10 12:46:14 web2-kukorica.syslog_ng.balabit "
+        "[UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+        "iso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67\t"
+        "iso.3.6.1.6.3.1.1.4.1.0 = OID: iso.3.6.1.4.1.8072.2.3.0.1       "
+        "iso.3.6.1.4.1.8072.2.3.2.1 = INTEGER: 60        \t "
+        'iso.3.6.1.4.1.8072.2.1.3 = ""',
+    )
+    assert r.is_trap
+    assert r.sdata[".snmp.hostname"] == "web2-kukorica.syslog_ng.balabit"
+    assert r.sdata[".snmp.transport_info"] == "UDP: [127.0.0.1]:34257->[127.0.0.1]:162"
+    assert r.sdata[".snmp.iso.3.6.1.2.1.1.3.0"] == "(875496867) 101 days, 7:56:08.67"
+    assert r.sdata[".snmp.iso.3.6.1.6.3.1.1.4.1.0"] == "iso.3.6.1.4.1.8072.2.3.0.1"
+    assert r.sdata[".snmp.iso.3.6.1.4.1.8072.2.3.2.1"] == "60"
+    assert r.sdata[".snmp.iso.3.6.1.4.1.8072.2.1.3"] == ""
+    assert r.ts == datetime.datetime(2017, 5, 10, 12, 46, 14)
+
+
+def test_snmptrapd_v1_with_enterprise_oid(spark):
+    # (test_general_v1_message_with_oids)
+    r = _snmp_parse_one(
+        spark,
+        "2017-11-10 13:23:16 localhost [UDP: [127.0.0.1]:53831->[127.0.0.1]:162]: "
+        "iso.3.6.1.4.1.8072.2.3.1\n"
+        "\t Enterprise Specific Trap (.17) Uptime: 18:41:07.83\n"
+        "iso.3.6.1.4.1.8072.2.1.1 = INTEGER: 123456",
+    )
+    assert r.is_trap
+    assert r.sdata[".snmp.enterprise_oid"] == "iso.3.6.1.4.1.8072.2.3.1"
+    assert r.sdata[".snmp.type"] == "Enterprise Specific Trap"
+    assert r.sdata[".snmp.subtype"] == ".17"
+    assert r.sdata[".snmp.uptime"] == "18:41:07.83"
+    assert r.sdata[".snmp.iso.3.6.1.4.1.8072.2.1.1"] == "123456"
+
+
+def test_snmptrapd_v2_symbolic_types(spark):
+    # (test_v2_with_symbolic_names_and_various_types)
+    r = _snmp_parse_one(
+        spark,
+        "2017-05-13 12:17:32 localhost [UDP: [127.0.0.1]:52407->[127.0.0.1]:162]:  \n "
+        "mib-2.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67 \t"
+        "snmpModules.1.1.4.1.0 = OID: netSnmpExampleHeartbeatNotification "
+        "netSnmpExampleHeartbeatRate = INTEGER: 60\t"
+        "netSnmpExampleString = STRING: \"string innerkey='innervalue'\"\t"
+        "org.2.2 = Gauge32: 22\t"
+        "org.1.1 = Counter32: 11123123   "
+        "org.5.3 = Hex-STRING: A0 BB CC DD EF \t"
+        "org.8.8 = NULL\t"
+        "dod.7 = IpAddress: 192.168.1.0\t  "
+        'org.5.9 = STRING: "@"',
+    )
+    assert r.sdata[".snmp.snmpModules.1.1.4.1.0"] == "netSnmpExampleHeartbeatNotification"
+    assert r.sdata[".snmp.netSnmpExampleHeartbeatRate"] == "60"
+    assert r.sdata[".snmp.netSnmpExampleString"] == "string innerkey='innervalue'"
+    assert r.sdata[".snmp.org.2.2"] == "22"
+    assert r.sdata[".snmp.org.1.1"] == "11123123"
+    assert r.sdata[".snmp.org.5.3"] == "A0 BB CC DD EF"
+    assert r.sdata[".snmp.org.8.8"] == "NULL"
+    assert r.sdata[".snmp.dod.7"] == "192.168.1.0"
+    assert r.sdata[".snmp.org.5.9"] == "@"
+
+
+def test_snmptrapd_v1_symbolic_spacing(spark):
+    # (test_v1_with_symbolic_names) — doubled spaces, space before colon
+    r = _snmp_parse_one(
+        spark,
+        "2017-05-13 12:18:30  localhost  "
+        "[UDP: [127.0.0.1]:58143->[127.0.0.1]:162] : netSnmpExampleNotification \n"
+        "\t Warm Start Trap (1) Uptime:  27 days, 2:39:02.34\n "
+        "netSnmpExampleInteger = INTEGER: 123456 \t netSnmpExampleString = STRING: random string",
+    )
+    assert r.is_trap
+    assert r.sdata[".snmp.hostname"] == "localhost"
+    assert r.sdata[".snmp.enterprise_oid"] == "netSnmpExampleNotification"
+    assert r.sdata[".snmp.type"] == "Warm Start Trap"
+    assert r.sdata[".snmp.subtype"] == "1"
+    assert r.sdata[".snmp.uptime"] == "27 days, 2:39:02.34"
+    assert r.sdata[".snmp.netSnmpExampleInteger"] == "123456"
+    assert r.sdata[".snmp.netSnmpExampleString"] == "random string"
+
+
+def test_snmptrapd_key_normalization(spark):
+    # (test_v2_key_normalization) — ':' runs collapse to '_'
+    r = _snmp_parse_one(
+        spark,
+        "2017-05-13 12:17:32 localhost [UDP: [127.0.0.1]:52407->[127.0.0.1]:162]:  \n "
+        "mib-2.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67 \t"
+        'NET-SNMP-EXAMPLES-MIB:netSnmpExampleString = STRING: "random fact" \t'
+        'NET-SNMP-EXAMPLES-MIB::netSnmpColons = STRING: "Colossus colons" \t'
+        'NET-SNMP-EXAMPLES-MIB::::::::::::::::::::::::::Trail = STRING: "Gary Indiana" \t'
+        ":NET-SNMP-EXAMPLES::::::::::::::::::::::::::::::MIB: = INTEGER: 1234 \t",
+    )
+    assert r.sdata[".snmp.NET-SNMP-EXAMPLES-MIB_netSnmpExampleString"] == "random fact"
+    assert r.sdata[".snmp.NET-SNMP-EXAMPLES-MIB_netSnmpColons"] == "Colossus colons"
+    assert r.sdata[".snmp.NET-SNMP-EXAMPLES-MIB_Trail"] == "Gary Indiana"
+    assert r.sdata[".snmp._NET-SNMP-EXAMPLES_MIB_"] == "1234"
+
+
+def test_snmptrapd_drops(spark):
+    # (test_snmptrapd_debug_message_with_timestamp,
+    #  test_v2_varbindlist_starts_with_tab, test_v2_message_with_garbage)
+    debug = _snmp_parse_one(
+        spark, "2017-05-19 10:00:00 NET-SNMP version 5.7.3 Stopped.\nStopping snmptrapd"
+    )
+    assert not debug.is_trap and debug.sdata is None
+    tabbed = _snmp_parse_one(
+        spark,
+        "2017-05-19 13:37:00 localhost [UDP: [127.0.0.1]:36324->[127.0.0.1]:162]:\n"
+        "\tiso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67 \t"
+        "iso.3.6.1.6.3.1.1.4.1.0 = OID: iso.3.6.1.4.1.8072.2.3.0.1",
+    )
+    assert not tabbed.is_trap
+    garbage = _snmp_parse_one(
+        spark,
+        "2017-05-10 12:46:14 localhost [UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+        "iso.3.6.1.2.1.1.3.0 = Timeticks: (875496867) 101 days, 7:56:08.67\t"
+        "iso.3.6.1.6.3.1.1.4.1.0 = OID: iso.3.6.1.4.1.8072.2.3.0.1\n"
+        "garbage = stop here",
+    )
+    assert garbage.is_trap
+    assert garbage.sdata[".snmp.iso.3.6.1.6.3.1.1.4.1.0"] == "iso.3.6.1.4.1.8072.2.3.0.1"
+    assert ".snmp.garbage" not in garbage.sdata
