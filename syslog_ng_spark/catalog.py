@@ -5856,3 +5856,102 @@ def snmptrapd_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("sdata", ".snmp.netSnmpExampleString").alias("str_v"),
         F.element_at("sdata", ".snmp.org.2.2").alias("gauge_v"),
     )
+
+
+_GELF_SQL = """
+SELECT event_id,
+       '{' || concat_ws(',',
+         '"version":"1.1"',
+         '"host":"h' || (user_id % 50)::VARCHAR || '"',
+         '"short_message":"' || event_type || ' occurred"',
+         '"level":' || (user_id % 8)::VARCHAR,
+         '"timestamp":' || epoch(date_trunc('second', ts))::BIGINT::VARCHAR,
+         CASE WHEN user_id % 5 <> 0
+              THEN '"_program":"app' || (user_id % 7)::VARCHAR || '"' END,
+         '"_pid":' || (event_id % 32768)::VARCHAR,
+         '"_facility":"daemon"',
+         CASE WHEN user_id % 3 <> 0 THEN '"_class":"' || event_type || '"' END,
+         '"_.classifier.rule":"r' || (user_id % 4)::VARCHAR || '"',
+         '"_env":"prod"'
+       ) || '}' AS gelf
+FROM events
+"""
+
+
+@register("format_gelf", _GELF_SQL)
+def format_gelf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(format-gelf) (reference: scl/graylog2/plugin.conf): GELF 1.1
+    JSON with --omit-empty-values (every 5th row's empty program and
+    every 3rd row's null classifier class are dropped), int/int64
+    fields bare, '--key .*/_*' additionals '_'-prefixed and sorted.
+    Oracle rebuilds the exact string with concat_ws(',') skipping the
+    omitted fragments."""
+    from syslog_ng_spark.functions.format import format_gelf
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    nv = F.create_map(
+        F.lit(".classifier.rule"),
+        F.concat(F.lit("r"), (F.col("user_id") % 4).cast("string")),
+        F.lit("_env"),
+        F.lit("prod"),
+    )
+    gelf = format_gelf(
+        host=F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")),
+        short_message=F.concat(F.col("event_type"), F.lit(" occurred")),
+        level_num=F.col("user_id") % 8,
+        r_unixtime=F.unix_timestamp(F.col("ts")),
+        program=F.when(
+            F.col("user_id") % 5 != 0,
+            F.concat(F.lit("app"), (F.col("user_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+        pid=F.col("event_id") % 32768,
+        facility=F.lit("daemon"),
+        classifier_class=F.when(F.col("user_id") % 3 != 0, F.col("event_type")),
+        nv=nv,
+    )
+    return ev.select("event_id", gelf.alias("gelf"))
+
+
+_CIM_SQL = """
+SELECT event_id,
+       '{'
+       || '"@message":"' || event_type || ' #' || event_id::VARCHAR || '",'
+       || '"@timestamp":"' || strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S+00:00') || '",'
+       || '"_classifier.class":"c' || (user_id % 3)::VARCHAR || '",'
+       || '"_origin":"edge",'
+       || '"action":"' || event_type || '",'
+       || '"net.if":"eth0",'
+       || '"user":"u' || (user_id % 500)::VARCHAR || '"'
+       || '}' || chr(10) AS cim
+FROM events
+"""
+
+
+@register("format_cim", _CIM_SQL)
+def format_cim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(format-cim) (reference: scl/cim/template.conf): per-batch
+    value-pairs transforms — '.cim.*' shifted 5, '.*' replace-prefix
+    .=_, '_*' and '*.*' as-is — plus the @timestamp/@message explicit
+    pairs, rendered as sorted JSON + newline. The nv map exercises all
+    four batches."""
+    from syslog_ng_spark.functions.format import format_cim
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    nv = F.create_map(
+        F.lit(".cim.user"),
+        F.concat(F.lit("u"), (F.col("user_id") % 500).cast("string")),
+        F.lit(".cim.action"),
+        F.col("event_type"),
+        F.lit("_origin"),
+        F.lit("edge"),
+        F.lit(".classifier.class"),
+        F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string")),
+        F.lit("net.if"),
+        F.lit("eth0"),
+    )
+    cim = format_cim(
+        nv,
+        r_isodate=F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss+00:00"),
+        msg=F.concat(F.col("event_type"), F.lit(" #"), F.col("event_id").cast("string")),
+    )
+    return ev.select("event_id", cim.alias("cim"))

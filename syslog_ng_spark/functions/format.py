@@ -252,3 +252,141 @@ def stardate(ts: Column, digits: int = 2) -> Column:
         epoch_seconds(end) - epoch_seconds(start)
     )
     return F.round(year + frac, digits)
+
+
+def _json_fragment(key: str, val: Column, typed: bool) -> Column:
+    """'"key":<rendered>' or NULL when the value is null/empty —
+    $(format-json --omit-empty-values) semantics. `typed` renders the
+    value bare (int(...) / int64(...) in the reference template);
+    otherwise quoted + escaped."""
+    s = val.cast("string")
+    rendered = s if typed else F.concat(F.lit('"'), _json_escape(s), F.lit('"'))
+    return F.when(
+        s.isNotNull() & (s != ""), F.concat(F.lit(f'"{key}":'), rendered)
+    )
+
+
+def format_gelf(
+    host: Column,
+    short_message: Column,
+    level_num: Column | None = None,
+    r_unixtime: Column | None = None,
+    program: Column | None = None,
+    pid: Column | None = None,
+    facility: Column | None = None,
+    classifier_class: Column | None = None,
+    nv: Column | None = None,
+    nv_keys: list[str] | None = None,
+) -> Column:
+    """$(format-gelf) (reference: scl/graylog2/plugin.conf — a
+    format-json template-function alias):
+
+      $(format-json --omit-empty-values version='1.1' host='${HOST:--}'
+        short_message='${MSG:--}' level=int(${LEVEL_NUM})
+        timestamp=int64(${R_UNIXTIME}) _program='${PROGRAM}'
+        _pid=int(${PID}) _facility='${FACILITY}'
+        _class='${.classifier.class}' --key .* --key _*)
+
+    Core fields render in the template's order (GELF consumers read
+    'version' first); int()/int64() fields render bare; empty/null
+    values are omitted per --omit-empty-values. The --key .*/_* extra
+    NV pairs follow, '_'-prefixed per the GELF additional-field rule
+    and binary-sorted (the engine's deterministic stand-in for
+    insertion order, as in format_json_scoped). Pair with
+    `gelf_frame` for the $(binary 0x00) TCP delimiter."""
+    zero = F.lit(None).cast("string")
+    frags = [
+        F.lit('"version":"1.1"'),
+        _json_fragment("host", F.coalesce(host.cast("string"), F.lit("-")), False),
+        _json_fragment(
+            "short_message", F.coalesce(short_message.cast("string"), F.lit("-")), False
+        ),
+        _json_fragment("level", level_num if level_num is not None else zero, True),
+        _json_fragment("timestamp", r_unixtime if r_unixtime is not None else zero, True),
+        _json_fragment("_program", program if program is not None else zero, False),
+        _json_fragment("_pid", pid if pid is not None else zero, True),
+        _json_fragment("_facility", facility if facility is not None else zero, False),
+        _json_fragment("_class", classifier_class if classifier_class is not None else zero, False),
+    ]
+    core = F.filter(F.array(*frags), lambda x: x.isNotNull())
+    if nv is not None:
+        selected = F.map_filter(
+            nv,
+            lambda k, v: _match_any(k, nv_keys or [".*", "_*"])
+            & v.isNotNull()
+            & (v != ""),
+        )
+        extra = F.transform(
+            F.array_sort(F.map_entries(selected)),
+            lambda e: F.concat(
+                F.lit('"'),
+                _json_escape(
+                    F.when(e["key"].startswith("_"), e["key"]).otherwise(
+                        F.concat(F.lit("_"), e["key"])
+                    )
+                ),
+                F.lit('":"'),
+                _json_escape(e["value"]),
+                F.lit('"'),
+            ),
+        )
+        core = F.concat(core, extra)
+    return F.concat(F.lit("{"), F.array_join(core, ","), F.lit("}"))
+
+
+def gelf_frame(gelf: Column) -> Column:
+    """$(binary 0x00) — the NUL delimiter GELF-over-TCP requires."""
+    return F.concat(gelf, F.lit("\x00"))
+
+
+def format_cim(
+    nv: Column,
+    r_isodate: Column,
+    msg: Column,
+) -> Column:
+    """$(format-cim) (reference: scl/cim/template.conf — a format-json
+    alias):
+
+      $(format-json --pair @timestamp='${R_ISODATE}'
+        --pair @message='${MSG}' --key .cim.* --shift 5 --key _*
+        --key .* --replace-prefix .=_ --key *.*)\\n
+
+    value-pairs transforms bind to the *preceding* --key batch
+    (lib/value-pairs/cmdline.c: vp_cmdline_parse_rekey attaches to
+    the last key), so: '.cim.*' keys lose their 5-char prefix, '_*'
+    pass as-is, '.*' swap the leading '.' for '_', '*.*' pass as-is.
+    Batches merge with later batches losing to earlier on key
+    collision (the CIM fields win); @timestamp/@message are explicit
+    --pair entries, exempt from transforms. Rendered as sorted JSON +
+    '\\n' like the reference's trailing newline."""
+    cim = value_pairs(nv, scope="none", key=[".cim.*"], rekey_shift=5)
+    underscored = value_pairs(nv, scope="none", key=["_*"])
+    dotted = value_pairs(
+        nv, scope="none", key=[".*"], exclude=[".cim.*"], rekey_replace_prefix=(".", "_")
+    )
+    compound = value_pairs(nv, scope="none", key=["*.*"], exclude=[".*"])
+    merged = _merge_maps(
+        compound,
+        dotted,
+        underscored,
+        cim,
+        F.create_map(
+            F.lit("@timestamp"), r_isodate.cast("string"),
+            F.lit("@message"), msg.cast("string"),
+        ),
+    )
+    entries = F.array_sort(F.map_entries(F.map_filter(merged, lambda k, v: v.isNotNull())))
+    body = F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.concat(
+                F.lit('"'),
+                _json_escape(e["key"]),
+                F.lit('":"'),
+                _json_escape(e["value"]),
+                F.lit('"'),
+            ),
+        ),
+        ",",
+    )
+    return F.concat(F.lit("{"), body, F.lit("}\n"))

@@ -235,3 +235,61 @@ def test_cee_parser_marker(spark):
     assert rows['@cee: {"a":"1"}'].is_cee
     assert dict(rows['@cee: {"a":"1"}'].sdata) == {".cee.a": "1"}
     assert not rows["no marker"].is_cee and rows["no marker"].sdata is None
+
+
+def test_format_gelf_omit_empty_and_typed(spark):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions.format import format_gelf, gelf_frame
+
+    df = spark.createDataFrame(
+        [("web1", "disk full", 3, 1700000000, "", None)],
+        "host string, msg string, lvl int, ut long, prog string, pid int",
+    )
+    gelf = format_gelf(
+        host=F.col("host"),
+        short_message=F.col("msg"),
+        level_num=F.col("lvl"),
+        r_unixtime=F.col("ut"),
+        program=F.col("prog"),  # empty -> omitted
+        pid=F.col("pid"),  # null -> omitted
+    )
+    out = df.select(gelf.alias("g"), gelf_frame(gelf).alias("framed")).collect()[0]
+    assert out.g == (
+        '{"version":"1.1","host":"web1","short_message":"disk full",'
+        '"level":3,"timestamp":1700000000}'
+    )
+    assert out.framed == out.g + "\x00"
+
+
+def test_format_gelf_null_host_defaults_and_escape(spark):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions.format import format_gelf
+
+    df = spark.createDataFrame([(None, 'say "hi"')], "host string, msg string")
+    g = df.select(
+        format_gelf(host=F.col("host"), short_message=F.col("msg")).alias("g")
+    ).collect()[0].g
+    assert g == '{"version":"1.1","host":"-","short_message":"say \\"hi\\""}'
+
+
+def test_format_cim_batch_transforms(spark):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.functions.format import format_cim
+
+    nv = F.create_map(
+        F.lit(".cim.user"), F.lit("alice"),
+        F.lit("_raw"), F.lit("x"),
+        F.lit(".classifier.class"), F.lit("login"),
+        F.lit("net.if"), F.lit("eth0"),
+    )
+    df = spark.createDataFrame([(1,)], "i int")
+    out = df.select(
+        format_cim(nv, r_isodate=F.lit("2024-01-05T03:04:05+00:00"), msg=F.lit("m")).alias("c")
+    ).collect()[0].c
+    assert out == (
+        '{"@message":"m","@timestamp":"2024-01-05T03:04:05+00:00",'
+        '"_classifier.class":"login","_raw":"x","net.if":"eth0","user":"alice"}\n'
+    )
