@@ -5955,3 +5955,158 @@ def format_cim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         msg=F.concat(F.col("event_type"), F.lit(" #"), F.col("event_id").cast("string")),
     )
     return ev.select("event_id", cim.alias("cim"))
+
+
+# Windows security-auditing patterndb ruleset (reference:
+# scl/windowseventlog/windowseventlog.xml — the shipped WindowsAudit
+# ruleset). Structurally faithful trims of the logon/logoff rules:
+# same '@ESTRING:::@ Security Microsoft Windows security auditing.:'
+# lead-in, same section layout, same '.win.*' field names, multi-line
+# @NLSTRING@ captures; the prose paragraphs the real events carry
+# between sections are irrelevant to the radix walk and omitted.
+_WIN_LOGON_PATTERN = (
+    "@ESTRING:::@ Security Microsoft Windows security auditing.: "
+    "[Success Audit] An account was successfully logged on.\n"
+    "\n"
+    "Subject:\n"
+    " Security ID:  @NLSTRING:@\n"
+    " Account Name:  @NLSTRING:@\n"
+    " Account Domain:  @NLSTRING:.win.SubjectDomainName@\n"
+    " Logon ID:  @NLSTRING:@\n"
+    "\n"
+    "Logon Type:   @NLSTRING:.win.LogonType@\n"
+    "\n"
+    "New Logon:\n"
+    " Security ID:  @NLSTRING:@\n"
+    " Account Name:  @NLSTRING:.win.TargetUserName@\n"
+    " Account Domain:  @NLSTRING:.win.TargetDomainName@\n"
+    " Logon ID:  @NLSTRING:.win.TargetLogonId@\n"
+    "\n"
+    "Network Information:\n"
+    " Source Network Address: @NLSTRING:.win.IpAddress@\n"
+    " Source Port:  @NLSTRING:.win.IpPort@\n"
+    " (EventID @ESTRING:.win.EventID:)@"
+)
+_WIN_LOGOFF_PATTERN = (
+    "@ESTRING:::@ Security Microsoft Windows security auditing.: "
+    "[Success Audit] An account was logged off.\n"
+    "\n"
+    "Subject:\n"
+    " Security ID:  @NLSTRING:@\n"
+    " Account Name:  @NLSTRING:.win.TargetUserName@\n"
+    " Account Domain:  @NLSTRING:.win.TargetDomainName@\n"
+    " Logon ID:  @NLSTRING:.win.TargetLogonId@\n"
+    "\n"
+    "Logon Type:  @NLSTRING:.win.LogonType@ (EventID @ESTRING:.win.EventID:)@"
+)
+_WIN_RULES = [("win_logon", _WIN_LOGON_PATTERN), ("win_logoff", _WIN_LOGOFF_PATTERN)]
+_WIN_FIELDS = [
+    ".win.LogonType", ".win.TargetUserName", ".win.TargetDomainName",
+    ".win.TargetLogonId", ".win.IpAddress", ".win.IpPort", ".win.EventID",
+]
+
+
+def _win_rx(pattern: str) -> tuple[str, list[str]]:
+    """Compiled pattern with re.escape's backslash-newline normalized
+    to a bare newline — RE2 (DuckDB) rejects an escaped newline while
+    Java accepts it; the bare char is a literal in both."""
+    from syslog_ng_spark.operators.patterndb import compile_pattern
+
+    rx, fields = compile_pattern(pattern)
+    return rx.replace("\\\n", "\n"), fields
+
+
+def _win_msg_sql() -> str:
+    return (
+        "'evt: Security Microsoft Windows security auditing.: [Success Audit] "
+        "An account was ' || CASE WHEN event_id % 3 = 0 THEN 'logged off.' "
+        "ELSE 'successfully logged on.' END || '\n"
+        "\nSubject:\n Security ID:  S-1-5-18\n"
+        " Account Name:  HOST' || (user_id % 40)::VARCHAR || '$\n"
+        " Account Domain:  WORKGROUP\n Logon ID:  0x3e7\n' || "
+        "CASE WHEN event_id % 3 = 0 THEN "
+        "'\nLogon Type:  3 (EventID 4634)' "
+        "ELSE '\nLogon Type:   ' || (CASE WHEN user_id % 2 = 0 THEN 2 ELSE 10 END)::VARCHAR || '\n"
+        "\nNew Logon:\n Security ID:  S-1-5-21\n"
+        " Account Name:  user' || (user_id % 500)::VARCHAR || '\n"
+        " Account Domain:  CORP\n Logon ID:  0x' || (event_id % 4096)::VARCHAR || '\n"
+        "\nNetwork Information:\n"
+        " Source Network Address: 10.0.' || (user_id % 256)::VARCHAR || '.9\n"
+        " Source Port:  ' || (1024 + event_id % 60000)::VARCHAR || '\n"
+        " (EventID 4624)' END"
+    )
+
+
+def _win_eventlog_sql() -> str:
+    compiled = [(cls, *_win_rx(p)) for cls, p in _WIN_RULES]
+    cls_whens = " ".join(
+        f"WHEN regexp_matches(message, '{rx}') THEN '{cls}'" for cls, rx, _ in compiled
+    )
+    field_cols = []
+    for name in _WIN_FIELDS:
+        whens = " ".join(
+            f"WHEN class = '{cls}' THEN regexp_extract(message, '{rx}', {fs.index(name) + 1})"
+            for cls, rx, fs in compiled
+            if name in fs
+        )
+        alias = "win_" + name.rsplit(".", 1)[-1]
+        field_cols.append(f"CASE {whens} ELSE '' END AS {alias}")
+    fields = ", ".join(field_cols)
+    return f"""
+WITH logs AS (SELECT event_id, {_win_msg_sql()} AS message FROM events),
+classed AS (
+  SELECT event_id, message, CASE {cls_whens} ELSE 'unknown' END AS class FROM logs)
+SELECT event_id, class, {fields} FROM classed
+"""
+
+
+@register("windows_eventlog_parse", _win_eventlog_sql())
+def windows_eventlog_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowseventlog (reference: scl/windowseventlog/
+    windowseventlog.xml): the shipped WindowsAudit patterndb ruleset —
+    multi-line security-auditing events classified and field-extracted
+    via @NLSTRING@ captures under '.win.*' names, first match wins.
+    Exercises the patterndb engine's multi-line path (literal newlines
+    in the radix pattern, NLSTRING stopping at CR/LF)."""
+    from syslog_ng_spark.operators.patterndb import patterndb_parse
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    logon_tail = F.concat(
+        F.lit("\nLogon Type:   "),
+        F.when(F.col("user_id") % 2 == 0, F.lit("2")).otherwise(F.lit("10")),
+        F.lit("\n\nNew Logon:\n Security ID:  S-1-5-21\n Account Name:  user"),
+        (F.col("user_id") % 500).cast("string"),
+        F.lit("\n Account Domain:  CORP\n Logon ID:  0x"),
+        (F.col("event_id") % 4096).cast("string"),
+        F.lit("\n\nNetwork Information:\n Source Network Address: 10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".9\n Source Port:  "),
+        (1024 + F.col("event_id") % 60000).cast("string"),
+        F.lit("\n (EventID 4624)"),
+    )
+    logoff_tail = F.lit("\nLogon Type:  3 (EventID 4634)")
+    msg = F.concat(
+        F.lit("evt: Security Microsoft Windows security auditing.: [Success Audit] An account was "),
+        F.when(F.col("event_id") % 3 == 0, F.lit("logged off.")).otherwise(
+            F.lit("successfully logged on.")
+        ),
+        F.lit("\n\nSubject:\n Security ID:  S-1-5-18\n Account Name:  HOST"),
+        (F.col("user_id") % 40).cast("string"),
+        F.lit("$\n Account Domain:  WORKGROUP\n Logon ID:  0x3e7\n"),
+        F.when(F.col("event_id") % 3 == 0, logoff_tail).otherwise(logon_tail),
+    )
+    # Spark runs compile_pattern's raw regex (Java accepts the
+    # backslash-newline escape); the oracle runs the bare-newline
+    # normalization (_win_rx) because RE2 rejects the escaped form —
+    # equivalent automata, same matches
+    parsed = patterndb_parse(
+        ev.select("event_id", msg.alias("message")), "message", _WIN_RULES
+    )
+    return parsed.select(
+        "event_id",
+        "class",
+        *[
+            F.col(f"`{name}`").alias("win_" + name.rsplit(".", 1)[-1])
+            for name in _WIN_FIELDS
+        ],
+    )

@@ -47,3 +47,28 @@ def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def mbox_messages(
+    df,
+    line_col: str = "raw",
+    order_col: str = "line_no",
+    group_col: str | None = None,
+):
+    """mbox() source (reference: scl/mbox/mbox.conf): a mailbox file
+    read with multi-line-mode(prefix-suffix) and
+    multi-line-prefix('^From ') — every 'From ' envelope line starts a
+    new message, everything up to the next one is its body. The conf
+    is a parameterization of the file source; here it is the same
+    parameterization of the multiline reassembler (one row per mail,
+    newline-joined)."""
+    from syslog_ng_spark.operators.multiline import reassemble_multiline
+
+    return reassemble_multiline(
+        df,
+        line_col=line_col,
+        order_col=order_col,
+        group_col=group_col,
+        mode="prefix",
+        prefix=r"^From ",
+    )

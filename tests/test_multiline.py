@@ -164,3 +164,27 @@ def test_streaming_flush_timeout_emits_tail(spark):
     by_path = {r.path: r for r in rows}
     assert by_path["f1"].message == "Exception: boom\n    at frame one"
     assert by_path["f1"].n_lines == 2
+
+
+def test_mbox_source_from_separator(spark):
+    from syslog_ng_spark.sources.files import mbox_messages
+
+    lines = [
+        "From alice@example.com Thu Jan  5 03:04:05 2024",
+        "Subject: hello",
+        "",
+        "first body",
+        "From bob@example.com Thu Jan  5 04:00:00 2024",
+        "Subject: re: hello",
+        "",
+        "second body",
+        "with two lines",
+    ]
+    df = spark.createDataFrame(
+        [(i, line) for i, line in enumerate(lines)], "line_no long, raw string"
+    )
+    msgs = {r.msg_id: r for r in mbox_messages(df).collect()}
+    assert len(msgs) == 2
+    assert msgs[1].message.startswith("From alice@example.com")
+    assert "first body" in msgs[1].message and msgs[1].n_lines == 4
+    assert msgs[2].message.endswith("with two lines") and msgs[2].n_lines == 5
