@@ -6110,3 +6110,160 @@ def windows_eventlog_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name in _WIN_FIELDS
         ],
     )
+
+
+_LINE_DEDUP_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         text || chr(10) || 'Copyright Example Corp. All rights reserved.'
+              || chr(10) || 'generated by engine v' || (doc_id % 3)::VARCHAR
+              || chr(10) || 'unique footer token ' || md5(doc_id::VARCHAR) AS text
+  FROM documents),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+exploded AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(generate_series(1, len(ls))) AS pos
+  FROM split),
+lines AS (
+  SELECT doc_id, line, pos,
+         md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS lk
+  FROM exploded),
+boiler AS (
+  SELECT lk FROM (SELECT lk, doc_id FROM lines GROUP BY lk, doc_id)
+  GROUP BY lk HAVING count(*) >= 2)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM lines
+WHERE lk NOT IN (SELECT lk FROM boiler)
+GROUP BY doc_id
+"""
+
+
+@register("line_dedup", _LINE_DEDUP_SQL)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level boilerplate removal (operators/dedup.py:
+    line_dedup): every doc gets a corpus-wide copyright line and a
+    1-of-3 'generated by' line appended — both must vanish (>= 2 docs
+    share them), the unique md5 footer must survive, and duplicated
+    body texts (the corpus has near-dup groups) dedup as a side
+    effect. Oracle replays the same profile in SQL."""
+    from syslog_ng_spark.operators.dedup import line_dedup
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCopyright Example Corp. All rights reserved.\ngenerated by engine v"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nunique footer token "),
+            F.md5(F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return line_dedup(docs, min_docs=2)
+
+
+def _messy_url() -> F.Column:
+    """Deterministic messy URL from the event generators: mixed-case
+    scheme/host, default and explicit ports, empty paths, tracking
+    params, fragments."""
+    scheme = F.when(F.col("user_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("Http"))
+    host = F.concat(
+        F.lit("WWW.Site"),
+        (F.col("user_id") % 50).cast("string"),
+        F.when(F.col("user_id") % 5 == 0, F.lit(".co.uk")).otherwise(
+            F.concat(F.lit(".Example"), (F.col("user_id") % 10).cast("string"), F.lit(".COM"))
+        ),
+    )
+    port = (
+        F.when((F.col("user_id") % 2 == 0) & (F.col("user_id") % 3 == 0), F.lit(":443"))
+        .when(F.col("user_id") % 11 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(F.col("event_id") % 4 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), (F.col("event_id") % 100).cast("string"))
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, port, path,
+        F.lit("?utm_source=feed&id="),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit("&gclid=x#s"),
+        (F.col("event_id") % 5).cast("string"),
+    )
+
+
+_URL_HOST_SQL = """
+'www.site' || (user_id % 50)::VARCHAR ||
+CASE WHEN user_id % 5 = 0 THEN '.co.uk'
+     ELSE '.example' || (user_id % 10)::VARCHAR || '.com' END
+"""
+
+_URL_DOMAIN_SQL = """
+CASE WHEN user_id % 5 = 0
+     THEN 'site' || (user_id % 50)::VARCHAR || '.co.uk'
+     ELSE 'example' || (user_id % 10)::VARCHAR || '.com' END
+"""
+
+_URL_NORMALIZE_SQL = f"""
+SELECT event_id,
+       (CASE WHEN user_id % 2 = 0 THEN 'https' ELSE 'http' END)
+       || '://' || {_URL_HOST_SQL}
+       || CASE WHEN user_id % 2 = 0 AND user_id % 3 = 0 THEN ''
+               WHEN user_id % 11 = 0 THEN ':8080' ELSE '' END
+       || CASE WHEN event_id % 4 = 0 THEN '/'
+               ELSE '/p/' || (event_id % 100)::VARCHAR END
+       || '?id=' || (event_id % 1000)::VARCHAR AS url_v,
+       {_URL_DOMAIN_SQL} AS domain_v
+FROM events
+"""
+
+
+@register("url_normalize", _URL_NORMALIZE_SQL)
+def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urltools.py): scheme/host
+    lowercase, https:443 default-port strip (the :8080 survives),
+    fragment + utm_*/gclid removal with other params kept in order,
+    empty path -> '/', plus the registrable-domain derivation
+    including a second-level-TLD ('.co.uk') case. The oracle derives
+    the EXPECTED canonical string from the generators — a
+    specification check, not an implementation echo."""
+    from syslog_ng_spark.operators.urltools import registered_domain, url_normalize
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    normed = url_normalize(ev.select("event_id", "user_id", _messy_url().alias("url")))
+    return normed.select(
+        "event_id",
+        F.col("url_norm").alias("url_v"),
+        registered_domain(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#:]+)", 1))
+        ).alias("domain_v"),
+    )
+
+
+_DOMAIN_ROLLUP_SQL = f"""
+SELECT {_URL_DOMAIN_SQL} AS domain,
+       count(*)::BIGINT AS pages,
+       sum(event_id % 50)::BIGINT AS weight
+FROM events
+GROUP BY 1
+"""
+
+
+@register("domain_rollup", _DOMAIN_ROLLUP_SQL)
+def domain_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus profile (operators/urltools.py:
+    domain_rollup): one hash-shuffle with map-side partials — the
+    aggregation behind per-domain caps in crawl curation. The HLL
+    distinct-URL estimate is engine-specific and excluded from the
+    oracle compare (pages/weight are exact)."""
+    from syslog_ng_spark.operators.urltools import domain_rollup
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    urls = ev.select(
+        "event_id", "user_id", _messy_url().alias("url"),
+        (F.col("event_id") % 50).alias("w"),
+    )
+    return domain_rollup(urls, "url", weight_col="w").select(
+        "domain",
+        F.col("pages").cast("long").alias("pages"),
+        F.col("weight").cast("long").alias("weight"),
+    )

@@ -681,3 +681,55 @@ def repeated_passages(
             ),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    joiner: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line
+    that appears (normalized) in >= min_docs DISTINCT documents, keep
+    the rest in order, re-join. The classic crawl-cleaning step —
+    cookie banners, nav menus, copyright footers repeat across a
+    domain while body text doesn't (CCNet, Wenzek et al. 2020 §3.1).
+
+    Returns (id_col, text_col) with the filtered text; a document
+    whose every line was boilerplate drops out entirely (the pipeline
+    behavior — re-left-join the input to route empties instead).
+
+    Scale shape: posexplode is narrow; the line-frequency profile is
+    (line_key, id) pre-aggregation → count, both HashAggregates with
+    map-side partials (a footer on a billion pages collapses per map
+    task, same skew argument as dedup_exact); the boilerplate filter
+    is a left_anti hash join keyed on md5 — uniform after hot keys are
+    on the BUILD side; one final groupBy reassembles docs. No step
+    materializes a per-line corpus ordering and nothing is driver-side.
+    min_docs is an absolute count by design — at 100 TB you set it per
+    shard/domain partition (CCNet dedups per shard too)."""
+    lines = rebalance(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), joiner)).alias("_pos", "_line"),
+    ).withColumn("_lk", F.md5(normalize_text(F.col("_line"))))
+    boiler = (
+        lines.select("_lk", id_col)
+        .distinct()
+        .groupBy("_lk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_docs)
+        .select("_lk")
+    )
+    kept = lines.join(boiler, "_lk", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("_line").alias("l")))
+                ),
+                lambda s: s["l"],
+            ),
+            joiner,
+        ).alias(text_col)
+    )

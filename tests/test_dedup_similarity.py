@@ -390,3 +390,28 @@ def test_ivf_partitioned_table_prunes_cell_directories(spark, tmp_path):
     want = [(r.vec_id, r.cos_sim) for r in ivf_topk(corpus, qvec, IVF_CENTROIDS, k=10, nprobe=4).collect()]
     got = [(r.vec_id, r.cos_sim) for r in out.collect()]
     assert got == want
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    from syslog_ng_spark.operators.dedup import line_dedup
+
+    docs = [
+        (1, "unique alpha\ncookie banner\nbody one"),
+        (2, "unique beta\nCookie  Banner \nbody two"),  # normalized match
+        (3, "cookie banner"),  # all-boilerplate -> dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in line_dedup(df, min_docs=2).collect()}
+    assert out[1] == "unique alpha\nbody one"
+    assert out[2] == "unique beta\nbody two"
+    assert 3 not in out
+
+
+def test_line_dedup_threshold_and_within_doc_repeat(spark):
+    from syslog_ng_spark.operators.dedup import line_dedup
+
+    # a line repeated twice WITHIN one doc is 1 distinct doc -> kept
+    docs = [(1, "chorus\nverse\nchorus"), (2, "other text")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in line_dedup(df, min_docs=2).collect()}
+    assert out[1] == "chorus\nverse\nchorus"

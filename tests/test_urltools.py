@@ -1,0 +1,54 @@
+"""URL canonicalization + registrable-domain edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.operators.urltools import (
+    domain_rollup,
+    registered_domain,
+    url_normalize,
+)
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return url_normalize(df).collect()[0].url_norm
+
+
+def test_url_normalize_cases(spark):
+    assert (
+        _norm(spark, "HTTPS://WWW.Example.COM:443/Path?utm_source=x&q=1&gclid=z#frag")
+        == "https://www.example.com/Path?q=1"
+    )
+    assert _norm(spark, "http://a.example.com") == "http://a.example.com/"
+    assert _norm(spark, "http://h.example.com:8080/x") == "http://h.example.com:8080/x"
+    assert _norm(spark, "http://h.example.com:80/x") == "http://h.example.com/x"
+    # all params tracking -> no '?'
+    assert _norm(spark, "http://h.example.com/x?utm_a=1&fbclid=2") == "http://h.example.com/x"
+    assert _norm(spark, "not a url") is None
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [("a.b.co.uk",), ("x.y.example.com",), ("example.com",), ("localhost",)],
+        "host string",
+    )
+    out = [r.d for r in df.select(registered_domain(F.col("host")).alias("d")).collect()]
+    assert out == ["b.co.uk", "example.com", "example.com", "localhost"]
+
+
+def test_domain_rollup_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.example.com/p1", 10),
+            (2, "http://b.example.com/p1?utm_x=1", 5),
+            (3, "http://b.example.com/p1", 7),  # same normalized URL as 2
+            (4, "http://site.co.uk/", 1),
+        ],
+        "i long, url string, w long",
+    )
+    out = {r.domain: r for r in domain_rollup(df, "url", weight_col="w").collect()}
+    assert out["example.com"].pages == 3 and out["example.com"].weight == 22
+    assert out["example.com"].approx_urls == 2
+    assert out["site.co.uk"].pages == 1
