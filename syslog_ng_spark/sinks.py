@@ -346,3 +346,42 @@ def stream_to_parquet(df: DataFrame, path: str, checkpoint: str, output_mode: st
         .outputMode(output_mode)
         .start()
     )
+
+
+def elasticsearch_http(
+    url: str,
+    index: str,
+    doc_type: str = "",
+    custom_id: str = "",
+    template: str = "$MESSAGE",
+    batch_lines: int = 100,
+    timeout: float = 10.0,
+    **http_options,
+) -> HttpDestination:
+    """elasticsearch-http() (reference: scl/elasticsearch/
+    elastic-http.conf) — a parameterization of the http() destination,
+    exactly as the reference's SCL block wraps its http driver:
+
+      body = '$(format-json --scope none --omit-empty-values
+               index._index=... index._type=... index._id=...)\\n' + template
+      headers('Content-Type: application/x-ndjson'), body_suffix('\\n')
+
+    Every message becomes an _bulk action line + source doc; batches
+    are NDJSON-joined. index/type/id accept template macros (rendered
+    JVM-side with the rest of the body); empty type/id are omitted
+    from the action like --omit-empty-values does for static ones."""
+    fields = [f'"_index":"{index}"']
+    if doc_type:
+        fields.append(f'"_type":"{doc_type}"')
+    if custom_id:
+        fields.append(f'"_id":"{custom_id}"')
+    action = '{"index":{' + ",".join(fields) + "}}"
+    return HttpDestination(
+        urls=[url],
+        template=action + "\n" + template,
+        headers=("Content-Type: application/x-ndjson",),
+        batch_lines=batch_lines,
+        body_suffix="\n",
+        timeout=timeout,
+        **http_options,
+    )

@@ -211,3 +211,47 @@ def test_streaming_foreachbatch(spark, server):
     got = "\n".join(rec.bodies)
     for i in range(12):
         assert f"msg {i}" in got
+
+
+def test_elasticsearch_http_bulk_framing(spark, server):
+    from syslog_ng_spark.sinks import elasticsearch_http
+
+    rec, url = server
+    dest = elasticsearch_http(
+        url,
+        index="logs-2024",
+        doc_type="_doc",
+        custom_id="$EVENT_ID",
+        template='{"msg":"$MESSAGE","host":"$HOST"}',
+        batch_lines=5,
+    )
+    df = _events(spark, 10).withColumnRenamed("event_id", "EVENT_ID")
+    stats = dest.write(
+        df.selectExpr("EVENT_ID", "host as HOST", "message as MESSAGE")
+    )
+    assert stats["delivered"] == 10 and stats["failed"] == 0
+    assert len(rec.bodies) == 2  # 10 rows / batch_lines=5
+    lines = rec.bodies[0].split("\n")
+    # NDJSON bulk: action, doc, action, doc, ..., trailing newline
+    assert lines[-1] == ""  # body_suffix
+    payload = [ln for ln in lines if ln]
+    assert len(payload) == 10
+    import json as _json
+
+    action = _json.loads(payload[0])
+    doc = _json.loads(payload[1])
+    assert action["index"]["_index"] == "logs-2024"
+    assert action["index"]["_type"] == "_doc"
+    assert action["index"]["_id"].isdigit()
+    assert doc["host"].startswith("host-") and doc["msg"].startswith("msg ")
+
+
+def test_elasticsearch_http_omits_empty_type_and_id(spark, server):
+    from syslog_ng_spark.sinks import elasticsearch_http
+
+    rec, url = server
+    dest = elasticsearch_http(url, index="idx", template='{"m":"$MESSAGE"}', batch_lines=100)
+    df = _events(spark, 2)
+    dest.write(df.selectExpr("message as MESSAGE"))
+    first = [ln for ln in rec.bodies[0].split("\n") if ln][0]
+    assert first == '{"index":{"_index":"idx"}}'
