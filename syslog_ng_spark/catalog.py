@@ -989,9 +989,10 @@ def ewmm_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _APP_DETECT_SQL = """
 SELECT event_id,
-       CASE event_id % 6
+       CASE event_id % 8
          WHEN 0 THEN 'iptables' WHEN 1 THEN 'sudo' WHEN 2 THEN 'ewmm'
-         WHEN 3 THEN 'cisco' WHEN 4 THEN 'apache' ELSE 'unknown'
+         WHEN 3 THEN 'cisco' WHEN 4 THEN 'apache'
+         WHEN 5 THEN 'netskope' WHEN 6 THEN 'websense' ELSE 'unknown'
        END AS app
 FROM events
 """
@@ -1007,7 +1008,7 @@ def app_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_ng_spark.operators.app_parsers import detect_app
 
     ev = rebalance(T(spark, sf_dir, "events"))
-    m = F.col("event_id") % 6
+    m = F.col("event_id") % 8
     program = (
         F.when(m == 0, F.lit("kernel"))
         .when(m == 1, F.lit("sudo"))
@@ -1023,6 +1024,8 @@ def app_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             m == 4,
             F.lit('1.2.3.4 - u [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 5'),
         )
+        .when(m == 5, F.lit('<134>{"type": "x", "_insertion_epoch_timestamp": 1}'))
+        .when(m == 6, F.lit("vendor=Websense product=Security action=permitted"))
         .otherwise(F.concat(F.lit("plain text "), F.col("event_type")))
     )
     df = ev.select("event_id", program.alias("program"), message.alias("message"))

@@ -250,8 +250,11 @@ def detect_app(
     shipped application blocks: iptables = kernel + 'PROTO='
     substring (iptables.conf), sudo = program sudo (sudo.conf),
     ewmm = program '@syslog-ng' (ewmm.conf), cisco = the %TRIPLET
-    mark, apache = the access-log shape. One codegen'd CASE WHEN —
-    first match wins, like the reference's app-parser topic ordering."""
+    mark, apache = the access-log shape, netskope = '<134>{' prefix +
+    '_insertion_epoch_timestamp' member (netskope plugin.conf),
+    websense = 'vendor=Websense' substring (websense plugin.conf).
+    One codegen'd CASE WHEN — first match wins, like the reference's
+    app-parser topic ordering."""
     p, m = F.col(program_col), F.col(msg_col)
     rules = [
         ("ewmm", p == "@syslog-ng"),
@@ -259,6 +262,8 @@ def detect_app(
         ("sudo", p == "sudo"),
         ("cisco", m.rlike(r"%[A-Z0-9_]+(-[A-Z0-9_]+)?-\d-[A-Z0-9_]+: ")),
         ("apache", m.rlike(_APACHE_RE)),
+        ("netskope", m.startswith("<134>{") & m.contains("_insertion_epoch_timestamp")),
+        ("websense", m.contains("vendor=Websense")),
     ]
     expr = None
     for name, cond in rules:

@@ -150,12 +150,17 @@ def test_detect_app_first_match_rules(spark):
             ("@syslog-ng", "{}"),
             ("cron", "%SYS-5-CONFIG_I: done"),
             ("httpd", '1.2.3.4 - u [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 5'),
+            ("x", '<134>{"_insertion_epoch_timestamp": 1}'),
+            ("x", "Dec 19 10:48:57 h vendor=Websense action=permitted"),
             ("cron", "job ran"),
         ],
         "program string, message string",
     )
     got = [r.app for r in detect_app(df).collect()]
-    assert got == ["iptables", "sudo", "ewmm", "cisco", "apache", "unknown"]
+    assert got == [
+        "iptables", "sudo", "ewmm", "cisco", "apache",
+        "netskope", "websense", "unknown",
+    ]
 
 
 def test_fortigate_parser_kv_and_date(spark):
