@@ -6232,13 +6232,13 @@ def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_ng_spark.operators.urltools import registered_domain, url_normalize
 
     ev = rebalance(T(spark, sf_dir, "events"))
-    normed = url_normalize(ev.select("event_id", "user_id", _messy_url().alias("url")))
+    normed = url_normalize(
+        ev.select("event_id", "user_id", _messy_url().alias("url")), host_target="_h"
+    )
     return normed.select(
         "event_id",
         F.col("url_norm").alias("url_v"),
-        registered_domain(
-            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#:]+)", 1))
-        ).alias("domain_v"),
+        registered_domain(F.col("_h")).alias("domain_v"),
     )
 
 
