@@ -6270,3 +6270,45 @@ def domain_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pages").cast("long").alias("pages"),
         F.col("weight").cast("long").alias("weight"),
     )
+
+
+_QUANTILE_SELECT_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+                + alpha_ratio) / 3.0, 6) AS quality
+  FROM (
+    SELECT doc_id, lang, text,
+           len(string_split({_NORM_SQL}, ' '))::BIGINT AS n_tokens,
+           round(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> list_contains({_STOP_SQL}, x)))
+                 / greatest(len(string_split({_NORM_SQL}, ' ')), 1), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS alpha_ratio
+    FROM documents)),
+thr AS (
+  SELECT lang, round(quantile_cont(quality, 0.6), 6) AS t
+  FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.quality
+FROM scored s JOIN thr USING (lang)
+WHERE s.quality >= thr.t
+"""
+
+
+@register("quality_quantile_select", _QUANTILE_SELECT_SQL)
+def quality_quantile_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile curation (operators/sampling.py:
+    quantile_select): keep documents at or above their language's
+    0.6-quantile of the Gopher-ish quality score — the FineWeb 'top
+    X% per language' step. One group-sized aggregate broadcast back;
+    oracle replays the exact interpolated quantile (quantile_cont ==
+    Spark percentile), thresholds rounded to 6 decimals both sides."""
+    from syslog_ng_spark.operators import textstats
+    from syslog_ng_spark.operators.sampling import quantile_select
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "lang", textstats.quality_score(F.col("text")).alias("quality")
+    )
+    return quantile_select(scored, "quality", group_col="lang", q=0.6)

@@ -216,3 +216,36 @@ def gumbel_topk_sample(
         .limit(k)
         .drop("_gkey")
     )
+
+
+def quantile_select(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    q: float = 0.7,
+    keep: str = "above",
+) -> DataFrame:
+    """Per-group quantile-threshold selection: keep rows whose score is
+    >= (or < for keep='below') their group's q-quantile — the
+    FineWeb/CCNet 'keep the top X% by quality per language' curation
+    step, as a relational plan.
+
+    The thresholds are one row per group (languages, domains —
+    thousands at most): a single hash-shuffle aggregate, broadcast
+    back, no window over the corpus and no global sort. Exact
+    interpolated percentile (matches DuckDB quantile_cont for the
+    oracle); at 100 TB swap percentile -> approx_percentile(...,
+    accuracy) in the same plan shape — the threshold is the only
+    change, the broadcast join stays. Thresholds are rounded to 6
+    decimals so the >= comparison is engine-stable."""
+    keys = [group_col] if group_col else []
+    thr = df.groupBy(*keys).agg(
+        F.round(F.expr(f"percentile({score_col}, {q!r})"), 6).alias("_thr")
+    )
+    joined = df.join(F.broadcast(thr), keys) if keys else df.crossJoin(F.broadcast(thr))
+    pred = (
+        F.col(score_col) >= F.col("_thr")
+        if keep == "above"
+        else F.col(score_col) < F.col("_thr")
+    )
+    return joined.where(pred).drop("_thr")

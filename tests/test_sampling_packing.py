@@ -178,3 +178,31 @@ def test_gumbel_topk_sample_properties(spark):
     # exp(10) ~ 22000x weight: essentially all 50 heavy docs must be in
     # any 60-draw
     assert sum(1 for d in a if d < 50) == 50
+
+
+def test_quantile_select_above_and_below(spark):
+    from syslog_ng_spark.operators.sampling import quantile_select
+
+    rows = [(i, "en", float(i)) for i in range(1, 11)] + [
+        (100 + i, "fr", float(10 * i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    # en: quantile_cont(0.5) over 1..10 = 5.5 -> keep 6..10
+    kept = quantile_select(df, "score", group_col="lang", q=0.5)
+    en = sorted(r.doc_id for r in kept.where("lang='en'").collect())
+    assert en == [6, 7, 8, 9, 10]
+    # fr: 10,20,30,40 -> q0.5 = 25 -> keep 30,40
+    fr = sorted(r.doc_id for r in kept.where("lang='fr'").collect())
+    assert fr == [103, 104]
+    below = quantile_select(df, "score", group_col="lang", q=0.5, keep="below")
+    assert sorted(r.doc_id for r in below.where("lang='en'").collect()) == [1, 2, 3, 4, 5]
+
+
+def test_quantile_select_ungrouped(spark):
+    from syslog_ng_spark.operators.sampling import quantile_select
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 5)], "doc_id long, score double"
+    )
+    kept = quantile_select(df, "score", q=0.75)
+    assert sorted(r.doc_id for r in kept.collect()) == [4]
