@@ -163,6 +163,16 @@ BENCH_QUERIES = [
     "panos_parse",
     "websense_parse",
     "snmptrapd_parse",
+    "netskope_parse",
+    "junos_parse",
+    "solaris_msgid_parse",
+    "windows_eventlog_parse",
+    "format_gelf",
+    "format_cim",
+    "line_dedup",
+    "url_normalize",
+    "domain_rollup",
+    "quality_quantile_select",
 ]
 
 
