@@ -6312,3 +6312,44 @@ def quality_quantile_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", textstats.quality_score(F.col("text")).alias("quality")
     )
     return quantile_select(scored, "quality", group_col="lang", q=0.6)
+
+
+_MATCH_STORE_SQL = """
+SELECT event_id,
+       event_type AS kind_v,
+       (user_id % 100)::VARCHAR AS num_v,
+       event_type || '#' || (user_id % 100)::VARCHAR AS rendered_v
+FROM events
+WHERE event_id % 3 <> 0
+"""
+
+
+@register("filter_match_store", _MATCH_STORE_SQL)
+def filter_match_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match() with flags(store-matches) (reference:
+    lib/filter/filter-re.c LMF_STORE_MATCHES): the filter both gates
+    rows and stores $0..$N into the NV map; the template '$1#$2'
+    renders from those numeric names end-to-end through the template
+    compiler's sdata fall-through. Every 3rd row fails the match and
+    is dropped."""
+    from syslog_ng_spark.operators.filters import match_store
+    from syslog_ng_spark.template import compile_template
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    msg = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(
+            F.lit("act="),
+            F.col("event_type"),
+            F.lit(" n="),
+            (F.col("user_id") % 100).cast("string"),
+        ),
+    ).otherwise(F.lit("unmatched line"))
+    df = ev.select("event_id", msg.alias("message"))
+    stored = match_store(df, "message", r"act=(\w+) n=(\d+)")
+    return stored.select(
+        "event_id",
+        F.element_at("sdata", "1").alias("kind_v"),
+        F.element_at("sdata", "2").alias("num_v"),
+        compile_template("$1#$2", stored).alias("rendered_v"),
+    )

@@ -90,3 +90,40 @@ def tags_filter(tags: Column, *wanted: str) -> Column:
     for t in wanted[1:]:
         cond = cond | F.array_contains(tags, t)
     return cond
+
+
+def match_store(
+    df,
+    col: str,
+    pattern: str,
+    target: str = "sdata",
+):
+    """match(... flags(store-matches)) (lib/filter/filter-re.c
+    LMF_STORE_MATCHES / lib/logmatcher.c): rows that match keep
+    flowing AND the capture groups land in the NV map under numeric
+    names — '0' is the whole match, '1'..'N' the groups — exactly how
+    the reference stores them into the nv-table, so template
+    strings reference them as $0/$1/... (template.schema_resolver
+    falls through to the sdata map for numeric names).
+
+    Non-participating optional groups store '' (the reference unsets
+    them; '' renders identically in templates). The pattern's group
+    count is taken from the compiled Python regex — Java and Python
+    agree on group counting for the shared syntax subset this engine
+    uses. One regexp pass per group + the rlike gate."""
+    import re as _re
+
+    from syslog_ng_spark.functions.format import _merge_maps
+
+    n_groups = _re.compile(pattern).groups
+    c = F.col(col)
+    kv = []
+    for i in range(n_groups + 1):
+        kv.extend([F.lit(str(i)), F.regexp_extract(c, pattern, i)])
+    groups_map = F.create_map(*kv)
+    merged = (
+        _merge_maps(F.coalesce(F.col(target), F.create_map().cast("map<string,string>")), groups_map)
+        if target in df.columns
+        else groups_map
+    )
+    return df.where(c.rlike(pattern)).withColumn(target, merged)

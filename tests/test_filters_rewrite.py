@@ -177,3 +177,32 @@ def test_timezone_rewrites(spark):
     # rendering 12:00 UTC in Berlin local time gives 14:00
     local = set_timezone(df, "Europe/Berlin").collect()[0].ts_local
     assert local == dt.datetime(2024, 6, 1, 14, 0, 0)
+
+
+def test_match_store_groups_and_template(spark):
+    from syslog_ng_spark.operators.filters import match_store
+    from syslog_ng_spark.template import compile_template
+
+    df = spark.createDataFrame(
+        [(1, "user=alice uid=42"), (2, "no kv here"), (3, "user=bob uid=7")],
+        "i long, message string",
+    )
+    out = match_store(df, "message", r"user=(\w+) uid=(\d+)")
+    rows = {r.i: r for r in out.collect()}
+    assert sorted(rows) == [1, 3]  # non-matching row filtered
+    assert rows[1].sdata["0"] == "user=alice uid=42"
+    assert rows[1].sdata["1"] == "alice" and rows[1].sdata["2"] == "42"
+    rendered = out.select("i", compile_template("$1/$2", out).alias("t")).collect()
+    assert {r.i: r.t for r in rendered} == {1: "alice/42", 3: "bob/7"}
+
+
+def test_match_store_merges_existing_sdata(spark):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.filters import match_store
+
+    df = spark.createDataFrame([(1, "x=9")], "i long, message string").withColumn(
+        "sdata", F.create_map(F.lit(".k"), F.lit("v"))
+    )
+    r = match_store(df, "message", r"x=(\d)").collect()[0]
+    assert r.sdata[".k"] == "v" and r.sdata["1"] == "9"
