@@ -6353,3 +6353,43 @@ def filter_match_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("sdata", "2").alias("num_v"),
         compile_template("$1#$2", stored).alias("rendered_v"),
     )
+
+
+_FILTER_CMP_SQL = """
+WITH logs AS (
+  SELECT event_id,
+         (CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 4
+                          WHEN 'signup' THEN 5 WHEN 'click' THEN 6 ELSE 7 END) AS sev,
+         'app' || (user_id % 7)::VARCHAR AS program
+  FROM events)
+SELECT event_id, sev::VARCHAR AS sev_v, program AS prog_v
+FROM logs
+WHERE sev < 6 AND program >= 'app3'
+"""
+
+
+@register("filter_cmp", _FILTER_CMP_SQL)
+def filter_cmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'"$X" op "$Y"' comparison filters (reference: lib/filter/
+    filter-cmp.c): a numeric atoi compare over a rendered
+    '$SEVERITY_NUM'-style template (the literal side exercises
+    atoi-on-literal) AND a byte-wise string compare on program — both
+    through the template compiler, composed with Column algebra like
+    the reference's and/or tree."""
+    from syslog_ng_spark.operators.filters import cmp_filter
+    from syslog_ng_spark.datamodel import event_severity
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    logs = ev.select(
+        "event_id",
+        event_severity(F.col("event_type")).alias("sev"),
+        F.concat(F.lit("app"), (F.col("user_id") % 7).cast("string")).alias("program"),
+    )
+    keep = cmp_filter(logs, "$sev", "6", "<", numeric=True) & cmp_filter(
+        logs, "$program", "app3", ">=", numeric=False
+    )
+    return logs.where(keep).select(
+        "event_id",
+        F.col("sev").cast("string").alias("sev_v"),
+        F.col("program").alias("prog_v"),
+    )

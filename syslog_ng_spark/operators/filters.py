@@ -127,3 +127,42 @@ def match_store(
         else groups_map
     )
     return df.where(c.rlike(pattern)).withColumn(target, merged)
+
+
+def _atoi(c: Column) -> Column:
+    """C atoi: skip leading whitespace, optional sign + digits, else 0
+    (filter-cmp.c's numeric mode parses both sides this way)."""
+    # try_cast: the extract yields '' for non-numeric text and ANSI
+    # cast would kill the job on it
+    return F.coalesce(
+        F.regexp_extract(c, r"^[ \t\n]*([+-]?\d+)", 1).try_cast("long"), F.lit(0)
+    )
+
+
+_CMP_OPS = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    "<": lambda l, r: l < r,
+    ">": lambda l, r: l > r,
+    "<=": lambda l, r: l <= r,
+    ">=": lambda l, r: l >= r,
+}
+
+
+def cmp_filter(df, left: str, right: str, op: str, numeric: bool = True) -> Column:
+    """'"$LEFT" op "$RIGHT"' comparison filter (lib/filter/
+    filter-cmp.c): both sides are TEMPLATE strings rendered per row;
+    numeric ops (the symbolic ones: == != < > <= >=) compare via
+    atoi — leading integer, non-numeric text counts as 0 — and the
+    string forms (eq ne lt gt le ge in the config grammar) compare
+    byte-wise. Pass numeric=False for the string forms. Returns a
+    boolean Column for .where()."""
+    from syslog_ng_spark.template import compile_template
+
+    if op not in _CMP_OPS:
+        raise ValueError(f"unknown comparison op {op!r}")
+    lc = compile_template(left, df)
+    rc = compile_template(right, df)
+    if numeric:
+        lc, rc = _atoi(lc), _atoi(rc)
+    return _CMP_OPS[op](lc, rc)

@@ -206,3 +206,20 @@ def test_match_store_merges_existing_sdata(spark):
     )
     r = match_store(df, "message", r"x=(\d)").collect()[0]
     assert r.sdata[".k"] == "v" and r.sdata["1"] == "9"
+
+
+def test_cmp_filter_atoi_and_string_modes(spark):
+    from syslog_ng_spark.operators.filters import cmp_filter
+
+    df = spark.createDataFrame(
+        [(1, "5", "abc"), (2, "notnum", "abd"), (3, "  +7x", "ab")],
+        "i long, n string, s string",
+    )
+    # atoi: '5'->5, 'notnum'->0, '  +7x'->7
+    kept = df.where(cmp_filter(df, "$n", "4", ">", numeric=True))
+    assert sorted(r.i for r in kept.collect()) == [1, 3]
+    zero = df.where(cmp_filter(df, "$n", "0", "==", numeric=True))
+    assert [r.i for r in zero.collect()] == [2]
+    # string mode: byte-wise
+    s = df.where(cmp_filter(df, "$s", "abc", ">=", numeric=False))
+    assert sorted(r.i for r in s.collect()) == [1, 2]
