@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "url_normalize",
     "domain_rollup",
     "quality_quantile_select",
+    "filter_match_store",
+    "filter_cmp",
+    "bigram_logprob",
 ]
 
 

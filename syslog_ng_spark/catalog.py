@@ -6393,3 +6393,46 @@ def filter_cmp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sev").cast("string").alias("sev_v"),
         F.col("program").alias("prog_v"),
     )
+
+
+_BIGRAM_LP_SQL = f"""
+WITH n AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+toked AS (SELECT doc_id, unnest(toks) AS tok FROM n),
+totals AS (SELECT count(*) AS nn, count(DISTINCT tok) AS vv FROM toked),
+uni AS (SELECT tok, count(*) AS c FROM toked GROUP BY tok),
+bg AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS prev,
+         unnest(toks[2:len(toks)]) AS cur
+  FROM n WHERE len(toks) >= 2),
+bgt AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+joined AS (
+  SELECT bg.doc_id,
+         0.7 * (bgt.cb + 0.5) / (up.c + 0.5 * totals.vv)
+         + 0.3 * (uc.c + 0.5) / (totals.nn + 0.5 * totals.vv) AS p
+  FROM bg
+  JOIN bgt USING (prev, cur)
+  JOIN uni up ON up.tok = bg.prev
+  JOIN uni uc ON uc.tok = bg.cur
+  CROSS JOIN totals)
+SELECT doc_id,
+       round(-avg(ln(p)), 6) AS neg_logprob,
+       count(*)::BIGINT AS n_bigrams
+FROM joined GROUP BY doc_id
+"""
+
+
+@register("bigram_logprob", _BIGRAM_LP_SQL)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (textstats.bigram_logprob)
+    — the next step from unigram_logprob toward CCNet's KenLM
+    perplexity filter; penalizes shuffled word salad whose token
+    histogram looks normal. Oracle replays the exact formula
+    (0.7/0.3 interpolation, add-0.5 smoothing, corpus-trained),
+    rounded once after the per-doc mean."""
+    from syslog_ng_spark.operators.textstats import bigram_logprob
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bigram_logprob(docs)
+    return out.select("doc_id", "neg_logprob", F.col("n_bigrams").cast("long"))

@@ -384,3 +384,70 @@ def dsir_logweight(
     return scored.groupBy(id_col).agg(
         F.round(F.sum("_lw"), 6).alias("logw"), F.count(F.lit(1)).alias("n_feats")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an
+    interpolated bigram model trained on the corpus itself — one
+    modeling step up from unigram_logprob toward the CCNet 5-gram
+    KenLM perplexity filter:
+
+        p(t_i | t_{i-1}) = lam * (c(prev,cur)+k)/(c(prev)+kV)
+                         + (1-lam) * (c(cur)+k)/(N+kV)
+
+    (add-k smoothing both components, V = corpus vocabulary, N =
+    corpus token count; c(prev) is the corpus unigram count).
+    Repetitive/boilerplate text scores low, rare-transition noisy
+    text high — and unlike the unigram score it penalizes shuffled
+    word salad whose token histogram looks normal.
+
+    Shape at 100 TB: bigrams come from an array-shift transform on
+    the bound token array (no per-doc window/sort); the bigram and
+    unigram tables are vocabulary²-bounded groupBys with map-side
+    partials, joined back on token keys; AQE picks broadcast when the
+    vocab is small. Docs with < 2 tokens drop out (no transitions).
+    round(…, 6) once after the mean, mirrored by the oracle."""
+    from syslog_ng_spark.util import rebalance
+
+    base = rebalance(df).withColumn("_toks", tokens(F.col(text_col)))
+    toks = F.col("_toks")
+    toked = base.select(F.col(id_col), F.explode(toks).alias("tok"))
+    totals = toked.agg(F.count(F.lit(1)).alias("_n"), F.countDistinct("tok").alias("_v"))
+    uni = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    bg = (
+        base.where(F.size(toks) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("prev"),
+                        F.element_at(toks, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .select(id_col, F.col("_bg.prev").alias("prev"), F.col("_bg.cur").alias("cur"))
+    )
+    bgt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_cb"))
+    k = F.lit(smoothing)
+    joined = (
+        bg.join(bgt, ["prev", "cur"])
+        .join(uni.select(F.col("tok").alias("prev"), F.col("_c").alias("_cp")), "prev")
+        .join(uni.select(F.col("tok").alias("cur"), F.col("_c").alias("_cu")), "cur")
+        .crossJoin(F.broadcast(totals))
+    )
+    p = F.lit(lam) * (F.col("_cb") + k) / (F.col("_cp") + k * F.col("_v")) + F.lit(
+        1 - lam
+    ) * (F.col("_cu") + k) / (F.col("_n") + k * F.col("_v"))
+    return joined.groupBy(id_col).agg(
+        F.round(-F.avg(F.log(p)), 6).alias("neg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

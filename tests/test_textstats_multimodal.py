@@ -125,3 +125,31 @@ def test_dsir_logweight_favors_target_like_docs(spark):
     out = {r.doc_id: r.logw for r in dsir_logweight(raw, target, dim=256).collect()}
     assert out[1] > 0 > out[2]
     assert out[1] > out[2] + 5  # clearly separated, not noise
+
+
+def test_bigram_logprob_penalizes_shuffled_text(spark):
+    """The bigram score separates natural repetition from shuffled
+    word salad with the SAME token histogram — the property the
+    unigram score cannot see."""
+    from syslog_ng_spark.operators.textstats import bigram_logprob
+
+    natural = ("the cat sat on the mat " * 10).strip()
+    # same tokens, transitions scrambled; the corpus is dominated by
+    # the natural transition structure (the model is corpus-trained,
+    # so a 50/50 corpus would train both patterns in equally)
+    shuffled = ("cat the mat sat the on " * 10).strip()
+    rows = [(i, natural) for i in range(1, 6)] + [(6, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert out[1].n_bigrams == out[6].n_bigrams
+    assert out[1].neg_logprob < out[6].neg_logprob
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    from syslog_ng_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert 1 not in out and out[2].n_bigrams == 1
