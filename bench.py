@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "filter_match_store",
     "filter_cmp",
     "bigram_logprob",
+    "vocab_growth",
+    "semantic_decontaminate",
 ]
 
 

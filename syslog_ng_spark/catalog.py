@@ -6436,3 +6436,79 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     out = bigram_logprob(docs)
     return out.select("doc_id", "neg_logprob", F.col("n_bigrams").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# round-5 continuation: vocabulary growth curve + embedding decontamination
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_SQL = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+t AS (
+  SELECT least((doc_id * 10) // (m + 1), 9) AS bucket,
+         unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents, mx),
+first AS (SELECT tok, min(bucket) AS first_bucket FROM t GROUP BY tok),
+nt AS (SELECT first_bucket AS bucket, count(*) AS new_types FROM first GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS n_tokens FROM t GROUP BY bucket),
+c AS (
+  SELECT tc.bucket, tc.n_tokens, coalesce(nt.new_types, 0) AS new_types
+  FROM tc LEFT JOIN nt USING (bucket)),
+cum AS (
+  SELECT bucket,
+         sum(n_tokens) OVER (ORDER BY bucket)::BIGINT AS cum_tokens,
+         sum(new_types) OVER (ORDER BY bucket)::BIGINT AS cum_types
+  FROM c)
+SELECT bucket::INT AS bucket, cum_tokens, cum_types,
+       round(ln(cum_types) / ln(cum_tokens), 6) AS heaps_beta
+FROM cum
+"""
+
+
+@register("vocab_growth", _VOCAB_GROWTH_SQL)
+def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (textstats.vocab_growth):
+    cumulative distinct types vs cumulative tokens over 10
+    corpus-prefix buckets — the does-more-data-still-buy-vocabulary
+    dataset statistic. One token-key shuffle for first-appearance,
+    cumulative sums over exactly 10 rows."""
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    return textstats.vocab_growth(docs, "text", "doc_id", buckets=10)
+
+
+def _semantic_decontaminate_sql(threshold: float = 0.45) -> str:
+    planes = [[(((i * 7 + j * 3) % 11) - 5.0) for j in range(64)] for i in range(1, 4)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(x) for x in p)}]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_terms}) AS b FROM embeddings),
+c AS (SELECT vec_id, v, b FROM bucketed WHERE vec_id % 20 <> 0),
+e AS (SELECT v AS ev, b FROM bucketed WHERE vec_id % 20 = 0),
+hits AS (
+  SELECT c.vec_id, round(list_cosine_similarity(c.v, e.ev), 6) AS cos_sim
+  FROM c JOIN e USING (b))
+SELECT vec_id, count(*)::BIGINT AS n_eval_hits, max(cos_sim) AS max_cos
+FROM hits WHERE cos_sim >= {threshold}
+GROUP BY vec_id
+"""
+
+
+@register("semantic_decontaminate", _semantic_decontaminate_sql(0.25))
+def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (similarity.semantic_decontaminate): a deterministic 5% id-hash
+    slice of the embeddings table plays the benchmark set; training
+    vectors cosine-near any eval vector (within the shared LSH
+    bucketing) are flagged. Catches paraphrased leakage the n-gram
+    `decontaminate` gate cannot."""
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    evalset = emb.where(F.col("vec_id") % 20 == 0)
+    corpus = emb.where(F.col("vec_id") % 20 != 0)
+    planes = [
+        [(((i * 7 + j * 3) % 11) - 5.0) for j in range(64)] for i in range(1, 4)
+    ]
+    return similarity.semantic_decontaminate(corpus, evalset, planes, threshold=0.25)

@@ -653,3 +653,61 @@ def ivf_topk_from_table(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training docs
+    whose embedding is near ANY eval-set embedding — the semantic
+    leakage that n-gram decontamination (catalog `decontaminate`)
+    misses once a benchmark item has been paraphrased.
+
+    Both sides get the same fixed random-hyperplane LSH bucketing
+    (lsh_buckets); candidates are the bucket equi-join — one hash
+    shuffle per side, nothing broadcast, so the plan needs no
+    small-side assumption (eval sets are usually tiny, and AQE will
+    broadcast the bucketed eval side on its own when it is). Exact
+    cosine runs on candidates only, rounded to 6dp BEFORE the
+    threshold compare so the cut is bit-portable across engines
+    (same convention as semantic_dedup_pairs).
+
+    Recall tradeoff: a (train, eval) pair straddling a bucket
+    boundary is missed — identical to ann_lsh_topk; run with r
+    independent plane sets and union the hits to push recall
+    toward 1 - (1 - p)^r.
+
+    Returns (id_col, n_eval_hits, max_cos) for flagged docs only;
+    anti-join the corpus against it to get the clean keep-list.
+    """
+    cb = lsh_buckets(corpus, planes, vec_col, "_b")
+    eb = lsh_buckets(evalset, planes, vec_col, "_b")
+    c = cb.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+        "_b",
+    )
+    e = eb.select(
+        F.col(vec_col).alias("_ev"), norm(F.col(vec_col)).alias("_en"), "_b"
+    )
+    return (
+        c.join(e, "_b")
+        .select(
+            "_cid",
+            F.round(
+                dot(F.col("_cv"), F.col("_ev")) / (F.col("_cn") * F.col("_en")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .groupBy(F.col("_cid").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )

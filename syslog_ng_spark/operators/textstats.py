@@ -451,3 +451,72 @@ def bigram_logprob(
         F.round(-F.avg(F.log(p)), 6).alias("neg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct token
+    types vs cumulative token count over corpus-prefix buckets
+    (ingestion order by id). The dataset-statistics staple for judging
+    whether more raw data still buys new vocabulary — a flattening
+    curve means scraping more of the same source adds tokens but no
+    types (Heaps 1978; beta ~0.4-0.6 for natural text, ~1.0 for
+    near-random ids/hashes).
+
+    Distributed shape: a type's first appearance is min(bucket) over
+    its occurrences — ONE hash shuffle on the token key (map-side
+    partial min), a per-bucket count (second small agg), then the
+    cumulative sums run over exactly `buckets` rows (a deliberate
+    1-partition window over a constant-size frame, not over data).
+    The max-id scalar rides a 1-row broadcast crossJoin (the q22
+    pattern). No collect, no per-row Python.
+    """
+    from pyspark.sql import Window
+
+    mx = df.select(F.max(F.col(id_col)).alias("_mx"))
+    # the tokenize+explode scan feeds BOTH the first-appearance agg and
+    # the per-bucket token count — persist it once instead of scanning
+    # the corpus twice (callers own cleanup; same convention as
+    # hashed_bow_topk / dedup.py)
+    t = (
+        df.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.floor(F.col(id_col) * buckets / (F.col("_mx") + 1)),
+                F.lit(buckets - 1),
+            )
+            .cast("int")
+            .alias("bucket"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = t.groupBy("tok").agg(F.min("bucket").alias("first_bucket"))
+    new_types = first.groupBy("first_bucket").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    n_toks = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    joined = (
+        n_toks.join(new_types, n_toks["bucket"] == new_types["first_bucket"], "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+        .withColumn(
+            "heaps_beta",
+            F.round(F.log(F.col("cum_types")) / F.log(F.col("cum_tokens")), 6),
+        )
+    )

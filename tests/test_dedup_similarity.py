@@ -415,3 +415,23 @@ def test_line_dedup_threshold_and_within_doc_repeat(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r.doc_id: r.text for r in line_dedup(df, min_docs=2).collect()}
     assert out[1] == "chorus\nverse\nchorus"
+
+
+def test_semantic_decontaminate_flags_near_eval_vectors(spark):
+    """A training vector colinear with an eval vector is flagged with
+    max_cos 1.0; an orthogonal one is not (same LSH bucket or not,
+    the cosine cut removes it)."""
+    from syslog_ng_spark.operators.similarity import semantic_decontaminate
+
+    planes = [[1.0, 0.5], [-0.3, 1.0]]
+    evalset = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 3.0]), (3, [-1.0, 0.01])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in
+           semantic_decontaminate(corpus, evalset, planes, threshold=0.9).collect()}
+    assert 1 in out and out[1].max_cos == 1.0
+    assert 2 not in out and 3 not in out

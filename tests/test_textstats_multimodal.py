@@ -153,3 +153,28 @@ def test_bigram_logprob_short_docs_drop(spark):
     )
     out = {r.doc_id: r for r in bigram_logprob(df).collect()}
     assert 1 not in out and out[2].n_bigrams == 1
+
+
+def test_vocab_growth_curve_monotone_and_counts(spark):
+    """Cumulative types/tokens are monotone; the final bucket's
+    cum_types equals the corpus distinct-token count and cum_tokens
+    the corpus token count."""
+    from syslog_ng_spark.operators.textstats import tokens, vocab_growth
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (3, "alpha beta"),
+        (5, "delta alpha"),
+        (9, "epsilon zeta delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_growth(df, buckets=4).orderBy("bucket").collect()
+    assert [r.bucket for r in out] == [0, 1, 2, 3]
+    for a, b in zip(out, out[1:]):
+        assert b.cum_tokens >= a.cum_tokens and b.cum_types >= a.cum_types
+    toks = df.select(F.explode(tokens(F.col("text"))).alias("t"))
+    assert out[-1].cum_tokens == toks.count()
+    assert out[-1].cum_types == toks.distinct().count()
+    # repeated 'alpha' in later buckets adds tokens, not types
+    assert out[1].cum_types == out[0].cum_types + 0  # bucket 1 = doc 3: alpha,beta seen
