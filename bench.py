@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "vocab_growth",
     "semantic_decontaminate",
+    "hard_negatives",
 ]
 
 

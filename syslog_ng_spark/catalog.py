@@ -6512,3 +6512,55 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(((i * 7 + j * 3) % 11) - 5.0) for j in range(64)] for i in range(1, 4)
     ]
     return similarity.semantic_decontaminate(corpus, evalset, planes, threshold=0.25)
+
+
+def _hard_negatives_sql(pos_threshold: float = 0.25, neg_lo: float = 0.0) -> str:
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+
+    ctes = [
+        """corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        _vec_literal_cte(IVF_CENTROIDS, "centsF"),
+        _ivf_assign_cte("centsF", "a_final"),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+cand AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM a_final a JOIN a_final b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+cat AS (
+  SELECT anchor_id, cand_id, cos_sim,
+         CASE WHEN cos_sim >= {pos_threshold} THEN 'pos'
+              WHEN cos_sim >= {neg_lo} THEN 'neg' END AS cat
+  FROM cand WHERE cos_sim >= {neg_lo}),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY anchor_id, cat ORDER BY cos_sim DESC, cand_id ASC) AS rn
+    FROM cat)
+  WHERE rn = 1)
+SELECT anchor_id,
+       max(CASE WHEN cat = 'pos' THEN cand_id END) AS pos_id,
+       max(CASE WHEN cat = 'pos' THEN cos_sim END) AS pos_cos,
+       max(CASE WHEN cat = 'neg' THEN cand_id END) AS neg_id,
+       max(CASE WHEN cat = 'neg' THEN cos_sim END) AS neg_cos
+FROM top GROUP BY anchor_id
+HAVING max(CASE WHEN cat = 'pos' THEN cand_id END) IS NOT NULL
+"""
+    )
+
+
+@register("hard_negatives", _hard_negatives_sql(0.25, 0.0))
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (similarity.hard_negatives): best
+    positive + hardest in-band negative per anchor from the frozen
+    IVF cell layout — the DPR/SimCSE data-prep step as one
+    cell-join + one window. Frozen-quantizer scan path, same
+    fixture as the ann_*_scan gates."""
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    return similarity.hard_negatives(emb, IVF_CENTROIDS, pos_threshold=0.25, neg_lo=0.0)

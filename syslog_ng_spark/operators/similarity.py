@@ -711,3 +711,101 @@ def semantic_decontaminate(
             F.max("cos_sim").alias("max_cos"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    pos_threshold: float = 0.45,
+    neg_lo: float = 0.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign_kernel: str = "expr",
+) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: for each
+    anchor, pick its best positive (most-similar neighbor with
+    cos >= pos_threshold) and its hardest negative (most-similar
+    neighbor in [neg_lo, pos_threshold) — close enough to be
+    informative, far enough to be a true negative). The standard
+    in-batch-negatives upgrade for contrastive finetuning (DPR /
+    SimCSE recipes).
+
+    Distributed shape: candidates come from the IVF-cell equi-join
+    (semantic_dedup_pairs' plan — one hash shuffle, no broadcast,
+    Σc_i² pair work bounded by cell size), then ONE window partitioned
+    by (anchor, category) picks the top of each category, and a
+    per-anchor agg pivots the two rows wide. Cosine is rounded to 6dp
+    BEFORE banding so the category cut is engine-portable. Anchors
+    with no positive are dropped; neg_* columns are NULL when the
+    cell offers no in-band negative (the caller can re-mine those
+    from a wider nprobe or fall back to random negatives).
+
+    Same scaling law as semantic_dedup_pairs (SCALE.md Addendum 5/10):
+    FIXED k leaves candidate volume ~n²/k (measured 21.8×/decade at
+    sf10); k ∝ n holds cell size — and the mining — linear, with
+    assign_kernel='pandas' (Arrow matmul) past a few dozen centroids
+    where the unrolled Catalyst argmax hits janino limits.
+    """
+    from pyspark.sql import Window
+
+    if assign_kernel == "pandas":
+        from pyspark.storagelevel import StorageLevel
+
+        # the Arrow assign scans the corpus through Python; it feeds
+        # BOTH join branches, so persist it once instead of running
+        # the matmul kernel twice (callers own cleanup — the expr
+        # kernel stays unpersisted, Catalyst dedups nothing either
+        # way but the JVM-side argmax is cheap to recompute)
+        assigned = (
+            ivf_assign_pandas(corpus, centroids, vec_col, id_col, "_cell")
+            .select(id_col, vec_col, "_cell")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        assigned = ivf_assign(corpus, centroids, vec_col, "_cell").select(
+            id_col, vec_col, "_cell"
+        )
+    a = assigned.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+        "_cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+        "_cell",
+    )
+    cand = (
+        a.join(b, "_cell")
+        .where(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn(
+            "_cat",
+            F.when(F.col("cos_sim") >= pos_threshold, F.lit("pos")).when(
+                F.col("cos_sim") >= neg_lo, F.lit("neg")
+            ),
+        )
+        .where(F.col("_cat").isNotNull())
+    )
+    w = Window.partitionBy("anchor_id", "_cat").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    top = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        top.groupBy("anchor_id")
+        .agg(
+            F.max(F.when(F.col("_cat") == "pos", F.col("cand_id"))).alias("pos_id"),
+            F.max(F.when(F.col("_cat") == "pos", F.col("cos_sim"))).alias("pos_cos"),
+            F.max(F.when(F.col("_cat") == "neg", F.col("cand_id"))).alias("neg_id"),
+            F.max(F.when(F.col("_cat") == "neg", F.col("cos_sim"))).alias("neg_cos"),
+        )
+        .where(F.col("pos_id").isNotNull())
+    )

@@ -435,3 +435,27 @@ def test_semantic_decontaminate_flags_near_eval_vectors(spark):
            semantic_decontaminate(corpus, evalset, planes, threshold=0.9).collect()}
     assert 1 in out and out[1].max_cos == 1.0
     assert 2 not in out and 3 not in out
+
+
+def test_hard_negatives_picks_best_pos_and_hardest_neg(spark):
+    """Within one cell: the anchor pairs with its most-similar
+    above-threshold vector as positive and the most-similar
+    below-threshold one as negative; anchors with no positive drop."""
+    from syslog_ng_spark.operators.similarity import hard_negatives
+
+    # one centroid -> everything in one cell
+    cents = [[1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0]),        # anchor
+        (2, [1.0, 0.01]),       # near-dup of 1 (cos ~ 1.0) -> 1's positive
+        (3, [1.0, 1.0]),        # cos ~ 0.707 vs 1 -> positive band too
+        (4, [-1.0, 0.05]),      # anti-similar to every other vector
+        (5, [0.3, 1.0]),        # cos ~ 0.287 vs 1 -> hardest negative for 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.anchor_id: r for r in
+           hard_negatives(df, cents, pos_threshold=0.6, neg_lo=0.0).collect()}
+    assert out[1].pos_id == 2 and out[1].pos_cos > 0.99
+    assert out[1].neg_id == 5 and 0.2 < out[1].neg_cos < 0.6
+    # vec 4 has no positive partner above 0.6 except nothing -> absent
+    assert 4 not in out
