@@ -749,17 +749,14 @@ def hard_negatives(
     from pyspark.sql import Window
 
     if assign_kernel == "pandas":
-        from pyspark.storagelevel import StorageLevel
-
-        # the Arrow assign scans the corpus through Python; it feeds
-        # BOTH join branches, so persist it once instead of running
-        # the matmul kernel twice (callers own cleanup — the expr
-        # kernel stays unpersisted, Catalyst dedups nothing either
-        # way but the JVM-side argmax is cheap to recompute)
-        assigned = (
-            ivf_assign_pandas(corpus, centroids, vec_col, id_col, "_cell")
-            .select(id_col, vec_col, "_cell")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # the Arrow assign feeds BOTH join branches and is recomputed
+        # per branch — measured FASTER than persisting it (49.6s vs
+        # 89.1s at sf10/k=256): the cache materialization barrier +
+        # InMemoryTableScan of the vector column costs more than
+        # running the batched matmul twice. Recorded in SCALE.md
+        # Addendum 10 so it isn't "fixed" back.
+        assigned = ivf_assign_pandas(corpus, centroids, vec_col, id_col, "_cell").select(
+            id_col, vec_col, "_cell"
         )
     else:
         assigned = ivf_assign(corpus, centroids, vec_col, "_cell").select(
