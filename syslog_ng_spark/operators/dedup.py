@@ -733,3 +733,71 @@ def line_dedup(
             joiner,
         ).alias(text_col)
     )
+
+
+def write_gram_table(
+    df: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    gram_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Materialize the corpus n-gram index: (gram, doc_id) saved as a
+    parquet table BUCKETED BY hash(gram) into a fixed bucket count,
+    sorted by gram within buckets. This is the storage layout that
+    makes REPEATED decontamination / containment runs cheap at
+    100 TB:
+
+    - the gram key becomes a SCAN COLUMN, so joins against it are
+      eligible for Spark's runtime Bloom-filter injection and
+      min/max row-group skipping — neither can fire on a key
+      synthesized by explode(transform(tokens)) at query time
+      (measured: zero BloomFilterMightContain nodes even with
+      injection thresholds forced to 1 byte, SCALE.md Addendum 10);
+    - two tables bucketed the same way equi-join bucket-locally
+      (no Exchange on the bucketed side — verified by plan in
+      tests), so corpus-vs-benchmark and corpus-vs-corpus gram
+      joins stop re-paying the explode AND the shuffle every run.
+
+    Bucketing metadata lives in the catalog, so the table must be
+    read back with spark.table(table_name), not spark.read.parquet.
+    Tokenization cost is paid once at write time. Same layout
+    argument as similarity.write_ivf_table (parquet partitioned by
+    cell)."""
+    grams = shingles(df.select(id_col, text_col), text_col, n=n, target="gram").select(
+        "gram", id_col
+    )
+    writer = (
+        grams.write.mode("overwrite")
+        .bucketBy(gram_buckets, "gram")
+        .sortBy("gram")
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def decontaminate_from_table(
+    spark,
+    gram_table: str,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination over a materialized gram table
+    (write_gram_table): join the benchmark gram set against the
+    stored (gram, doc_id) index and count shared grams per doc.
+    The corpus side is a bucketed parquet scan whose join key is a
+    real column — no Exchange on the corpus side when the join
+    respects the bucketing, and filter pushdown / runtime Bloom
+    injection apply; the tokenize/explode cost was paid once at
+    write time. `bench_grams` must expose a `gram` column
+    (shingles() with target='gram')."""
+    corpus = spark.table(gram_table)
+    return (
+        corpus.join(bench_grams.select("gram").distinct(), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )

@@ -459,3 +459,52 @@ def test_hard_negatives_picks_best_pos_and_hardest_neg(spark):
     assert out[1].neg_id == 5 and 0.2 < out[1].neg_cos < 0.6
     # vec 4 has no positive partner above 0.6 except nothing -> absent
     assert 4 not in out
+
+
+def test_gram_table_decontaminate_parity_and_bucket_local_join(spark, tmp_path):
+    """The materialized gram-table path returns exactly the inline
+    decontaminate counts, and the bucketed corpus side joins without
+    its own Exchange (the bench side may still shuffle)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+    from syslog_ng_spark.operators.dedup import (
+        decontaminate_from_table,
+        shingles,
+        write_gram_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} epsilon zeta eta theta") for i in range(20)]
+        + [(100, "alpha beta gamma delta unique bench text here okay")],
+        "doc_id long, text string",
+    )
+    corpus = docs.where(F.col("doc_id") < 100)
+    bench = docs.where(F.col("doc_id") >= 100)
+    write_gram_table(
+        corpus, "gram_tbl_test", n=4, gram_buckets=4, path=str(tmp_path / "grams")
+    )
+    bench_grams = shingles(bench, "text", n=4, target="gram")
+    out = decontaminate_from_table(spark, "gram_tbl_test", bench_grams)
+    got = {r.doc_id: r.n_shared for r in out.collect()}
+
+    # inline reference: same shingle sets joined directly
+    inline = (
+        shingles(corpus, "text", n=4, target="gram")
+        .join(bench_grams.select("gram").distinct(), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+    want = {r.doc_id: r.n_shared for r in inline.collect()}
+    assert got == want and len(got) == 20  # shared 'alpha beta gamma delta' gram
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the bucketed scan feeds the join without an Exchange above it:
+    # with SMJ on a 4-bucket table, only the bench side shuffles
+    assert "Exchange" in plan  # bench side still exchanges
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan[:2000]
+    spark.sql("DROP TABLE IF EXISTS gram_tbl_test")
