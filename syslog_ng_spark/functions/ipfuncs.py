@@ -49,18 +49,24 @@ def _side_groups(side: Column) -> Column:
     A dotted-quad token (mapped-IPv4 tail, '::ffff:10.1.2.3')
     contributes TWO groups; hex groups go through conv(…, 16, 10)."""
     toks = F.filter(F.split(side, ":"), lambda t: t != "")
+    # the dotted-quad split is bound once per token (4 element_at
+    # reads would otherwise re-split 4x — lambda vars bind once)
+    quad = lambda t: F.element_at(  # noqa: E731
+        F.transform(
+            F.array(F.split(t, "\\.")),
+            lambda q: F.array(
+                F.element_at(q, 1).cast("long") * 256 + F.element_at(q, 2).cast("long"),
+                F.element_at(q, 3).cast("long") * 256 + F.element_at(q, 4).cast("long"),
+            ),
+        ),
+        1,
+    )
     return F.flatten(
         F.transform(
             toks,
-            lambda t: F.when(
-                t.contains("."),
-                F.array(
-                    F.element_at(F.split(t, "\\."), 1).cast("long") * 256
-                    + F.element_at(F.split(t, "\\."), 2).cast("long"),
-                    F.element_at(F.split(t, "\\."), 3).cast("long") * 256
-                    + F.element_at(F.split(t, "\\."), 4).cast("long"),
-                ),
-            ).otherwise(F.array(F.conv(t, 16, 10).cast("long"))),
+            lambda t: F.when(t.contains("."), quad(t)).otherwise(
+                F.array(F.conv(t, 16, 10).cast("long"))
+            ),
         )
     )
 
@@ -77,26 +83,55 @@ def ipv6_to_longs(ip: Column) -> Column:
     the pipeline" stance (filter-netmask6.c returns false, it doesn't
     error); gate on a validity regex first if you need strictness."""
     s = F.lower(F.trim(ip))
+    # Catalyst evaluates every OCCURRENCE of a sub-expression: the
+    # naive version referenced the parsed group array `g` 8 times
+    # (element_at 1..8), re-running the whole split/transform/flatten
+    # parse per reference — the registered_domain pathology (SCALE.md
+    # Addendum 9). Lambda variables bind ONCE, so the left/right group
+    # arrays and then `g` are materialized via single-element
+    # transform() hops and every later use is a variable read.
     has_dc = s.contains("::")
-    left_g = _side_groups(F.when(has_dc, F.substring_index(s, "::", 1)).otherwise(s))
-    right_g = _side_groups(F.when(has_dc, F.substring_index(s, "::", -1)).otherwise(F.lit("")))
-    mid = F.array_repeat(
-        F.lit(0).cast("long"), (F.lit(8) - F.size(left_g) - F.size(right_g)).cast("int")
+    bound = F.transform(
+        F.array(
+            F.struct(
+                has_dc.alias("dc"),
+                _side_groups(
+                    F.when(has_dc, F.substring_index(s, "::", 1)).otherwise(s)
+                ).alias("lg"),
+                _side_groups(
+                    F.when(has_dc, F.substring_index(s, "::", -1)).otherwise(F.lit(""))
+                ).alias("rg"),
+            )
+        ),
+        lambda b: F.when(
+            b["dc"],
+            F.concat(
+                b["lg"],
+                F.array_repeat(
+                    F.lit(0).cast("long"),
+                    (F.lit(8) - F.size(b["lg"]) - F.size(b["rg"])).cast("int"),
+                ),
+                b["rg"],
+            ),
+        ).otherwise(b["lg"]),
     )
-    g = F.when(has_dc, F.concat(left_g, mid, right_g)).otherwise(left_g)
-    hi = (
-        F.shiftleft(F.element_at(g, 1), 48)
-        .bitwiseOR(F.shiftleft(F.element_at(g, 2), 32))
-        .bitwiseOR(F.shiftleft(F.element_at(g, 3), 16))
-        .bitwiseOR(F.element_at(g, 4))
-    )
-    lo = (
-        F.shiftleft(F.element_at(g, 5), 48)
-        .bitwiseOR(F.shiftleft(F.element_at(g, 6), 32))
-        .bitwiseOR(F.shiftleft(F.element_at(g, 7), 16))
-        .bitwiseOR(F.element_at(g, 8))
-    )
-    return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+    def _pack(g: Column) -> Column:
+        hi = (
+            F.shiftleft(F.element_at(g, 1), 48)
+            .bitwiseOR(F.shiftleft(F.element_at(g, 2), 32))
+            .bitwiseOR(F.shiftleft(F.element_at(g, 3), 16))
+            .bitwiseOR(F.element_at(g, 4))
+        )
+        lo = (
+            F.shiftleft(F.element_at(g, 5), 48)
+            .bitwiseOR(F.shiftleft(F.element_at(g, 6), 32))
+            .bitwiseOR(F.shiftleft(F.element_at(g, 7), 16))
+            .bitwiseOR(F.element_at(g, 8))
+        )
+        return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+    return F.element_at(F.transform(bound, _pack), 1)
 
 
 def _signed64(v: int) -> int:
