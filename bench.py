@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "vocab_growth",
     "semantic_decontaminate",
     "hard_negatives",
+    "nodejs_parse",
+    "format_collectd",
 ]
 
 

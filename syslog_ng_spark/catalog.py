@@ -5960,6 +5960,78 @@ def format_cim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", cim.alias("cim"))
 
 
+_NODEJS_SQL = """
+SELECT event_id,
+       event_type || ' #' || event_id::VARCHAR AS message,
+       'lvl-' || (user_id % 3)::VARCHAR AS level_v,
+       (user_id % 500)::VARCHAR AS uid_v
+FROM events
+"""
+
+
+@register("nodejs_parse", _NODEJS_SQL)
+def nodejs_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodejs() source (reference: scl/nodejs/plugin.conf): winston
+    socket-transport frames '["log", {record}]' — extract element [1],
+    prefix members '.nodejs.winston.', promote message to MESSAGE and
+    drop it from the map. Oracle derives from the generators."""
+    from syslog_ng_spark.operators.app_parsers import nodejs_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit('["log",'),
+        F.to_json(
+            F.create_map(
+                F.lit("level"), F.concat(F.lit("lvl-"), (F.col("user_id") % 3).cast("string")),
+                F.lit("message"), F.concat(F.col("event_type"), F.lit(" #"), F.col("event_id").cast("string")),
+                F.lit("uid"), (F.col("user_id") % 500).cast("string"),
+            )
+        ),
+        F.lit("]"),
+    )
+    parsed = nodejs_parser(ev.select("event_id", line.alias("raw")), "raw")
+    return parsed.select(
+        "event_id",
+        "message",
+        F.element_at("sdata", ".nodejs.winston.level").alias("level_v"),
+        F.element_at("sdata", ".nodejs.winston.uid").alias("uid_v"),
+    )
+
+
+_COLLECTD_SQL = """
+SELECT event_id,
+       'PUTVAL host-' || (user_id % 20)::VARCHAR
+       || '/svc-' || (user_id % 5)::VARCHAR
+       || '/gauge-' || event_type
+       || ' interval=60 '
+       || epoch(date_trunc('second', ts))::BIGINT::VARCHAR
+       || ':' || printf('%.3f', value) AS putval
+FROM events
+"""
+
+
+@register("format_collectd", _COLLECTD_SQL)
+def format_collectd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collectd() destination (reference: scl/collectd/plugin.conf — a
+    unix-stream() + PUTVAL template block): 'PUTVAL host/plugin/
+    type[-type_instance] interval=N unixtime:values'. The empty
+    plugin_instance exercises the $(if)-style suffix drop; event_type
+    doubles as type_instance."""
+    from syslog_ng_spark.functions.format import format_collectd
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = format_collectd(
+        host=F.concat(F.lit("host-"), (F.col("user_id") % 20).cast("string")),
+        plugin=F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string")),
+        plugin_instance=F.lit(""),
+        type_=F.lit("gauge"),
+        type_instance=F.col("event_type"),
+        ts=F.col("ts"),
+        values=F.format_string("%.3f", F.col("value")),
+    )
+    return ev.select("event_id", line.alias("putval"))
+
+
 # Windows security-auditing patterndb ruleset (reference:
 # scl/windowseventlog/windowseventlog.xml — the shipped WindowsAudit
 # ruleset). Structurally faithful trims of the logon/logoff rules:

@@ -390,3 +390,47 @@ def format_cim(
         ",",
     )
     return F.concat(F.lit("{"), body, F.lit("}\n"))
+
+
+def format_collectd(
+    host: Column,
+    plugin: Column,
+    type_: Column,
+    ts: Column,
+    values: Column,
+    plugin_instance: Column | None = None,
+    type_instance: Column | None = None,
+    interval: int | None = 60,
+) -> Column:
+    """collectd() destination line (reference: scl/collectd/plugin.conf —
+    a unix-stream() + template wrapper):
+
+      PUTVAL host/plugin[-plugin_instance]/type[-type_instance]
+             [interval=N] UNIXTIME:values
+
+    The reference's $(if) guards drop the '-instance' suffix when the
+    instance is the empty string; NULL columns behave the same here
+    (concat_ws-style skip via when()). `values` follows collectd's
+    value-list syntax — callers pass 'U' or a rendered number."""
+    def _seg(base: Column, inst: Column | None) -> Column:
+        base = base.cast("string")
+        if inst is None:
+            return base
+        s = inst.cast("string")
+        return F.when(
+            s.isNotNull() & (s != ""), F.concat(base, F.lit("-"), s)
+        ).otherwise(base)
+
+    ident = F.concat_ws(
+        "/", host.cast("string"), _seg(plugin, plugin_instance), _seg(type_, type_instance)
+    )
+    ival = F.lit(f" interval={interval}") if interval is not None else F.lit("")
+    return F.concat(
+        F.lit("PUTVAL "),
+        ident,
+        ival,
+        F.lit(" "),
+        F.unix_timestamp(ts).cast("string"),
+        F.lit(":"),
+        values.cast("string"),
+    )

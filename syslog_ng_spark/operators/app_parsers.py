@@ -290,6 +290,32 @@ def cee_parser(
     )
 
 
+def nodejs_parser(
+    df: DataFrame, col: str = "raw", target: str = "sdata", prefix: str = ".nodejs.winston."
+) -> DataFrame:
+    """nodejs() source adapter (reference: scl/nodejs/plugin.conf): a
+    TCP listener for winston's socket transport, whose wire format is
+    a JSON *array* — json-parser(extract-prefix('[1]')) takes the
+    second element (the log record object), prefixes its members with
+    '.nodejs.winston.', then the rewrite block promotes
+    .nodejs.winston.message to MESSAGE and unsets it from the map.
+
+    Spark-first: get_json_object('$[1]') + from_json to
+    map<string,string>, transform_keys for the prefix, map_filter to
+    drop the promoted key — all Catalyst, no UDF."""
+    from pyspark.sql.types import MapType, StringType
+
+    rec = F.from_json(
+        F.get_json_object(F.col(col), "$[1]"), MapType(StringType(), StringType())
+    )
+    msg_key = prefix + "message"
+    prefixed = F.transform_keys(rec, lambda k, v: F.concat(F.lit(prefix), k))
+    return (
+        df.withColumn("message", F.element_at(prefixed, msg_key))
+        .withColumn(target, F.map_filter(prefixed, lambda k, v: k != msg_key))
+    )
+
+
 def fortigate_parser(
     df: DataFrame, col: str = "message", target: str = "sdata", prefix: str = ".fortigate."
 ) -> DataFrame:

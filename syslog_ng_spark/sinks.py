@@ -327,6 +327,134 @@ class KvStoreDestination:
         return writer.start()
 
 
+@dataclass
+class NetworkDestination:
+    """network()/syslog() destination (reference: modules/afsocket
+    afsocket-dest.c): a line-oriented TCP sender per partition, with
+    optional RFC6587 octet-counted framing (syslog() with
+    transport(tcp)) and bounded reconnect like time-reopen().
+
+    ``targets`` is a list of (host, port); with more than one target
+    this IS the reference's network-load-balancer() SCL block
+    (scl/loadbalancer/gen-loadbalancer.sh): the generated config
+    routes each message by ``R_MSEC % target_cnt`` — a cheap uniform
+    spread — to a fixed network() destination. Here the same modulo
+    runs on a per-partition row counter seeded by the partition id
+    (receive-msec is meaningless in batch), which spreads exactly as
+    uniformly and keeps every executor connected to every target at
+    most once.
+
+    At 100 TB the driver never touches data: the template renders
+    JVM-side, each partition keeps one socket per target, and one
+    stats tuple per partition comes back.
+    """
+
+    targets: Sequence[tuple[str, int]]
+    template: str = "$MESSAGE"
+    framing: str = "newline"  # or "octet-counted" (RFC6587)
+    timeout: float = 10.0
+    max_retries: int = 3
+    retry_backoff: float = 0.1
+
+    def __post_init__(self) -> None:
+        if not self.targets:
+            raise ValueError("network destination needs at least one (host, port) target")
+        if self.framing not in {"newline", "octet-counted"}:
+            raise ValueError("framing must be 'newline' or 'octet-counted'")
+
+    # -- executor-side ----------------------------------------------------
+    def _encode(self, line: str) -> bytes:
+        data = line.encode("utf-8")
+        if self.framing == "octet-counted":
+            return str(len(data)).encode("ascii") + b" " + data
+        return data + b"\n"
+
+    def _send_partition(self, pid: int, rows):
+        import socket as socketlib
+
+        n = len(self.targets)
+        socks: dict[int, socketlib.socket] = {}
+
+        def sock_for(idx: int) -> socketlib.socket:
+            s = socks.get(idx)
+            if s is None:
+                host, port = self.targets[idx]
+                s = socketlib.create_connection((host, port), timeout=self.timeout)
+                socks[idx] = s
+            return s
+
+        delivered = failed = reconnects = 0
+        counter = pid  # partition-seeded: concurrent partitions start offset
+        for row in rows:
+            payload = self._encode(row[0] if row[0] is not None else "")
+            idx = counter % n
+            counter += 1
+            sent = False
+            # retry walks the target ring, reconnecting — the daemon's
+            # LTR_NOT_CONNECTED path (afsocket reconnects then resends)
+            for attempt in range(self.max_retries * n):
+                try:
+                    sock_for(idx).sendall(payload)
+                    sent = True
+                    break
+                except OSError:
+                    socks.pop(idx, None)  # drop the dead connection
+                    reconnects += 1
+                    idx = (idx + 1) % n
+                    if attempt:
+                        time.sleep(self.retry_backoff * attempt)
+            if sent:
+                delivered += 1
+            else:
+                failed += 1
+        for s in socks.values():
+            try:
+                s.close()
+            except OSError:
+                pass
+        if failed:
+            raise RuntimeError(
+                f"network destination: {failed} messages undeliverable to "
+                f"{list(self.targets)} after {self.max_retries} passes"
+            )
+        yield (delivered, reconnects)
+
+    # -- driver-side ------------------------------------------------------
+    def write(self, df: DataFrame) -> dict:
+        from .template import compile_template
+
+        body = compile_template(self.template, df)
+        rendered = df.select(body.alias("_body"))
+        dest = self
+        stats = rendered.rdd.mapPartitionsWithIndex(
+            lambda pid, rows: dest._send_partition(pid, rows)
+        ).collect()
+        return {
+            "delivered": sum(s[0] for s in stats),
+            "reconnects": sum(s[1] for s in stats),
+        }
+
+    def write_stream(self, df: DataFrame, checkpoint: str, trigger_available_now: bool = True):
+        writer = df.writeStream.foreachBatch(lambda batch_df, _id: self.write(batch_df)).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def network_load_balancer(targets: Sequence[str], port: int = 514, **kwargs) -> NetworkDestination:
+    """network-load-balancer() (reference: scl/loadbalancer/
+    plugin.conf + gen-loadbalancer.sh): fan one stream out over N
+    network() targets, one message to exactly one target, uniformly.
+    Accepts 'host' or 'host:port' strings like the SCL's targets()."""
+    parsed = []
+    for t in targets:
+        host, _, p = t.partition(":")
+        parsed.append((host, int(p) if p else port))
+    return NetworkDestination(targets=parsed, **kwargs)
+
+
 def stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test sink: materialize a stream into an in-memory table."""
     return (

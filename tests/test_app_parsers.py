@@ -438,3 +438,34 @@ def test_snmptrapd_drops(spark):
     assert garbage.is_trap
     assert garbage.sdata[".snmp.iso.3.6.1.6.3.1.1.4.1.0"] == "iso.3.6.1.4.1.8072.2.3.0.1"
     assert ".snmp.garbage" not in garbage.sdata
+
+
+# --- nodejs() source adapter (scl/nodejs/plugin.conf) ----------------------
+
+
+def test_nodejs_winston_frame(spark):
+    from syslog_ng_spark.operators.app_parsers import nodejs_parser
+
+    df = spark.createDataFrame(
+        [
+            ('["log",{"level":"info","message":"hello world","pid":"42"}]',),
+            ('["log",{"level":"error","message":"boom"}]',),
+        ],
+        ["raw"],
+    )
+    out = nodejs_parser(df, "raw").collect()
+    assert out[0]["message"] == "hello world"
+    assert out[0]["sdata"][".nodejs.winston.level"] == "info"
+    assert out[0]["sdata"][".nodejs.winston.pid"] == "42"
+    # the promoted key is unset from the map, like the SCL's rewrite
+    assert ".nodejs.winston.message" not in out[0]["sdata"]
+    assert out[1]["message"] == "boom"
+
+
+def test_nodejs_malformed_payload_null_map(spark):
+    from syslog_ng_spark.operators.app_parsers import nodejs_parser
+
+    df = spark.createDataFrame([("not json at all",)], ["raw"])
+    row = nodejs_parser(df, "raw").collect()[0]
+    assert row["message"] is None
+    assert row["sdata"] is None

@@ -293,3 +293,38 @@ def test_format_cim_batch_transforms(spark):
         '{"@message":"m","@timestamp":"2024-01-05T03:04:05+00:00",'
         '"_classifier.class":"login","_raw":"x","net.if":"eth0","user":"alice"}\n'
     )
+
+
+def test_format_collectd_instance_suffixes(spark):
+    from pyspark.sql import functions as F
+    from syslog_ng_spark.functions.format import format_collectd
+
+    df = spark.createDataFrame(
+        [("web1", "cpu", "0", "percent", "idle", "2024-01-01 00:00:05", "97.2")],
+        ["host", "plugin", "pinst", "type", "tinst", "ts", "vals"],
+    )
+    line = format_collectd(
+        host=F.col("host"),
+        plugin=F.col("plugin"),
+        plugin_instance=F.col("pinst"),
+        type_=F.col("type"),
+        type_instance=F.col("tinst"),
+        ts=F.col("ts").cast("timestamp"),
+        values=F.col("vals"),
+    )
+    got = df.select(line.alias("l")).collect()[0]["l"]
+    assert got == "PUTVAL web1/cpu-0/percent-idle interval=60 1704067205:97.2"
+
+    # empty instances drop the '-suffix' exactly like the $(if) guards
+    line2 = format_collectd(
+        host=F.col("host"),
+        plugin=F.col("plugin"),
+        plugin_instance=F.lit(""),
+        type_=F.col("type"),
+        type_instance=F.lit(""),
+        ts=F.col("ts").cast("timestamp"),
+        values=F.lit("U"),
+        interval=None,
+    )
+    got2 = df.select(line2.alias("l")).collect()[0]["l"]
+    assert got2 == "PUTVAL web1/cpu/percent 1704067205:U"
