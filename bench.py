@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "nodejs_parse",
     "format_collectd",
+    "global_shuffle",
 ]
 
 

@@ -3648,6 +3648,33 @@ def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(h % 10 == 0).select("doc_id", "lang")
 
 
+_GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id,
+       (('0x' || substr(md5(doc_id::VARCHAR || 'epoch0'), 1, 15))::BIGINT % 8) AS shard,
+       row_number() OVER (
+         PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR || 'epoch0'), 1, 15))::BIGINT % 8
+         ORDER BY md5(doc_id::VARCHAR || 'epoch0'), doc_id
+       ) AS pos
+FROM documents
+"""
+
+
+@register("global_shuffle", _GLOBAL_SHUFFLE_SQL)
+def global_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training corpus shuffle
+    (sampling.global_shuffle): md5(id||seed) keys a uniform random
+    permutation into 8 shards with a within-shard rank. ONE hash
+    shuffle + per-shard local sort — replaces orderBy(rand()), whose
+    global total-order exchange (and nondeterminism under retry) is
+    the classic scale killer. Seed 'epoch0': a new seed per epoch
+    gives independent permutations, replayed bit-for-bit here by the
+    oracle."""
+    docs = T(spark, sf_dir, "documents")
+    return sampling.global_shuffle(docs, "doc_id", 8, seed="epoch0").select(
+        "doc_id", "shard", "pos"
+    )
+
+
 _STRATIFIED_SQL = """
 SELECT doc_id, lang, source
 FROM documents

@@ -249,3 +249,67 @@ def quantile_select(
         else F.col(score_col) < F.col("_thr")
     )
     return joined.where(pred).drop("_thr")
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the 'shuffle
+    the corpus before training' step every LLM data pipeline ends with.
+
+    Each row gets a pseudo-random 128-bit key = md5(id || seed);
+    shard = key-prefix mod n_shards, and `pos` is the row's rank inside
+    its shard ordered by (key, id). The result is a uniform random
+    permutation that any engine reproduces bit-for-bit from (seed,
+    n_shards) alone — re-running the pipeline, resuming after failure,
+    or auditing with the DuckDB oracle all see the same order. No RNG
+    state, no zipWithIndex.
+
+    Scale shape (100 TB): ONE hash shuffle on `shard` + a per-shard
+    local sort (the window is partitioned by shard, so no global
+    total-order exchange — the classic orderBy(rand()) scale killer
+    this replaces). Shard count should track the cluster (e.g. 10k
+    shards at 100 TB -> 10 GB sorted runs). Readers stream shards in
+    shard order and get an unbiased sample prefix at any cutoff.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards
+    ).cast("bigint")
+    with_key = df.withColumn("_shuffle_key", key).withColumn("shard", shard)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("_shuffle_key", id_col)
+    return (
+        with_key.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_shuffle_key")
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize `global_shuffle` as one directory per shard
+    (shard=N/ partition dirs), rows within each file in shuffled
+    order. `repartition(n_shards, shard)` co-locates each shard before
+    the write so a shard is one sorted file, not one per upstream
+    partition; sortWithinPartitions carries the shuffle order into
+    the file layout (parquet row order is preserved on read)."""
+    shuffled = global_shuffle(df, id_col, n_shards, seed)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -206,3 +206,54 @@ def test_quantile_select_ungrouped(spark):
     )
     kept = quantile_select(df, "score", q=0.75)
     assert sorted(r.doc_id for r in kept.collect()) == [4]
+
+
+# --- global shuffle ---------------------------------------------------------
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    from syslog_ng_spark.operators.sampling import global_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, "doc_id", 8, seed="s1")
+    rows = out.collect()
+    assert len(rows) == 1000
+    # every row lands in exactly one shard; pos is 1..n contiguous per shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # roughly uniform (1000 over 8 shards; loose 3-sigma-ish bound)
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 60 and max(sizes) < 200
+
+
+def test_global_shuffle_deterministic_and_seed_sensitive(spark):
+    from syslog_ng_spark.operators.sampling import global_shuffle
+
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in global_shuffle(df, "doc_id", 4, "e0").collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in global_shuffle(df, "doc_id", 4, "e0").collect()}
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in global_shuffle(df, "doc_id", 4, "e1").collect()}
+    assert a == b          # same seed -> identical permutation
+    assert a != c          # new epoch seed -> a different permutation
+
+
+def test_write_shuffled_shards_layout(spark, tmp_path):
+    from syslog_ng_spark.operators.sampling import global_shuffle, write_shuffled_shards
+
+    df = spark.range(400).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards")
+    write_shuffled_shards(df, path, "doc_id", 4, seed="w")
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # file order inside a shard == shuffle order (parquet preserves row order)
+    shard0 = [r["doc_id"] for r in back.where("shard = 0").collect()]
+    expect = [
+        r["doc_id"]
+        for r in global_shuffle(df, "doc_id", 4, "w").where("shard = 0").orderBy("pos").collect()
+    ]
+    assert shard0 == expect
