@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "nodejs_parse",
     "format_collectd",
     "global_shuffle",
+    "bpe_train_merges",
+    "bpe_segment",
 ]
 
 

@@ -6663,3 +6663,112 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = rebalance(T(spark, sf_dir, "embeddings"))
     return similarity.hard_negatives(emb, IVF_CENTROIDS, pos_threshold=0.25, neg_lo=0.0)
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """Unrolled BPE training rounds as DuckDB CTEs (the same
+    replay-training-in-the-oracle pattern as _ivf_ctes). p{r} carries
+    (word, sym, cnt); pc{r} counts adjacent pairs weighted by word
+    frequency; m{r} is the 1-row argmax (ties lexicographic on
+    (a, b), exact integer counts so no FP rounding is needed); the
+    merge application is the same double-space literal replace the
+    Spark side uses, so both engines perform the identical
+    left-to-right non-overlapping merge."""
+    ctes = [
+        r"""wp AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word)""",
+        """p0 AS (
+  SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '▁' AS sym, cnt FROM wp)""",
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""pc{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS c FROM (
+    SELECT s, cnt, unnest(range(1, len(s))) AS i FROM (
+      SELECT string_split(sym, ' ') AS s, cnt FROM p{r}))
+  GROUP BY a, b)""")
+        ctes.append(
+            f"m{r} AS (SELECT a, b FROM pc{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(f"""p{r + 1} AS (
+  SELECT word, trim(regexp_replace(
+           replace(' ' || regexp_replace(sym, ' ', '  ', 'g') || ' ',
+                   ' ' || m.a || '  ' || m.b || ' ',
+                   ' ' || m.a || m.b || ' '),
+           '  ', ' ', 'g')) AS sym, cnt
+  FROM p{r} CROSS JOIN m{r} m)""")
+    return ctes
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    ctes = _bpe_train_ctes(n_merges)
+    ranks = "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, a, b FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({ranks}) ORDER BY rank"
+
+
+_BPE_MERGES = 8
+
+
+@register("bpe_train_merges", _bpe_train_sql(_BPE_MERGES))
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (bpe.bpe_train): the corpus is scanned
+    once into a Heaps-law-small word profile; each merge round is a
+    vocab-sized explode+sum with a 1-row argmax collect (the
+    documented k-means-style training-loop pattern). The oracle
+    replays all rounds as unrolled CTEs — exact integer pair counts,
+    so parity is bit-for-bit with no rounding knobs."""
+    from syslog_ng_spark.operators.bpe import bpe_train
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    return spark.createDataFrame(merges, "rank long, a string, b string")
+
+
+_BPE_SEGMENT_SQL = (
+    "WITH "
+    + ",\n".join(_bpe_train_ctes(_BPE_MERGES))
+    + f""",
+dw AS (
+  SELECT doc_id, w AS word, wi FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS w,
+           unnest(range(1, len(string_split_regex(lower(text), '\\s+')) + 1)) AS wi
+    FROM documents)
+  WHERE w <> '')
+SELECT d.doc_id,
+       CAST(sum(len(string_split(p.sym, ' '))) AS BIGINT) AS n_bpe,
+       string_agg(p.sym, ' ' ORDER BY d.wi) AS bpe_str
+FROM dw d JOIN p{_BPE_MERGES} p USING (word)
+GROUP BY d.doc_id"""
+)
+
+
+@register("bpe_segment", _BPE_SEGMENT_SQL)
+def bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation (bpe.bpe_segment): the trained merge list
+    compiles into ONE chained-replace column expression — the whole
+    tokenizer runs inside the scan stage, no UDF, no join, so at
+    100 TB it costs exactly one corpus pass. The oracle instead joins
+    each word to its final training-profile segmentation (after N
+    merges a word's tokenization IS its profile entry) — two
+    independent routes to the same answer, so the gate would catch a
+    replace-order bug that a shared-implementation echo could not."""
+    from syslog_ng_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    seg = bpe_segment(docs, "text", merges)
+    return seg.where(F.size("bpe") > 0).select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("n_bpe"),
+        F.array_join("bpe", " ").alias("bpe_str"),
+    )

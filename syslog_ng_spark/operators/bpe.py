@@ -1,0 +1,140 @@
+"""Distributed BPE tokenizer training (LLM-pipeline extension).
+
+The byte-pair-encoding training loop (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") is the
+standard way tokenizers are built before an LLM pretraining run. The
+reference engine has no analog — this is a first-class extension like
+dedup/ANN, built the way a 100 TB corpus forces:
+
+- The corpus is touched ONCE: a whitespace tokenize + word-count
+  aggregate produces the distinct-word profile. Heaps' law (measured
+  in this repo's `vocab_growth` gate: V ~ N^beta, beta ~ 0.5-0.7)
+  makes that table orders of magnitude smaller than the corpus, and
+  map-side partial aggregation keeps the shuffle skew-safe.
+- Every merge round then runs on the word profile only: pair counts
+  are an explode + sum over a vocab-sized table, the argmax is ONE
+  row collected to the driver per round (same documented pattern as
+  the k-means training loops in similarity.py), and the merge is
+  applied with a plain string replace — no Python touches row data.
+
+Merge application is the double-space trick: with symbols joined by
+TWO spaces and the string padded, replacing ' a  b ' with ' ab '
+performs exactly the left-to-right non-overlapping merge BPE
+specifies ('a a a' -> 'aa a', never 'a aa'), because consecutive
+matches no longer share a delimiter character. Plain `replace` has
+identical semantics in Spark and DuckDB, so the oracle replays
+training bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word marker, a symbol that whitespace tokenization can never
+# produce (words are split on whitespace, so they contain none)
+EOW = "▁"
+
+
+def _word_profile(df: DataFrame, text_col: str, lowercase: bool = True) -> DataFrame:
+    """(word, cnt) over the corpus — the single corpus-scale pass."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = df.select(
+        F.explode(F.filter(F.split(txt, r"\s+"), lambda w: w != "")).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _to_symbols(word: Column) -> Column:
+    """'low' -> 'l o w <EOW>': a space between every char plus the
+    end-of-word symbol. regexp_replace('(.)' -> '$1 ') is the
+    engine-portable char splitter."""
+    return F.concat(F.regexp_replace(word, "(.)", "$1 "), F.lit(EOW))
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """One BPE merge on a single-space symbol string, via the
+    double-space replace trick (see module docstring)."""
+    doubled = F.concat(F.lit(" "), F.regexp_replace(sym, " ", "  "), F.lit(" "))
+    merged = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.trim(F.regexp_replace(merged, "  ", " "))
+
+
+def _pair_counts(profile: DataFrame) -> DataFrame:
+    s = F.split(F.col("sym"), " ")
+    pairs = F.arrays_zip(
+        F.slice(s, 1, F.size(s) - 1).alias("a"),
+        F.slice(s, 2, F.size(s) - 1).alias("b"),
+    )
+    return (
+        profile.select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    lowercase: bool = True,
+) -> list[tuple[int, str, str]]:
+    """Learn `n_merges` BPE merges from a corpus; returns
+    [(rank, left, right)] with rank 1 = most frequent pair. Ties break
+    lexicographically on (left, right) so training is deterministic.
+
+    Driver traffic: one 1-row collect per round (the argmax pair) —
+    the word profile and all pair counting stay distributed. The
+    profile is persisted: each round reads it once and replaces it
+    with the merged version (localCheckpoint-free; the lineage is one
+    withColumn per round over a vocab-sized table).
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    profile = (
+        _word_profile(df, text_col, lowercase)
+        .select(_to_symbols(F.col("word")).alias("sym"), "cnt")
+        .persist()
+    )
+    merges: list[tuple[int, str, str]] = []
+    current = profile
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(current)
+                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word is a single symbol already
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((rank, a, b))
+            nxt = current.select(_apply_merge(F.col("sym"), a, b).alias("sym"), "cnt").persist()
+            nxt.count()  # materialize before dropping the parent
+            if current is not profile:
+                current.unpersist()
+            current = nxt
+    finally:
+        if current is not profile:
+            current.unpersist()
+        profile.unpersist()
+    return merges
+
+
+def bpe_segment(df: DataFrame, text_col: str, merges: list[tuple[int, str, str]],
+                lowercase: bool = True, out_col: str = "bpe") -> DataFrame:
+    """Apply a trained merge list to a corpus: each row's text becomes
+    an array of subword tokens. Merges are applied in rank order as
+    literal replaces chained into ONE column expression — the whole
+    tokenizer compiles into the scan stage, no UDF, no join."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = F.filter(F.split(txt, r"\s+"), lambda w: w != "")
+
+    def seg(word: Column) -> Column:
+        sym = _to_symbols(word)
+        for _, a, b in sorted(merges):
+            sym = _apply_merge(sym, a, b)
+        return F.split(sym, " ")
+
+    return df.withColumn(out_col, F.flatten(F.transform(words, seg)))

@@ -1,0 +1,133 @@
+"""BPE tokenizer training/segmentation (operators/bpe.py) vs a
+pure-Python reference implementation of the Sennrich-2016 algorithm
+(same convention: end-of-word marker as a separate trailing symbol,
+ties broken lexicographically on the pair)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from syslog_ng_spark.operators.bpe import EOW, bpe_segment, bpe_train
+
+# ---------------------------------------------------------------------------
+# pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_profile(texts: list[str]) -> Counter:
+    prof: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            prof[w] += 1
+    return prof
+
+
+def _ref_merge(symbols: list[str], a: str, b: str) -> list[str]:
+    """left-to-right non-overlapping single-pair merge"""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts: list[str], n_merges: int):
+    prof = {
+        tuple(list(w) + [EOW]): c for w, c in _ref_profile(texts).items()
+    }
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, c in prof.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # max count, ties lexicographically smallest (a, b)
+        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b))
+        prof = {
+            tuple(_ref_merge(list(syms), a, b)): c for syms, c in prof.items()
+        }
+    return merges
+
+
+def _ref_segment(text: str, merges) -> list[str]:
+    out: list[str] = []
+    for w in text.lower().split():
+        syms = list(w) + [EOW]
+        for _, a, b in sorted(merges):
+            syms = _ref_merge(syms, a, b)
+        out.extend(syms)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest new new low",
+]
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_train_matches_reference(spark):
+    got = bpe_train(_df(spark, CORPUS), "text", n_merges=10)
+    assert got == _ref_train(CORPUS, 10)
+
+
+def test_segment_matches_reference(spark):
+    merges = bpe_train(_df(spark, CORPUS), "text", n_merges=8)
+    seg = bpe_segment(_df(spark, CORPUS), "text", merges).select("doc_id", "bpe").collect()
+    for row in seg:
+        assert row["bpe"] == _ref_segment(CORPUS[row["doc_id"]], merges)
+
+
+def test_segment_roundtrip_lossless(spark):
+    """removing EOW boundaries and re-joining reconstructs the words"""
+    merges = bpe_train(_df(spark, CORPUS), "text", n_merges=12)
+    for row in bpe_segment(_df(spark, CORPUS), "text", merges).collect():
+        rejoined = "".join(row["bpe"]).replace(EOW, " ").split()
+        assert rejoined == CORPUS[row["doc_id"]].lower().split()
+
+
+def test_empty_text_keeps_row(spark):
+    merges = [(1, "a", "b")]
+    rows = bpe_segment(_df(spark, ["", "ab ab"]), "text", merges).collect()
+    by_id = {r["doc_id"]: r["bpe"] for r in rows}
+    assert by_id[0] == []
+    assert by_id[1] == ["ab", EOW, "ab", EOW]
+
+
+def test_n_merges_validation(spark):
+    with pytest.raises(ValueError):
+        bpe_train(_df(spark, CORPUS), "text", n_merges=0)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=12), min_size=1, max_size=4
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_property_train_matches_reference(spark, texts, n):
+    """tiny alphabet maximizes merge collisions (aa, ab, repeated
+    runs) — the adversarial regime for the double-space replace trick"""
+    got = bpe_train(_df(spark, texts), "text", n_merges=n)
+    assert got == _ref_train(texts, n)
