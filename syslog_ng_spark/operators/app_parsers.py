@@ -42,17 +42,24 @@ def apache_accesslog_parser(
     httpversion (HTTP/ stripped, the conf's subst), response int,
     bytes long ('-' → null), referrer, agent, vhost, port. Lines that
     don't match yield nulls (the reference's drop-invalid is a
-    .where(col(prefix+'response').isNotNull()) away)."""
+    .where(col(prefix+'response').isNotNull()) away).
+
+    The 11-group regex runs ONCE per row via parsers._single_pass_groups
+    (the per-column regexp_extract form re-executed it ~11x per row —
+    the same pathology urltools.url_normalize measured at 2.5x)."""
+    from syslog_ng_spark.operators.parsers import _single_pass_groups
+
+    staged = df.withColumn("_ag", _single_pass_groups(F.col(col), _APACHE_RE, 11))
 
     def g(i: int) -> Column:
-        return F.regexp_extract(F.col(col), _APACHE_RE, i)
+        return F.coalesce(F.element_at(F.col("_ag"), i), F.lit(""))
 
     def nullable(c: Column) -> Column:
         return F.when(c != "", c)
 
     raw = nullable(g(7))
     return (
-        df.withColumn(prefix + "vhost", nullable(g(1)))
+        staged.withColumn(prefix + "vhost", nullable(g(1)))
         .withColumn(prefix + "port", nullable(g(2)).cast("int"))
         .withColumn(prefix + "clientip", nullable(g(3)))
         .withColumn(prefix + "ident", nullable(g(4)))
@@ -77,6 +84,7 @@ def apache_accesslog_parser(
         )
         .withColumn(prefix + "referrer", nullable(g(10)))
         .withColumn(prefix + "agent", nullable(g(11)))
+        .drop("_ag")
     )
 
 
@@ -114,10 +122,16 @@ def cisco_parser(df: DataFrame, col: str = "raw", prefix: str = "cisco_") -> Dat
     folded into facility as 'FAC-subfac' exactly like the conf's
     set("${facility}-$4")). Produces pri-derived facility/severity
     ints too, and tries the reference's timestamp format candidates
-    in order (first parse wins, like date-parser's format list)."""
+    in order (first parse wins, like date-parser's format list).
+
+    Single-pass staging: the 8-group regex executes once per row
+    (parsers._single_pass_groups), not once per output column."""
+    from syslog_ng_spark.operators.parsers import _single_pass_groups
+
+    df = df.withColumn("_cg", _single_pass_groups(F.col(col), _CISCO_RE, 8))
 
     def g(i: int) -> Column:
-        return F.regexp_extract(F.col(col), _CISCO_RE, i)
+        return F.coalesce(F.element_at(F.col("_cg"), i), F.lit(""))
 
     def nullable(c: Column) -> Column:
         return F.when(c != "", c)
@@ -144,6 +158,7 @@ def cisco_parser(df: DataFrame, col: str = "raw", prefix: str = "cisco_") -> Dat
         .withColumn(prefix + "severity", nullable(g(6)).cast("int"))
         .withColumn(prefix + "mnemonic", nullable(g(7)))
         .withColumn(prefix + "message", nullable(g(8)))
+        .drop("_cg")
     )
 
 
@@ -192,7 +207,12 @@ def sudo_parser(
         ),
         lambda e: e["key"] != "",
     )
-    kv = F.map_from_entries(entries)
+    # _fold_kv_entries, not bare map_from_entries: a line repeating a
+    # key (e.g. ';COMMAND=' twice) gets last-wins instead of a runtime
+    # DUPLICATED_MAP_KEY that depends on how the session was built
+    from syslog_ng_spark.operators.parsers import _fold_kv_entries
+
+    kv = _fold_kv_entries(entries)
     subject = F.regexp_extract(F.col(col), r"^\s*(\S+)", 1)
     out = df.withColumn(
         "sdata",
@@ -379,7 +399,11 @@ def checkpoint_parser(
             ).alias("value"),
         ),
     )
-    kv = F.map_from_entries(F.filter(entries, lambda e: e["key"] != ""))
+    # last-wins on repeated keys (dirty lines repeat ';key:'), same
+    # policy as kv-parser — see parsers._fold_kv_entries
+    from syslog_ng_spark.operators.parsers import _fold_kv_entries
+
+    kv = _fold_kv_entries(entries)
     return df.withColumn(
         target, F.transform_keys(kv, lambda k, v: F.concat(F.lit(prefix), k))
     )
@@ -669,7 +693,11 @@ def snmptrapd_parser(
         F.struct(F.lit(prefix + "uptime").alias("key"), v1g(3).alias("value")),
     )
     all_entries = F.concat(hdr_entries, vb_entries)
-    kv = F.map_from_entries(F.filter(all_entries, lambda e: e["value"].isNotNull()))
+    # duplicate varbind OIDs occur in real traps — last-wins via
+    # _fold_kv_entries, matching varbindlist-scanner's overwrite
+    from syslog_ng_spark.operators.parsers import _fold_kv_entries
+
+    kv = _fold_kv_entries(F.filter(all_entries, lambda e: e["value"].isNotNull()))
     dropped = ~header_ok | (~is_v1 & vb_line.startswith("\t"))
     return (
         staged.withColumn("ts", F.to_timestamp(hg(1), "yyyy-MM-dd HH:mm:ss"))

@@ -115,6 +115,15 @@ def bpe_train(
             if current is not profile:
                 current.unpersist()
             current = nxt
+            if rank % 16 == 0:
+                # truncate lineage: persist() keeps the whole replace
+                # chain in the logical plan, so by a few hundred rounds
+                # re-analysis is O(rounds) per round and the plan trees
+                # OOM the driver (measured at 500 merges). The profile
+                # is vocab-sized — checkpointing it is cheap.
+                chk = current.localCheckpoint(eager=True)
+                current.unpersist()
+                current = chk
     finally:
         if current is not profile:
             current.unpersist()
@@ -122,12 +131,103 @@ def bpe_train(
     return merges
 
 
+def _segment_word_ranked(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard rank-priority BPE application (the GPT-2 encoder
+    algorithm): repeatedly merge the lowest-rank adjacent pair,
+    left-to-right non-overlapping, until no learned pair remains.
+
+    For a merge list produced by genuine BPE training this is
+    EQUIVALENT to the expression kernel's one-replace-pass-per-merge-
+    in-rank-order: merge j's components exist before merge k>j is
+    learned, so applying k can never create a new adjacency for j
+    (the only new symbol, a_k+b_k, postdates j) — hence rank order ==
+    priority order. The parity pytest checks this on trained lists
+    AND on a 500-deep chain list."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_segment(df: DataFrame, text_col: str, merges: list[tuple[int, str, str]],
-                lowercase: bool = True, out_col: str = "bpe") -> DataFrame:
+                lowercase: bool = True, out_col: str = "bpe",
+                kernel: str = "expr") -> DataFrame:
     """Apply a trained merge list to a corpus: each row's text becomes
-    an array of subword tokens. Merges are applied in rank order as
+    an array of subword tokens.
+
+    kernel='expr' (default): merges are applied in rank order as
     literal replaces chained into ONE column expression — the whole
-    tokenizer compiles into the scan stage, no UDF, no join."""
+    tokenizer compiles into the scan stage, no UDF, no join. The right
+    plan at oracle scale (8 merges), but the expression tree grows one
+    replace PER MERGE: the repo's own janino measurements (SCALE.md
+    Addendum 5 §3 — Catalyst argmax blow-up past a few dozen terms)
+    rule it out for a real ~30k-merge vocabulary.
+
+    kernel='pandas': Arrow-batched mapInPandas running the standard
+    rank-priority encoder with a per-partition word memo — Zipf makes
+    the distinct-word working set tiny relative to rows, so each
+    distinct word is segmented once per partition, O(len·pairs) in
+    Python but amortized across every repeat. Identical output
+    (parity-tested, incl. a 500-merge chain list); the same precedent
+    as similarity.ivf_assign_pandas for when the expression kernel's
+    compile cost crosses over. At 100 TB with a 30k-merge tokenizer
+    this IS the production kernel."""
+    if kernel == "pandas":
+        import re as _re
+
+        from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+        ranks = {(a, b): r for r, a, b in merges}
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+        )
+        ws = _re.compile(r"\s+")
+
+        def run(batches):
+            memo: dict[str, list[str]] = {}
+            for pdf in batches:
+                col = pdf[text_col]
+                res = []
+                for txt in col:
+                    if txt is None:
+                        res.append(None)
+                        continue
+                    t = txt.lower() if lowercase else txt
+                    toks: list[str] = []
+                    for w in ws.split(t):
+                        if not w:
+                            continue
+                        got = memo.get(w)
+                        if got is None:
+                            got = _segment_word_ranked(w, ranks)
+                            memo[w] = got
+                        toks.extend(got)
+                    res.append(toks)
+                pdf = pdf.copy()
+                pdf[out_col] = res
+                yield pdf
+
+        return df.mapInPandas(run, out_schema)
+    if kernel != "expr":
+        raise ValueError(f"unknown bpe_segment kernel {kernel!r}")
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.filter(F.split(txt, r"\s+"), lambda w: w != "")
 

@@ -5,11 +5,13 @@ a text column. All hashes derive from md5 (JVM builtin) so results are
 deterministic AND reproducible in the DuckDB oracle.
 
 Cache ownership: jaccard_pairs / minhash_lsh_pairs /
-simhash_neardup_pairs persist() an intermediate that their result plan
-reads twice; the cache can only be dropped after the caller
-materializes the result, so CALLERS own cleanup — call
-`spark.catalog.clearCache()` (bench.py does this between queries) or
-unpersist in long-lived sessions.
+simhash_neardup_pairs / repeated_passages persist() an intermediate
+that their result plan reads twice; the cache can only be dropped
+after the caller materializes the result, so CALLERS own cleanup —
+the persisted frames ride on the result via `util.track_cached`, so
+long-lived sessions call `util.release_cached(result)` after their
+terminal action (or `spark.catalog.clearCache()`, as bench.py does
+between queries).
 
 Scale notes (100 TB):
 - exact: one shuffle on a 16-byte key; partial agg applies.
@@ -30,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from syslog_ng_spark.util import rebalance
+from syslog_ng_spark.util import rebalance, track_cached
 
 # Mersenne prime 2^31-1: affine minhash stays < 2^62 so the arithmetic
 # never overflows BIGINT in either Spark or DuckDB (DuckDB errors on
@@ -188,7 +190,7 @@ def jaccard_pairs(
         .where(F.col(metric) >= threshold)
         .select("id_a", "id_b", metric)
     )
-    return out
+    return track_cached(out, sh)
 
 
 def base_hash(c) -> F.Column:
@@ -269,12 +271,13 @@ def minhash_lsh_pairs(
         banded = banded.join(surviving, "bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "bucket")
-    return (
+    out = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return track_cached(out, banded)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
@@ -369,9 +372,10 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    return cand.withColumn(
+    out = cand.withColumn(
         "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    return track_cached(out, sig)
 
 
 def connected_components(
@@ -668,7 +672,7 @@ def repeated_passages(
         .agg(F.countDistinct("tok_i").alias("dup_tokens"))
     )
     all_docs = with_toks.select(id_col, F.size("_t").cast("long").alias("n_tokens"))
-    return (
+    out = (
         all_docs.join(
             per_doc.select(id_col, F.col("dup_tokens").cast("long")), id_col, "left"
         )
@@ -681,6 +685,7 @@ def repeated_passages(
             ),
         )
     )
+    return track_cached(out, exploded)
 
 
 def line_dedup(

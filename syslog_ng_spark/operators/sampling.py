@@ -224,6 +224,8 @@ def quantile_select(
     group_col: str | None = None,
     q: float = 0.7,
     keep: str = "above",
+    method: str = "exact",
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group quantile-threshold selection: keep rows whose score is
     >= (or < for keep='below') their group's q-quantile — the
@@ -232,16 +234,26 @@ def quantile_select(
 
     The thresholds are one row per group (languages, domains —
     thousands at most): a single hash-shuffle aggregate, broadcast
-    back, no window over the corpus and no global sort. Exact
-    interpolated percentile (matches DuckDB quantile_cont for the
-    oracle); at 100 TB swap percentile -> approx_percentile(...,
-    accuracy) in the same plan shape — the threshold is the only
-    change, the broadcast join stays. Thresholds are rounded to 6
-    decimals so the >= comparison is engine-stable."""
-    keys = [group_col] if group_col else []
-    thr = df.groupBy(*keys).agg(
-        F.round(F.expr(f"percentile({score_col}, {q!r})"), 6).alias("_thr")
+    back, no window over the corpus and no global sort.
+
+    method='exact': interpolated percentile (matches DuckDB
+    quantile_cont for the oracle) — it buffers each group's scores, so
+    a skewed group concentrates memory on one reducer.
+    method='approx': approx_percentile with `accuracy` (G-K sketch,
+    bounded memory per group, rank error <= 1/accuracy) in the SAME
+    plan shape — the threshold agg is the only change, the broadcast
+    join stays. This is the 100 TB path; the quantile_select_approx
+    gate + epsilon-band pytest pin it to the exact one. Thresholds are
+    rounded to 6 decimals so the >= comparison is engine-stable."""
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown quantile method {method!r}")
+    agg = (
+        f"percentile({score_col}, {q!r})"
+        if method == "exact"
+        else f"approx_percentile({score_col}, {q!r}, {accuracy})"
     )
+    keys = [group_col] if group_col else []
+    thr = df.groupBy(*keys).agg(F.round(F.expr(agg), 6).alias("_thr"))
     joined = df.join(F.broadcast(thr), keys) if keys else df.crossJoin(F.broadcast(thr))
     pred = (
         F.col(score_col) >= F.col("_thr")

@@ -721,6 +721,8 @@ def hard_negatives(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign_kernel: str = "expr",
+    neg_lo_quantile: float | None = None,
+    calib_method: str = "exact",
 ) -> DataFrame:
     """Contrastive-pair mining for embedding-model training: for each
     anchor, pick its best positive (most-similar neighbor with
@@ -745,6 +747,18 @@ def hard_negatives(
     sf10); k ∝ n holds cell size — and the mining — linear, with
     assign_kernel='pandas' (Arrow matmul) past a few dozen centroids
     where the unrolled Catalyst argmax hits janino limits.
+
+    neg_lo is the production knob that keeps the WINDOW input linear:
+    with neg_lo=0 every sub-threshold candidate in the cell rides the
+    (anchor, category) shuffle just to lose to row_number()=1.
+    neg_lo_quantile calibrates the floor from the data instead of a
+    magic constant: one tiny agg over the sub-threshold candidate
+    cos_sims (the quantile_select shape, broadcast back), so e.g. 0.9
+    keeps only the hardest 10% in the negative band. Positives are
+    untouched by construction (the floor only moves the band's lower
+    edge). calib_method='exact' is percentile (DuckDB-replayable for
+    the gate); 'approx' is the G-K sketch for 100 TB, same plan.
+    Measured at sf10 in SCALE.md Addendum 11.
     """
     from pyspark.sql import Window
 
@@ -784,14 +798,30 @@ def hard_negatives(
                 dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
             ).alias("cos_sim"),
         )
-        .withColumn(
-            "_cat",
-            F.when(F.col("cos_sim") >= pos_threshold, F.lit("pos")).when(
-                F.col("cos_sim") >= neg_lo, F.lit("neg")
-            ),
-        )
-        .where(F.col("_cat").isNotNull())
     )
+    if neg_lo_quantile is not None:
+        if calib_method not in ("exact", "approx"):
+            raise ValueError(f"unknown calib_method {calib_method!r}")
+        agg = (
+            f"percentile(cos_sim, {neg_lo_quantile!r})"
+            if calib_method == "exact"
+            else f"approx_percentile(cos_sim, {neg_lo_quantile!r}, 10000)"
+        )
+        floor = (
+            cand.where(F.col("cos_sim") < pos_threshold)
+            .agg(F.round(F.expr(agg), 6).alias("_floor"))
+            .select(F.coalesce("_floor", F.lit(neg_lo)).alias("_floor"))
+        )
+        cand = cand.crossJoin(F.broadcast(floor))
+        lo = F.greatest(F.col("_floor"), F.lit(neg_lo))
+    else:
+        lo = F.lit(neg_lo)
+    cand = cand.withColumn(
+        "_cat",
+        F.when(F.col("cos_sim") >= pos_threshold, F.lit("pos")).when(
+            F.col("cos_sim") >= lo, F.lit("neg")
+        ),
+    ).where(F.col("_cat").isNotNull())
     w = Window.partitionBy("anchor_id", "_cat").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
     )

@@ -287,7 +287,9 @@ def hashed_bow_topk(
         .agg(F.sum(F.col("weight") * F.col("_qw")).alias("_dot"))
     )
     qn2 = norms.where(F.col(id_col) == query_id).select(F.col("_n2").alias("_qn2"))
-    return (
+    from syslog_ng_spark.util import track_cached
+
+    out = (
         dots.join(norms, id_col)
         .crossJoin(F.broadcast(qn2))
         .select(
@@ -299,6 +301,7 @@ def hashed_bow_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+    return track_cached(out, bow)
 
 
 def _hashed_ngram_features(
@@ -313,20 +316,36 @@ def _hashed_ngram_features(
     lambda: an expression captured inside a higher-order function is
     re-evaluated per element, so an inlined tokens() would re-run the
     regex+split once per bigram — O(tokens²) per doc (measured 10.3s
-    → 1.9s for the sf0.1 feature pass)."""
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    t = F.col("_t")
+    → 1.9s for the sf0.1 feature pass).
+
+    r6 constant trim (VERDICT task 6): each token is md5-hashed ONCE
+    and pre-reduced mod dim; a bigram's bucket is the modular combine
+    (31·u_i + u_{i+1}) mod dim of the two reduced unigram hashes —
+    exact under congruence, so DuckDB replays it. That halves the md5
+    evaluations (~54 vs ~107 per doc) and removes the bigram string
+    concat + its md5-of-longer-input entirely. The bucket values
+    differ from r5's (it hashed the bigram STRING) — the oracle
+    changed with it; the hash family is still Xie 2023's hashed
+    n-grams into a fixed bucket count."""
+    base = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda w: w != "").alias("_t"),
+    )
+    staged = base.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_t"),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+            % dim,
+        ).alias("_u"),
+    )
+    u = F.col("_u")
     bis = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        F.sequence(F.lit(1), F.size(u) - 1),
+        lambda i: (F.element_at(u, i) * 31 + F.element_at(u, i + 1)) % dim,
     )
-    feats = F.when(F.size(t) >= 2, F.concat(t, bis)).otherwise(t)
-    h = F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
-    return (
-        base.select(F.col(id_col), F.explode(feats).alias("_f"))
-        .where(F.col("_f") != "")
-        .select(id_col, (h % dim).alias("bucket"))
-    )
+    feats = F.when(F.size(u) >= 2, F.concat(u, bis)).otherwise(u)
+    return staged.select(F.col(id_col), F.explode(feats).alias("bucket"))
 
 
 def dsir_logweight(
@@ -357,33 +376,39 @@ def dsir_logweight(
     )
     tgt_f = _hashed_ngram_features(target, text_col, id_col, dim)
 
-    def probs(feats: DataFrame, prefix: str) -> DataFrame:
-        # total = sum over the (≤ dim rows) counts table — one feature
-        # scan per corpus, not one per statistic
-        counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias(prefix + "c"))
-        totals = counts.agg(F.sum(prefix + "c").alias(prefix + "n"))
-        return counts.crossJoin(F.broadcast(totals))
-
-    tgt_p = probs(tgt_f, "t_").persist(StorageLevel.MEMORY_AND_DISK)
-    tgt_n = tgt_p.select(F.col("t_n").alias("_tn")).limit(1)
-    scored = (
-        raw_f.join(F.broadcast(probs(raw_f, "r_")), "bucket")
-        .join(F.broadcast(tgt_p.drop("t_n")), "bucket", "left")
-        .crossJoin(F.broadcast(tgt_n))
+    # ONE dim-sized ratio table carrying the per-bucket log-weight
+    # contribution (r6: replaces the r5 shape's two broadcast joins +
+    # two crossJoins with a single broadcast join against the scored
+    # pass). Totals derive from the counts tables (≤ dim rows), not
+    # from rescanning the feature streams.
+    rc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
+    tc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
+    rn = rc.agg(F.sum("_rc").alias("_rn"))
+    tn = tc.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tn"))
+    ratio = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(tn))
         .select(
-            id_col,
+            "bucket",
             (
                 F.log(
-                    (F.coalesce(F.col("t_c"), F.lit(0)) + smoothing)
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + smoothing)
                     / (F.col("_tn") + smoothing * dim)
                 )
-                - F.log((F.col("r_c") + smoothing) / (F.col("r_n") + smoothing * dim))
+                - F.log(
+                    (F.col("_rc") + smoothing) / (F.col("_rn") + smoothing * dim)
+                )
             ).alias("_lw"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    scored = raw_f.join(F.broadcast(ratio), "bucket").select(id_col, "_lw")
+    from syslog_ng_spark.util import track_cached
+
+    out = scored.groupBy(id_col).agg(
         F.round(F.sum("_lw"), 6).alias("logw"), F.count(F.lit(1)).alias("n_feats")
     )
+    return track_cached(out, raw_f)
 
 
 def bigram_logprob(
@@ -509,7 +534,9 @@ def vocab_growth(
         )
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    from syslog_ng_spark.util import track_cached
+
+    out = (
         joined.select(
             "bucket",
             F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
@@ -520,3 +547,4 @@ def vocab_growth(
             F.round(F.log(F.col("cum_types")) / F.log(F.col("cum_tokens")), 6),
         )
     )
+    return track_cached(out, t)

@@ -455,6 +455,109 @@ def network_load_balancer(targets: Sequence[str], port: int = 514, **kwargs) -> 
     return NetworkDestination(targets=parsed, **kwargs)
 
 
+@dataclass
+class ProgramDestination:
+    """program() destination (reference: modules/afprog/afprog.c):
+    pipe templated lines into a child process's stdin. The daemon
+    spawns the command once, writes each rendered message as a line,
+    and respawns the child if it exits (time-reopen); keep-alive only
+    controls reload behavior, which has no analog here.
+
+    Spark mapping mirrors NetworkDestination's per-partition shape:
+    each partition spawns ITS OWN child (the subprocess is executor-
+    local state, exactly like a socket), writes its rows, closes
+    stdin, and waits. A child that dies mid-partition is respawned up
+    to ``max_respawns`` times and the failed line is re-written to the
+    new child (afprog's suspend → respawn → resend path). The driver
+    only ever sees one stats tuple per partition.
+
+    The command runs through the shell like the reference
+    (afprogram_popen execs '/bin/sh -c command'); at 100 TB that is
+    one child per partition per executor, no driver involvement.
+    """
+
+    command: str
+    template: str = "$MESSAGE"
+    max_respawns: int = 3
+    respawn_backoff: float = 0.1
+
+    def __post_init__(self) -> None:
+        if not self.command or not self.command.strip():
+            raise ValueError("program destination needs a non-empty command")
+
+    # -- executor-side ----------------------------------------------------
+    def _write_partition(self, pid: int, rows):
+        import subprocess
+
+        child: subprocess.Popen | None = None
+        delivered = respawns = 0
+
+        def spawn() -> subprocess.Popen:
+            return subprocess.Popen(
+                ["/bin/sh", "-c", self.command],
+                stdin=subprocess.PIPE,
+                start_new_session=True,  # own process group, like afprog
+            )
+
+        try:
+            for row in rows:
+                data = ((row[0] if row[0] is not None else "") + "\n").encode("utf-8")
+                for attempt in range(self.max_respawns + 1):
+                    if child is None:
+                        child = spawn()
+                    try:
+                        child.stdin.write(data)
+                        child.stdin.flush()
+                        delivered += 1
+                        break
+                    except (BrokenPipeError, OSError):
+                        # child died: reap, respawn, resend this line
+                        try:
+                            child.stdin.close()
+                        except OSError:
+                            pass
+                        child.wait()
+                        child = None
+                        respawns += 1
+                        if attempt >= self.max_respawns:
+                            raise RuntimeError(
+                                f"program destination: child {self.command!r} died "
+                                f"{respawns}x; giving up (partition {pid})"
+                            )
+                        time.sleep(self.respawn_backoff * (attempt + 1))
+        finally:
+            if child is not None:
+                try:
+                    child.stdin.close()
+                except OSError:
+                    pass
+                child.wait()
+        yield (delivered, respawns)
+
+    # -- driver-side ------------------------------------------------------
+    def write(self, df: DataFrame) -> dict:
+        from .template import compile_template
+
+        body = compile_template(self.template, df)
+        rendered = df.select(body.alias("_body"))
+        dest = self
+        stats = rendered.rdd.mapPartitionsWithIndex(
+            lambda pid, rows: dest._write_partition(pid, rows)
+        ).collect()
+        return {
+            "delivered": sum(s[0] for s in stats),
+            "respawns": sum(s[1] for s in stats),
+        }
+
+    def write_stream(self, df: DataFrame, checkpoint: str, trigger_available_now: bool = True):
+        writer = df.writeStream.foreachBatch(lambda batch_df, _id: self.write(batch_df)).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 def stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test sink: materialize a stream into an in-memory table."""
     return (
@@ -497,12 +600,29 @@ def elasticsearch_http(
     Every message becomes an _bulk action line + source doc; batches
     are NDJSON-joined. index/type/id accept template macros (rendered
     JVM-side with the rest of the body); empty type/id are omitted
-    from the action like --omit-empty-values does for static ones."""
-    fields = [f'"_index":"{index}"']
+    from the action like --omit-empty-values does for static ones.
+
+    Values are JSON-escaped like the reference's $(format-json) would:
+    static values via json.dumps at build time, macro-bearing values
+    through the $(json-escape) template function at render time — a
+    double quote or backslash in an index name or a macro-rendered _id
+    must not produce malformed NDJSON that ES rejects per batch."""
+    import json as _json
+
+    def _field(name: str, value: str) -> str:
+        if "$" in value:
+            # quote the arg for the template lexer (it unescapes \" and
+            # \\ inside quoted args; macros inside still expand), then
+            # JSON-escape the RENDERED value
+            quoted = '"' + value.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            return f'"{name}":"$(json-escape {quoted})"'
+        return f'"{name}":{_json.dumps(value)}'
+
+    fields = [_field("_index", index)]
     if doc_type:
-        fields.append(f'"_type":"{doc_type}"')
+        fields.append(_field("_type", doc_type))
     if custom_id:
-        fields.append(f'"_id":"{custom_id}"')
+        fields.append(_field("_id", custom_id))
     action = '{"index":{' + ",".join(fields) + "}}"
     return HttpDestination(
         urls=[url],

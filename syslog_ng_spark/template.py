@@ -351,6 +351,12 @@ def _list_col(args: list[Arg]) -> Column:
     return F.concat_ws(",", *[a.col for a in args])
 
 
+def _tf_json_escape(c: Column) -> Column:
+    # same two-pass escape as functions.format._json_escape (kept local:
+    # format.py imports this module's compiler for $(format-json) args)
+    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+
+
 FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "echo": lambda a: F.concat_ws(" ", *[x.col for x in a]) if a else F.lit(""),
     "lowercase": lambda a: F.lower(a[0].col),
@@ -369,6 +375,12 @@ FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "base64-encode": lambda a: base64_encode(F.concat(*[x.col for x in a])),
     "ipv4-to-int": lambda a: ipv4_to_int(a[0].col).cast("string"),
     "sanitize": lambda a: sanitize(a[0].col),
+    # escape a rendered value for embedding inside a hand-built JSON
+    # string literal (the escaping $(format-json) applies to values) —
+    # elasticsearch_http routes macro-bearing _index/_id through this
+    "json-escape": lambda a: _tf_json_escape(
+        a[0].col if len(a) == 1 else F.concat_ws(" ", *[x.col for x in a])
+    ),
     "indent-multi-line": lambda a: indent_multi_line(a[0].col),
     "replace-delimiter": lambda a: replace_delimiter(
         a[2].col, a[0].lit or "", a[1].lit or ""

@@ -65,3 +65,30 @@ def rebalance(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
+
+
+def track_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to a lazily-returned result so
+    long-lived callers can release them after their terminal action.
+
+    Several operators (repeated_passages, dsir_logweight, vocab_growth,
+    hashed_bow_topk, the near-dup signature builders) persist() an
+    intermediate that the RETURNED plan reads in two or more branches —
+    unpersisting inside the operator would defeat the cache before the
+    caller's first action. bpe_train's try/finally precedent only works
+    because its actions are internal. For everyone else: the persisted
+    frames ride along on the result, and `release_cached(df)` frees
+    them once the caller is done (idempotent; Spark also evicts under
+    memory pressure and drops them with the session)."""
+    existing = list(getattr(result, "_cached_intermediates", ()))
+    result._cached_intermediates = existing + [c for c in cached if c is not None]
+    return result
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist every intermediate `track_cached` attached to `df`.
+    Call after the last action that consumes `df` (safe any time —
+    recomputation, not corruption, is the cost of releasing early)."""
+    for c in getattr(df, "_cached_intermediates", ()):
+        c.unpersist()
+    df._cached_intermediates = []

@@ -469,3 +469,35 @@ def test_nodejs_malformed_payload_null_map(spark):
     row = nodejs_parser(df, "raw").collect()[0]
     assert row["message"] is None
     assert row["sdata"] is None
+
+
+def test_duplicate_keys_last_wins(spark):
+    """Repeated keys in one line must not throw DUPLICATED_MAP_KEY —
+    sudo/checkpoint/snmptrapd route through parsers._fold_kv_entries
+    (last-wins), matching kv-scanner's overwrite semantics regardless
+    of how the session was built."""
+    from syslog_ng_spark.operators.app_parsers import (
+        checkpoint_parser,
+        sudo_parser,
+    )
+
+    df = spark.createDataFrame(
+        [("bob : TTY=pts/1 ; COMMAND=/bin/a ; COMMAND=/bin/b",)],
+        "message string",
+    )
+    sd = dict(sudo_parser(df, "message").collect()[0].sdata)
+    assert sd[".sudo.COMMAND"] == "/bin/b"
+
+    df = spark.createDataFrame(
+        [("action:Accept; src:1.1.1.1; src:2.2.2.2",)], "message string"
+    )
+    sd = dict(checkpoint_parser(df).collect()[0].sdata)
+    assert sd[".checkpoint.src"] == "2.2.2.2"
+
+    # duplicate varbind OID in a v2 trap
+    r = _snmp_parse_one(
+        spark,
+        "2017-05-10 12:46:14 h.example.org [UDP: [127.0.0.1]:34257->[127.0.0.1]:162]:\n"
+        "iso.3.6.1.4.1.1 = INTEGER: 1\tiso.3.6.1.4.1.1 = INTEGER: 2",
+    )
+    assert r.sdata[".snmp.iso.3.6.1.4.1.1"] == "2"

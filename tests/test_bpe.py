@@ -131,3 +131,81 @@ def test_property_train_matches_reference(spark, texts, n):
     runs) — the adversarial regime for the double-space replace trick"""
     got = bpe_train(_df(spark, texts), "text", n_merges=n)
     assert got == _ref_train(texts, n)
+
+
+# ---------------------------------------------------------------------------
+# Arrow mapInPandas kernel (production path for real ~30k-merge vocabs)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_pandas_kernel_parity(spark):
+    """kernel='pandas' (rank-priority encoder) must equal the expr
+    kernel (sequential replace per merge) on a genuinely-trained list
+    — the equivalence argument in bpe._segment_word_ranked."""
+    merges = bpe_train(_df(spark, CORPUS), "text", n_merges=8)
+    expr_rows = {
+        r["doc_id"]: r["bpe"]
+        for r in bpe_segment(_df(spark, CORPUS), "text", merges).collect()
+    }
+    pd_rows = {
+        r["doc_id"]: r["bpe"]
+        for r in bpe_segment(
+            _df(spark, CORPUS), "text", merges, kernel="pandas"
+        ).collect()
+    }
+    assert pd_rows == expr_rows
+
+
+def test_segment_pandas_null_and_empty(spark):
+    merges = [(1, "a", "b")]
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "ab ab")], "doc_id long, text string"
+    )
+    by_id = {
+        r["doc_id"]: r["bpe"]
+        for r in bpe_segment(df, "text", merges, kernel="pandas").collect()
+    }
+    assert by_id[0] is None
+    assert by_id[1] == []
+    assert by_id[2] == ["ab", EOW, "ab", EOW]
+
+
+def test_segment_pandas_500_merge_janino_guard(spark):
+    """A real tokenizer has ~30k merges; the expr kernel's chained
+    replace tree hits the measured janino/codegen wall far below that
+    (SCALE.md Addendum 5 §3). The pandas kernel must segment with a
+    500-merge list — verified against the pure-Python sequential
+    reference, which the expr kernel implements."""
+    # 501 DISTINCT chars: every chain merge applies exactly once, so
+    # the full word provably collapses to one token (a repeating
+    # alphabet would fuse into blocks instead and mask a broken chain)
+    word = "".join(chr(0x4E00 + i) for i in range(501))  # caseless CJK: lower() is a no-op
+    merges = [
+        (r, word[: r], word[r]) for r in range(1, 501)
+    ]  # chain: (c0,c1),(c0c1,c2)... genuine-BPE shape
+    texts = [word, word[:27] + " " + word, "zz " + word[:3]]
+    df = _df(spark, texts)
+    rows = {
+        r["doc_id"]: r["bpe"]
+        for r in bpe_segment(df, "text", merges, kernel="pandas").collect()
+    }
+    for i, t in enumerate(texts):
+        assert rows[i] == _ref_segment(t, merges)
+    # the full word collapses into ONE 501-char token + EOW
+    assert rows[0] == [word, EOW]
+
+
+def test_ranked_kernel_equals_sequential_property(spark):
+    """property: on trained merge lists (any corpus), rank-priority ==
+    sequential application for every word in the corpus."""
+    from syslog_ng_spark.operators.bpe import _segment_word_ranked
+
+    for texts in (CORPUS, ["aaa aa a aaaa", "abab ab ba bab"], ["xy xyx yxy xxyy"]):
+        merges = _ref_train(texts, 12)
+        ranks = {(a, b): r for r, a, b in merges}
+        for t in texts:
+            for w in t.lower().split():
+                seq = list(w) + [EOW]
+                for _, a, b in sorted(merges):
+                    seq = _ref_merge(seq, a, b)
+                assert _segment_word_ranked(w, ranks) == seq, (w, merges)

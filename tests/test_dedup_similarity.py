@@ -461,6 +461,35 @@ def test_hard_negatives_picks_best_pos_and_hardest_neg(spark):
     assert 4 not in out
 
 
+def test_hard_negatives_calibrated_floor_preserves_positives(spark):
+    """neg_lo_quantile moves only the negative band's lower edge:
+    positives are identical to the uncalibrated run, and the chosen
+    negative is at or above the calibrated floor."""
+    from syslog_ng_spark.operators.similarity import hard_negatives
+
+    cents = [[1.0, 0.0]]
+    rows = [(i, [1.0, i / 50.0]) for i in range(1, 26)] + [
+        (100 + i, [0.1 * i, 1.0]) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {r.anchor_id: r for r in
+            hard_negatives(df, cents, pos_threshold=0.9, neg_lo=0.0).collect()}
+    cal = {r.anchor_id: r for r in
+           hard_negatives(df, cents, pos_threshold=0.9, neg_lo=0.0,
+                          neg_lo_quantile=0.5).collect()}
+    assert set(base) == set(cal)
+    for k in base:
+        assert base[k].pos_id == cal[k].pos_id
+        assert base[k].pos_cos == cal[k].pos_cos
+        # the hardest negative is the max of the band; raising the
+        # band floor can only drop it to NULL, never change its value
+        assert cal[k].neg_cos is None or cal[k].neg_cos == base[k].neg_cos
+    # approx calibration runs the same plan shape
+    ap = hard_negatives(df, cents, pos_threshold=0.9, neg_lo=0.0,
+                        neg_lo_quantile=0.5, calib_method="approx")
+    assert ap.count() == len(base)
+
+
 def test_gram_table_decontaminate_parity_and_bucket_local_join(spark, tmp_path):
     """The materialized gram-table path returns exactly the inline
     decontaminate counts, and the bucketed corpus side joins without

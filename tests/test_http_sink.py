@@ -255,3 +255,30 @@ def test_elasticsearch_http_omits_empty_type_and_id(spark, server):
     dest.write(df.selectExpr("message as MESSAGE"))
     first = [ln for ln in rec.bodies[0].split("\n") if ln][0]
     assert first == '{"index":{"_index":"idx"}}'
+
+
+def test_elasticsearch_http_escapes_index_and_macro_id(spark, server):
+    """A double quote / backslash in the index name or in a
+    macro-rendered _id must yield VALID NDJSON (the reference's
+    $(format-json) escapes values; unescaped they'd fail the whole
+    bulk batch)."""
+    import json as _json
+
+    from syslog_ng_spark.sinks import elasticsearch_http
+
+    rec, url = server
+    dest = elasticsearch_http(
+        url,
+        index='lo"gs\\2024',
+        custom_id="id-$MESSAGE",
+        template='{"m":"$(json-escape $MESSAGE)"}',
+        batch_lines=100,
+    )
+    df = spark.createDataFrame([('say "hi" \\ bye',)], "MESSAGE string")
+    stats = dest.write(df)
+    assert stats["delivered"] == 1
+    payload = [ln for ln in rec.bodies[0].split("\n") if ln]
+    action = _json.loads(payload[0])  # raises if escaping is broken
+    assert action["index"]["_index"] == 'lo"gs\\2024'
+    assert action["index"]["_id"] == 'id-say "hi" \\ bye'
+    assert _json.loads(payload[1])["m"] == 'say "hi" \\ bye'

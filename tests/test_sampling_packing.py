@@ -257,3 +257,37 @@ def test_write_shuffled_shards_layout(spark, tmp_path):
         for r in global_shuffle(df, "doc_id", 4, "w").where("shard = 0").orderBy("pos").collect()
     ]
     assert shard0 == expect
+
+
+def test_quantile_select_approx_band(spark):
+    """method='approx' (the 100 TB path) must select within the G-K
+    sketch's rank-error band of the exact selection: with
+    accuracy=10000 on n=2000 rows, rank error <= n/accuracy = 0.2
+    rows -> the selections are IDENTICAL here; on ties the threshold
+    may differ by at most one distinct score value."""
+    from syslog_ng_spark.operators.sampling import quantile_select
+
+    rows = [(i, "en" if i % 3 else "fr", float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    exact = {
+        r.doc_id for r in quantile_select(df, "score", "lang", q=0.7).collect()
+    }
+    approx = {
+        r.doc_id
+        for r in quantile_select(
+            df, "score", "lang", q=0.7, method="approx", accuracy=10000
+        ).collect()
+    }
+    sym = exact.symmetric_difference(approx)
+    # rank error bound: <= ceil(n_group/accuracy) rows per group = 1
+    assert len(sym) <= 2, f"approx selection drifted {len(sym)} rows"
+
+
+def test_quantile_select_method_validation(spark):
+    from syslog_ng_spark.operators.sampling import quantile_select
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_select(df, "score", method="bogus")

@@ -32,3 +32,28 @@ def test_rebalance_spreads_partitions(spark):
     out = rebalance(df)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 100
+
+
+def test_track_release_cached(spark):
+    """Operators that persist intermediates attach them to the lazy
+    result; release_cached frees every one (the ADVICE leak: repeated
+    invocations in a long-lived session accumulated MEMORY_AND_DISK
+    entries the caller could not release)."""
+    from syslog_ng_spark.operators.dedup import repeated_passages
+    from syslog_ng_spark.util import release_cached
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j z z")],
+        "doc_id long, text string",
+    )
+    out = repeated_passages(df, n=10, min_docs=2)
+    cached = getattr(out, "_cached_intermediates", [])
+    assert cached, "repeated_passages must expose its persisted frame"
+    out.collect()
+    assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached)
+    release_cached(out)
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached
+    )
+    assert out._cached_intermediates == []
+    release_cached(out)  # idempotent

@@ -17,6 +17,12 @@ Ops and their expected bound:
 - pool_context_stream         live (scope, context) pairs; event-time timeout
 
 Usage: python tools/streaming_soak.py OUT.json [seconds_per_op]
+Env:
+  SPARK_GRAFT_STATE_STORE=rocksdb   use RocksDBStateStoreProvider (the
+                                    100 TB story's state store) instead
+                                    of the default HDFS-backed one
+  SPARK_GRAFT_SOAK_OPS=pool,dedup   comma-filter of ops to run
+                                    (dedup|bucket|join|pool; default all)
 """
 
 from __future__ import annotations
@@ -73,19 +79,52 @@ def main() -> None:
     out_path = sys.argv[1]
     seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 120
 
-    from pyspark.sql import functions as F
-
-    from syslog_ng_spark.operators.dedup import dedup_exact_stream
     from syslog_ng_spark.session import get_session
-    from syslog_ng_spark.streaming.joins import stream_stream_join
-    from syslog_ng_spark.streaming.stateful import (
-        pool_context_stream,
-        token_bucket_rate_limit,
-    )
+
+    import os
 
     spark = get_session("streaming-soak")
     spark.sparkContext.setLogLevel("ERROR")
-    report = {}
+    store = os.environ.get("SPARK_GRAFT_STATE_STORE", "")
+    if store.lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    ops = set(
+        filter(None, os.environ.get("SPARK_GRAFT_SOAK_OPS", "dedup,bucket,join,pool").split(","))
+    )
+    # fresh checkpoints per run: a checkpoint is bound to the provider
+    # that created it, so reusing the r5 paths under RocksDB would fail
+    ckpt = f"/tmp/soak_ckpt_{int(time.time())}"
+    report = {"state_store": store or "default"}
+
+    if "dedup" in ops:
+        _soak_dedup(spark, report, seconds, ckpt)
+    if "bucket" in ops:
+        _soak_bucket(spark, report, seconds, ckpt)
+    if "join" in ops:
+        _soak_join(spark, report, seconds, ckpt)
+    if "pool" in ops:
+        _soak_pool(spark, report, seconds, ckpt)
+
+    Path(out_path).write_text(json.dumps(report, indent=1))
+    summary = {
+        k: {
+            "bounded": v["bounded"],
+            "mid_third_max": v["mid_third_max"],
+            "last_third_max": v["last_third_max"],
+        }
+        for k, v in report.items()
+        if isinstance(v, dict) and "bounded" in v
+    }
+    print(json.dumps(summary, indent=1))
+
+
+def _soak_dedup(spark, report, seconds, ckpt):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.dedup import dedup_exact_stream
 
     # 1. streaming ingest dedup: 500 rows/s, 2000 distinct texts,
     #    10 s horizon -> state bounded by distinct fps in horizon
@@ -96,11 +135,17 @@ def main() -> None:
     q = (
         dedup_exact_stream(src, "text", "ts", watermark="10 seconds")
         .writeStream.format("noop")
-        .option("checkpointLocation", "/tmp/soak_ckpt_dedup")
+        .option("checkpointLocation", ckpt + "_dedup")
         .start()
     )
     report["dedup_exact_stream"] = soak(q, seconds)
     print("dedup_exact_stream", report["dedup_exact_stream"]["samples"][-1], flush=True)
+
+
+def _soak_bucket(spark, report, seconds, ckpt):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.streaming.stateful import token_bucket_rate_limit
 
     # 2. token bucket: 100 keys, no timeout -> state = key cardinality
     src = rate(spark, 500).select(
@@ -109,11 +154,17 @@ def main() -> None:
     q = (
         token_bucket_rate_limit(src, "user_id", "ts", rate_per_sec=2.0, burst=5)
         .writeStream.format("noop")
-        .option("checkpointLocation", "/tmp/soak_ckpt_bucket")
+        .option("checkpointLocation", ckpt + "_bucket")
         .start()
     )
     report["token_bucket_rate_limit"] = soak(q, seconds)
     print("token_bucket_rate_limit", report["token_bucket_rate_limit"]["samples"][-1], flush=True)
+
+
+def _soak_join(spark, report, seconds, ckpt):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.streaming.joins import stream_stream_join
 
     # 3. stream-stream interval join: both sides watermarked 10 s,
     #    right must land within 5 s of left
@@ -130,11 +181,17 @@ def main() -> None:
             left, right, "corr_key", within="5 seconds", watermark="10 seconds"
         )
         .writeStream.format("noop")
-        .option("checkpointLocation", "/tmp/soak_ckpt_join")
+        .option("checkpointLocation", ckpt + "_join")
         .start()
     )
     report["stream_stream_join"] = soak(q, seconds)
     print("stream_stream_join", report["stream_stream_join"]["samples"][-1], flush=True)
+
+
+def _soak_pool(spark, report, seconds, ckpt):
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.streaming.stateful import pool_context_stream
 
     # 4. patterndb pool contexts: 300 rotating contexts, 5 s timeout,
     #    event-time expiry -> live contexts plateau
@@ -148,22 +205,11 @@ def main() -> None:
     q = (
         pool_context_stream(src, ts="ts", merge_json_col="sdata_json", watermark="10 seconds")
         .writeStream.format("noop")
-        .option("checkpointLocation", "/tmp/soak_ckpt_pool")
+        .option("checkpointLocation", ckpt + "_pool")
         .start()
     )
     report["pool_context_stream"] = soak(q, seconds)
     print("pool_context_stream", report["pool_context_stream"]["samples"][-1], flush=True)
-
-    Path(out_path).write_text(json.dumps(report, indent=1))
-    summary = {
-        k: {
-            "bounded": v["bounded"],
-            "mid_third_max": v["mid_third_max"],
-            "last_third_max": v["last_third_max"],
-        }
-        for k, v in report.items()
-    }
-    print(json.dumps(summary, indent=1))
 
 
 if __name__ == "__main__":
