@@ -4841,16 +4841,19 @@ def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_SQL = f"""
 WITH base AS (
-  SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS t FROM documents),
-feats0 AS (
-  SELECT doc_id, source, unnest(t) AS f FROM base
+  SELECT doc_id, source,
+         list_filter(string_split({_NORM_SQL}, ' '), w -> w <> '') AS t
+  FROM documents),
+uu AS (
+  SELECT doc_id, source,
+         list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024) AS u
+  FROM base),
+b AS (
+  SELECT doc_id, source, unnest(u) AS bucket FROM uu
   UNION ALL
-  SELECT doc_id, source, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS f
-  FROM base WHERE len(t) >= 2),
-feats AS (SELECT doc_id, source, f FROM feats0 WHERE f <> ''),
-b AS (SELECT doc_id, source,
-             ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bucket
-      FROM feats),
+  SELECT doc_id, source,
+         unnest([(u[i] * 31 + u[i+1]) % 1024 FOR i IN range(1, len(u))]) AS bucket
+  FROM uu WHERE len(u) >= 2),
 rc AS (SELECT bucket, count(*) AS rcnt FROM b GROUP BY 1),
 rtot AS (SELECT count(*) AS rn FROM b),
 tc AS (SELECT bucket, count(*) AS tcnt FROM b WHERE source = 'src0' GROUP BY 1),
@@ -6613,7 +6616,11 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_decontaminate(corpus, evalset, planes, threshold=0.25)
 
 
-def _hard_negatives_sql(pos_threshold: float = 0.25, neg_lo: float = 0.0) -> str:
+def _hard_negatives_sql(
+    pos_threshold: float = 0.25,
+    neg_lo: float = 0.0,
+    neg_lo_quantile: float | None = None,
+) -> str:
     from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
 
     ctes = [
@@ -6622,6 +6629,29 @@ def _hard_negatives_sql(pos_threshold: float = 0.25, neg_lo: float = 0.0) -> str
         _vec_literal_cte(IVF_CENTROIDS, "centsF"),
         _ivf_assign_cte("centsF", "a_final"),
     ]
+    if neg_lo_quantile is None:
+        band = f"""
+cat AS (
+  SELECT anchor_id, cand_id, cos_sim,
+         CASE WHEN cos_sim >= {pos_threshold} THEN 'pos'
+              WHEN cos_sim >= {neg_lo} THEN 'neg' END AS cat
+  FROM cand WHERE cos_sim >= {neg_lo}),"""
+    else:
+        # replays similarity.hard_negatives' calibrated floor: exact
+        # interpolated quantile of the sub-threshold candidate band
+        # (quantile_cont == Spark percentile), rounded to 6dp, coalesced
+        # to neg_lo when the band is empty, then greatest(floor, neg_lo)
+        band = f"""
+fl AS (
+  SELECT coalesce(round(quantile_cont(cos_sim, {neg_lo_quantile}), 6),
+                  {neg_lo}) AS f
+  FROM cand WHERE cos_sim < {pos_threshold}),
+cat0 AS (
+  SELECT anchor_id, cand_id, cos_sim,
+         CASE WHEN cos_sim >= {pos_threshold} THEN 'pos'
+              WHEN cos_sim >= greatest(fl.f, {neg_lo}) THEN 'neg' END AS cat
+  FROM cand CROSS JOIN fl),
+cat AS (SELECT * FROM cat0 WHERE cat IS NOT NULL),"""
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -6629,12 +6659,7 @@ def _hard_negatives_sql(pos_threshold: float = 0.25, neg_lo: float = 0.0) -> str
 cand AS (
   SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-  FROM a_final a JOIN a_final b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-cat AS (
-  SELECT anchor_id, cand_id, cos_sim,
-         CASE WHEN cos_sim >= {pos_threshold} THEN 'pos'
-              WHEN cos_sim >= {neg_lo} THEN 'neg' END AS cat
-  FROM cand WHERE cos_sim >= {neg_lo}),
+  FROM a_final a JOIN a_final b ON a.cid = b.cid AND a.vec_id <> b.vec_id),{band}
 top AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (
@@ -6771,4 +6796,70 @@ def bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("bpe").cast("long").alias("n_bpe"),
         F.array_join("bpe", " ").alias("bpe_str"),
+    )
+
+
+@register("bpe_segment_pandas", _BPE_SEGMENT_SQL)
+def bpe_segment_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation, Arrow kernel (bpe.bpe_segment kernel='pandas'):
+    the rank-priority encoder in a mapInPandas batch — the production
+    kernel past the expression kernel's janino ceiling (~100 merges;
+    real vocabs are ~30k). Exact parity with the expr kernel is the
+    equivalence argument in bpe._segment_word_ranked, so this gate
+    reuses the bpe_segment oracle VERBATIM — same training replay,
+    same word-profile join."""
+    from syslog_ng_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    seg = bpe_segment(docs, "text", merges, kernel="pandas")
+    return seg.where(F.size("bpe") > 0).select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("n_bpe"),
+        F.array_join("bpe", " ").alias("bpe_str"),
+    )
+
+
+@register(
+    "quality_quantile_select_approx",
+    _QUANTILE_SELECT_SQL.replace("quantile_cont", "quantile_disc"),
+)
+def quality_quantile_select_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_select method='approx' (the 100 TB path): the per-lang
+    threshold comes from approx_percentile's Greenwald-Khanna sketch
+    (bounded reducer memory) instead of the buffering exact
+    percentile; the broadcast-join plan is otherwise identical. At
+    gate SFs every group is far below accuracy=10000, so the sketch
+    is EXACT and returns the same discrete element as DuckDB
+    quantile_disc (measured: all 5 langs match at sf0.01) — a full
+    hash gate, not rows-only. The epsilon-band pytest
+    (test_quantile_select_approx_band) covers the sketch's error
+    bound where the sketch actually approximates."""
+    from syslog_ng_spark.operators import textstats
+    from syslog_ng_spark.operators.sampling import quantile_select
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "lang", textstats.quality_score(F.col("text")).alias("quality")
+    )
+    return quantile_select(
+        scored, "quality", group_col="lang", q=0.6, method="approx", accuracy=10000
+    )
+
+
+@register("hard_negatives_calibrated", _hard_negatives_sql(0.25, 0.0, 0.9))
+def hard_negatives_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hard_negatives with the data-calibrated negative-band floor
+    (neg_lo_quantile=0.9): one tiny exact-percentile agg over the
+    sub-threshold candidate cos_sims, broadcast back, keeps only the
+    hardest 10% of negatives in the window input — the production
+    knob that makes the (anchor, category) shuffle linear. Oracle
+    replays the floor as quantile_cont over the same band, rounded to
+    6dp, greatest()-ed against neg_lo."""
+    from syslog_ng_spark.ann_fixtures import IVF_CENTROIDS
+
+    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    return similarity.hard_negatives(
+        emb, IVF_CENTROIDS, pos_threshold=0.25, neg_lo=0.0,
+        neg_lo_quantile=0.9, calib_method="exact",
     )

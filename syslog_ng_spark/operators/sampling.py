@@ -245,13 +245,9 @@ def quantile_select(
     join stays. This is the 100 TB path; the quantile_select_approx
     gate + epsilon-band pytest pin it to the exact one. Thresholds are
     rounded to 6 decimals so the >= comparison is engine-stable."""
-    if method not in ("exact", "approx"):
-        raise ValueError(f"unknown quantile method {method!r}")
-    agg = (
-        f"percentile({score_col}, {q!r})"
-        if method == "exact"
-        else f"approx_percentile({score_col}, {q!r}, {accuracy})"
-    )
+    from syslog_ng_spark.util import quantile_agg_expr
+
+    agg = quantile_agg_expr(score_col, q, method, accuracy)
     keys = [group_col] if group_col else []
     thr = df.groupBy(*keys).agg(F.round(F.expr(agg), 6).alias("_thr"))
     joined = df.join(F.broadcast(thr), keys) if keys else df.crossJoin(F.broadcast(thr))

@@ -800,13 +800,9 @@ def hard_negatives(
         )
     )
     if neg_lo_quantile is not None:
-        if calib_method not in ("exact", "approx"):
-            raise ValueError(f"unknown calib_method {calib_method!r}")
-        agg = (
-            f"percentile(cos_sim, {neg_lo_quantile!r})"
-            if calib_method == "exact"
-            else f"approx_percentile(cos_sim, {neg_lo_quantile!r}, 10000)"
-        )
+        from syslog_ng_spark.util import quantile_agg_expr
+
+        agg = quantile_agg_expr("cos_sim", neg_lo_quantile, calib_method)
         floor = (
             cand.where(F.col("cos_sim") < pos_threshold)
             .agg(F.round(F.expr(agg), 6).alias("_floor"))

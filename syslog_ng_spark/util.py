@@ -67,6 +67,30 @@ def rebalance(df: DataFrame) -> DataFrame:
     return df.repartition(parallelism)
 
 
+def quantile_agg_expr(
+    score_col: str, q: float, method: str = "exact", accuracy: int = 10000
+) -> str:
+    """The exact/approx quantile aggregate shared by every calibrated
+    threshold in the engine (sampling.quantile_select's per-group cut,
+    similarity.hard_negatives' negative-band floor). method='exact' is
+    Spark `percentile` (interpolated — DuckDB quantile_cont replays it
+    for oracles) and buffers each group's values on one reducer;
+    method='approx' is `approx_percentile` (Greenwald-Khanna sketch,
+    bounded memory per group, rank error <= 1/accuracy) — the 100 TB
+    path. When the group is smaller than `accuracy` the sketch is
+    exact and returns the same discrete element as DuckDB
+    quantile_disc (verified per-gate), so approx variants can still be
+    hash-gated at test SFs. Same plan either way: one aggregate,
+    broadcast back — only the agg expression changes."""
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown quantile method {method!r}")
+    return (
+        f"percentile({score_col}, {q!r})"
+        if method == "exact"
+        else f"approx_percentile({score_col}, {q!r}, {accuracy})"
+    )
+
+
 def track_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Attach persisted intermediates to a lazily-returned result so
     long-lived callers can release them after their terminal action.
