@@ -6863,3 +6863,116 @@ def hard_negatives_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, IVF_CENTROIDS, pos_threshold=0.25, neg_lo=0.0,
         neg_lo_quantile=0.9, calib_method="exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# credit-card masking (scl/rewrite/cc-mask.conf) — the last SCL block
+# ---------------------------------------------------------------------------
+
+_CC_RE = (
+    "(4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|6(?:011|5[0-9][0-9])[0-9]{12}"
+    "|3[47][0-9]{13}|3(?:0[0-5]|[68][0-9])[0-9]{11}|(?:2131|1800|35[0-9]{3})[0-9]{11})"
+)
+
+# deterministic PAN-bearing messages from events: Visa-16, MasterCard,
+# a two-card Amex+Visa row (global-flag coverage), and a no-card row
+_CC_SRC_SQL = """
+src AS (
+  SELECT event_id,
+         CASE (event_id % 4)
+           WHEN 0 THEN 'charge card=4' || lpad(((user_id * 7919 + 11) % 1000000000000000)::VARCHAR, 15, '0') || ' amount=12.30'
+           WHEN 1 THEN 'charge card=5' || (1 + user_id % 5)::VARCHAR || lpad(((user_id * 104729 + 5) % 100000000000000)::VARCHAR, 14, '0') || ' declined'
+           WHEN 2 THEN 'refund 37' || lpad(((user_id * 31 + 1) % 10000000000000)::VARCHAR, 13, '0') || ' then 4' || lpad(((user_id * 13 + 2) % 1000000000000000)::VARCHAR, 15, '0') || ' done'
+           ELSE 'no pan for user ' || user_id::VARCHAR
+         END AS message
+  FROM events)
+"""
+
+
+def _cc_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = rebalance(T(spark, sf_dir, "events"))
+
+    def pan(mult: int, add: int, mod: int, width: int) -> F.Column:
+        return F.lpad(
+            ((F.col("user_id") * mult + add) % mod).cast("string"), width, "0"
+        )
+
+    msg = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(
+                F.lit("charge card=4"),
+                pan(7919, 11, 10**15, 15),
+                F.lit(" amount=12.30"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(
+                F.lit("charge card=5"),
+                (1 + F.col("user_id") % 5).cast("string"),
+                pan(104729, 5, 10**14, 14),
+                F.lit(" declined"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(
+                F.lit("refund 37"),
+                pan(31, 1, 10**13, 13),
+                F.lit(" then 4"),
+                pan(13, 2, 10**15, 15),
+                F.lit(" done"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("no pan for user "), F.col("user_id").cast("string")))
+    )
+    return ev.select("event_id", msg.alias("message"))
+
+
+def _cc_stitch_sql(render: str) -> str:
+    """DuckDB replay of rewrite.subst_per_match: split on the card
+    regex, render each hit ($1 = h), stitch with the between-match
+    parts. `render` is an SQL expression over `h`."""
+    return f"""WITH {_CC_SRC_SQL.strip()},
+m AS (
+  SELECT event_id, message,
+         string_split_regex(message, '{_CC_RE}') AS parts,
+         regexp_extract_all(message, '{_CC_RE}', 1) AS hits
+  FROM src)
+SELECT event_id,
+       parts[1] || coalesce(array_to_string(
+         list_transform(range(1, len(hits) + 1),
+                        i -> {render} || parts[i + 1]), ''), '') AS message
+FROM m
+"""
+
+
+_CC_MASK_SQL = _cc_stitch_sql(
+    "substr(hits[i], 1, 6) || '******' || substr(hits[i], length(hits[i]) - 3, 4)"
+)
+_CC_HASH_SQL = _cc_stitch_sql("substr(sha256(hits[i]), 1, 16)")
+
+
+@register("cc_mask", _CC_MASK_SQL)
+def cc_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """credit-card-mask() (scl/rewrite/cc-mask.conf:52 — the last SCL
+    block): PANs become IIN + '******' + last4 in place, all matches
+    per message (flags(global)), non-card text untouched. The oracle
+    replays the split/render/stitch on DuckDB's regex engine — probed
+    equal to Java's on leading/trailing/adjacent/zero-match edges."""
+    from syslog_ng_spark.operators.rewrite import credit_card_mask
+
+    return credit_card_mask(_cc_src(spark, sf_dir), "message")
+
+
+@register("cc_hash", _CC_HASH_SQL)
+def cc_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """credit-card-hash() (scl/rewrite/cc-mask.conf:43): PANs become
+    16-hex-char digests so equal cards correlate without exposure.
+    Gated through algo='sha256' (DuckDB has no sha1; the conf's exact
+    sha1 default is pytest-pinned to hashlib) — the split/stitch
+    plumbing and truncation under test are identical."""
+    from syslog_ng_spark.operators.rewrite import credit_card_hash
+
+    return credit_card_hash(_cc_src(spark, sf_dir), "message", length=16, algo="sha256")

@@ -223,3 +223,80 @@ def test_cmp_filter_atoi_and_string_modes(spark):
     # string mode: byte-wise
     s = df.where(cmp_filter(df, "$s", "abc", ">=", numeric=False))
     assert sorted(r.i for r in s.collect()) == [1, 2]
+
+
+def test_credit_card_mask_conf_shapes(spark):
+    """cc-mask.conf documented behavior: first6 + '******' + last4, all
+    card families, global flag (both cards in one message), non-card
+    digit runs untouched."""
+    from syslog_ng_spark.operators.rewrite import credit_card_mask
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111111111111111 ok"),            # Visa 16
+            (2, "visa13 4222222222222 end"),            # Visa 13
+            (3, "mc 5500005555555559"),                 # MasterCard
+            (4, "amex 378282246310005 then 6011000990139424"),  # Amex + Discover
+            (5, "diners 30569309025904 jcb 3530111333300000"),
+            (6, "not a card: 1234567890 or 99999"),
+            (7, ""),
+        ],
+        "i long, message string",
+    )
+    got = {r.i: r.message for r in credit_card_mask(df, "message").collect()}
+    assert got[1] == "pay 411111******1111 ok"
+    assert got[2] == "visa13 422222******2222 end"
+    assert got[3] == "mc 550000******5559"
+    assert got[4] == "amex 378282******0005 then 601100******9424"
+    assert got[5] == "diners 305693******5904 jcb 353011******0000"
+    assert got[6] == "not a card: 1234567890 or 99999"
+    assert got[7] == ""
+
+
+def test_credit_card_hash_sha1_matches_hashlib(spark):
+    """The conf's replacement is '$(sha1 --length 16 $1)' — pin the
+    default algo to hashlib's sha1, truncated to 16 hex chars."""
+    import hashlib
+
+    from syslog_ng_spark.operators.rewrite import credit_card_hash
+
+    pan1, pan2 = "4111111111111111", "378282246310005"
+    df = spark.createDataFrame(
+        [(1, f"a {pan1} b {pan2} c"), (2, "no card")], "i long, message string"
+    )
+    got = {r.i: r.message for r in credit_card_hash(df, "message").collect()}
+    h1 = hashlib.sha1(pan1.encode()).hexdigest()[:16]
+    h2 = hashlib.sha1(pan2.encode()).hexdigest()[:16]
+    assert got[1] == f"a {h1} b {h2} c"
+    assert got[2] == "no card"
+    # equal cards hash equal across messages (the correlation property)
+    df2 = spark.createDataFrame(
+        [(1, f"x {pan1}"), (2, f"y {pan1}")], "i long, message string"
+    )
+    vals = {r.message.split()[1] for r in credit_card_hash(df2, "message").collect()}
+    assert vals == {h1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        credit_card_hash(df, "message", algo="crc32")
+
+
+def test_subst_per_match_condition_gate(spark):
+    """condition() on the rewrite leaves non-matching rows byte-identical
+    (same contract as subst/set)."""
+    from syslog_ng_spark.operators.rewrite import (
+        CREDIT_CARD_REGEX,
+        subst_per_match,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "pay 4111111111111111"), (2, "pay 4111111111111111")],
+        "i long, message string",
+    )
+    out = subst_per_match(
+        df, "message", CREDIT_CARD_REGEX,
+        lambda m: F.lit("X"), condition=F.col("i") == 1,
+    )
+    got = {r.i: r.message for r in out.collect()}
+    assert got[1] == "pay X"
+    assert got[2] == "pay 4111111111111111"
