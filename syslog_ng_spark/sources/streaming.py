@@ -42,19 +42,45 @@ def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     )
 
 
-def kafka_lines(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
-    """Requires the spark-sql-kafka package on the cluster classpath."""
+def kafka_package_coordinate() -> str:
+    """Maven coordinate of the Kafka connector matching the running
+    Spark — what `spark.jars.packages` needs. Spark publishes the
+    connector per release (scala 2.13 line for Spark 4.x), so derive
+    the version instead of hardcoding one that rots."""
+    import pyspark
+
+    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+
+
+def kafka_lines(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """kafka() source (reference: modules/kafka, scl/kafka) — the
+    intended 100 TB ingestion front door. Needs the connector on the
+    classpath; this container has no jar and no network, so the stub
+    fails loudly with the exact one-config-line activation path."""
     try:
         return (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
             .load()
             .selectExpr("CAST(value AS STRING) AS raw", "timestamp AS ts")
         )
     except Exception as exc:  # pragma: no cover - connector not bundled
+        coord = kafka_package_coordinate()
         raise NotImplementedError(
-            "kafka connector jar not available in this environment"
+            "kafka connector jar not available in this environment. "
+            "To activate, start the session with the connector on the "
+            "classpath — one config line:\n"
+            f'  SparkSession.builder.config("spark.jars.packages", "{coord}")\n'
+            f"or: spark-submit --packages {coord}\n"
+            "(no other code change needed; kafka_lines then streams "
+            "value/timestamp as raw/ts)."
         ) from exc
 
 

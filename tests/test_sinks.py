@@ -44,11 +44,22 @@ def test_jdbc_append_mode(spark):
 
 def test_kafka_source_is_documented_hard_block(spark):
     """The spark-sql-kafka package is not in this container and there
-    is no network to fetch it — kafka_lines must fail loudly with the
-    documented gate, not silently."""
+    is no network to fetch it — kafka_lines must fail loudly, and the
+    error must carry the copy-paste activation path (the exact
+    spark.jars.packages coordinate for the running Spark)."""
     import pytest
 
-    from syslog_ng_spark.sources.streaming import kafka_lines
+    from syslog_ng_spark.sources.streaming import (
+        kafka_lines,
+        kafka_package_coordinate,
+    )
 
-    with pytest.raises(NotImplementedError, match="kafka connector"):
+    coord = kafka_package_coordinate()
+    import pyspark
+
+    assert coord == f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+    with pytest.raises(NotImplementedError) as ei:
         kafka_lines(spark, "broker:9092", "topic")
+    msg = str(ei.value)
+    assert "kafka connector" in msg
+    assert coord in msg and "spark.jars.packages" in msg and "--packages" in msg
