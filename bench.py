@@ -184,6 +184,11 @@ BENCH_QUERIES = [
     "global_shuffle",
     "bpe_train_merges",
     "bpe_segment",
+    "bpe_segment_pandas",
+    "quality_quantile_select_approx",
+    "hard_negatives_calibrated",
+    "cc_mask",
+    "cc_hash",
 ]
 
 

@@ -5,10 +5,19 @@ it at the all-time best (judge round-3 directive: "refresh to
 min(r1..rN)") makes the floor honest — a floor that only ever ratchets
 down can't hide a real regression behind a slow round.
 
+--rebase drops the old floors and rebuilds them from ONLY the given
+runs (judge round-6 directive: the accumulated floors were recorded on
+a faster incarnation of this shared VM, putting stable untouched
+queries at 1.4-1.8x their floor and making the drift-normalized
+flagger cry wolf — e.g. r6's phantom embed_neardup 4.2x. A floor the
+current host can actually reach is what makes a flag mean something).
+Rebase from >=2 quiet-host runs (loadavg < 1 at start) so the min
+absorbs one-burst contention.
+
 Only accepts runs at the floor's scale factor. New queries enter the
 floor at their first measured time.
 
-Usage: python tools/refresh_baseline.py BENCH_rXX.json [more.json ...]
+Usage: python tools/refresh_baseline.py [--rebase] BENCH_rXX.json [more.json ...]
 """
 
 from __future__ import annotations
@@ -22,10 +31,14 @@ BASE = ROOT / "BASELINE_LOCAL.json"
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    rebase = "--rebase" in args
+    if rebase:
+        args.remove("--rebase")
     base = json.loads(BASE.read_text())
-    merged = dict(base["queries"])
-    sources = [base.get("source", "prior")]
-    for arg in sys.argv[1:]:
+    merged = {} if rebase else dict(base["queries"])
+    sources = [] if rebase else [base.get("source", "prior")]
+    for arg in args:
         run = json.loads(Path(arg).read_text())
         if run.get("sf") != base.get("sf"):
             print(f"skip {arg}: sf {run.get('sf')} != baseline sf {base.get('sf')}")
@@ -38,7 +51,14 @@ def main() -> None:
         sources.append(Path(arg).stem)
         print(f"{arg}: {updated} floors lowered/added")
     base["queries"] = dict(sorted(merged.items()))
-    base["source"] = "min(" + ", ".join(sources) + ")"
+    prefix = "rebase-min(" if rebase else "min("
+    base["source"] = prefix + ", ".join(sources) + ")"
+    if rebase:
+        base["note"] = (
+            "floors re-measured on this host incarnation (quiet start, "
+            "judge r6 directive) - prior faster-VM floors retired; see "
+            "git history for them"
+        )
     BASE.write_text(json.dumps(base, indent=1) + "\n")
     print(f"BASELINE_LOCAL.json: {len(merged)} queries")
 
