@@ -4875,7 +4875,11 @@ def dsir_logweight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole documents table, target = the 'src0' slice (the quality-seed
     stand-in). Oracle replays hashed unigram+bigram features, the two
     smoothed bucket distributions, and the per-doc log-ratio sum."""
-    docs = T(spark, sf_dir, "documents")
+    # rebalance before the per-doc explode: 500k docs arrive as 15
+    # splits and two long-document stragglers own the wall — measured
+    # 35.0s -> 7.6s at sf10 (SCALE.md Addendum 11 §4); no-op at
+    # cluster scale where splits >= cores
+    docs = rebalance(T(spark, sf_dir, "documents"))
     target = docs.where(F.col("source") == "src0")
     return textstats.dsir_logweight(docs, target, "text", "doc_id", dim=1024)
 

@@ -174,7 +174,11 @@ def value_pairs(
 
 
 def _json_escape(c: Column) -> Column:
-    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+    # one regex pass, not two: prefix '\' to either special — identical
+    # output to backslash-doubling-then-quote-escaping, and this runs
+    # 2× per map entry in the format-json/gelf/cim hot loop (the same
+    # single-pass staging that took apache_accesslog_parse 1.42→0.73s)
+    return F.regexp_replace(c, r'([\\"])', r"\\$1")
 
 
 def format_json_scoped(

@@ -799,9 +799,21 @@ def hard_negatives(
             ).alias("cos_sim"),
         )
     )
+    cached = None
     if neg_lo_quantile is not None:
+        from pyspark.storagelevel import StorageLevel
+
         from syslog_ng_spark.util import quantile_agg_expr
 
+        # the floor agg and the banded output BOTH read `cand`; without
+        # a persist the IVF-cell join (the expensive stage) runs twice
+        # and calibration costs MORE than it saves (measured at sf1:
+        # 130s calibrated vs 76s uncalibrated, SCALE.md Addendum 11).
+        # Unlike the vector-heavy assign (Addendum 10 §2, kept
+        # unpersisted), cand is three narrow scalar columns — cheap to
+        # materialize. Riders release it via release_cached().
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = cand
         agg = quantile_agg_expr("cos_sim", neg_lo_quantile, calib_method)
         floor = (
             cand.where(F.col("cos_sim") < pos_threshold)
@@ -822,7 +834,7 @@ def hard_negatives(
         F.desc("cos_sim"), F.asc("cand_id")
     )
     top = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    return (
+    out = (
         top.groupBy("anchor_id")
         .agg(
             F.max(F.when(F.col("_cat") == "pos", F.col("cand_id"))).alias("pos_id"),
@@ -832,3 +844,8 @@ def hard_negatives(
         )
         .where(F.col("pos_id").isNotNull())
     )
+    if cached is not None:
+        from syslog_ng_spark.util import track_cached
+
+        out = track_cached(out, cached)
+    return out

@@ -352,9 +352,10 @@ def _list_col(args: list[Arg]) -> Column:
 
 
 def _tf_json_escape(c: Column) -> Column:
-    # same two-pass escape as functions.format._json_escape (kept local:
-    # format.py imports this module's compiler for $(format-json) args)
-    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+    # same single-pass escape as functions.format._json_escape (kept
+    # local: format.py imports this module's compiler for $(format-json)
+    # args)
+    return F.regexp_replace(c, r'([\\"])', r"\\$1")
 
 
 FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {

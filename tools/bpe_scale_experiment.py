@@ -75,6 +75,7 @@ def main() -> None:
     merges = bpe_train(corpus, "text", n_merges=N_MERGES_BIG)
     results["train_500_s"] = round(time.monotonic() - t0, 2)
     results["n_merges_trained"] = len(merges)
+    print(f"train_500_s {results['train_500_s']}", flush=True)
     corpus.unpersist()
 
     for sf_dir in sf_dirs:
@@ -90,10 +91,20 @@ def main() -> None:
                 .collect()
             )
 
-        row["pandas_500_s"] = timed(lambda: run("pandas", merges))
-        row["pandas_8_s"] = timed(lambda: run("pandas", merges[:N_MERGES_SMALL]))
-        row["expr_8_s"] = timed(lambda: run("expr", merges[:N_MERGES_SMALL]))
-        row["expr_64_s"] = timed(lambda: run("expr", merges[:64]), runs=1)
+        # pandas first, expr last, partial JSON after every number: the
+        # expr runs are the slow/fragile ones (straggler skew on long
+        # docs, minutes per attempt at sf10), and a cut experiment must
+        # keep everything measured before the cut
+        def record(key: str, fn, runs: int = 2) -> None:
+            row[key] = timed(fn, runs=runs)
+            results[name] = row
+            Path(out_path).write_text(json.dumps(results, indent=2))
+            print(f"{name} {key}={row[key]}", flush=True)
+
+        record("pandas_500_s", lambda: run("pandas", merges))
+        record("pandas_8_s", lambda: run("pandas", merges[:N_MERGES_SMALL]))
+        record("expr_8_s", lambda: run("expr", merges[:N_MERGES_SMALL]))
+        record("expr_64_s", lambda: run("expr", merges[:64]), runs=1)
         if name == Path(train_dir).name:
             # the wall probe: one attempt, wall-clocked, failure recorded
             t0 = time.monotonic()

@@ -9,6 +9,6 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-python tools/verify_oracle.py /root/testdata/sf0.01
+python tools/verify_oracle.py /root/testdata/sf0.01 --json CORRECTNESS_FULL.json
 python tools/explain_audit.py /root/testdata/sf0.01 > PLANS.md
 python -m pytest tests/ -x -q

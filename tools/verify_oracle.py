@@ -63,17 +63,24 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from syslog_ng_spark.catalog import ORACLES, QUERIES
     from syslog_ng_spark.session import get_session
 
-    only = set(sys.argv[2:])
+    only = set(args[1:])
     spark = get_session("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = 0
+    records: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -81,10 +88,12 @@ def main():
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            records[name] = {"status": "FAIL", "err": f"spark error: {str(e)[:300]}"}
             n_fail += 1
             continue
         if name not in ORACLES:
             print(f"ok   {name}: {len(spdf)} rows (rows-only, no oracle)")
+            records[name] = {"status": "ok", "rows": len(spdf), "rows_only": True}
             n_pass += 1
             continue
         ddf = con.execute(ORACLES[name]).df()
@@ -92,10 +101,30 @@ def main():
         if problems:
             n_fail += 1
             print(f"FAIL {name}: " + "; ".join(problems))
+            records[name] = {"status": "FAIL", "err": "; ".join(problems)[:500]}
         else:
             n_pass += 1
             print(f"ok   {name}: {len(spdf)} rows match")
+            records[name] = {"status": "ok", "rows": len(spdf)}
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if json_out:
+        # machine-visible full-catalog result (ADVICE r6: the driver's
+        # fixed 50-query sample can miss a red gate — this artifact
+        # can't; gate.sh writes it every run and it is committed)
+        import json
+
+        Path(json_out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "queries": records,
+                },
+                indent=1,
+            )
+            + "\n"
+        )
     return 1 if n_fail else 0
 
 
