@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "hard_negatives_calibrated",
     "cc_mask",
     "cc_hash",
+    "mixture_sample",
 ]
 
 

@@ -6980,3 +6980,52 @@ def cc_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_ng_spark.operators.rewrite import credit_card_hash
 
     return credit_card_hash(_cc_src(spark, sf_dir), "message", length=16, algo="sha256")
+
+
+_MIX_W = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+_MIX_BUDGET = 2000
+_MIX_WSUM = sum(_MIX_W.values())
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{k}' THEN {w / _MIX_WSUM!r}" for k, w in sorted(_MIX_W.items()))
+    + " ELSE 0.0 END"
+)
+
+_MIXTURE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split({_NORM_SQL}, ' '))::BIGINT AS n_tokens
+  FROM documents),
+tot AS (SELECT source, sum(n_tokens) AS toks FROM t GROUP BY source),
+r AS (
+  SELECT source, {_MIX_CASE} AS w,
+         least(10000, greatest(1, floor(round(
+           {_MIX_BUDGET}.0 * ({_MIX_CASE}) / toks * 10000, 6))))::BIGINT AS rate_bp
+  FROM tot)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM t JOIN r USING (source)
+WHERE r.w > 0
+  AND ('0x' || substr(md5(t.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT % 10000
+      < r.rate_bp
+"""
+
+
+@register("mixture_sample", _MIXTURE_SQL)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture sampling (sampling.mixture_sample — the
+    Pile/DoReMi 'train on B tokens at weights w' step): one tiny
+    per-source token aggregate broadcast back, then the zero-shuffle
+    md5 keep-predicate; unweighted sources drop, oversubscribed
+    sources cap at rate 1. Oracle replays the bp quantization
+    (round-6 then floor then [1, 10000] clamp) and the md5 draw."""
+    from syslog_ng_spark.operators import textstats
+    from syslog_ng_spark.operators.sampling import mixture_sample
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "source",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return mixture_sample(
+        t, "source", _MIX_W, _MIX_BUDGET, token_col="n_tokens", salt="mix"
+    )

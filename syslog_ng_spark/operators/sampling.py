@@ -87,6 +87,73 @@ def stratified_sample(
     return df.where(_hash_mod(F.col(id_col), salt=salt) < rate_col)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budgeted mixture sampling — the Pile/DoReMi step that
+    turns "train on B tokens at mixture weights w" into per-source
+    keep-rates: rate_s = min(1, B·w_s / T_s) where T_s is the source's
+    token total. Sources absent from `weights` get weight 0 and are
+    dropped (an explicit mixture IS the keep-list).
+
+    Down-sample only: a source too small for its target (T_s < B·w_s)
+    keeps rate 1 and under-delivers — repeat-epoch upweighting is the
+    trainer's loader job, not the sampler's (re-reading a source to
+    hit a share silently multiplies its dup exposure; see Lee 2022).
+    A positive target never rounds to a zero rate: rates quantize to
+    basis points with a floor of 1 bp, so a weighted source is always
+    represented (budget error ≤ T_s/10000 ≪ the sketching error of
+    T_s itself at corpus scale).
+
+    Distributed shape: ONE hash-shuffle aggregate for the per-source
+    token totals (a handful of rows), broadcast back, then the same
+    zero-shuffle md5 keep-predicate as stratified_sample — the filter
+    runs inside the scan's codegen stage, reproducible from (weights,
+    budget, salt) alone on any engine. round(…, 6) before the floor
+    makes the bp boundary portable across double ULPs."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    wexpr = None
+    for value, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weights[{value!r}] is negative")
+        cond = F.col(source_col) == value
+        lit = F.lit(w / wsum)
+        wexpr = F.when(cond, lit) if wexpr is None else wexpr.when(cond, lit)
+    wcol = wexpr.otherwise(F.lit(0.0))
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_toks"))
+    rates = totals.select(
+        F.col(source_col).alias("_src"),
+        F.least(
+            F.lit(_DENOM),
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.round(
+                        F.lit(float(token_budget)) * wcol / F.col("_toks") * _DENOM,
+                        6,
+                    )
+                ),
+            ),
+        ).cast("long").alias("_rate_bp"),
+        wcol.alias("_w"),
+    ).where(F.col("_w") > 0).drop("_w")
+    return (
+        df.join(F.broadcast(rates), F.col(source_col) == F.col("_src"))
+        .where(_hash_mod(F.col(id_col), salt=salt) < F.col("_rate_bp"))
+        .drop("_rate_bp", "_src")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     strata_col: str,

@@ -291,3 +291,59 @@ def test_quantile_select_method_validation(spark):
 
     with _pytest.raises(ValueError):
         quantile_select(df, "score", method="bogus")
+
+
+def test_mixture_sample_budget_and_mixture(spark):
+    """Token-budgeted mixture: per-source kept tokens track B*w_s
+    within sampling noise, oversubscribed sources cap at keep-all,
+    unweighted sources vanish, and the draw is salt-deterministic."""
+    from syslog_ng_spark.operators.sampling import mixture_sample
+
+    rows = []
+    # big: 2000 docs x 100 tokens; small: 40 docs x 100 tokens; noise: unweighted
+    for i in range(2000):
+        rows.append((i, "big", 100))
+    for i in range(2000, 2040):
+        rows.append((i, "small", 100))
+    for i in range(2040, 2140):
+        rows.append((i, "noise", 100))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budget = 40_000
+    out = mixture_sample(df, "source", {"big": 0.5, "small": 0.5}, budget, salt="t")
+    got = {r["source"]: r["kept"] for r in
+           out.groupBy("source").agg(F.sum("n_tokens").alias("kept")).collect()}
+    assert "noise" not in got
+    # small is oversubscribed (4k tokens < 20k target) -> keeps ALL
+    assert got["small"] == 4000
+    # big targets 20k of 200k tokens (rate 0.1): binomial noise ~ sqrt(2000*0.1)*100
+    assert abs(got["big"] - 20_000) <= 4_000
+    # deterministic: same salt = same set; different salt = different draw
+    a = {r.doc_id for r in mixture_sample(
+        df, "source", {"big": 1.0}, budget, salt="x").collect()}
+    b = {r.doc_id for r in mixture_sample(
+        df, "source", {"big": 1.0}, budget, salt="x").collect()}
+    c = {r.doc_id for r in mixture_sample(
+        df, "source", {"big": 1.0}, budget, salt="y").collect()}
+    assert a == b and a != c
+
+
+def test_mixture_sample_validation_and_floor(spark):
+    from syslog_ng_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 1_000_000_000), (2, "b", 10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {}, 100)
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {"a": 1.0}, 0)
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {"a": -1.0, "b": 2.0}, 100)
+    # a positive target never rounds to rate 0: source 'a' is huge
+    # (rate would quantize to 0 bp) but stays represented at 1 bp
+    out = mixture_sample(df, "source", {"a": 0.5, "b": 0.5}, 20, salt="f")
+    rates = out.select("source").distinct().collect()
+    assert {r.source for r in rates} <= {"a", "b"}
