@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "cc_mask",
     "cc_hash",
     "mixture_sample",
+    "rewrite_group_ops",
+    "template_fname_url",
 ]
 
 

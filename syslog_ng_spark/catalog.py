@@ -7029,3 +7029,125 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(
         t, "source", _MIX_W, _MIX_BUDGET, token_col="n_tokens", salt="mix"
     )
+
+
+_REWRITE_GROUP_SQL = """
+SELECT event_id,
+       '.meta.kind=' || upper(event_type)
+         || ',app=APP' || (user_id % 7)::VARCHAR AS nv_v,
+       'audited,evt' AS tags_v,
+       epoch_us((ts::TIMESTAMP AT TIME ZONE 'America/New_York')
+                AT TIME ZONE 'UTC')::BIGINT AS fixed_us,
+       strftime((ts::TIMESTAMP AT TIME ZONE 'America/New_York')
+                AT TIME ZONE 'Asia/Tokyo', '%Y-%m-%d %H:%M:%S') AS tokyo_v
+FROM events
+"""
+
+
+@register("rewrite_group_ops", _REWRITE_GROUP_SQL)
+def rewrite_group_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tests-only rewrite primitives end-to-end through one plan:
+    groupunset() drops the 'secret' NV key (rewrite.unset_map_keys),
+    groupset() uppercases every remaining value (transform_values),
+    set-tag('audited') twice proves idempotency, clear-tag('raw')
+    (lib/rewrite/rewrite-set-tag.c semantics), fix-timezone()
+    reinterprets the naive reading as America/New_York (DST-varying
+    offsets across the event date range), set-timezone() renders the
+    instant in Asia/Tokyo. The oracle computes the expected NV/tag
+    strings independently (no map-op replay) and replays the timezone
+    hops with AT TIME ZONE."""
+    from syslog_ng_spark.operators.rewrite import (
+        clear_tag,
+        fix_timezone,
+        groupset,
+        set_tag,
+        set_timezone,
+        unset_map_keys,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        "ts",
+        F.create_map(
+            F.lit("app"), F.concat(F.lit("app"), (F.col("user_id") % 7).cast("string")),
+            F.lit("secret"), F.lit("hunter2"),
+            F.lit(".meta.kind"), F.col("event_type"),
+        ).alias("nv"),
+        F.array(F.lit("raw"), F.lit("evt")).alias("tags"),
+    )
+    df = unset_map_keys(df, "nv", "secret")
+    df = groupset(df, "nv", lambda k, v: F.upper(v))
+    df = clear_tag(df, "raw")
+    df = set_tag(df, "audited")
+    df = set_tag(df, "audited")  # idempotent like the reference
+    df = fix_timezone(df, "America/New_York", "ts")
+    df = set_timezone(df, "Asia/Tokyo", "ts", "ts_local")
+    return df.select(
+        "event_id",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("nv")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        ).alias("nv_v"),
+        F.array_join(F.array_sort("tags"), ",").alias("tags_v"),
+        F.unix_micros(F.col("ts")).alias("fixed_us"),
+        F.date_format("ts_local", "yyyy-MM-dd HH:mm:ss").alias("tokyo_v"),
+    )
+
+
+_FNAME_URL_SQL = """
+WITH p AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'standalone.log'
+              ELSE '/var/log/app' || (user_id % 7)::VARCHAR || '/'
+                   || event_type || '.log' END AS path,
+         'q=' || event_type || '&u=' || (user_id % 100)::VARCHAR
+           || '/extra:1' AS raw
+  FROM events)
+SELECT event_id,
+       string_split(path, '/')[-1] AS base_v,
+       CASE WHEN path NOT LIKE '%/%' THEN '.'
+            WHEN regexp_replace(path, '/[^/]*$', '') = '' THEN '/'
+            ELSE regexp_replace(path, '/[^/]*$', '') END AS dir_v,
+       replace(replace(replace(replace(replace(raw, '%', '%25'),
+               '&', '%26'), '/', '%2F'), ':', '%3A'), '=', '%3D') AS enc_v
+FROM p
+"""
+
+
+@register("template_fname_url", _FNAME_URL_SQL)
+def template_fname_url_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(basename)/$(dirname) (modules/basicfuncs/fname-funcs.c) and
+    $(url-encode) (modules/basicfuncs/urlencode.c) — path edges include
+    a slash-free filename (basename = itself, dirname = '.'). DuckDB
+    has no url_encode, so the gate input alphabet is restricted to
+    [a-z0-9&=/:_.-] and the oracle replays the encoder as a literal
+    replace chain (%/&//:/= -> their %XX forms, '%' first so later
+    insertions survive) — full encoder behavior beyond these chars is
+    the JVM's URLEncoder."""
+    from syslog_ng_spark.functions.fname import basename, dirname
+    from syslog_ng_spark.functions.urlfuncs import url_encode
+
+    ev = T(spark, sf_dir, "events")
+    path = F.when(
+        F.col("event_id") % 5 == 0, F.lit("standalone.log")
+    ).otherwise(
+        F.concat(
+            F.lit("/var/log/app"), (F.col("user_id") % 7).cast("string"),
+            F.lit("/"), F.col("event_type"), F.lit(".log"),
+        )
+    )
+    raw = F.concat(
+        F.lit("q="), F.col("event_type"), F.lit("&u="),
+        (F.col("user_id") % 100).cast("string"), F.lit("/extra:1"),
+    )
+    df = ev.select("event_id", path.alias("path"), raw.alias("raw"))
+    return df.select(
+        "event_id",
+        basename(F.col("path")).alias("base_v"),
+        dirname(F.col("path")).alias("dir_v"),
+        url_encode(F.col("raw")).alias("enc_v"),
+    )
