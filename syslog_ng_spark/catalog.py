@@ -6836,7 +6836,11 @@ def quality_quantile_select_approx_q(spark: SparkSession, sf_dir: str) -> DataFr
     gate SFs every group is far below accuracy=10000, so the sketch
     is EXACT and returns the same discrete element as DuckDB
     quantile_disc (measured: all 5 langs match at sf0.01) — a full
-    hash gate, not rows-only. The epsilon-band pytest
+    hash gate, not rows-only. SF CEILING: the hash gate is valid only
+    while every lang group is under accuracy=10000 rows (largest lang
+    'en' is ~218 rows at sf0.01 / ~2k at sf0.1; roughly sf>=5 crosses) — past that the
+    G-K sketch genuinely approximates and verify_oracle would flag
+    this gate BY DESIGN, not as a bug. The epsilon-band pytest
     (test_quantile_select_approx_band) covers the sketch's error
     bound where the sketch actually approximates."""
     from syslog_ng_spark.operators import textstats
@@ -7001,7 +7005,7 @@ r AS (
   SELECT source, {_MIX_CASE} AS w,
          least(10000, greatest(1, floor(round(
            {_MIX_BUDGET}.0 * ({_MIX_CASE}) / toks * 10000, 6))))::BIGINT AS rate_bp
-  FROM tot)
+  FROM tot WHERE toks > 0)
 SELECT t.doc_id, t.source, t.n_tokens
 FROM t JOIN r USING (source)
 WHERE r.w > 0

@@ -131,6 +131,11 @@ def mixture_sample(
         wexpr = F.when(cond, lit) if wexpr is None else wexpr.when(cond, lit)
     wcol = wexpr.otherwise(F.lit(0.0))
     totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_toks"))
+    # a weighted source whose token total is 0 (or NULL: all-null token
+    # column) has no defined rate — drop it explicitly rather than let
+    # the 0-division NULL propagate differently per engine
+    # (Spark greatest() skips NULLs -> 1bp; DuckDB NULL rate drops rows)
+    totals = totals.where(F.col("_toks") > 0)
     rates = totals.select(
         F.col(source_col).alias("_src"),
         F.least(

@@ -45,11 +45,15 @@ def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
 def kafka_package_coordinate() -> str:
     """Maven coordinate of the Kafka connector matching the running
     Spark — what `spark.jars.packages` needs. Spark publishes the
-    connector per release (scala 2.13 line for Spark 4.x), so derive
-    the version instead of hardcoding one that rots."""
+    connector per release, so derive BOTH coordinates instead of
+    hardcoding ones that rot: the artifact version from
+    pyspark.__version__ and the Scala suffix from the major line
+    (4.x distributions are Scala 2.13; 3.x default builds are 2.12)."""
     import pyspark
 
-    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+    major = int(pyspark.__version__.split(".", 1)[0])
+    scala = "2.13" if major >= 4 else "2.12"
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{pyspark.__version__}"
 
 
 def kafka_lines(

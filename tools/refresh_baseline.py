@@ -38,11 +38,13 @@ def main() -> None:
     base = json.loads(BASE.read_text())
     merged = {} if rebase else dict(base["queries"])
     sources = [] if rebase else [base.get("source", "prior")]
+    accepted = 0
     for arg in args:
         run = json.loads(Path(arg).read_text())
         if run.get("sf") != base.get("sf"):
             print(f"skip {arg}: sf {run.get('sf')} != baseline sf {base.get('sf')}")
             continue
+        accepted += 1
         updated = 0
         for q, t in run.get("queries", {}).items():
             if q not in merged or t < merged[q]:
@@ -50,6 +52,10 @@ def main() -> None:
                 updated += 1
         sources.append(Path(arg).stem)
         print(f"{arg}: {updated} floors lowered/added")
+    if rebase and accepted == 0:
+        # every run was skipped (sf mismatch) or none was given — writing
+        # now would destroy the floors table with an empty one
+        sys.exit("refresh_baseline: --rebase accepted no runs; aborting without writing")
     base["queries"] = dict(sorted(merged.items()))
     prefix = "rebase-min(" if rebase else "min("
     base["source"] = prefix + ", ".join(sources) + ")"

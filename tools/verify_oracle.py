@@ -67,6 +67,8 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: verify_oracle.py [SF_DIR] [QUERY ...] [--json OUT.json]")
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
