@@ -194,6 +194,12 @@ BENCH_QUERIES = [
     "template_fname_url",
 ]
 
+# every catalog query is benched: anything registered and not yet in
+# the hand-ordered list above is appended mechanically, so bench
+# coverage can never drift from the catalog again (the r7 verdict
+# found 25 queries invisible to the drift flagger).
+BENCH_QUERIES += [q for q in QUERIES if q not in BENCH_QUERIES]
+
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 

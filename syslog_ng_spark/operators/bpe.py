@@ -73,24 +73,155 @@ def _pair_counts(profile: DataFrame) -> DataFrame:
     )
 
 
+def _train_merges_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str]]:
+    """The merge loop on a collected (word, count) profile — pure
+    Python, incremental. Semantics are bit-identical to the
+    distributed loop (parity-pytested): pair counts include every
+    adjacent position ('a a a' contributes (a,a) twice), the argmax
+    breaks ties on lexicographically smallest (left, right) — Python
+    code-point string order == Spark's UTF8String binary order because
+    UTF-8 preserves code-point order — and merge application is
+    left-to-right non-overlapping, exactly the double-space replace.
+
+    Cost model: the classic fast-BPE incremental update (the
+    subword-nmt learn_bpe shape). A lazy max-heap holds (-count, a, b)
+    entries — every count change pushes a fresh entry, pops discard
+    stale ones — so the per-round argmax is O(log P) amortized instead
+    of a full O(P) scan; the merge itself revisits ONLY the words that
+    contain the chosen pair (tracked in an inverted index), so total
+    work is proportional to text actually rewritten, not
+    vocab x rounds. ~ms/round at real vocab sizes vs ~2.2s/round for
+    a distributed round trip (SCALE.md Addendum 11/12).
+    """
+    import heapq
+    from collections import Counter
+
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [EOW], c) for w, c in word_counts
+    ]
+    stats: dict[tuple[str, str], int] = {}
+    occurs: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + cnt
+            occurs.setdefault(p, set()).add(idx)
+    heap: list[tuple[int, str, str]] = [
+        (-c, a, b) for (a, b), c in stats.items()
+    ]
+    heapq.heapify(heap)
+
+    def _push(p: tuple[str, str], c: int) -> None:
+        heapq.heappush(heap, (-c, p[0], p[1]))
+
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(1, n_merges + 1):
+        best: tuple[str, str] | None = None
+        while heap:
+            negc, a, b = heap[0]
+            if stats.get((a, b)) == -negc:
+                best = (a, b)
+                break
+            heapq.heappop(heap)  # stale entry (count since changed)
+        if best is None:
+            break  # every word is a single symbol already
+        a, b = best
+        merges.append((rank, a, b))
+        for idx in sorted(occurs.get(best, ())):
+            syms, cnt = words[idx]
+            old_pairs = list(zip(syms, syms[1:]))
+            new_syms = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new_syms.append(a + b)
+                    i += 2
+                else:
+                    new_syms.append(syms[i])
+                    i += 1
+            new_pairs = list(zip(new_syms, new_syms[1:]))
+            delta: Counter = Counter(new_pairs)
+            delta.subtract(old_pairs)
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                nc = stats.get(p, 0) + d * cnt
+                if nc <= 0:
+                    stats.pop(p, None)
+                else:
+                    stats[p] = nc
+                    _push(p, nc)
+            oldset, newset = set(old_pairs), set(new_pairs)
+            for p in newset - oldset:
+                occurs.setdefault(p, set()).add(idx)
+            for p in oldset - newset:
+                s = occurs.get(p)
+                if s is not None:
+                    s.discard(idx)
+            words[idx] = (new_syms, cnt)
+        stats.pop(best, None)
+        occurs.pop(best, None)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int,
     lowercase: bool = True,
+    driver_profile: bool | str = "auto",
+    max_driver_profile_rows: int = 2_000_000,
 ) -> list[tuple[int, str, str]]:
     """Learn `n_merges` BPE merges from a corpus; returns
     [(rank, left, right)] with rank 1 = most frequent pair. Ties break
     lexicographically on (left, right) so training is deterministic.
 
-    Driver traffic: one 1-row collect per round (the argmax pair) —
-    the word profile and all pair counting stay distributed. The
-    profile is persisted: each round reads it once and replaces it
-    with the merged version (localCheckpoint-free; the lineage is one
-    withColumn per round over a vocab-sized table).
+    Two execution paths, identical results (parity-pytested):
+
+    - distributed (`driver_profile=False`): one 1-row collect per
+      round (the argmax pair) — the word profile and all pair counting
+      stay distributed. Right when the profile itself is too big to
+      collect; ~2.2s/round of job latency (Addendum 11).
+    - driver-local (`driver_profile=True`): the corpus is touched
+      ONCE (the `_word_profile` aggregate), the vocab-sized profile is
+      collected — bounded by `max_driver_profile_rows`, Heaps' law
+      (this repo's `vocab_growth` gate: V ~ N^0.5-0.7) keeps it
+      orders of magnitude under corpus size — and the merge loop runs
+      in pure Python at ~ms/round (`_train_merges_local`). The ONLY
+      viable path for a real ~30k-merge vocabulary: 30k distributed
+      rounds would be ~18 hours of driver round-trips.
+
+    `driver_profile="auto"` (default) picks driver-local when
+    n_merges > 32 (round-trip latency dominates) and falls back to
+    the distributed loop if the profile exceeds the collect bound.
+    Character model caveat: driver-local splits words by Python code
+    point while the distributed kernel's regexp '(.)' splits by UTF-16
+    unit — identical for all BMP text (the parity test runs both on
+    the real documents corpus); supplementary-plane codepoints would
+    diverge (astral char = 1 symbol locally, 2 surrogate halves
+    distributed).
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if driver_profile == "auto":
+        use_driver = n_merges > 32
+    else:
+        use_driver = bool(driver_profile)
+    if use_driver:
+        wp = _word_profile(df, text_col, lowercase)
+        rows = wp.limit(max_driver_profile_rows + 1).collect()
+        if len(rows) <= max_driver_profile_rows:
+            return _train_merges_local(
+                [(r["word"], r["cnt"]) for r in rows], n_merges
+            )
+        if driver_profile is True:
+            raise ValueError(
+                f"word profile exceeds max_driver_profile_rows="
+                f"{max_driver_profile_rows}; raise the bound or use "
+                "driver_profile=False"
+            )
+        # auto: profile too big to collect — distributed loop below
     profile = (
         _word_profile(df, text_col, lowercase)
         .select(_to_symbols(F.col("word")).alias("sym"), "cnt")

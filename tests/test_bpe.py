@@ -209,3 +209,89 @@ def test_ranked_kernel_equals_sequential_property(spark):
                 for _, a, b in sorted(merges):
                     seq = _ref_merge(seq, a, b)
                 assert _segment_word_ranked(w, ranks) == seq, (w, merges)
+
+
+# ---------------------------------------------------------------------------
+# driver-local merge loop (production path for real ~30k-merge vocabs)
+# ---------------------------------------------------------------------------
+
+
+def test_driver_local_train_matches_distributed(spark):
+    """driver_profile=True must be bit-identical to the distributed
+    loop AND the pure-Python reference on the same corpus."""
+    dist = bpe_train(_df(spark, CORPUS), "text", n_merges=10, driver_profile=False)
+    local = bpe_train(_df(spark, CORPUS), "text", n_merges=10, driver_profile=True)
+    assert local == dist == _ref_train(CORPUS, 10)
+
+
+def test_driver_local_exhausts_pairs(spark):
+    """asking for more merges than exist: both paths stop at the same
+    (shorter) merge list."""
+    texts = ["ab ab", "cd"]
+    dist = bpe_train(_df(spark, texts), "text", n_merges=50, driver_profile=False)
+    local = bpe_train(_df(spark, texts), "text", n_merges=50, driver_profile=True)
+    assert local == dist == _ref_train(texts, 50)
+    assert len(local) < 50
+
+
+def test_driver_auto_threshold_routes_to_local(spark, monkeypatch):
+    """auto picks the driver-local loop past 32 merges (round-trip
+    latency dominates) and the distributed loop below it."""
+    import syslog_ng_spark.operators.bpe as bpe_mod
+
+    calls = []
+    real = bpe_mod._train_merges_local
+
+    def spy(word_counts, n_merges):
+        calls.append(n_merges)
+        return real(word_counts, n_merges)
+
+    monkeypatch.setattr(bpe_mod, "_train_merges_local", spy)
+    got = bpe_train(_df(spark, CORPUS), "text", n_merges=33)
+    assert calls == [33]
+    assert got == _ref_train(CORPUS, 33)
+    calls.clear()
+    bpe_train(_df(spark, CORPUS), "text", n_merges=8)
+    assert calls == []  # small lists stay on the oracle-replayable path
+
+
+def test_driver_profile_bound(spark):
+    """explicit driver_profile=True over the row bound raises; auto
+    falls back to the distributed loop and still matches."""
+    with pytest.raises(ValueError, match="max_driver_profile_rows"):
+        bpe_train(
+            _df(spark, CORPUS), "text", n_merges=40,
+            driver_profile=True, max_driver_profile_rows=2,
+        )
+    got = bpe_train(
+        _df(spark, CORPUS), "text", n_merges=40,
+        driver_profile="auto", max_driver_profile_rows=2,
+    )
+    assert got == _ref_train(CORPUS, 40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab xy", min_size=0, max_size=16), min_size=1, max_size=6
+    ),
+    n=st.integers(min_value=1, max_value=12),
+)
+def test_property_local_loop_matches_reference(texts, n):
+    """the incremental heap/inverted-index loop vs the O(P)-rescan
+    reference — pure Python, so the example budget is wide. Tiny
+    alphabet maximizes count-update collisions (the adversarial regime
+    for stale-heap-entry handling)."""
+    from syslog_ng_spark.operators.bpe import _train_merges_local
+
+    profile = list(_ref_profile(texts).items())
+    assert _train_merges_local(profile, n) == _ref_train(texts, n)
+
+
+def test_driver_local_real_corpus_parity(spark):
+    """both paths on the real documents table (the corpus the gates
+    run on), past the auto threshold."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dist = bpe_train(df, "text", n_merges=36, driver_profile=False)
+    local = bpe_train(df, "text", n_merges=36, driver_profile=True)
+    assert local == dist
