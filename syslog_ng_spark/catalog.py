@@ -4796,20 +4796,28 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio")  # rows-only gate: frame splitting + DSP run in
+@register("multimodal_audio")  # rows-only gate: container decode + DSP run in
 # Python (Arrow-batched numpy) — not SQL-expressible; pytest checks values
 def multimodal_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-window feature plumbing (multimodal.audio_window_features):
-    document text bytes stand in for PCM-u8 samples — the framing,
-    fan-out (one media row -> many window rows) and Arrow batch shape
-    are the real thing; swap the byte source for decoded audio."""
-    from syslog_ng_spark.operators.multimodal import audio_window_features
+    """End-to-end audio container pipeline (r8: real decode, not a
+    byte-alias): document text bytes become 8-bit-PCM samples inside a
+    genuine WAV container (multimodal.wrap_pcm_wav), then
+    audio_window_features(container='wav') parses every RIFF header
+    with the stdlib `wave` decoder (multimodal.decode_wav) and runs
+    the windowed RMS/ZCR DSP on the normalized samples. Only lossy
+    codecs remain stubbed (loud-fail)."""
+    from syslog_ng_spark.operators.multimodal import (
+        audio_window_features,
+        wrap_pcm_wav,
+    )
 
     docs = rebalance(T(spark, sf_dir, "documents"))
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return audio_window_features(media, window=64, hop=32)
+    return audio_window_features(
+        wrap_pcm_wav(media), window=64, hop=32, container="wav"
+    )
 
 
 _DUP_CLUSTERS_SQL = f"""

@@ -178,3 +178,97 @@ def test_vocab_growth_curve_monotone_and_counts(spark):
     assert out[-1].cum_types == toks.distinct().count()
     # repeated 'alpha' in later buckets adds tokens, not types
     assert out[1].cum_types == out[0].cum_types + 0  # bucket 1 = doc 3: alpha,beta seen
+
+
+def test_wav_roundtrip_all_widths():
+    """make_wav -> decode_wav recovers the samples for every PCM width
+    the decoder claims (8-bit unsigned, 16/24/32-bit signed LE)."""
+    import numpy as np
+
+    from syslog_ng_spark.operators.multimodal import decode_wav, make_wav
+
+    rng = np.random.default_rng(7)
+    f = rng.uniform(-0.99, 0.99, size=128)
+    cases = [
+        (1, ((f * 128) + 128).astype(np.uint8).tobytes(), 1 / 128.0),
+        (2, (f * 32768).astype("<i2").tobytes(), 1 / 32768.0),
+        (4, (f * 2147483648).astype("<i4").tobytes(), 1 / 2147483648.0),
+    ]
+    # 24-bit: pack int32 samples into 3 LE bytes each
+    i24 = (f * 8388608).astype(np.int32)
+    b24 = np.zeros((len(i24), 3), dtype=np.uint8)
+    b24[:, 0] = i24 & 0xFF
+    b24[:, 1] = (i24 >> 8) & 0xFF
+    b24[:, 2] = (i24 >> 16) & 0xFF
+    cases.append((3, b24.tobytes(), 1 / 8388608.0))
+    for width, pcm, step in cases:
+        wav = make_wav(pcm, sample_rate=16000, sampwidth=width)
+        x, rate = decode_wav(wav)
+        assert rate == 16000
+        assert len(x) == 128
+        assert np.max(np.abs(x - f)) <= step, f"width {width}"
+
+
+def test_wav_stereo_averages_to_mono():
+    import numpy as np
+
+    from syslog_ng_spark.operators.multimodal import decode_wav, make_wav
+
+    left = np.full(32, 1000, dtype="<i2")
+    right = np.full(32, 3000, dtype="<i2")
+    inter = np.empty(64, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    x, _ = decode_wav(make_wav(inter.tobytes(), sampwidth=2, channels=2))
+    assert len(x) == 32
+    assert np.allclose(x, 2000 / 32768.0)
+
+
+def test_wav_lossy_loud_fail():
+    import pytest
+
+    from syslog_ng_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(NotImplementedError, match="PCM WAV"):
+        decode_wav(b"ID3\x04\x00mp3-ish garbage that is not RIFF")
+
+
+def test_audio_window_features_wav_container(spark):
+    """container='wav' end-to-end equals the raw-u8 path on the same
+    bytes: ZCR identical, RMS scaled by the u8 normalization (1/128)."""
+    from syslog_ng_spark.operators.multimodal import (
+        audio_window_features,
+        make_wav,
+    )
+
+    payload = bytes(range(200))
+    raw_df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    wav_df = spark.createDataFrame(
+        [(1, bytearray(make_wav(payload)))], "media_id long, payload binary"
+    )
+    raw = {r.win_idx: r for r in audio_window_features(raw_df, window=64, hop=32).collect()}
+    wav = {
+        r.win_idx: r
+        for r in audio_window_features(
+            wav_df, window=64, hop=32, container="wav"
+        ).collect()
+    }
+    assert sorted(raw) == sorted(wav) == [0, 1, 2, 3, 4]
+    for w in raw:
+        assert wav[w].zcr == raw[w].zcr
+        assert abs(wav[w].rms - raw[w].rms / 128.0) < 1e-6
+
+
+def test_wrap_pcm_wav_column(spark):
+    from syslog_ng_spark.operators.multimodal import decode_wav, wrap_pcm_wav
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(100)))), (2, bytearray(b"\x80" * 50))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: bytes(r.payload) for r in wrap_pcm_wav(df).collect()}
+    x1, rate = decode_wav(rows[1])
+    assert rate == 8000 and len(x1) == 100
+    x2, _ = decode_wav(rows[2])
+    assert len(x2) == 50 and all(v == 0.0 for v in x2)
