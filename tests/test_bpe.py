@@ -295,3 +295,26 @@ def test_driver_local_real_corpus_parity(spark):
     dist = bpe_train(df, "text", n_merges=36, driver_profile=False)
     local = bpe_train(df, "text", n_merges=36, driver_profile=True)
     assert local == dist
+
+
+def test_driver_local_train_feeds_pandas_segment(spark):
+    """The production pair at real vocab size: driver-local training
+    (the only viable path for ~30k merges) feeding the pandas segment
+    kernel (the only kernel that survives a big merge list). 300
+    merges over a 200-word corpus; segmentation must be lossless and
+    match the pure-Python sequential reference."""
+    import hashlib
+
+    words = [hashlib.md5(str(i).encode()).hexdigest()[: 4 + i % 5] for i in range(200)]
+    texts = [" ".join(words[i : i + 20]) for i in range(0, 200, 10)]
+    merges = bpe_train(_df(spark, texts), "text", n_merges=300, driver_profile=True)
+    assert len(merges) == 300
+    rows = {
+        r["doc_id"]: r["bpe"]
+        for r in bpe_segment(
+            _df(spark, texts), "text", merges, kernel="pandas"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert rows[i] == _ref_segment(t, merges)
+        assert "".join(rows[i]).replace(EOW, " ").split() == t.split()
