@@ -7163,3 +7163,49 @@ def template_fname_url_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirname(F.col("path")).alias("dir_v"),
         url_encode(F.col("raw")).alias("enc_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 kafka destination record construction (r8)
+# ---------------------------------------------------------------------------
+
+_KAFKA_RECORDS_SQL = f"""
+WITH logs AS (
+  SELECT event_id, ts,
+         {_HOST_SQL} AS host, {_PROG_SQL} AS program,
+         (event_id % 32768) AS pid,
+         {EVENT_SEVERITY_SQL} AS severity,
+         {_MSG_SQL} AS message
+  FROM events)
+SELECT CASE WHEN severity < 4 THEN 'evt-' || program
+            ELSE 'dead-letter' END AS topic,
+       CASE WHEN severity < 4 THEN host ELSE NULL END AS key,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00 '
+         || host || ' ' || program || '[' || pid::VARCHAR || ']: '
+         || message || ' id=' || event_id::VARCHAR AS value
+FROM logs
+"""
+
+
+@register("kafka_records", _KAFKA_RECORDS_SQL)
+def kafka_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kafka() destination record construction (sinks.kafka_records;
+    reference modules/kafka/kafka-dest-worker.c): message and key are
+    rendered templates (_format_message_and_key), an EMPTY key becomes
+    a NULL key (worker.c:219 — NULL keys round-robin partitions), and
+    a TEMPLATED topic resolves per row with invalid names (here
+    'bad/topic', illegal charset per kafka_dd_validate_topic_name)
+    replaced by the fallback topic (resolve_template_topic_name).
+    Everything short of the broker handoff — the jar-gated
+    .format('kafka') attach in sinks.kafka_sink — is exercised and
+    DuckDB-replayed here."""
+    from syslog_ng_spark.sinks import kafka_records
+
+    logs = events_as_logs(rebalance(T(spark, sf_dir, "events")))
+    return kafka_records(
+        logs,
+        message="$ISODATE $HOST $MSGHDR$MSG id=${event_id}",
+        key="$(if ($SEVERITY_NUM < 4) $HOST '')",
+        topic="$(if ($SEVERITY_NUM < 4) evt-$PROGRAM bad/topic)",
+        fallback_topic="dead-letter",
+    )

@@ -633,3 +633,148 @@ def elasticsearch_http(
         timeout=timeout,
         **http_options,
     )
+
+
+# ---------------------------------------------------------------------------
+# kafka() destination (reference: modules/kafka/kafka-dest-driver.c,
+# kafka-dest-worker.c). Everything EXCEPT the broker handoff is
+# implemented and oracle-gated: per-message key/message template
+# rendering (_format_message_and_key), templated topic resolution with
+# fallback on invalid names (kafka_dest_worker_resolve_template_topic_
+# name), and the topic-name validation rules
+# (kafka_dd_validate_topic_name). The final .format("kafka") attach is
+# the only jar-gated step (sources/streaming.py carries the
+# spark.jars.packages activation path).
+# ---------------------------------------------------------------------------
+
+KAFKA_TOPIC_MAX_LEN = 249
+_KAFKA_TOPIC_PATTERN = "^[-._a-zA-Z0-9]+$"
+
+
+def kafka_topic_valid(name: str) -> bool:
+    """kafka_dd_validate_topic_name (kafka-dest-driver.c:198): nonempty,
+    not '.' or '..', <=249 chars, charset [-._a-zA-Z0-9]+."""
+    import re
+
+    return (
+        0 < len(name) <= KAFKA_TOPIC_MAX_LEN
+        and name not in (".", "..")
+        and re.match(_KAFKA_TOPIC_PATTERN, name) is not None
+    )
+
+
+def _kafka_topic_valid_col(name):
+    from pyspark.sql import functions as F
+
+    return (
+        (F.length(name) <= KAFKA_TOPIC_MAX_LEN)
+        & name.rlike(_KAFKA_TOPIC_PATTERN)
+        & ~name.isin(".", "..")
+    )
+
+
+def kafka_records(
+    df: DataFrame,
+    message: str = "$MESSAGE",
+    key: str | None = None,
+    topic: str = "syslog-ng",
+    fallback_topic: str | None = None,
+) -> DataFrame:
+    """Build the (topic, key, value) record columns the Kafka producer
+    sends, with the reference driver's exact semantics:
+
+    - `message`/`key` are syslog-ng templates rendered per row
+      (kafka-dest-worker.c:_format_message_and_key). A key that
+      renders EMPTY becomes a NULL key (worker.c:219 sends NULL when
+      key->len == 0 — NULL keys round-robin partitions instead of
+      hashing to one).
+    - `topic` may be a template (detected like
+      kafka_dd_is_topic_name_a_template: it references $fields). A
+      templated topic REQUIRES fallback_topic (driver.c:481); each
+      row's rendered name is validated and invalid names fall back
+      (worker.c: resolve_template_topic_name). A static topic is
+      validated eagerly and raises, matching construct-time failure.
+
+    Pure column expressions — appended to any batch or streaming plan;
+    kafka_sink() attaches the jar-gated format("kafka") on top.
+    """
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.template import compile_template, parse_template
+
+    def is_template(t: str) -> bool:
+        return any(p[0] != "lit" for p in parse_template(t))
+
+    if is_template(topic):
+        if fallback_topic is None:
+            raise ValueError(
+                "kafka: fallback_topic() required when the topic name "
+                "is a template"
+            )
+        if not kafka_topic_valid(fallback_topic):
+            raise ValueError(f"kafka: invalid fallback topic {fallback_topic!r}")
+        rendered = compile_template(topic, df)
+        topic_col = F.when(
+            _kafka_topic_valid_col(rendered), rendered
+        ).otherwise(F.lit(fallback_topic))
+    else:
+        if not kafka_topic_valid(topic):
+            raise ValueError(
+                f"kafka: topic name {topic!r} is illegal (must be 1-"
+                f"{KAFKA_TOPIC_MAX_LEN} chars of [-._a-zA-Z0-9], not . or ..)"
+            )
+        topic_col = F.lit(topic)
+
+    value_col = compile_template(message, df)
+    cols = [topic_col.alias("topic"), value_col.alias("value")]
+    if key is not None:
+        k = compile_template(key, df)
+        cols.insert(1, F.when(k != "", k).alias("key"))  # '' -> NULL key
+    else:
+        cols.insert(1, F.lit(None).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    message: str = "$MESSAGE",
+    key: str | None = None,
+    topic: str = "syslog-ng",
+    fallback_topic: str | None = None,
+    checkpoint: str | None = None,
+    **producer_options,
+):
+    """kafka() destination: render records (kafka_records — tested,
+    oracle-gated) and hand them to the Spark Kafka writer. Batch
+    frames .save(), streaming frames .start(). The ONLY environment
+    dependency is the connector jar; without it this fails loudly with
+    the one-line activation path."""
+    records = kafka_records(df, message, key, topic, fallback_topic)
+    try:
+        if records.isStreaming:
+            writer = (
+                records.writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", brokers)
+            )
+            if checkpoint:
+                writer = writer.option("checkpointLocation", checkpoint)
+            for k, v in producer_options.items():
+                writer = writer.option(k, v)
+            return writer.start()
+        w = records.write.format("kafka").option("kafka.bootstrap.servers", brokers)
+        for k, v in producer_options.items():
+            w = w.option(k, v)
+        return w.save()
+    except Exception as exc:  # pragma: no cover - connector not bundled
+        from syslog_ng_spark.sources.streaming import kafka_package_coordinate
+
+        coord = kafka_package_coordinate()
+        raise NotImplementedError(
+            "kafka connector jar not available in this environment. "
+            "To activate, start the session with\n"
+            f'  SparkSession.builder.config("spark.jars.packages", "{coord}")\n'
+            f"or: spark-submit --packages {coord}\n"
+            "(record construction is already done — kafka_records is "
+            "oracle-gated without the jar)."
+        ) from exc

@@ -63,3 +63,93 @@ def test_kafka_source_is_documented_hard_block(spark):
     msg = str(ei.value)
     assert "kafka connector" in msg
     assert coord in msg and "spark.jars.packages" in msg and "--packages" in msg
+
+
+# ---------------------------------------------------------------------------
+# kafka destination (record construction is jar-independent; only the
+# broker handoff is environment-gated)
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_topic_validation_rules():
+    from syslog_ng_spark.sinks import kafka_topic_valid
+
+    assert kafka_topic_valid("logs")
+    assert kafka_topic_valid("a-b_c.d0")
+    assert kafka_topic_valid("x" * 249)
+    assert not kafka_topic_valid("")
+    assert not kafka_topic_valid(".")
+    assert not kafka_topic_valid("..")
+    assert not kafka_topic_valid("x" * 250)
+    assert not kafka_topic_valid("bad/topic")
+    assert not kafka_topic_valid("has space")
+    assert kafka_topic_valid("...")  # three dots IS legal (ref checks . and .. only)
+
+
+def test_kafka_records_static_topic_and_null_key(spark):
+    from syslog_ng_spark.sinks import kafka_records
+
+    df = spark.createDataFrame(
+        [(1, "hello", "k1"), (2, "world", "")],
+        "event_id long, message string, keysrc string",
+    )
+    rows = {
+        r.value: r
+        for r in kafka_records(
+            df, message="$MESSAGE", key="${keysrc}", topic="logs"
+        ).collect()
+    }
+    assert rows["hello"].topic == "logs" and rows["hello"].key == "k1"
+    # empty rendered key -> NULL key (worker.c:219)
+    assert rows["world"].key is None
+
+
+def test_kafka_records_invalid_static_topic_raises(spark):
+    import pytest
+
+    from syslog_ng_spark.sinks import kafka_records
+
+    df = spark.createDataFrame([(1, "m")], "event_id long, message string")
+    with pytest.raises(ValueError, match="illegal"):
+        kafka_records(df, topic="bad/topic")
+
+
+def test_kafka_records_templated_topic_requires_fallback(spark):
+    import pytest
+
+    from syslog_ng_spark.sinks import kafka_records
+
+    df = spark.createDataFrame([(1, "m", "t1")], "event_id long, message string, t string")
+    with pytest.raises(ValueError, match="fallback_topic"):
+        kafka_records(df, topic="logs-${t}")
+    with pytest.raises(ValueError, match="invalid fallback"):
+        kafka_records(df, topic="logs-${t}", fallback_topic="bad/one")
+
+
+def test_kafka_records_templated_topic_fallback_per_row(spark):
+    from syslog_ng_spark.sinks import kafka_records
+
+    df = spark.createDataFrame(
+        [(1, "m1", "app1"), (2, "m2", "bad/name"), (3, "m3", "")],
+        "event_id long, message string, t string",
+    )
+    rows = {
+        r.value: r.topic
+        for r in kafka_records(
+            df, message="$MESSAGE", topic="${t}", fallback_topic="dead-letter"
+        ).collect()
+    }
+    assert rows == {"m1": "app1", "m2": "dead-letter", "m3": "dead-letter"}
+
+
+def test_kafka_sink_loud_fail_carries_activation(spark):
+    import pytest
+
+    from syslog_ng_spark.sinks import kafka_sink
+
+    df = spark.createDataFrame([(1, "m")], "event_id long, message string")
+    with pytest.raises(NotImplementedError) as ei:
+        kafka_sink(df, "broker:9092", topic="logs")
+    msg = str(ei.value)
+    assert "spark.jars.packages" in msg
+    assert "spark-sql-kafka-0-10" in msg
