@@ -1,0 +1,213 @@
+"""Binary systemd-journal file reader — pure Python, no libsystemd.
+
+Reference: modules/systemd-journal/journald-subsystem.c binds
+libsystemd's sd_journal API at runtime; this module instead parses the
+journal FILE FORMAT directly (the format is public and stable —
+systemd's docs/JOURNAL_FILE_FORMAT.md — and what `journalctl` itself
+reads), so the engine ingests `.journal` files with zero native
+dependencies. Parity is pytested against `journalctl -o export` on a
+real journald-written file (tests/fixtures/system.journal.xz).
+
+Layout essentials (verified against a systemd 252 file):
+
+- Header: 'LPKSHHRH' signature, le32 compatible/incompatible flags,
+  state byte, 4×16-byte ids, then le64 header_size/arena_size/... .
+  Incompatible flags gate readability: COMPRESSED_XZ(1),
+  COMPRESSED_LZ4(2), KEYED_HASH(4), COMPRESSED_ZSTD(8), COMPACT(16).
+  KEYED_HASH only changes hash verification (we don't verify);
+  COMPACT shrinks entry items to le32 and widens DataObject by 8
+  bytes; the COMPRESSED_* flags merely declare that data objects MAY
+  carry that compression.
+- Objects follow from header_size, 8-byte aligned, each with a
+  16-byte header (u8 type, u8 flags, 6 reserved, le64 size).
+- ENTRY objects (type 3): seqnum/realtime/monotonic le64, boot_id 16,
+  xor_hash le64, then items — (le64 offset, le64 hash) pairs, or
+  bare le32 offsets in COMPACT files.
+- DATA objects (type 1): 48 bytes of hash/offset bookkeeping (+8 in
+  COMPACT), then the 'FIELD=value' payload. Object flag 1 = XZ
+  (stdlib lzma), 2 = LZ4, 4 = ZSTD (journald compresses only values
+  over a size threshold, so most objects are raw).
+
+The reader does ONE sequential scan of the file — no hash tables, no
+entry-array chains — which is both the simplest correct strategy and
+the Spark-friendly one: whole files stream through `binaryFile` +
+mapInPandas, entries explode into rows, and the existing
+`journal_export_parser` maps fields to the canonical log schema, so
+binary files and `journalctl -o export` streams share one semantic
+path.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+HEADER_SIGNATURE = b"LPKSHHRH"
+
+INCOMPAT_COMPRESSED_XZ = 1
+INCOMPAT_COMPRESSED_LZ4 = 2
+INCOMPAT_KEYED_HASH = 4
+INCOMPAT_COMPRESSED_ZSTD = 8
+INCOMPAT_COMPACT = 16
+_INCOMPAT_KNOWN = 0x1F
+
+OBJECT_DATA = 1
+OBJECT_ENTRY = 3
+
+OBJECT_COMPRESSED_XZ = 1
+OBJECT_COMPRESSED_LZ4 = 2
+OBJECT_COMPRESSED_ZSTD = 4
+
+
+class JournalFormatError(ValueError):
+    pass
+
+
+def _decompress(flags: int, payload: bytes) -> bytes:
+    if flags & OBJECT_COMPRESSED_XZ:
+        import lzma
+
+        return lzma.decompress(payload)
+    if flags & OBJECT_COMPRESSED_LZ4:
+        try:
+            import lz4.frame  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError(
+                "journal data object is LZ4-compressed and the lz4 "
+                "package is not installed (pip install lz4)"
+            ) from e
+        # journal LZ4 payload: le64 uncompressed size + raw lz4 block
+        (usize,) = struct.unpack_from("<Q", payload, 0)
+        import lz4.block  # type: ignore[import-not-found]
+
+        return lz4.block.decompress(payload[8:], uncompressed_size=usize)
+    if flags & OBJECT_COMPRESSED_ZSTD:
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError(
+                "journal data object is ZSTD-compressed and the "
+                "zstandard package is not installed (pip install zstandard)"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(payload)
+    return payload
+
+
+def journal_entries(data: bytes) -> Iterator[dict]:
+    """Parse one journal file's bytes; yield per-entry dicts:
+    {seqnum, realtime_us, monotonic_us, boot_id, fields: [bytes...]}.
+    Fields are raw 'FIELD=value' byte strings (journal values may be
+    arbitrary bytes). One sequential object walk; entries yield in
+    file order (== seqnum order for journald-written files)."""
+    if data[:8] != HEADER_SIGNATURE:
+        raise JournalFormatError("not a systemd journal file (bad signature)")
+    compat, incompat = struct.unpack_from("<II", data, 8)
+    unknown = incompat & ~_INCOMPAT_KNOWN
+    if unknown:
+        raise JournalFormatError(
+            f"journal file uses unknown incompatible flags {unknown:#x}"
+        )
+    compact = bool(incompat & INCOMPAT_COMPACT)
+    (header_size,) = struct.unpack_from("<Q", data, 88)
+    # DataObject payload offset: 16 obj header + 48 bookkeeping
+    # (+ le32 tail_entry_array_offset + le32 n_entries in compact files)
+    data_payload_off = 72 if compact else 64
+    item_fmt, item_width = ("<I", 4) if compact else ("<QQ", 16)
+
+    def data_payload(off: int) -> bytes:
+        if off + 16 > len(data) or data[off] != OBJECT_DATA:
+            raise JournalFormatError(f"entry item points at non-data object @{off}")
+        (dsize,) = struct.unpack_from("<Q", data, off + 8)
+        return _decompress(
+            data[off + 1], bytes(data[off + data_payload_off : off + dsize])
+        )
+
+    off = header_size
+    end = len(data)
+    while off + 16 <= end:
+        otype, _oflags = data[off], data[off + 1]
+        (size,) = struct.unpack_from("<Q", data, off + 8)
+        if otype == 0 or size < 16 or off + size > end:
+            break  # zero-filled tail of the pre-allocated arena
+        if otype == OBJECT_ENTRY:
+            seqnum, realtime, monotonic = struct.unpack_from("<3Q", data, off + 16)
+            boot_id = data[off + 40 : off + 56].hex()
+            items_off, items_len = off + 64, size - 64
+            n_items = items_len // item_width
+            fields = []
+            for i in range(n_items):
+                item = struct.unpack_from(item_fmt, data, items_off + i * item_width)
+                d_off = item[0]
+                if d_off == 0:
+                    continue
+                fields.append(data_payload(d_off))
+            yield {
+                "seqnum": seqnum,
+                "realtime_us": realtime,
+                "monotonic_us": monotonic,
+                "boot_id": boot_id,
+                "fields": fields,
+            }
+        off = (off + size + 7) & ~7
+
+
+def entry_to_export_record(entry: dict) -> str:
+    """Render one parsed entry in `journalctl -o export` text form:
+    address fields first, then the data fields, newline-separated.
+    Binary values (non-UTF8 / embedded newlines) are skipped — the
+    same §6 non-goal as the export-format adapter's line model
+    (parsers.journal_export_records), so both ingestion paths feed
+    journal_export_parser identical shapes."""
+    lines = [
+        f"__REALTIME_TIMESTAMP={entry['realtime_us']}",
+        f"__MONOTONIC_TIMESTAMP={entry['monotonic_us']}",
+        f"__SEQNUM={entry['seqnum']}",
+        f"_BOOT_ID_ADDR={entry['boot_id']}",
+    ]
+    for f in entry["fields"]:
+        try:
+            text = f.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if "\n" in text or "=" not in text:
+            continue
+        lines.append(text)
+    return "\n".join(lines)
+
+
+def read_journal_binary(spark, path):
+    """`.journal` files → one row per entry: (file, record) where
+    `record` is export-format text ready for `journal_export_parser`.
+    Whole files stream through the binaryFile source (payload crosses
+    into Python once per file, Arrow-batched); at cluster scale
+    parallelism = file count, which matches journald's natural
+    sharding (one active file per machine/boot plus rotated
+    archives)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches):
+        for pdf in batches:
+            out_path, out_rec = [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for e in journal_entries(bytes(content)):
+                    out_path.append(p)
+                    out_rec.append(entry_to_export_record(e))
+            yield pd.DataFrame({"file": out_path, "record": out_rec})
+
+    return files.select("path", "content").mapInPandas(
+        run, schema="file string, record string"
+    )
+
+
+def journal_binary_as_logs(spark, path, prefix: str = ".journald."):
+    """Binary journal files → canonical log schema, via the SAME
+    field-mapping path as the export-format source
+    (parsers.journal_export_parser: MESSAGE→message, _HOSTNAME→host,
+    PRIORITY→severity, SYSLOG_FACILITY→facility, SYSLOG_IDENTIFIER
+    falling back to _COMM→program, __REALTIME_TIMESTAMP→ts, all
+    fields into sdata under `prefix`)."""
+    from syslog_ng_spark.operators.parsers import journal_export_parser
+
+    return journal_export_parser(read_journal_binary(spark, path), "record", prefix)

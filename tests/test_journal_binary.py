@@ -1,0 +1,207 @@
+"""Binary systemd-journal reader (sources/journal_binary.py) vs the
+real thing: the committed fixture is a genuine journald-252-written
+file (COMPACT + KEYED_HASH + ZSTD-capable flags), and when journalctl
+is present its `-o export` output is the parity oracle."""
+
+from __future__ import annotations
+
+import lzma
+import shutil
+import struct
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from syslog_ng_spark.sources.journal_binary import (
+    JournalFormatError,
+    entry_to_export_record,
+    journal_entries,
+)
+
+FIXTURE = Path(__file__).parent / "fixtures" / "system.journal.xz"
+
+
+@pytest.fixture(scope="module")
+def journal_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("journal") / "system.journal"
+    p.write_bytes(lzma.decompress(FIXTURE.read_bytes()))
+    return p
+
+
+@pytest.fixture(scope="module")
+def entries(journal_path):
+    return list(journal_entries(journal_path.read_bytes()))
+
+
+def test_fixture_parses_fully(entries, journal_path):
+    # header says n_entries at offset 160
+    data = journal_path.read_bytes()
+    (n_entries,) = struct.unpack_from("<Q", data, 160)
+    assert len(entries) == n_entries > 0
+    # journald writes seqnums 1..n in file order
+    assert [e["seqnum"] for e in entries] == list(range(1, n_entries + 1))
+    first = entries[0]
+    fields = {f.split(b"=", 1)[0]: f.split(b"=", 1)[1] for f in first["fields"]}
+    assert fields[b"_TRANSPORT"] == b"kernel"
+    assert fields[b"MESSAGE"].startswith(b"Linux version")
+    assert first["realtime_us"] > 10**15
+
+
+def _parse_export(raw: bytes):
+    """journalctl -o export: entries split by blank line; a line
+    without '=' introduces a binary field (le64 size + payload)."""
+    out = []
+    i, n = 0, len(raw)
+    cur: dict[bytes, bytes] = {}
+    while i < n:
+        j = raw.index(b"\n", i) if b"\n" in raw[i:] else n
+        line = raw[i:j]
+        if not line:
+            if cur:
+                out.append(cur)
+                cur = {}
+            i = j + 1
+            continue
+        if b"=" in line:
+            k, v = line.split(b"=", 1)
+            cur[k] = v
+            i = j + 1
+        else:
+            (size,) = struct.unpack_from("<Q", raw, j + 1)
+            cur[line] = raw[j + 9 : j + 9 + size]
+            i = j + 9 + size + 1
+    if cur:
+        out.append(cur)
+    return out
+
+
+@pytest.mark.skipif(shutil.which("journalctl") is None, reason="no journalctl")
+def test_parity_with_journalctl_export(entries, journal_path):
+    """Field-for-field parity with the canonical reader on a real
+    journald file: every entry journalctl emits, at the same realtime
+    timestamp, with the same field dictionary."""
+    raw = subprocess.run(
+        ["journalctl", "--file", str(journal_path), "-o", "export", "--no-pager"],
+        capture_output=True,
+        check=True,
+    ).stdout
+    theirs = _parse_export(raw)
+    assert len(theirs) == len(entries)
+    ours_by_rt = {}
+    for e in entries:
+        d = {}
+        for f in e["fields"]:
+            k, v = f.split(b"=", 1)
+            d[k] = v
+        ours_by_rt.setdefault(e["realtime_us"], []).append(d)
+    for t in theirs:
+        rt = int(t[b"__REALTIME_TIMESTAMP"])
+        data_fields = {
+            k: v for k, v in t.items() if not k.startswith(b"__") and k != b"__CURSOR"
+        }
+        candidates = ours_by_rt.get(rt, [])
+        assert any(c == data_fields for c in candidates), (
+            rt,
+            data_fields,
+            candidates,
+        )
+
+
+def test_bad_signature_raises():
+    with pytest.raises(JournalFormatError, match="signature"):
+        list(journal_entries(b"NOTAJRNL" + b"\x00" * 300))
+
+
+def test_unknown_incompat_flag_raises():
+    hdr = bytearray(b"LPKSHHRH")
+    hdr += struct.pack("<II", 0, 0x40)  # unknown incompatible bit
+    hdr += b"\x00" * 300
+    with pytest.raises(JournalFormatError, match="incompatible"):
+        list(journal_entries(bytes(hdr)))
+
+
+def _build_regular_journal(fields_per_entry, compress_xz=()):
+    """Minimal NON-compact journal: header + data objects + one entry
+    per fields list. Exercises the regular (le64-item) branch and the
+    XZ object-compression branch the fixture can't (journald 252 used
+    compact + no compressed payloads at these sizes)."""
+    import lzma as _lzma
+
+    def align(b):
+        return b + b"\x00" * (-len(b) % 8)
+
+    header_size = 264
+    body = b""
+    offsets = []
+    off = header_size
+    entry_specs = []
+    for fields in fields_per_entry:
+        d_offs = []
+        for f in fields:
+            payload = f
+            flags = 0
+            if f in compress_xz:
+                payload = _lzma.compress(f)
+                flags = 1  # OBJECT_COMPRESSED_XZ
+            obj = struct.pack("<BB6x", 1, flags)
+            obj += struct.pack("<Q", 16 + 48 + len(payload))
+            obj += b"\x00" * 48 + payload
+            d_offs.append(off)
+            obj = align(obj)
+            body += obj
+            off += len(obj)
+        entry_specs.append(d_offs)
+    n_entries = 0
+    for i, d_offs in enumerate(entry_specs):
+        items = b"".join(struct.pack("<QQ", o, 0) for o in d_offs)
+        obj = struct.pack("<BB6x", 3, 0)
+        obj += struct.pack("<Q", 16 + 48 + len(items))
+        obj += struct.pack("<3Q", i + 1, 1700000000000000 + i, 42 + i)
+        obj += b"\xab" * 16 + struct.pack("<Q", 0) + items
+        obj = align(obj)
+        body += obj
+        off += len(obj)
+        n_entries += 1
+    hdr = bytearray()
+    hdr += b"LPKSHHRH"
+    hdr += struct.pack("<II", 0, 0)  # no incompatible flags: regular mode
+    hdr += b"\x00" * 8  # state + reserved
+    hdr += b"\x11" * 64  # four ids
+    hdr += struct.pack("<QQ", header_size, len(body))
+    hdr += struct.pack("<6Q", 0, 0, 0, 0, 0, 0)
+    hdr += struct.pack("<Q", n_entries)
+    hdr += b"\x00" * (header_size - len(hdr))
+    return bytes(hdr) + body
+
+
+def test_regular_mode_and_xz_objects():
+    fields = [
+        [b"MESSAGE=hello world", b"PRIORITY=6"],
+        [b"MESSAGE=" + b"x" * 600, b"_HOSTNAME=vm"],
+    ]
+    blob = _build_regular_journal(fields, compress_xz={fields[1][0]})
+    got = list(journal_entries(blob))
+    assert [e["seqnum"] for e in got] == [1, 2]
+    assert got[0]["fields"] == fields[0]
+    assert got[1]["fields"] == fields[1]  # xz object round-tripped
+    rec = entry_to_export_record(got[0])
+    assert "__REALTIME_TIMESTAMP=1700000000000000" in rec
+    assert "MESSAGE=hello world" in rec
+
+
+def test_spark_pipeline_to_canonical_logs(spark, journal_path):
+    from syslog_ng_spark.sources.journal_binary import journal_binary_as_logs
+
+    logs = journal_binary_as_logs(spark, str(journal_path))
+    rows = logs.select(
+        "ts", "host", "program", "severity", "facility", "message", "sdata"
+    ).collect()
+    assert len(rows) == 337
+    kernel = [r for r in rows if r.program == "kernel"]
+    assert kernel and kernel[0].message.startswith("Linux version")
+    assert all(r.host == "vm" for r in rows if r.host)
+    assert {r.severity for r in rows} <= set(range(8)) | {None}
+    assert any(".journald.MESSAGE" in r.sdata for r in rows)
+    # address fields came through the same path as export streams
+    assert all("__SEQNUM" not in (r.message or "") for r in rows)
