@@ -7209,3 +7209,34 @@ def kafka_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         topic="$(if ($SEVERITY_NUM < 4) evt-$PROGRAM bad/topic)",
         fallback_topic="dead-letter",
     )
+
+
+@register("multimodal_image")  # rows-only gate: PNG container decode + pixel
+# stats run in Python (Arrow-batched numpy) — not SQL-expressible; pytest
+# checks values (round-trip per filter type + a real OS-shipped PNG)
+def multimodal_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image container pipeline (r8, sibling of
+    multimodal_audio): per-doc deterministic pixel arrays are encoded
+    as genuine PNGs (multimodal.make_png — every row cycles through a
+    different spec filter type) and decoded back by the stdlib zlib +
+    numpy un-filter decoder (multimodal.decode_png) feeding
+    per-channel pixel statistics. Only lossy codecs (JPEG) remain
+    stubbed."""
+    import numpy as np
+    import pandas as pd
+
+    from syslog_ng_spark.operators.multimodal import image_pixel_stats, make_png
+
+    docs = rebalance(T(spark, sf_dir, "documents")).select("doc_id")
+
+    def to_png(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did))
+                img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                payloads.append(make_png(img, filter_type=int(did) % 5))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(to_png, schema="media_id long, payload binary")
+    return image_pixel_stats(media)

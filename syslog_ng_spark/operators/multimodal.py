@@ -2,9 +2,11 @@
 
 Images/audio/video ride as opaque ``binary`` columns plus typed
 metadata. The Spark-side machinery — schema, Arrow batching via
-mapInPandas, partition sizing — is real and tested; the actual codec
-calls are stubbed (image/audio libraries are not in this container)
-behind `DECODERS`, which a deployment replaces with PIL/ffmpeg calls.
+mapInPandas, partition sizing — is real and tested. LOSSLESS container
+decode is real too, stdlib-only: WAV/PCM audio (`decode_wav`, r8) and
+PNG images (`decode_png`, r8 — zlib inflate + numpy un-filtering).
+Only LOSSY codecs (JPEG, mp3/ogg) are stubbed behind `DECODERS`
+loud-fails, which a deployment replaces with PIL/ffmpeg calls.
 
 Scale notes: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` governs batch memory; mapInPandas
@@ -262,3 +264,216 @@ def image_tile_plan(
     out = df.select(F.col(id_col), F.col(width_col), F.col(height_col), tx)
     ty = F.explode(F.sequence(F.lit(0), F.greatest(ny - 1, F.lit(0)))).alias("tile_y")
     return out.select(id_col, "tile_x", ty)
+
+
+# ---------------------------------------------------------------------------
+# PNG container decode — stdlib only (zlib inflate + numpy un-filter),
+# the image counterpart of decode_wav: lossless containers are decoded
+# for real; lossy codecs (JPEG) stay behind the loud-fail stub.
+# ---------------------------------------------------------------------------
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG (8-bit, non-interlaced; gray / RGB / palette /
+    gray+alpha / RGBA) to an (H, W, C) uint8 numpy array with ONLY the
+    stdlib: chunk walk, zlib inflate of the IDAT stream, and the five
+    scanline filters (None/Sub/Up/Average/Paeth) undone row-wise in
+    numpy. 16-bit and interlaced files loud-fail (NotImplementedError)
+    — they are rare in training corpora and a deployment swaps
+    DECODERS for PIL; JPEG and other lossy codecs stay stubbed by
+    design, same contract as decode_wav."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIGNATURE:
+        raise NotImplementedError(
+            "not a PNG (and lossy image codecs are not installed in "
+            "this environment — swap DECODERS for a PIL-backed decoder)"
+        )
+    pos, n = 8, len(payload)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = []
+    while pos + 8 <= n:
+        (length,) = _struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                _struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} not "
+            "supported (8-bit non-interlaced only; swap DECODERS for PIL)"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG bad color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, rows = mat[:, 0], mat[:, 1:].astype(np.int16)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f, row = filters[y], rows[y].copy()
+        prior = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: sequential in x, vector in channels
+            acc = row.reshape(width, ch)
+            for x in range(1, width):
+                acc[x] = (acc[x] + acc[x - 1]) & 0xFF
+            out[y] = acc.reshape(stride)
+        elif f == 2:  # Up
+            out[y] = (row + prior) & 0xFF
+        elif f == 3:  # Average
+            acc = row.reshape(width, ch)
+            pr = prior.reshape(width, ch)
+            left = np.zeros(ch, np.int16)
+            for x in range(width):
+                acc[x] = (acc[x] + ((left + pr[x]) >> 1)) & 0xFF
+                left = acc[x]
+            out[y] = acc.reshape(stride)
+        elif f == 4:  # Paeth
+            acc = row.reshape(width, ch)
+            pr = prior.reshape(width, ch)
+            left = np.zeros(ch, np.int16)
+            ul = np.zeros(ch, np.int16)
+            for x in range(width):
+                p = left + pr[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - pr[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pr[x], ul)
+                )
+                acc[x] = (acc[x] + pred) & 0xFF
+                left, ul = acc[x].astype(np.int16), pr[x]
+            out[y] = acc.reshape(stride)
+        else:
+            raise ValueError(f"PNG bad filter {f} on row {y}")
+    img = out.reshape(height, width, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("PNG palette image missing PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def make_png(img, filter_type: int = 0) -> bytes:
+    """Encode an (H, W, C) uint8 array as a valid PNG, applying ONE
+    filter type to every row (0..4) — the test fixture half of
+    decode_png: forcing each filter exercises every un-filter branch
+    against genuine spec-encoded bytes."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int16)
+    lines = []
+    prior = np.zeros(w * ch, np.int16)
+    for y in range(h):
+        row = flat[y]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros((1, ch), np.int16), row.reshape(w, ch)[:-1]])
+            enc = (row - left.reshape(-1)) & 0xFF
+        elif filter_type == 2:
+            enc = (row - prior) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros((1, ch), np.int16), row.reshape(w, ch)[:-1]]).reshape(-1)
+            enc = (row - ((left + prior) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros((1, ch), np.int16), row.reshape(w, ch)[:-1]]).reshape(-1)
+            ul = np.concatenate([np.zeros((1, ch), np.int16), prior.reshape(w, ch)[:-1]]).reshape(-1)
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+            enc = (row - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prior = row
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "mean array<double>, std array<double>"
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Real image decode in the Arrow pipeline: PNG payloads are
+    decoded (decode_png) and per-channel mean/std computed — the
+    feature-extraction shape a vision-preprocessing pipeline has, with
+    an honest decoder instead of the digest stand-in."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, means, stds = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_png(bytes(payload))
+                h, w, c = img.shape
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                x = img.reshape(-1, c).astype(np.float64)
+                means.append([round(v, 6) for v in x.mean(axis=0)])
+                stds.append([round(v, 6) for v in x.std(axis=0)])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "channels": cs,
+                    "mean": means,
+                    "std": stds,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=IMAGE_STATS_SCHEMA
+    )

@@ -272,3 +272,111 @@ def test_wrap_pcm_wav_column(spark):
     assert rate == 8000 and len(x1) == 100
     x2, _ = decode_wav(rows[2])
     assert len(x2) == 50 and all(v == 0.0 for v in x2)
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (stdlib zlib + numpy un-filter)
+# ---------------------------------------------------------------------------
+
+
+def _rand_img(shape, seed=3):
+    import numpy as np
+
+    return np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_png_roundtrip_every_filter_and_colortype():
+    """make_png forces one spec filter per encode; decode must recover
+    the exact pixels for every filter (None/Sub/Up/Average/Paeth) and
+    every supported channel count."""
+    import numpy as np
+
+    from syslog_ng_spark.operators.multimodal import decode_png, make_png
+
+    for ch in (1, 2, 3, 4):
+        img = _rand_img((13, 17, ch), seed=ch)
+        for f in range(5):
+            got = decode_png(make_png(img, filter_type=f))
+            assert got.shape == (13, 17, ch), (ch, f)
+            assert np.array_equal(got, img), (ch, f)
+
+
+def test_png_decodes_real_system_png():
+    """A PNG written by a real encoder (git's logo, shipped with the
+    OS) — dimensions must match IHDR and pixels must be plausible."""
+    from pathlib import Path
+
+    import pytest
+
+    from syslog_ng_spark.operators.multimodal import decode_png
+
+    p = Path("/usr/share/gitweb/static/git-logo.png")
+    if not p.exists():
+        pytest.skip("no system png available")
+    payload = p.read_bytes()
+    import struct
+
+    w, h = struct.unpack(">II", payload[16:24])
+    img = decode_png(payload)
+    assert img.shape[0] == h and img.shape[1] == w
+    assert img.size > 0
+
+
+def test_png_loud_fail_on_non_png_and_unsupported():
+    import pytest
+
+    from syslog_ng_spark.operators.multimodal import decode_png, make_png
+
+    with pytest.raises(NotImplementedError, match="PNG"):
+        decode_png(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # 16-bit: rewrite the IHDR depth byte of a valid png
+    blob = bytearray(make_png(_rand_img((4, 4, 3))))
+    blob[24] = 16  # bit depth byte in IHDR
+    with pytest.raises(NotImplementedError, match="bit_depth"):
+        decode_png(bytes(blob))
+
+
+def test_png_palette_image():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from syslog_ng_spark.operators.multimodal import decode_png
+
+    # hand-built 2x2 palette png: indices [[0,1],[1,0]]
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    raw = b"\x00\x00\x01" + b"\x00\x01\x00"
+    img = decode_png(
+        sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 0, 255]
+    assert np.array_equal(img[0], img[1][::-1])
+
+
+def test_image_pixel_stats_spark(spark):
+    import numpy as np
+
+    from syslog_ng_spark.operators.multimodal import image_pixel_stats, make_png
+
+    imgs = {1: _rand_img((8, 6, 3), seed=1), 2: _rand_img((5, 5, 1), seed=2)}
+    df = spark.createDataFrame(
+        [(k, bytearray(make_png(v, filter_type=4))) for k, v in imgs.items()],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in image_pixel_stats(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (6, 8, 3)
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (5, 5, 1)
+    for k, img in imgs.items():
+        x = img.reshape(-1, img.shape[2]).astype(np.float64)
+        assert rows[k].mean == [round(v, 6) for v in x.mean(axis=0)]
+        assert rows[k].std == [round(v, 6) for v in x.std(axis=0)]
