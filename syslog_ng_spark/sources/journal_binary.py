@@ -63,24 +63,69 @@ class JournalFormatError(ValueError):
     pass
 
 
+def lz4_block_decompress(data: bytes, usize: int) -> bytes:
+    """Pure-Python LZ4 *block* decoder (the raw block format, not the
+    frame format): sequences of [token][literal-len ext][literals]
+    [le16 offset][match-len ext], overlapping match copies done
+    byte-forward as the spec requires (offset < length replicates).
+    Journal LZ4 data objects are one block prefixed with the le64
+    uncompressed size; journald used LZ4 by default before the zstd
+    switch, so old journals need this with no native lib."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = data[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += data[i : i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence: literals only
+        offset = data[i] | (data[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise JournalFormatError("lz4 block: zero match offset")
+        match_len = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                b = data[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise JournalFormatError("lz4 block: offset before start")
+        for k in range(match_len):  # byte-forward: overlap replicates
+            out.append(out[start + k])
+    if len(out) != usize:
+        raise JournalFormatError(
+            f"lz4 block: decoded {len(out)} bytes, expected {usize}"
+        )
+    return bytes(out)
+
+
 def _decompress(flags: int, payload: bytes) -> bytes:
     if flags & OBJECT_COMPRESSED_XZ:
         import lzma
 
         return lzma.decompress(payload)
     if flags & OBJECT_COMPRESSED_LZ4:
-        try:
-            import lz4.frame  # type: ignore[import-not-found]
-        except ImportError as e:
-            raise NotImplementedError(
-                "journal data object is LZ4-compressed and the lz4 "
-                "package is not installed (pip install lz4)"
-            ) from e
-        # journal LZ4 payload: le64 uncompressed size + raw lz4 block
+        # journal LZ4 payload: le64 uncompressed size + one raw block
         (usize,) = struct.unpack_from("<Q", payload, 0)
-        import lz4.block  # type: ignore[import-not-found]
+        try:
+            import lz4.block  # type: ignore[import-not-found]
 
-        return lz4.block.decompress(payload[8:], uncompressed_size=usize)
+            return lz4.block.decompress(payload[8:], uncompressed_size=usize)
+        except ImportError:
+            return lz4_block_decompress(payload[8:], usize)
     if flags & OBJECT_COMPRESSED_ZSTD:
         try:
             import zstandard  # type: ignore[import-not-found]
@@ -93,12 +138,15 @@ def _decompress(flags: int, payload: bytes) -> bytes:
     return payload
 
 
-def journal_entries(data: bytes) -> Iterator[dict]:
+def journal_entries(data: bytes, since_seqnum: int = 0) -> Iterator[dict]:
     """Parse one journal file's bytes; yield per-entry dicts:
     {seqnum, realtime_us, monotonic_us, boot_id, fields: [bytes...]}.
     Fields are raw 'FIELD=value' byte strings (journal values may be
     arbitrary bytes). One sequential object walk; entries yield in
-    file order (== seqnum order for journald-written files)."""
+    file order (== seqnum order for journald-written files).
+    `since_seqnum` skips entries at or below it — the cursor shape for
+    incremental batch ingestion of a growing journal (journald only
+    appends; record max seqnum per file, pass it next run)."""
     if data[:8] != HEADER_SIGNATURE:
         raise JournalFormatError("not a systemd journal file (bad signature)")
     compat, incompat = struct.unpack_from("<II", data, 8)
@@ -131,6 +179,9 @@ def journal_entries(data: bytes) -> Iterator[dict]:
             break  # zero-filled tail of the pre-allocated arena
         if otype == OBJECT_ENTRY:
             seqnum, realtime, monotonic = struct.unpack_from("<3Q", data, off + 16)
+            if seqnum <= since_seqnum:
+                off = (off + size + 7) & ~7
+                continue
             boot_id = data[off + 40 : off + 56].hex()
             items_off, items_len = off + 64, size - 64
             n_items = items_len // item_width
