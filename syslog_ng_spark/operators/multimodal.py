@@ -103,19 +103,35 @@ def make_wav(
     sampwidth: int = 1,
     channels: int = 1,
 ) -> bytes:
-    """Build a PCM WAV container around raw sample bytes — stdlib
-    `wave`, no codec library. Test/fixture helper and the inverse of
-    `decode_wav` (round-trip pytested for widths 1/2/3/4, mono+stereo)."""
-    import io
-    import wave
+    """Build a PCM WAV container around raw sample bytes: the 44-byte
+    canonical RIFF/fmt/data header assembled directly with struct (the
+    stdlib `wave` writer allocates a file object per call — measured
+    jitter in the per-row gate path). decode_wav still parses with the
+    `wave` READER, so writer and reader are independent
+    implementations cross-validating each other in the round-trip
+    tests (widths 1/2/3/4, mono+stereo)."""
+    import struct
 
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(channels)
-        w.setsampwidth(sampwidth)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm)
-    return buf.getvalue()
+    byte_rate = sample_rate * channels * sampwidth
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + len(pcm),
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            channels,
+            sample_rate,
+            byte_rate,
+            channels * sampwidth,
+            sampwidth * 8,
+            b"data",
+            len(pcm),
+        )
+        + pcm
+    )
 
 
 def decode_wav(payload: bytes):
