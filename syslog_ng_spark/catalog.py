@@ -7240,3 +7240,52 @@ def multimodal_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(to_png, schema="media_id long, payload binary")
     return image_pixel_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 quality classifier scoring (r8)
+# ---------------------------------------------------------------------------
+
+
+def _qc_sql() -> str:
+    from syslog_ng_spark.quality_fixtures import QC_DIM, QC_WEIGHTS
+
+    wlist = ", ".join(repr(w) for w in QC_WEIGHTS[1:])
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), w -> w <> '') AS t
+  FROM documents),
+uu AS (
+  SELECT doc_id,
+         list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {QC_DIM}) AS u
+  FROM base),
+fb AS (
+  SELECT doc_id,
+         CASE WHEN len(u) >= 2
+              THEN u || [(u[i] * 31 + u[i+1]) % {QC_DIM} FOR i IN range(1, len(u))]
+              ELSE u END AS feats
+  FROM uu)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({QC_WEIGHTS[0]!r}
+         + coalesce(list_sum(list_transform(feats, b -> [{wlist}][b + 1])), 0)))), 6)
+         AS q_score,
+       len(feats)::BIGINT AS n_feats
+FROM fb
+"""
+
+
+@register("quality_classifier_score", _qc_sql())
+def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier SCORING pass
+    (textstats.quality_classifier_score): frozen LR weights
+    (quality_fixtures, trained once by tools/gen_quality_fixture.py —
+    the ann_fixtures train/scan split) applied over the DSIR hashed
+    unigram+bigram feature space as one pure-Column expression —
+    sigmoid(w0 + Σ w[bucket]) per doc, zero shuffles, zero UDFs. The
+    oracle replays the bucketing and indexes the same literal weight
+    vector. Training itself is pytest-gated (distributed L-BFGS is
+    not SQL-replayable)."""
+    from syslog_ng_spark.quality_fixtures import QC_WEIGHTS
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    return textstats.quality_classifier_score(docs, QC_WEIGHTS, "text", "doc_id")

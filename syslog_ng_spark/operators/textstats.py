@@ -327,6 +327,18 @@ def _hashed_ngram_features(
     differ from r5's (it hashed the bigram STRING) — the oracle
     changed with it; the hash family is still Xie 2023's hashed
     n-grams into a fixed bucket count."""
+    arr = _hashed_ngram_feature_array(df, text_col, id_col, dim)
+    return arr.select(F.col(id_col), F.explode(F.col("feats")).alias("bucket"))
+
+
+def _hashed_ngram_feature_array(
+    df: DataFrame, text_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """(id, feats array<long>) — the un-exploded form of
+    `_hashed_ngram_features` (one array element per feature
+    OCCURRENCE). Used directly where a per-doc reduction over the
+    features follows (e.g. the quality classifier's dot product):
+    keeping the array avoids the explode+groupBy shuffle entirely."""
     base = df.select(
         F.col(id_col),
         F.filter(tokens(F.col(text_col)), lambda w: w != "").alias("_t"),
@@ -345,7 +357,7 @@ def _hashed_ngram_features(
         lambda i: (F.element_at(u, i) * 31 + F.element_at(u, i + 1)) % dim,
     )
     feats = F.when(F.size(u) >= 2, F.concat(u, bis)).otherwise(u)
-    return staged.select(F.col(id_col), F.explode(feats).alias("bucket"))
+    return staged.select(F.col(id_col), feats.alias("feats"))
 
 
 def dsir_logweight(
@@ -548,3 +560,85 @@ def vocab_growth(
         )
     )
     return track_cached(out, t)
+
+
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier (LLM-pipeline extension, r8)
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    max_iter: int = 50,
+    reg: float = 0.01,
+) -> list[float]:
+    """Train a linear quality classifier over hashed n-gram
+    bag-of-features — the fastText-shaped 'quality filter' step of the
+    GPT-3/Llama data pipelines (a classifier scores every document;
+    low scorers are dropped or downsampled). Features are the SAME
+    md5-bucketed unigram+bigram space DSIR uses
+    (`_hashed_ngram_feature_array`), so scoring stays engine-portable.
+
+    Training is pyspark.ml LogisticRegression (distributed L-BFGS —
+    one treeAggregate gradient pass per iteration, nothing
+    driver-sized except the dim+1 weight vector). Returns
+    [intercept, w_0 .. w_{dim-1}], which `quality_classifier_score`
+    applies as a pure-Column expression and a deployment freezes as a
+    fixture (training is a one-off; scoring is the corpus-scale pass).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = _hashed_ngram_feature_array(df, text_col, id_col, dim)
+    dense = feats.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.size(F.filter(F.col("feats"), lambda x: x == b)).cast(
+                "double"
+            ),
+        ).alias("_counts"),
+    )
+    labeled = dense.join(
+        df.select(F.col(id_col), F.col(label_col).cast("double").alias("label")),
+        id_col,
+    ).select(array_to_vector(F.col("_counts")).alias("features"), "label")
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg, standardization=False, family="binomial"
+    )
+    model = lr.fit(labeled)
+    return [float(model.intercept)] + [float(c) for c in model.coefficients]
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Apply a trained/frozen [intercept, w_0..w_{dim-1}] vector:
+    score = sigmoid(w0 + Σ_occurrences w[bucket]) — one pure-Column
+    pass (hash, transform, aggregate; zero shuffles, zero UDFs), the
+    right plan for the 100 TB scoring scan. Occurrence-sum equals the
+    count·weight dot product. Engine-portable: the DuckDB oracle
+    replays the bucketing and indexes the same literal weight list."""
+    dim = len(weights) - 1
+    if dim <= 0:
+        raise ValueError("weights must be [intercept, w_0..w_{dim-1}]")
+    feats = _hashed_ngram_feature_array(df, text_col, id_col, dim)
+    w_arr = F.array(*[F.lit(float(w)) for w in weights[1:]])
+    logit = F.aggregate(
+        F.transform(F.col("feats"), lambda b: F.element_at(w_arr, (b + 1).cast("int"))),
+        F.lit(float(weights[0])),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_to).alias("q_score"),
+        F.size(F.col("feats")).cast("long").alias("n_feats"),
+    )

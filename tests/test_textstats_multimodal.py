@@ -380,3 +380,79 @@ def test_image_pixel_stats_spark(spark):
         x = img.reshape(-1, img.shape[2]).astype(np.float64)
         assert rows[k].mean == [round(v, 6) for v in x.mean(axis=0)]
         assert rows[k].std == [round(v, 6) for v in x.std(axis=0)]
+
+
+# ---------------------------------------------------------------------------
+# quality classifier (hashed n-gram LR: train distributed, score pure-Column)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_trains_and_separates(spark):
+    """Separable corpus (two disjoint vocabularies) -> the trained
+    classifier pushes the two classes to opposite ends of [0,1], and
+    the pure-Column scorer matches a pure-Python replay of
+    sigmoid(w0 + sum w[bucket]) exactly."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(300):
+        lab = i % 2
+        words = ["alpha beta gamma delta", "zonk quux blorp wibble"][lab]
+        rows.append((i, (words + " ") * (3 + i % 4), lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w = textstats.quality_classifier_train(df, "label", dim=64, max_iter=30)
+    assert len(w) == 65
+    scored = textstats.quality_classifier_score(df, w)
+    agg = {
+        r.label: r.avg_q
+        for r in scored.join(df.select("doc_id", "label"), "doc_id")
+        .groupBy("label")
+        .agg(F.round(F.avg("q_score"), 4).alias("avg_q"))
+        .collect()
+    }
+    assert agg[1] > 0.95 and agg[0] < 0.05
+
+    def replay(text, dim=64):
+        toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+        u = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim for t in toks]
+        feats = u + ([(u[i] * 31 + u[i + 1]) % dim for i in range(len(u) - 1)] if len(u) >= 2 else [])
+        logit = w[0] + sum(w[1 + b] for b in feats)
+        return round(1 / (1 + math.exp(-logit)), 6)
+
+    got = {r.doc_id: r.q_score for r in scored.where(F.col("doc_id") < 6).collect()}
+    for i in range(6):
+        assert got[i] == replay(rows[i][1]), i
+
+
+def test_quality_classifier_frozen_fixture_direction(spark):
+    """The committed fixture was trained on 'length >= median' labels:
+    on a held-out sf, longer docs must score higher on average (the
+    direction survives the sf change even though the median differs)."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.quality_fixtures import QC_DIM, QC_WEIGHTS
+
+    assert len(QC_WEIGHTS) == QC_DIM + 1
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = textstats.quality_classifier_score(docs, QC_WEIGHTS).join(
+        docs.select("doc_id", textstats.token_count(F.col("text")).alias("n_tok")),
+        "doc_id",
+    )
+    agg = {
+        r.long: r.avg_q
+        for r in scored.groupBy((F.col("n_tok") >= 56).alias("long"))
+        .agg(F.avg("q_score").alias("avg_q"))
+        .collect()
+    }
+    assert agg[True] > agg[False]
+
+
+def test_quality_classifier_score_validates_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.quality_classifier_score(df, [0.5])
