@@ -327,8 +327,33 @@ def _hashed_ngram_features(
     differ from r5's (it hashed the bigram STRING) — the oracle
     changed with it; the hash family is still Xie 2023's hashed
     n-grams into a fixed bucket count."""
-    arr = _hashed_ngram_feature_array(df, text_col, id_col, dim)
-    return arr.select(F.col(id_col), F.explode(F.col("feats")).alias("bucket"))
+    # NOTE: deliberately NOT routed through _hashed_ngram_feature_array
+    # + a second select: Generate(explode) sits directly on the staged
+    # projection, so `_u` stays a materialized column. An intermediate
+    # Project(feats) gets collapsed into `staged` by Catalyst, which
+    # re-inlines the token-hash transform into the per-element bigram
+    # lambda — the O(tokens²) re-evaluation this docstring warns
+    # about (measured: dsir_logweight 0.6 s -> >120 s at sf0.1 when a
+    # round-8 refactor briefly introduced exactly that shape).
+    base = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda w: w != "").alias("_t"),
+    )
+    staged = base.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_t"),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+            % dim,
+        ).alias("_u"),
+    )
+    u = F.col("_u")
+    bis = F.transform(
+        F.sequence(F.lit(1), F.size(u) - 1),
+        lambda i: (F.element_at(u, i) * 31 + F.element_at(u, i + 1)) % dim,
+    )
+    feats = F.when(F.size(u) >= 2, F.concat(u, bis)).otherwise(u)
+    return staged.select(F.col(id_col), F.explode(feats).alias("bucket"))
 
 
 def _hashed_ngram_feature_array(
@@ -336,9 +361,10 @@ def _hashed_ngram_feature_array(
 ) -> DataFrame:
     """(id, feats array<long>) — the un-exploded form of
     `_hashed_ngram_features` (one array element per feature
-    OCCURRENCE). Used directly where a per-doc reduction over the
-    features follows (e.g. the quality classifier's dot product):
-    keeping the array avoids the explode+groupBy shuffle entirely."""
+    OCCURRENCE). Used where a per-doc reduction over the features
+    follows (the quality classifier's dot product): keeping the array
+    avoids the explode+groupBy shuffle entirely. Consumers must fold
+    the array in ONE select (see the collapse note above)."""
     base = df.select(
         F.col(id_col),
         F.filter(tokens(F.col(text_col)), lambda w: w != "").alias("_t"),
