@@ -328,6 +328,69 @@ class KvStoreDestination:
 
 
 @dataclass
+class TlsOptions:
+    """tls() block of network()/syslog() drivers (reference:
+    lib/tlscontext.h + lib/transport/transport-tls.c): the client-side
+    options mapped onto the stdlib `ssl` module. ca_file/ca_dir load
+    the trust store; cert_file/key_file present a client certificate
+    (mutual TLS); peer_verify mirrors TLSVerifyMode —
+    'required-trusted' (the reference default: CERT_REQUIRED against
+    the trust store) or 'optional-untrusted' (CERT_NONE — encryption
+    without authentication, the reference's explicitly-unsafe mode).
+    ssl_min_version pins the floor (the TSO_NOTLSv* bit family);
+    ciphers is the cipher-suite() string; sni sets the server-name
+    indication AND enables hostname verification when peer_verify is
+    trusted."""
+
+    ca_file: str | None = None
+    ca_dir: str | None = None
+    cert_file: str | None = None
+    key_file: str | None = None
+    peer_verify: str = "required-trusted"
+    ssl_min_version: str = "tls1.2"
+    ciphers: str | None = None
+    sni: str | None = None
+
+    _VERIFY_MODES = ("required-trusted", "required-untrusted",
+                     "optional-trusted", "optional-untrusted")
+
+    def __post_init__(self) -> None:
+        if self.peer_verify not in self._VERIFY_MODES:
+            raise ValueError(
+                f"peer_verify must be one of {self._VERIFY_MODES}, "
+                f"got {self.peer_verify!r}"
+            )
+        if (self.cert_file is None) != (self.key_file is None):
+            raise ValueError("cert_file and key_file must be given together")
+
+    def client_context(self):
+        """Build the SSLContext executor-side (contexts aren't
+        picklable; the dataclass of plain strings is what ships)."""
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.minimum_version = {
+            "tls1.2": ssl.TLSVersion.TLSv1_2,
+            "tls1.3": ssl.TLSVersion.TLSv1_3,
+        }[self.ssl_min_version]
+        if self.peer_verify.endswith("-trusted"):
+            ctx.verify_mode = ssl.CERT_REQUIRED
+            ctx.check_hostname = self.sni is not None
+            if self.ca_file or self.ca_dir:
+                ctx.load_verify_locations(cafile=self.ca_file, capath=self.ca_dir)
+            else:
+                ctx.load_default_certs()
+        else:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        if self.cert_file:
+            ctx.load_cert_chain(self.cert_file, self.key_file)
+        if self.ciphers:
+            ctx.set_ciphers(self.ciphers)
+        return ctx
+
+
+@dataclass
 class NetworkDestination:
     """network()/syslog() destination (reference: modules/afsocket
     afsocket-dest.c): a line-oriented TCP sender per partition, with
@@ -355,6 +418,7 @@ class NetworkDestination:
     timeout: float = 10.0
     max_retries: int = 3
     retry_backoff: float = 0.1
+    tls: TlsOptions | None = None  # transport(tls) — see TlsOptions
 
     def __post_init__(self) -> None:
         if not self.targets:
@@ -374,12 +438,19 @@ class NetworkDestination:
 
         n = len(self.targets)
         socks: dict[int, socketlib.socket] = {}
+        tls_ctx = self.tls.client_context() if self.tls else None
 
         def sock_for(idx: int) -> socketlib.socket:
             s = socks.get(idx)
             if s is None:
                 host, port = self.targets[idx]
                 s = socketlib.create_connection((host, port), timeout=self.timeout)
+                if tls_ctx is not None:
+                    # transport(tls): wrap AFTER connect, like the
+                    # reference's transport stack layers tls over tcp
+                    s = tls_ctx.wrap_socket(
+                        s, server_hostname=self.tls.sni or host
+                    )
                 socks[idx] = s
             return s
 
@@ -409,6 +480,18 @@ class NetworkDestination:
                 failed += 1
         for s in socks.values():
             try:
+                if tls_ctx is not None:
+                    # graceful TLS shutdown: TLS 1.3 servers send
+                    # post-handshake session tickets the send-only
+                    # client never reads; close() with unread data in
+                    # the kernel turns FIN into RST, which DESTROYS
+                    # in-flight sent bytes (observed: 25/40 lines lost).
+                    # unwrap() sends close_notify and drains pending
+                    # input, so the connection ends with a clean FIN.
+                    try:
+                        s.unwrap()
+                    except OSError:
+                        pass
                 s.close()
             except OSError:
                 pass

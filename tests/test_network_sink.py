@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import socket
 import socketserver
+import time
 import sys
 import threading
 
@@ -135,3 +136,163 @@ def test_load_balancer_fails_over_to_live_target(spark, collectors):
     assert stats["delivered"] == 100
     assert sorted(_lines(c)) == sorted(f"f{i}" for i in range(100))
     assert stats["reconnects"] > 0
+
+
+# ---------------------------------------------------------------------------
+# transport(tls) — lib/transport/transport-tls.c analog over stdlib ssl
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed localhost cert via the openssl CLI (no cryptography
+    package needed)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("no openssl binary")
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = d / "cert.pem", d / "key.pem"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(cert), "-days", "2",
+            "-subj", "/CN=localhost",
+            "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return str(cert), str(key)
+
+
+def _make_tls_server(collector: _LineCollector, cert: str, key: str):
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            buf = b""
+            try:
+                while True:
+                    data = self.request.recv(65536)
+                    if not data:
+                        break
+                    buf += data
+            except ssl.SSLError:
+                pass  # handshake-rejected probe connections
+            if buf:
+                with collector.lock:
+                    collector.chunks.append(buf)
+
+    class TlsServer(socketserver.ThreadingTCPServer):
+        def get_request(self):
+            sock, addr = super().get_request()
+            return ctx.wrap_socket(sock, server_side=True), addr
+
+        def handle_error(self, request, client_address):
+            pass  # failed handshakes are expected in the negative test
+
+    srv = TlsServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+def test_tls_network_sink_round_trip(spark, tls_cert):
+    """network(transport(tls) tls(ca-file peer-verify(required-trusted)))
+    e2e against a live TLS server: every line delivered over an
+    encrypted channel, trust anchored at the test CA."""
+    from syslog_ng_spark.sinks import TlsOptions
+
+    cert, key = tls_cert
+    c = _LineCollector()
+    srv, port = _make_tls_server(c, cert, key)
+    try:
+        df = spark.createDataFrame(
+            [(i, f"tls message {i}") for i in range(40)], "i long, message string"
+        ).repartition(4)
+        dest = NetworkDestination(
+            targets=[("localhost", port)],
+            template="$MESSAGE",
+            tls=TlsOptions(ca_file=cert, peer_verify="required-trusted"),
+        )
+        stats = dest.write(df)
+        assert stats["delivered"] == 40
+        deadline = time.time() + 10
+        want = sorted(f"tls message {i}" for i in range(40))
+        while sorted(_lines(c)) != want and time.time() < deadline:
+            time.sleep(0.1)  # server handler threads flush after EOF
+        assert sorted(_lines(c)) == want
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_tls_required_trusted_rejects_unknown_ca(spark, tls_cert, tmp_path):
+    """peer-verify(required-trusted) against a server whose cert is NOT
+    in the trust store must refuse delivery (fail closed)."""
+    import subprocess
+
+    from syslog_ng_spark.sinks import TlsOptions
+
+    cert, key = tls_cert
+    # a different self-signed CA as the (wrong) trust anchor
+    other = tmp_path / "other.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(tmp_path / "ok.pem"), "-out", str(other),
+         "-days", "2", "-subj", "/CN=other"],
+        check=True, capture_output=True,
+    )
+    c = _LineCollector()
+    srv, port = _make_tls_server(c, cert, key)
+    try:
+        df = spark.createDataFrame([(1, "secret")], "i long, message string")
+        dest = NetworkDestination(
+            targets=[("localhost", port)],
+            template="$MESSAGE",
+            max_retries=1,
+            tls=TlsOptions(ca_file=str(other), peer_verify="required-trusted"),
+        )
+        with pytest.raises(Exception):
+            dest.write(df)
+        assert _lines(c) == []  # nothing leaked in the clear or otherwise
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_tls_optional_untrusted_encrypts_without_authentication(spark, tls_cert):
+    """peer-verify(optional-untrusted): the reference's explicitly
+    unauthenticated mode — delivery succeeds with no trust store."""
+    from syslog_ng_spark.sinks import TlsOptions
+
+    cert, key = tls_cert
+    c = _LineCollector()
+    srv, port = _make_tls_server(c, cert, key)
+    try:
+        df = spark.createDataFrame([(1, "hello-untrusted")], "i long, message string")
+        dest = NetworkDestination(
+            targets=[("localhost", port)],
+            template="$MESSAGE",
+            tls=TlsOptions(peer_verify="optional-untrusted"),
+        )
+        assert dest.write(df)["delivered"] == 1
+        assert _lines(c) == ["hello-untrusted"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_tls_options_validation():
+    from syslog_ng_spark.sinks import TlsOptions
+
+    with pytest.raises(ValueError, match="peer_verify"):
+        TlsOptions(peer_verify="sometimes")
+    with pytest.raises(ValueError, match="together"):
+        TlsOptions(cert_file="c.pem")
