@@ -42,6 +42,14 @@ def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
         return files.csv_table(spark, spec["path"], schema=spec.get("schema"))
     if kind == "json":
         return files.json_table(spark, spec["path"], schema=spec.get("schema"))
+    if kind == "systemd-journal":
+        # system()/systemd-journal(): binary .journal files read
+        # directly (r8), no libsystemd
+        from syslog_ng_spark.sources.journal_binary import journal_binary_as_logs
+
+        return journal_binary_as_logs(
+            spark, spec["path"], prefix=spec.get("prefix", ".journald.")
+        )
     raise ValueError(f"unknown source kind: {kind}")
 
 
@@ -170,6 +178,25 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
         sinks.write_json(df, spec["path"])
     elif kind == "text":
         sinks.write_text(df, spec["path"], column=spec.get("column", "raw"))
+    elif kind == "network":
+        # network()/syslog() with optional transport(tls) tls(...) (r8)
+        tls_spec = spec.get("tls")
+        tls = sinks.TlsOptions(**tls_spec) if tls_spec else None
+        sinks.NetworkDestination(
+            targets=[tuple(t) for t in spec["targets"]],
+            template=spec.get("template", "$MESSAGE"),
+            framing=spec.get("framing", "newline"),
+            tls=tls,
+        ).write(df)
+    elif kind == "kafka":
+        sinks.kafka_sink(
+            df,
+            spec["brokers"],
+            message=spec.get("message", "$MESSAGE"),
+            key=spec.get("key"),
+            topic=spec.get("topic", "syslog-ng"),
+            fallback_topic=spec.get("fallback_topic"),
+        )
     elif kind == "none":
         pass
     else:

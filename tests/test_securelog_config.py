@@ -122,3 +122,57 @@ def test_config_round2_steps(spark):
         out = build_pipeline(spark, spec).collect()
     got = {(r.host, r.message): r.n_suppressed for r in out}
     assert got[("h1", "Accepted publickey for root")] == 1
+
+
+def test_config_systemd_journal_source(spark):
+    """source {kind: systemd-journal} reads binary .journal files
+    through the declarative layer (r8)."""
+    import lzma
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp())
+    fixture = Path(__file__).parent / "fixtures" / "system.journal.xz"
+    (d / "system.journal").write_bytes(lzma.decompress(fixture.read_bytes()))
+    spec = {
+        "source": {"kind": "systemd-journal", "path": str(d / "system.journal")},
+        "steps": [],
+    }
+    df = build_pipeline(spark, spec)
+    rows = df.select("program", "message").where("program = 'kernel'").collect()
+    assert rows and rows[0].message.startswith("Linux version")
+
+
+def test_config_network_tls_destination(spark):
+    """destination {kind: network, tls: {...}} builds a TlsOptions and
+    validates it at config time (bad peer_verify fails loudly)."""
+    import pytest
+
+    spec = {
+        "source": {"kind": "parquet", "path": "/root/testdata/sf0.001/events.parquet"},
+        "steps": [],
+        "destination": {
+            "kind": "network",
+            "targets": [["localhost", 1]],
+            "tls": {"peer_verify": "sometimes"},
+        },
+    }
+    with pytest.raises(ValueError, match="peer_verify"):
+        run_pipeline(spark, spec)
+
+
+def test_config_kafka_destination_loud_fail(spark):
+    import pytest
+
+    spec = {
+        "source": {"kind": "parquet", "path": "/root/testdata/sf0.001/events.parquet"},
+        "steps": [],
+        "destination": {
+            "kind": "kafka",
+            "brokers": "b:9092",
+            "topic": "logs",
+            "message": "$event_type",
+        },
+    }
+    with pytest.raises(NotImplementedError, match="spark.jars.packages"):
+        run_pipeline(spark, spec)
