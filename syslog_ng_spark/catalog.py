@@ -7289,3 +7289,59 @@ def quality_classifier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = rebalance(T(spark, sf_dir, "documents"))
     return textstats.quality_classifier_score(docs, QC_WEIGHTS, "text", "doc_id")
+
+
+_BPE_IDS_SQL = (
+    "WITH "
+    + ",\n".join(_bpe_train_ctes(_BPE_MERGES))
+    + f""",
+alpha AS (
+  SELECT DISTINCT unnest(string_split(sym, ' ')) AS token FROM p0),
+an AS (SELECT count(*) AS n FROM alpha),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
+  FROM alpha
+  UNION ALL
+  SELECT m.token, CAST(an.n + m.rank - 1 AS BIGINT) AS id
+  FROM ({" UNION ALL ".join(f"SELECT {r + 1} AS rank, a || b AS token FROM m{r}" for r in range(_BPE_MERGES))}) m
+  CROSS JOIN an),
+dw AS (
+  SELECT doc_id, w AS word, wi FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS w,
+           unnest(range(1, len(string_split_regex(lower(text), '\\s+')) + 1)) AS wi
+    FROM documents)
+  WHERE w <> ''),
+tok AS (
+  SELECT doc_id, wi, unnest(string_split(p.sym, ' ')) AS token,
+         unnest(range(1, len(string_split(p.sym, ' ')) + 1)) AS ti
+  FROM dw d JOIN p{_BPE_MERGES} p USING (word))
+SELECT doc_id,
+       string_agg(v.id::VARCHAR, ' ' ORDER BY wi, ti) AS ids_str,
+       count(*)::BIGINT AS n_ids
+FROM tok JOIN vocab v USING (token)
+GROUP BY doc_id"""
+)
+
+
+@register("bpe_segment_ids", _BPE_IDS_SQL)
+def bpe_segment_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding (bpe.bpe_vocab + bpe_segment_ids): the int
+    sequences a training loader consumes — alphabet ids in binary
+    string order, then merge tokens in rank order. Uses the expr
+    kernel + literal token→id map so the whole path is
+    engine-replayable; the oracle rebuilds the identical vocabulary
+    from the replayed training CTEs (alphabet from the p0 profile,
+    merge tokens from the m{{r}} argmax rows) and joins it per token.
+    Production uses kernel='pandas' (ids emitted through the word
+    memo, parity-pytested)."""
+    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_train
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    out = bpe_segment_ids(docs, "text", merges, kernel="expr")
+    return out.where(F.size("ids") > 0).select(
+        "doc_id",
+        F.array_join(F.transform(F.col("ids"), lambda i: i.cast("string")), " ").alias("ids_str"),
+        F.size("ids").cast("long").alias("n_ids"),
+    )

@@ -369,3 +369,117 @@ def bpe_segment(df: DataFrame, text_col: str, merges: list[tuple[int, str, str]]
         return F.split(sym, " ")
 
     return df.withColumn(out_col, F.flatten(F.transform(words, seg)))
+
+
+def bpe_vocab(
+    df: DataFrame, text_col: str, merges: list[tuple[int, str, str]],
+    lowercase: bool = True,
+) -> DataFrame:
+    """(token, id) vocabulary for a trained merge list — what a
+    trainer's tokenizer config actually ships: the corpus ALPHABET
+    (every distinct symbol incl. the end-of-word marker, ids assigned
+    in binary string order — deterministic across engines) followed by
+    one token per merge in rank order (id = |alphabet| + rank - 1).
+    The alphabet scan is the word profile re-used (Heaps-small);
+    everything downstream is tiny."""
+    from pyspark.sql import Window
+
+    syms = _word_profile(df, text_col, lowercase).select(
+        _to_symbols(F.col("word")).alias("sym")
+    )
+    alpha = syms.select(F.explode(F.split(F.col("sym"), " ")).alias("token")).distinct()
+    w = Window.orderBy("token")
+    alpha_ids = alpha.select(
+        "token", (F.row_number().over(w) - 1).cast("long").alias("id")
+    )
+    spark = df.sparkSession
+    merge_rows = spark.createDataFrame(
+        [(r, a + b) for r, a, b in merges], "rank long, token string"
+    )
+    n_alpha = alpha.agg(F.count(F.lit(1)).alias("_n"))
+    merged_ids = merge_rows.crossJoin(F.broadcast(n_alpha)).select(
+        "token", (F.col("_n") + F.col("rank") - 1).cast("long").alias("id")
+    )
+    return alpha_ids.unionByName(merged_ids)
+
+
+def bpe_segment_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str]],
+    lowercase: bool = True,
+    out_col: str = "ids",
+    kernel: str = "pandas",
+    vocab: dict[str, int] | None = None,
+) -> DataFrame:
+    """Segment AND map to token ids — the int sequence a training
+    loader consumes. `vocab` is the TRAINING corpus's token→id table
+    (collect `bpe_vocab(train_df, ...)` once — driver-sized by the
+    same Heaps argument as the merge list itself); when None it is
+    built from `df` itself, which is only correct when encoding the
+    training corpus (symbols unseen at training time would otherwise
+    silently join the alphabet and shift every merge-token id).
+
+    kernel='pandas' (production): the rank-priority encoder emits ids
+    directly through the per-partition word memo — one Arrow pass, no
+    joins, merge-count-flat.
+    kernel='expr': the chained-replace segmenter plus a literal
+    token→id map lookup — fully engine-replayable (the oracle rebuilds
+    the same vocab in SQL), but the map literal grows with vocab size,
+    so it is the gate-scale path only (same split as bpe_segment).
+    Tokens outside the vocabulary map to NULL in both kernels (unk
+    handling is the loader's policy decision)."""
+    if vocab is None:
+        vocab = {
+            r["token"]: r["id"]
+            for r in bpe_vocab(df, text_col, merges, lowercase).collect()
+        }
+    if kernel == "pandas":
+        import re as _re
+
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        ranks = {(a, b): r for r, a, b in merges}
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()))]
+        )
+        ws = _re.compile(r"\s+")
+
+        def run(batches):
+            memo: dict[str, list] = {}
+            for pdf in batches:
+                res = []
+                for txt in pdf[text_col]:
+                    if txt is None:
+                        res.append(None)
+                        continue
+                    t = txt.lower() if lowercase else txt
+                    ids: list = []
+                    for w in ws.split(t):
+                        if not w:
+                            continue
+                        got = memo.get(w)
+                        if got is None:
+                            got = [
+                                vocab.get(tok)
+                                for tok in _segment_word_ranked(w, ranks)
+                            ]
+                            memo[w] = got
+                        ids.extend(got)
+                    res.append(ids)
+                pdf = pdf.copy()
+                pdf[out_col] = res
+                yield pdf
+
+        return df.mapInPandas(run, out_schema)
+    if kernel != "expr":
+        raise ValueError(f"unknown bpe_segment_ids kernel {kernel!r}")
+    seg = bpe_segment(df, text_col, merges, lowercase, out_col="_bpe", kernel="expr")
+    toks = list(vocab)
+    m = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in toks]),
+        F.array(*[F.lit(vocab[t]).cast("long") for t in toks]),
+    )
+    return seg.withColumn(
+        out_col, F.transform(F.col("_bpe"), lambda t: F.element_at(m, t))
+    ).drop("_bpe")

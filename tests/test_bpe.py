@@ -318,3 +318,70 @@ def test_driver_local_train_feeds_pandas_segment(spark):
     for i, t in enumerate(texts):
         assert rows[i] == _ref_segment(t, merges)
         assert "".join(rows[i]).replace(EOW, " ").split() == t.split()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary & token-id encoding
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_shape_and_determinism(spark):
+    from syslog_ng_spark.operators.bpe import bpe_vocab
+
+    merges = bpe_train(_df(spark, CORPUS), "text", n_merges=6)
+    vocab = {r["token"]: r["id"] for r in bpe_vocab(_df(spark, CORPUS), "text", merges).collect()}
+    alphabet = sorted(set("".join("".join(t.lower().split()) for t in CORPUS)) | {EOW})
+    n_alpha = len(alphabet)
+    # alphabet ids: binary string order, 0-based
+    for i, ch in enumerate(alphabet):
+        assert vocab[ch] == i, ch
+    # merge tokens: |alphabet| + rank - 1, in rank order
+    for r, a, b in merges:
+        assert vocab[a + b] == n_alpha + r - 1
+    assert len(vocab) == n_alpha + len(merges)
+
+
+def test_segment_ids_kernels_agree_and_roundtrip(spark):
+    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_vocab
+
+    merges = bpe_train(_df(spark, CORPUS), "text", n_merges=8)
+    pd_ids = {
+        r["doc_id"]: r["ids"]
+        for r in bpe_segment_ids(_df(spark, CORPUS), "text", merges, kernel="pandas").collect()
+    }
+    ex_ids = {
+        r["doc_id"]: r["ids"]
+        for r in bpe_segment_ids(_df(spark, CORPUS), "text", merges, kernel="expr").collect()
+    }
+    assert pd_ids == ex_ids
+    # ids decode back to the segmentation (lossless round trip)
+    inv = {
+        r["id"]: r["token"]
+        for r in bpe_vocab(_df(spark, CORPUS), "text", merges).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        decoded = "".join(inv[x] for x in pd_ids[i]).replace(EOW, " ").split()
+        assert decoded == t.lower().split()
+
+
+def test_segment_ids_unknown_token_is_null(spark):
+    """Encoding NEW text with the TRAINING corpus's vocab: a symbol
+    absent from the training alphabet maps to NULL (unk policy belongs
+    to the loader), identically in both kernels. Passing the training
+    vocab is what keeps merge-token ids stable — building it from the
+    inference frame would silently shift every id."""
+    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_vocab
+
+    merges = bpe_train(_df(spark, CORPUS), "text", n_merges=4)
+    train_vocab = {
+        r["token"]: r["id"]
+        for r in bpe_vocab(_df(spark, CORPUS), "text", merges).collect()
+    }
+    probe = ["low zebra!"]  # 'z' and '!' are not in the CORPUS alphabet
+    for kernel in ("pandas", "expr"):
+        rows = bpe_segment_ids(
+            _df(spark, probe), "text", merges, kernel=kernel, vocab=train_vocab
+        ).collect()
+        ids = rows[0]["ids"]
+        assert None in ids, kernel      # unseen symbol -> NULL id
+        assert any(x is not None for x in ids), kernel
