@@ -7298,13 +7298,17 @@ _BPE_IDS_SQL = (
 alpha AS (
   SELECT DISTINCT unnest(string_split(sym, ' ')) AS token FROM p0),
 an AS (SELECT count(*) AS n FROM alpha),
-vocab AS (
+vocab0 AS (
   SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
   FROM alpha
   UNION ALL
   SELECT m.token, CAST(an.n + m.rank - 1 AS BIGINT) AS id
   FROM ({" UNION ALL ".join(f"SELECT {r + 1} AS rank, a || b AS token FROM m{r}" for r in range(_BPE_MERGES))}) m
   CROSS JOIN an),
+vocab AS (
+  -- lowest-id-wins dedup: two merges can yield the same surface form
+  -- (mirrors bpe.bpe_vocab's documented policy)
+  SELECT token, MIN(id) AS id FROM vocab0 GROUP BY token),
 dw AS (
   SELECT doc_id, w AS word, wi FROM (
     SELECT doc_id,

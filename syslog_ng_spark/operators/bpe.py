@@ -381,7 +381,16 @@ def bpe_vocab(
     in binary string order — deterministic across engines) followed by
     one token per merge in rank order (id = |alphabet| + rank - 1).
     The alphabet scan is the word profile re-used (Heaps-small);
-    everything downstream is tiny."""
+    everything downstream is tiny.
+
+    Duplicate surface forms are possible — two merges can yield the
+    same token string (('a','bc') and ('ab','c') both produce 'abc'),
+    and a merge token can collide with an alphabet symbol. Policy:
+    **keep the LOWEST id per token** (first producer wins; ids above
+    it are simply unused). This keeps all three consumers consistent:
+    the pandas kernel's dict, the expr kernel's map literal (which
+    would raise under spark.sql.mapKeyDedupPolicy=EXCEPTION), and the
+    SQL oracle's join (which would fan rows out)."""
     from pyspark.sql import Window
 
     syms = _word_profile(df, text_col, lowercase).select(
@@ -400,7 +409,12 @@ def bpe_vocab(
     merged_ids = merge_rows.crossJoin(F.broadcast(n_alpha)).select(
         "token", (F.col("_n") + F.col("rank") - 1).cast("long").alias("id")
     )
-    return alpha_ids.unionByName(merged_ids)
+    # lowest-id-wins dedup (see docstring policy)
+    return (
+        alpha_ids.unionByName(merged_ids)
+        .groupBy("token")
+        .agg(F.min("id").alias("id"))
+    )
 
 
 def bpe_segment_ids(

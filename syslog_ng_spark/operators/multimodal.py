@@ -144,6 +144,7 @@ def decode_wav(payload: bytes):
     loud-fail stub — `wave` rejects them and we re-raise with the
     DECODERS swap instruction, same contract as `_real_decode_unavailable`."""
     import io
+    import struct as _struct
     import wave
 
     import numpy as np
@@ -152,7 +153,10 @@ def decode_wav(payload: bytes):
         with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
             nch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
             raw = w.readframes(w.getnframes())
-    except wave.Error as e:
+    # EOFError/struct.error: truncated or garbage RIFF payloads raise
+    # these from inside `wave`'s chunk walker, not wave.Error — they
+    # must hit the same documented loud-fail contract.
+    except (wave.Error, EOFError, _struct.error) as e:
         raise NotImplementedError(
             f"not an uncompressed PCM WAV ({e}); lossy codecs are not "
             "installed in this environment — swap DECODERS for an "

@@ -338,9 +338,16 @@ class TlsOptions:
     the trust store) or 'optional-untrusted' (CERT_NONE — encryption
     without authentication, the reference's explicitly-unsafe mode).
     ssl_min_version pins the floor (the TSO_NOTLSv* bit family);
-    ciphers is the cipher-suite() string; sni sets the server-name
-    indication AND enables hostname verification when peer_verify is
-    trusted."""
+    ciphers is the cipher-suite() string; sni overrides the server
+    name used for SNI and hostname verification (default: the
+    destination host). In the trusted modes the certificate's name is
+    verified against that server name unconditionally, matching the
+    reference's tls_verify_certificate_name
+    (modules/afsocket/afinet-dest.c) — a trusted-CA cert for a
+    DIFFERENT host is rejected. Set verify_hostname=False only to
+    reproduce the daemon's ssl-options(no-verify-hostname) escape
+    hatch; it is an explicit, logged-in-config opt-out, never the
+    default."""
 
     ca_file: str | None = None
     ca_dir: str | None = None
@@ -350,6 +357,7 @@ class TlsOptions:
     ssl_min_version: str = "tls1.2"
     ciphers: str | None = None
     sni: str | None = None
+    verify_hostname: bool = True
 
     _VERIFY_MODES = ("required-trusted", "required-untrusted",
                      "optional-trusted", "optional-untrusted")
@@ -375,7 +383,10 @@ class TlsOptions:
         }[self.ssl_min_version]
         if self.peer_verify.endswith("-trusted"):
             ctx.verify_mode = ssl.CERT_REQUIRED
-            ctx.check_hostname = self.sni is not None
+            # Trusted modes verify the cert name against the target
+            # host (or sni override) ALWAYS — a cert signed by a
+            # trusted CA for another host must not pass (CWE-297).
+            ctx.check_hostname = self.verify_hostname
             if self.ca_file or self.ca_dir:
                 ctx.load_verify_locations(cafile=self.ca_file, capath=self.ca_dir)
             else:
@@ -818,6 +829,19 @@ def kafka_records(
     return df.select(*cols)
 
 
+def _kafka_jar_missing(exc: Exception) -> bool:
+    """True only for the connector-jar-absent failure shapes Spark
+    raises (DATA_SOURCE_NOT_FOUND / lookupDataSource ClassNotFound) —
+    anything else (broker unreachable, auth, checkpoint) is a real
+    runtime error that must not be relabeled."""
+    text = str(exc)
+    return (
+        "Failed to find data source: kafka" in text
+        or "DATA_SOURCE_NOT_FOUND" in text
+        or "ClassNotFoundException" in text
+    )
+
+
 def kafka_sink(
     df: DataFrame,
     brokers: str,
@@ -849,7 +873,12 @@ def kafka_sink(
         for k, v in producer_options.items():
             w = w.option(k, v)
         return w.save()
-    except Exception as exc:  # pragma: no cover - connector not bundled
+    except Exception as exc:
+        # Translate ONLY the jar-missing failure; with the jar present,
+        # broker-unreachable / auth / checkpoint errors must surface
+        # as themselves, not masquerade as a missing connector.
+        if not _kafka_jar_missing(exc):
+            raise
         from syslog_ng_spark.sources.streaming import kafka_package_coordinate
 
         coord = kafka_package_coordinate()

@@ -73,38 +73,42 @@ def lz4_block_decompress(data: bytes, usize: int) -> bytes:
     switch, so old journals need this with no native lib."""
     out = bytearray()
     i, n = 0, len(data)
-    while i < n:
-        token = data[i]
-        i += 1
-        lit_len = token >> 4
-        if lit_len == 15:
-            while True:
-                b = data[i]
-                i += 1
-                lit_len += b
-                if b != 255:
-                    break
-        out += data[i : i + lit_len]
-        i += lit_len
-        if i >= n:
-            break  # last sequence: literals only
-        offset = data[i] | (data[i + 1] << 8)
-        i += 2
-        if offset == 0:
-            raise JournalFormatError("lz4 block: zero match offset")
-        match_len = (token & 0x0F) + 4
-        if (token & 0x0F) == 15:
-            while True:
-                b = data[i]
-                i += 1
-                match_len += b
-                if b != 255:
-                    break
-        start = len(out) - offset
-        if start < 0:
-            raise JournalFormatError("lz4 block: offset before start")
-        for k in range(match_len):  # byte-forward: overlap replicates
-            out.append(out[start + k])
+    try:
+        while i < n:
+            token = data[i]
+            i += 1
+            lit_len = token >> 4
+            if lit_len == 15:
+                while True:
+                    b = data[i]
+                    i += 1
+                    lit_len += b
+                    if b != 255:
+                        break
+            out += data[i : i + lit_len]
+            i += lit_len
+            if i >= n:
+                break  # last sequence: literals only
+            offset = data[i] | (data[i + 1] << 8)
+            i += 2
+            if offset == 0:
+                raise JournalFormatError("lz4 block: zero match offset")
+            match_len = (token & 0x0F) + 4
+            if (token & 0x0F) == 15:
+                while True:
+                    b = data[i]
+                    i += 1
+                    match_len += b
+                    if b != 255:
+                        break
+            start = len(out) - offset
+            if start < 0:
+                raise JournalFormatError("lz4 block: offset before start")
+            for k in range(match_len):  # byte-forward: overlap replicates
+                out.append(out[start + k])
+    except IndexError as e:
+        # truncated block: an extension byte / offset read past the end
+        raise JournalFormatError("lz4 block: truncated input") from e
     if len(out) != usize:
         raise JournalFormatError(
             f"lz4 block: decoded {len(out)} bytes, expected {usize}"

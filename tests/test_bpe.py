@@ -364,6 +364,36 @@ def test_segment_ids_kernels_agree_and_roundtrip(spark):
         assert decoded == t.lower().split()
 
 
+def test_vocab_duplicate_surface_form_keeps_lowest_id(spark):
+    """Two merges yielding the same token string (('ab','c') and
+    ('a','bc') both produce 'abc') must not yield duplicate vocab rows:
+    policy is lowest-id-wins, so the pandas dict, the expr kernel's
+    map literal (mapKeyDedupPolicy=EXCEPTION), and the SQL oracle's
+    join all see one row per token."""
+    from collections import Counter
+
+    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_vocab
+
+    corpus = ["abc abc ab bc"]
+    merges = [(1, "a", "b"), (2, "b", "c"), (3, "ab", "c"), (4, "a", "bc")]
+    rows = bpe_vocab(_df(spark, corpus), "text", merges).collect()
+    tokens = [r["token"] for r in rows]
+    assert Counter(tokens)["abc"] == 1  # deduped
+    assert len(tokens) == len(set(tokens))
+    vocab = {r["token"]: r["id"] for r in rows}
+    n_alpha = len(set("abc") | {EOW})
+    assert vocab["abc"] == n_alpha + 3 - 1  # first producer (rank 3) wins
+    # both kernels encode under the deduped vocab without raising
+    pd_ids = bpe_segment_ids(
+        _df(spark, corpus), "text", merges, kernel="pandas", vocab=vocab
+    ).collect()[0]["ids"]
+    ex_ids = bpe_segment_ids(
+        _df(spark, corpus), "text", merges, kernel="expr", vocab=vocab
+    ).collect()[0]["ids"]
+    assert pd_ids == ex_ids
+    assert all(x is not None for x in pd_ids)
+
+
 def test_segment_ids_unknown_token_is_null(spark):
     """Encoding NEW text with the TRAINING corpus's vocab: a symbol
     absent from the training alphabet maps to NULL (unk policy belongs

@@ -236,6 +236,15 @@ def test_lz4_block_decoder_long_lengths_and_errors():
         lz4_block_decompress(bytes([0x14]) + b"a" + bytes([0x05, 0x00]), 9)
     with pytest.raises(JournalFormatError, match="expected"):
         lz4_block_decompress(bytes([0x10]) + b"a", 7)
+    # truncated blocks must raise JournalFormatError, never bare
+    # IndexError: cut mid-literal-extension, mid-offset, mid-match-ext
+    for trunc in (
+        bytes([0xF0]),                        # ext byte missing
+        bytes([0x14]) + b"a" + bytes([0x01]),  # offset second byte missing
+        bytes([0x1F]) + b"a" + bytes([0x01, 0x00]),  # match ext missing
+    ):
+        with pytest.raises(JournalFormatError, match="truncated"):
+            lz4_block_decompress(trunc, 100)
 
 
 def test_lz4_journal_object_roundtrip():

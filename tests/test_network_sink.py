@@ -296,3 +296,68 @@ def test_tls_options_validation():
         TlsOptions(peer_verify="sometimes")
     with pytest.raises(ValueError, match="together"):
         TlsOptions(cert_file="c.pem")
+
+
+def test_tls_trusted_modes_verify_hostname_by_default():
+    """tls_verify_certificate_name (afinet-dest.c): the trusted modes
+    check the cert name against the target host ALWAYS — check_hostname
+    must be on even when sni isn't set (CWE-297 regression guard)."""
+    from syslog_ng_spark.sinks import TlsOptions
+
+    assert TlsOptions(peer_verify="required-trusted").client_context().check_hostname
+    assert TlsOptions(peer_verify="optional-trusted").client_context().check_hostname
+    # explicit opt-out flag — never the default
+    ctx = TlsOptions(
+        peer_verify="required-trusted", verify_hostname=False
+    ).client_context()
+    assert not ctx.check_hostname
+    # untrusted modes don't verify anything (CERT_NONE)
+    assert not TlsOptions(peer_verify="optional-untrusted").client_context().check_hostname
+
+
+def test_tls_trusted_rejects_wrong_hostname_cert(spark, tls_cert, tmp_path):
+    """MITM shape: the server presents a cert signed by a CA we DO
+    trust, but issued for a different host. required-trusted must
+    refuse delivery — trust-store membership alone is not enough."""
+    import subprocess
+
+    from syslog_ng_spark.sinks import TlsOptions
+
+    wrong_cert = tmp_path / "wrong-host.pem"
+    wrong_key = tmp_path / "wrong-host-key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(wrong_key), "-out", str(wrong_cert),
+         "-days", "2", "-subj", "/CN=attacker.example",
+         "-addext", "subjectAltName=DNS:attacker.example"],
+        check=True, capture_output=True,
+    )
+    c = _LineCollector()
+    srv, port = _make_tls_server(c, str(wrong_cert), str(wrong_key))
+    try:
+        df = spark.createDataFrame([(1, "secret")], "i long, message string")
+        dest = NetworkDestination(
+            targets=[("localhost", port)],
+            template="$MESSAGE",
+            max_retries=1,
+            # the wrong-host cert itself is the trust anchor: CA trust
+            # passes, hostname verification is the only thing standing
+            tls=TlsOptions(ca_file=str(wrong_cert), peer_verify="required-trusted"),
+        )
+        with pytest.raises(Exception):
+            dest.write(df)
+        assert _lines(c) == []
+        # the documented opt-out reproduces the old behavior
+        dest_optout = NetworkDestination(
+            targets=[("localhost", port)],
+            template="$MESSAGE",
+            tls=TlsOptions(
+                ca_file=str(wrong_cert),
+                peer_verify="required-trusted",
+                verify_hostname=False,
+            ),
+        )
+        assert dest_optout.write(df)["delivered"] == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()

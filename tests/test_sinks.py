@@ -153,3 +153,20 @@ def test_kafka_sink_loud_fail_carries_activation(spark):
     msg = str(ei.value)
     assert "spark.jars.packages" in msg
     assert "spark-sql-kafka-0-10" in msg
+
+
+def test_kafka_jar_missing_classifier_is_narrow():
+    """Only the connector-jar-absent shapes are translated into the
+    activation NotImplementedError; with the jar installed, broker /
+    auth / checkpoint errors must surface as themselves."""
+    from syslog_ng_spark.sinks import _kafka_jar_missing
+
+    assert _kafka_jar_missing(Exception(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find data source: kafka."))
+    assert _kafka_jar_missing(Exception(
+        "java.lang.ClassNotFoundException: kafka.DefaultSource"))
+    assert not _kafka_jar_missing(Exception(
+        "org.apache.kafka.common.errors.TimeoutException: "
+        "Topic logs not present in metadata after 60000 ms."))
+    assert not _kafka_jar_missing(Exception(
+        "Connection to node -1 (broker/10.0.0.1:9092) could not be established"))

@@ -232,6 +232,24 @@ def test_wav_lossy_loud_fail():
         decode_wav(b"ID3\x04\x00mp3-ish garbage that is not RIFF")
 
 
+def test_wav_truncated_riff_loud_fail():
+    """Truncated / garbage RIFF payloads raise EOFError or struct.error
+    from inside `wave`'s chunk walker — those must hit the same
+    documented NotImplementedError contract, not escape raw."""
+    import pytest
+
+    from syslog_ng_spark.operators.multimodal import decode_wav, make_wav
+
+    good = make_wav(bytes(range(64)), sampwidth=1)
+    for payload in (
+        good[:10],                     # RIFF header cut short
+        good[:20],                     # fmt chunk cut short
+        b"RIFF\x24\x00\x00\x00WAVE",   # no chunks at all
+    ):
+        with pytest.raises(NotImplementedError, match="PCM WAV"):
+            decode_wav(payload)
+
+
 def test_audio_window_features_wav_container(spark):
     """container='wav' end-to-end equals the raw-u8 path on the same
     bytes: ZCR identical, RMS scaled by the u8 normalization (1/128)."""
