@@ -84,11 +84,13 @@ def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
         return files.json_table(spark, spec["path"], schema=spec.get("schema"))
     if kind == "systemd-journal":
         # system()/systemd-journal(): binary .journal files read
-        # directly (r8), no libsystemd
+        # directly (r8), no libsystemd; "since" = incremental cursor
+        # (int or {file: seqnum} from journal_cursors), r9
         from syslog_ng_spark.sources.journal_binary import journal_binary_as_logs
 
         return journal_binary_as_logs(
-            spark, spec["path"], prefix=spec.get("prefix", ".journald.")
+            spark, spec["path"], prefix=spec.get("prefix", ".journald."),
+            since=spec.get("since"),
         )
     raise ValueError(f"unknown source kind: {kind}")
 

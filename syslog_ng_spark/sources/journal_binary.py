@@ -40,7 +40,7 @@ path.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
+from collections.abc import Iterator, Mapping
 
 HEADER_SIGNATURE = b"LPKSHHRH"
 
@@ -131,15 +131,88 @@ def _decompress(flags: int, payload: bytes) -> bytes:
         except ImportError:
             return lz4_block_decompress(payload[8:], usize)
     if flags & OBJECT_COMPRESSED_ZSTD:
+        return _zstd_decompress(payload)
+    return payload
+
+
+def _zstd_ctypes():
+    """ctypes binding to the system libzstd, if present — the fast
+    path for bulk journal decode (one C call per data object). Cached
+    after first probe; falls through to the pure-Python RFC 8878
+    decoder (zstd_pure.py) when the shared library is absent."""
+    global _ZSTD_LIB
+    if _ZSTD_LIB is not None:
+        return _ZSTD_LIB or None
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+    try:
+        lib = ctypes.CDLL(name)
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        _ZSTD_LIB = lib
+    except OSError:
+        _ZSTD_LIB = False
+        return None
+    return _ZSTD_LIB
+
+
+_ZSTD_LIB = None
+# journal values are hard-capped by journald (DATA_SIZE_MAX 1G); a
+# content size above this in a frame header is corruption, not data
+_ZSTD_MAX_VALUE = 1 << 30
+
+
+_ZSTANDARD = None  # cached module probe: a FAILING import per value
+# costs ~0.4 ms of sys.path scanning — measured 50x the decode itself
+
+
+def _zstd_decompress(payload: bytes) -> bytes:
+    """OBJECT_COMPRESSED_ZSTD value decode: `zstandard` package if
+    installed, else ctypes-libzstd, else the pure-Python RFC 8878
+    decoder — always available, so the zstd journal era needs no
+    environment support at all."""
+    global _ZSTANDARD
+    if _ZSTANDARD is None:
         try:
             import zstandard  # type: ignore[import-not-found]
-        except ImportError as e:
-            raise NotImplementedError(
-                "journal data object is ZSTD-compressed and the "
-                "zstandard package is not installed (pip install zstandard)"
-            ) from e
-        return zstandard.ZstdDecompressor().decompress(payload)
-    return payload
+
+            _ZSTANDARD = zstandard
+        except ImportError:
+            _ZSTANDARD = False
+    if _ZSTANDARD:
+        return _ZSTANDARD.ZstdDecompressor().decompress(payload)
+    lib = _zstd_ctypes()
+    if lib is not None:
+        import ctypes
+
+        usize = lib.ZSTD_getFrameContentSize(payload, len(payload))
+        if usize == 2**64 - 1:  # ZSTD_CONTENTSIZE_UNKNOWN: no FCS in
+            # the frame header (journald always writes one, but be
+            # robust) — decompress into a doubling buffer
+            cap = max(4 * len(payload), 1 << 16)
+            while cap <= _ZSTD_MAX_VALUE:
+                buf = ctypes.create_string_buffer(cap)
+                ret = lib.ZSTD_decompress(buf, cap, payload, len(payload))
+                if not lib.ZSTD_isError(ret):
+                    return buf.raw[: int(ret)]
+                cap *= 8
+        elif 0 <= usize <= _ZSTD_MAX_VALUE:
+            buf = ctypes.create_string_buffer(int(usize))
+            ret = lib.ZSTD_decompress(buf, int(usize), payload, len(payload))
+            if not lib.ZSTD_isError(ret):
+                return buf.raw[: int(ret)]
+        # (unsigned)-2 = not a frame / errors: fall through to the pure
+        # decoder, which raises the precise format error itself
+    from syslog_ng_spark.sources.zstd_pure import decompress as _pure
+
+    return _pure(payload, max_output=_ZSTD_MAX_VALUE)
 
 
 def journal_entries(data: bytes, since_seqnum: int = 0) -> Iterator[dict]:
@@ -230,39 +303,70 @@ def entry_to_export_record(entry: dict) -> str:
     return "\n".join(lines)
 
 
-def read_journal_binary(spark, path):
-    """`.journal` files → one row per entry: (file, record) where
-    `record` is export-format text ready for `journal_export_parser`.
-    Whole files stream through the binaryFile source (payload crosses
-    into Python once per file, Arrow-batched); at cluster scale
-    parallelism = file count, which matches journald's natural
-    sharding (one active file per machine/boot plus rotated
-    archives)."""
+def read_journal_binary(spark, path, since=None):
+    """`.journal` files → one row per entry: (file, seqnum, record)
+    where `record` is export-format text ready for
+    `journal_export_parser`. Whole files stream through the binaryFile
+    source (payload crosses into Python once per file, Arrow-batched);
+    at cluster scale parallelism = file count, which matches journald's
+    natural sharding (one active file per machine/boot plus rotated
+    archives).
+
+    `since` is the incremental-ingestion cursor (journald only
+    appends, so seqnum-per-file is a complete position): an int
+    applies to every file, a mapping {file_path: seqnum} (the shape
+    `journal_cursors` returns — keys are the binaryFile `path` URIs)
+    applies per file, files not in the mapping read from the start.
+    Entries with seqnum <= the cursor are skipped inside the object
+    walk (journal_entries), so a cursor-complete file costs one header
+    read, not a decode. Recipe: df = read_journal_binary(...);
+    process; cursors = journal_cursors(df); persist the dict; pass it
+    as `since` next run — the second read yields exactly the delta."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
+    since_map = since if isinstance(since, Mapping) else None
+    since_all = int(since) if isinstance(since, int) else 0
 
     def run(batches):
         for pdf in batches:
-            out_path, out_rec = [], []
+            out_path, out_seq, out_rec = [], [], []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for e in journal_entries(bytes(content)):
+                cursor = since_map.get(p, 0) if since_map is not None else since_all
+                for e in journal_entries(bytes(content), since_seqnum=cursor):
                     out_path.append(p)
+                    out_seq.append(e["seqnum"])
                     out_rec.append(entry_to_export_record(e))
-            yield pd.DataFrame({"file": out_path, "record": out_rec})
+            yield pd.DataFrame(
+                {"file": out_path, "seqnum": out_seq, "record": out_rec}
+            )
 
     return files.select("path", "content").mapInPandas(
-        run, schema="file string, record string"
+        run, schema="file string, seqnum long, record string"
     )
 
 
-def journal_binary_as_logs(spark, path, prefix: str = ".journald."):
+def journal_cursors(df) -> dict[str, int]:
+    """Max seqnum per journal file — the cursor table to persist and
+    pass back as `since` on the next incremental read. Driver-sized by
+    construction: one row per .journal FILE (journald keeps one active
+    file per machine/boot plus rotated archives), not per entry."""
+    from pyspark.sql import functions as F
+
+    rows = df.groupBy("file").agg(F.max("seqnum").alias("seqnum")).collect()
+    return {r["file"]: r["seqnum"] for r in rows}
+
+
+def journal_binary_as_logs(spark, path, prefix: str = ".journald.", since=None):
     """Binary journal files → canonical log schema, via the SAME
     field-mapping path as the export-format source
     (parsers.journal_export_parser: MESSAGE→message, _HOSTNAME→host,
     PRIORITY→severity, SYSLOG_FACILITY→facility, SYSLOG_IDENTIFIER
     falling back to _COMM→program, __REALTIME_TIMESTAMP→ts, all
-    fields into sdata under `prefix`)."""
+    fields into sdata under `prefix`). `since` = incremental cursor,
+    see read_journal_binary."""
     from syslog_ng_spark.operators.parsers import journal_export_parser
 
-    return journal_export_parser(read_journal_binary(spark, path), "record", prefix)
+    return journal_export_parser(
+        read_journal_binary(spark, path, since=since), "record", prefix
+    )

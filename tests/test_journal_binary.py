@@ -113,6 +113,116 @@ def test_bad_signature_raises():
         list(journal_entries(b"NOTAJRNL" + b"\x00" * 300))
 
 
+# ---------------------------------------------------------------------------
+# the ZSTD era (r9): a journald-252 journal with >512-byte values —
+# those data objects are OBJECT_COMPRESSED_ZSTD (journald compresses
+# values over the threshold since v246, zstd by default)
+# ---------------------------------------------------------------------------
+
+ZSTD_FIXTURE = Path(__file__).parent / "fixtures" / "zstd.journal.xz"
+
+
+@pytest.fixture(scope="module")
+def zstd_journal_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("zjournal") / "system.journal"
+    p.write_bytes(lzma.decompress(ZSTD_FIXTURE.read_bytes()))
+    return p
+
+
+@pytest.fixture(scope="module")
+def zstd_entries(zstd_journal_path):
+    return list(journal_entries(zstd_journal_path.read_bytes()))
+
+
+def test_zstd_fixture_has_compressed_objects(zstd_journal_path):
+    """The fixture must actually exercise the zstd path — at least one
+    data object carries OBJECT_COMPRESSED_ZSTD (flag bit 4 in the
+    object header), else this whole section tests nothing."""
+    data = zstd_journal_path.read_bytes()
+    # object walk: first object offset at header field offset 88ff —
+    # cheaper and robust: scan for DATA objects (type 1) with flag 4
+    # via the reader's own loud-fail: force-disable all decoders and
+    # expect the documented error
+    import syslog_ng_spark.sources.journal_binary as jb
+
+    real_fn = jb._zstd_decompress
+    jb._zstd_decompress = lambda payload: (_ for _ in ()).throw(
+        NotImplementedError("probe"))
+    try:
+        with pytest.raises(NotImplementedError, match="probe"):
+            list(journal_entries(data))
+    finally:
+        jb._zstd_decompress = real_fn
+
+
+def test_zstd_fixture_parses_fully(zstd_entries, zstd_journal_path):
+    data = zstd_journal_path.read_bytes()
+    (n_entries,) = struct.unpack_from("<Q", data, 160)
+    assert len(zstd_entries) == n_entries > 0
+    # the 40 injected >512B messages decode intact, boundaries exact
+    payloads = []
+    bigfields = []
+    for e in zstd_entries:
+        for f in e["fields"]:
+            if f.startswith(b"MESSAGE=payload-"):
+                payloads.append(f)
+            elif f.startswith(b"BIGFIELD="):
+                bigfields.append(f)
+    assert len(payloads) == 40
+    assert len(bigfields) == 40
+    for i, f in enumerate(sorted(payloads)):
+        want = b"MESSAGE=" + (b"payload-%02d-" % i) + b"x" * 700 + b"-end"
+        assert f == want
+    for i, f in enumerate(sorted(bigfields)):
+        want = b"BIGFIELD=" + (b"blob-%02d-" % i) + (b"ABCDEFGH%02d" % i) * 120
+        assert f == want
+
+
+def test_zstd_pure_decoder_matches_ctypes_on_journal(zstd_journal_path):
+    """Force the pure-Python RFC 8878 decoder (zstd_pure.py) for every
+    zstd object in the journal and compare entry-for-entry with the
+    ctypes-libzstd fast path."""
+    import syslog_ng_spark.sources.journal_binary as jb
+
+    data = zstd_journal_path.read_bytes()
+    fast = [e["fields"] for e in journal_entries(data)]
+    saved = jb._ZSTD_LIB
+    jb._ZSTD_LIB = False  # pure decoder only (zstandard pkg is absent)
+    try:
+        pure = [e["fields"] for e in journal_entries(data)]
+    finally:
+        jb._ZSTD_LIB = saved
+    assert fast == pure
+
+
+@pytest.mark.skipif(shutil.which("journalctl") is None, reason="no journalctl")
+def test_zstd_parity_with_journalctl_export(zstd_entries, zstd_journal_path):
+    """Same field-for-field journalctl parity as the first-era fixture,
+    now across zstd-compressed values."""
+    raw = subprocess.run(
+        ["journalctl", "--file", str(zstd_journal_path), "-o", "export",
+         "--no-pager"],
+        capture_output=True,
+        check=True,
+    ).stdout
+    theirs = _parse_export(raw)
+    assert len(theirs) == len(zstd_entries)
+    ours_by_rt = {}
+    for e in zstd_entries:
+        d = {}
+        for f in e["fields"]:
+            k, v = f.split(b"=", 1)
+            d[k] = v
+        ours_by_rt.setdefault(e["realtime_us"], []).append(d)
+    for t in theirs:
+        rt = int(t[b"__REALTIME_TIMESTAMP"])
+        data_fields = {
+            k: v for k, v in t.items() if not k.startswith(b"__") and k != b"__CURSOR"
+        }
+        candidates = ours_by_rt.get(rt, [])
+        assert any(c == data_fields for c in candidates), (rt, len(candidates))
+
+
 def test_unknown_incompat_flag_raises():
     hdr = bytearray(b"LPKSHHRH")
     hdr += struct.pack("<II", 0, 0x40)  # unknown incompatible bit
@@ -299,3 +409,55 @@ def test_since_seqnum_incremental(entries, journal_path):
     assert [e["seqnum"] for e in tail] == [
         e["seqnum"] for e in entries if e["seqnum"] > mid
     ]
+
+
+def test_incremental_spark_read_over_growing_journal(spark, tmp_path):
+    """The cursor recipe end-to-end on a REAL growing journal: the two
+    committed fixtures are snapshots of the same journald file
+    (seqnums 1..337, then the same plus the zstd-era appends to 381).
+    Read snapshot 1 → journal_cursors → re-read the grown file with
+    `since` → exactly the delta, nothing re-emitted, nothing missed."""
+    from syslog_ng_spark.sources.journal_binary import (
+        journal_cursors,
+        read_journal_binary,
+    )
+
+    d = tmp_path / "j"
+    d.mkdir()
+    target = d / "system.journal"
+    target.write_bytes(lzma.decompress(FIXTURE.read_bytes()))
+    first = read_journal_binary(spark, str(d))
+    n1 = first.count()
+    cursors = journal_cursors(first)
+    assert n1 == 337
+    assert list(cursors.values()) == [337]
+    # the journal grows in place (journald appends; same file path)
+    target.write_bytes(lzma.decompress(ZSTD_FIXTURE.read_bytes()))
+    delta = read_journal_binary(spark, str(d), since=cursors)
+    rows = delta.select("seqnum").collect()
+    assert sorted(r["seqnum"] for r in rows) == list(range(338, 382))
+    # an int cursor applies to every file; 0/None reads from the start
+    assert read_journal_binary(spark, str(d), since=337).count() == 44
+    assert read_journal_binary(spark, str(d)).count() == 381
+
+
+def test_incremental_via_declarative_config(spark, tmp_path):
+    """The systemd-journal config kind exposes the cursor: `since` in
+    the spec produces exactly the delta as canonical log rows."""
+    from syslog_ng_spark.config import build_pipeline
+
+    d = tmp_path / "j"
+    d.mkdir()
+    (d / "system.journal").write_bytes(lzma.decompress(ZSTD_FIXTURE.read_bytes()))
+    full = build_pipeline(
+        spark, {"source": {"kind": "systemd-journal", "path": str(d)}}
+    )
+    part = build_pipeline(
+        spark,
+        {"source": {"kind": "systemd-journal", "path": str(d), "since": 337}},
+    )
+    assert full.count() == 381
+    rows = part.collect()
+    assert len(rows) == 44
+    msgs = [r["message"] for r in rows if r["message"].startswith("payload-")]
+    assert len(msgs) == 40  # the zstd-era appends, decoded

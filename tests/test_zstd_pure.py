@@ -1,0 +1,123 @@
+"""Pure-Python zstd decoder (sources/zstd_pure.py) vs the real
+encoder: round-trips through the `zstd` CLI at several levels, an
+adversarial hypothesis property test, hand-assembled frames for the
+raw/RLE/skippable paths, and the documented error surfaces."""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+from syslog_ng_spark.sources.zstd_pure import ZstdError, decompress
+
+HAVE_CLI = shutil.which("zstd") is not None
+
+
+def zc(data: bytes, level: int = 3) -> bytes:
+    return subprocess.run(
+        ["zstd", f"-{level}", "-c"], input=data, capture_output=True, check=True
+    ).stdout
+
+
+@pytest.mark.skipif(not HAVE_CLI, reason="no zstd CLI")
+@pytest.mark.parametrize("level", [1, 3, 19])
+def test_cli_round_trips(level):
+    import os
+
+    cases = [
+        b"",
+        b"a",
+        b"hello world " * 100,                 # matches + repeat offsets
+        bytes(range(256)) * 40,                # full alphabet, FSE tables
+        os.urandom(4096),                      # incompressible: raw blocks
+        b"ABCD" * 5000,                        # long periodic matches
+        b"x" * 200000,                         # RLE-able, multi-block
+        ("the quick brown fox jumps over the lazy dog. " * 400).encode(),
+    ]
+    for c in cases:
+        assert decompress(zc(c, level)) == c
+
+
+@pytest.mark.skipif(not HAVE_CLI, reason="no zstd CLI")
+def test_cli_round_trip_large_text():
+    # a real repository file: exercises 4-stream Huffman literals,
+    # FSE-compressed weights, treeless repeats across blocks
+    with open("/root/repo/syslog_ng_spark/catalog.py", "rb") as f:
+        data = f.read()
+    for level in (1, 19):
+        assert decompress(zc(data, level)) == data
+
+
+@pytest.mark.skipif(not HAVE_CLI, reason="no zstd CLI")
+def test_hypothesis_parity_with_cli():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=4096),
+           st.sampled_from([1, 3, 9]))
+    def check(data, level):
+        assert decompress(zc(data, level)) == data
+
+    check()
+
+
+@pytest.mark.skipif(not HAVE_CLI, reason="no zstd CLI")
+def test_multi_frame_concatenation():
+    z = zc(b"first|") + zc(b"second") + zc(b"|third " * 50)
+    assert decompress(z) == b"first|second" + b"|third " * 50
+
+
+def _frame(blocks: bytes, fcs: int | None = None) -> bytes:
+    """Minimal hand-built frame: single-segment, optional 1-byte FCS."""
+    if fcs is None:
+        fhd = 0x00  # no single-segment: window descriptor follows
+        return struct.pack("<I", 0xFD2FB528) + bytes([fhd, 0x00]) + blocks
+    fhd = 0x20  # single segment -> 1-byte frame content size
+    return struct.pack("<I", 0xFD2FB528) + bytes([fhd, fcs]) + blocks
+
+
+def _block_header(last: int, btype: int, size: int) -> bytes:
+    v = last | (btype << 1) | (size << 3)
+    return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+
+def test_hand_built_raw_and_rle_blocks():
+    raw = _block_header(0, 0, 5) + b"hello"
+    rle = _block_header(1, 1, 6) + b"!"
+    assert decompress(_frame(raw + rle, fcs=11)) == b"hello!!!!!!"
+
+
+def test_skippable_frame_is_skipped():
+    skip = struct.pack("<II", 0x184D2A50, 4) + b"meta"
+    real = _frame(_block_header(1, 0, 2) + b"ok", fcs=2)
+    assert decompress(skip + real) == b"ok"
+
+
+def test_error_surfaces():
+    with pytest.raises(ZstdError, match="magic"):
+        decompress(b"\x00\x00\x00\x00rest")
+    with pytest.raises(ZstdError, match="truncated"):
+        decompress(b"\x28\xb5")
+    # declared content size must match
+    bad = _frame(_block_header(1, 0, 2) + b"ok", fcs=3)
+    with pytest.raises(ZstdError, match="declared"):
+        decompress(bad)
+    # reserved block type
+    res = _frame(_block_header(1, 3, 2) + b"xx", fcs=2)
+    with pytest.raises(ZstdError, match="reserved"):
+        decompress(res)
+    # dictionary ID
+    dframe = struct.pack("<I", 0xFD2FB528) + bytes([0x21, 7, 2]) + \
+        _block_header(1, 0, 2) + b"ok"
+    with pytest.raises(ZstdError, match="dictionar"):
+        decompress(dframe)
+
+
+def test_output_cap_enforced():
+    rle = _frame(_block_header(1, 1, 1 << 16) + b"x")
+    with pytest.raises(ZstdError, match="cap"):
+        decompress(rle, max_output=1024)
