@@ -7328,6 +7328,30 @@ GROUP BY doc_id"""
 )
 
 
+@register("bpe_segment_ids_pandas", _BPE_IDS_SQL)
+def bpe_segment_ids_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding, PRODUCTION kernel (bpe.bpe_segment_ids
+    kernel='pandas'): ids emitted straight through the per-partition
+    word memo — one Arrow pass, no joins, merge-count-flat (the path a
+    real ~30k-merge vocabulary uses). Reuses the bpe_segment_ids
+    oracle verbatim — the expr and pandas kernels are two independent
+    routes (chained literal replaces + map lookup vs the rank-priority
+    encoder), so the shared SQL replay gates BOTH against DuckDB.
+    Registered as its own catalog query (r9) so the production path is
+    benched, floored, and drift-watched like bpe_segment_pandas is —
+    not just the gate-scale expr kernel."""
+    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_train
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    out = bpe_segment_ids(docs, "text", merges, kernel="pandas")
+    return out.where(F.size("ids") > 0).select(
+        "doc_id",
+        F.array_join(F.transform(F.col("ids"), lambda i: i.cast("string")), " ").alias("ids_str"),
+        F.size("ids").cast("long").alias("n_ids"),
+    )
+
+
 @register("bpe_segment_ids", _BPE_IDS_SQL)
 def bpe_segment_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-ID encoding (bpe.bpe_vocab + bpe_segment_ids): the int

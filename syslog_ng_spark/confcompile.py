@@ -162,14 +162,25 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         return out
     pos = call.positional()
     if n in ("file", "pipe", "stdin", "wildcard-file"):
+        # the daemon parses syslog AT THE SOURCE (filters in log paths
+        # see $MESSAGE/$LEVEL without any declared parser);
+        # flags(no-parse) keeps the whole line as MESSAGE, and
+        # flags(syslog-protocol) selects RFC5424
+        flags = call.flag_words()
+        if "no-parse" in flags:
+            parse: dict = {"message_from_raw": True}
+        elif "syslog-protocol" in flags:
+            parse = {"syslog_parse": "rfc5424"}
+        else:
+            parse = {"syslog_parse": "rfc3164"}
         if n == "wildcard-file":
             base = call.opt_scalar("base-dir")
             pat = call.opt_scalar("filename-pattern", default="*")
             rec = str(call.opt_scalar("recursive", default="no")) in ("yes", "on", "1", "true")
             return [{"kind": "file", "path": os.path.join(str(base), str(pat)),
-                     "recursive": rec}]
+                     "recursive": rec, **parse}]
         path = str(pos[0]) if pos else "/dev/stdin"
-        return [{"kind": "file", "path": path}]
+        return [{"kind": "file", "path": path, **parse}]
     if n in ("system", "systemd-journal"):
         path = call.opt_scalar("dir", default="/var/log/journal")
         return [{"kind": "systemd-journal", "path": str(path)}]
@@ -551,6 +562,8 @@ def filter_predicate(df: DataFrame, node: dict) -> Column:
     if op == "cmp":
         return flt.cmp_filter(df, node["left"], node["right"], node["cmp"],
                               numeric=node["numeric"])
+    if op == "const":
+        return F.lit(bool(node["value"]))
     if op == "call":
         raise ConfError(f"unresolved filter() call {node['name']!r} — compile "
                         "through compile_conf so named filters inline")
@@ -609,7 +622,50 @@ def _compile_step_element(conf: Conf, elem: LogElement, strict: bool) -> list[di
         for sub in elem.inline:
             steps.extend(_compile_step_element(conf, sub, strict))
         return steps
+    if elem.kind == "junction":
+        channels = []
+        for chan in elem.inline:
+            csteps: list[dict] = []
+            for sub in chan:
+                if sub.kind == "destination":
+                    raise ConfError(
+                        "a destination inside a junction channel is not "
+                        "supported by the batch compiler — give that "
+                        "branch its own log path", sub.line)
+                csteps.extend(_compile_step_element(conf, sub, strict))
+            channels.append({"steps": csteps})
+        return [{"op": "junction", "channels": channels}]
     raise ConfError(f"{elem.kind} cannot appear as a pipeline step", elem.line)
+
+
+def _path_match_pred(steps: list[dict]):
+    """(leading-filter conjunction | None for match-all, exact: bool).
+    The daemon's 'matched by this path' = passed every filter; the
+    conjunction of a path's LEADING filter-expr steps (before any
+    transform) reproduces that exactly when no filter appears after a
+    transform and no junction guards exist — `exact` reports it."""
+    leading: list[dict] = []
+    seen_transform = False
+    exact = True
+    for s in steps:
+        if s["op"] == "filter-expr" and not seen_transform:
+            leading.append(s["expr"])
+        elif s["op"] == "filter-expr":
+            exact = False  # filter over transformed fields: not hoistable
+        else:
+            seen_transform = True
+            if s["op"] == "junction":
+                exact = False  # per-branch guards drop rows branch-wise
+    pred = None
+    for t in leading:
+        pred = t if pred is None else {"op": "and", "args": [pred, t]}
+    return pred, exact
+
+
+def _negate(pred) -> dict:
+    if pred is None:  # match-all path consumes everything
+        return {"op": "const", "value": False}
+    return {"op": "not", "arg": pred}
 
 
 def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
@@ -618,8 +674,25 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
     "destinations": [...], "flags": [...]}. Multiple source drivers /
     source statements union (unionByName allowMissingColumns, the
     cfg-tree multi-source join); multiple destinations each receive
-    the same frame (the daemon's fan-out)."""
+    the same frame (the daemon's fan-out).
+
+    Log-path flags compile to filter algebra (lib/cfg-tree.c routing):
+    `catchall` attaches the path to every named source in the config;
+    `final` makes later paths sharing its sources exclude the messages
+    it matched (NOT its filter conjunction prepended); `fallback`
+    restricts the path to messages NO earlier non-fallback
+    same-source path matched. The algebra hoists each involved path's
+    leading filter conjunction to the source frame, so it requires
+    filters-before-transforms on those paths (the universal config
+    idiom) — a final/fallback interaction with a filter AFTER a
+    parser/rewrite raises ConfError rather than silently approximating.
+    Paths with partially-overlapping source sets also raise: with the
+    sources unioned there is no per-row origin to scope the exclusion
+    to (split the path, or tag sources explicitly). `flow-control` is
+    recorded only — daemon back-pressure has no batch meaning."""
     pipelines = []
+    finals: list[tuple[frozenset, object]] = []       # (source key, pred)
+    non_fallback: list[tuple[frozenset, object, bool]] = []
     for idx, path in enumerate(conf.logs):
         sources: list[dict] = []
         steps: list[dict] = []
@@ -642,8 +715,72 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
                 flags.extend(elem.inline)
             else:
                 steps.extend(_compile_step_element(conf, elem, strict))
+        if "catchall" in flags:
+            sources = []
+            for name in conf.sources:
+                for d in conf.sources[name]:
+                    sources.extend(compile_source_driver(conf, d, strict))
         if not sources:
             raise ConfError(f"log path #{idx} has no source", path.line)
+
+        skey = frozenset(repr(sorted(s.items())) for s in sources)
+        pred, exact = _path_match_pred(steps)
+        exclusions: list[dict] = []
+
+        def overlap(other: frozenset) -> str:
+            """'full' only when the exclusion is SOUND: every row of
+            THIS path came from a source the earlier path consumed
+            from (skey ⊆ other). The earlier path being a strict
+            subset is 'partial' — rows from this path's extra sources
+            must not be excluded, and after the union there is no
+            per-row origin to scope by."""
+            if not (skey & other):
+                return "none"
+            return "full" if skey <= other else "partial"
+
+        for fkey, fpred in finals:
+            o = overlap(fkey)
+            if o == "partial":
+                raise ConfError(
+                    f"log path #{idx}: a final path shares only part of "
+                    "this path's sources — the exclusion cannot be scoped "
+                    "per-origin after the source union; split the path",
+                    path.line)
+            if o == "full":
+                exclusions.append(_negate(fpred))
+        if "fallback" in flags:
+            for pkey, ppred, pexact in non_fallback:
+                o = overlap(pkey)
+                if o == "partial":
+                    raise ConfError(
+                        f"fallback log path #{idx} partially overlaps an "
+                        "earlier path's sources; split the path", path.line)
+                if o == "full":
+                    if not pexact:
+                        raise ConfError(
+                            f"fallback log path #{idx} needs the match "
+                            "predicate of an earlier path whose filters "
+                            "come after transforms — reorder that path's "
+                            "filters before its parsers/rewrites",
+                            path.line)
+                    exclusions.append(_negate(ppred))
+        if exclusions:
+            ex = exclusions[0]
+            for e in exclusions[1:]:
+                ex = {"op": "and", "args": [ex, e]}
+            steps = [{"op": "filter-expr", "expr": ex}] + steps
+
+        if "final" in flags:
+            if not exact:
+                raise ConfError(
+                    f"log path #{idx} has flags(final) but its filters "
+                    "come after transforms (or inside a junction), so its "
+                    "match predicate cannot be hoisted to the source "
+                    "frame — move the filters first", path.line)
+            finals.append((skey, pred))
+        if "fallback" not in flags:
+            non_fallback.append((skey, pred, exact))
+
         source_spec = sources[0] if len(sources) == 1 else {
             "kind": "union", "sources": sources}
         pipelines.append({

@@ -44,7 +44,18 @@ _LOG_SCHEMA = (
 def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
     kind = spec["kind"]
     if kind == "file":
-        return files.text_lines(spark, spec["path"], recursive=spec.get("recursive", False))
+        df = files.text_lines(spark, spec["path"], recursive=spec.get("recursive", False))
+        # source-level parse (the daemon's file()/pipe() default; the
+        # .conf compiler sets these from flags()): syslog_parse parses
+        # each line into the canonical columns, message_from_raw is
+        # flags(no-parse) — the whole line becomes MESSAGE
+        if spec.get("syslog_parse") == "rfc5424":
+            df = parsers.syslog_parser_5424(df)
+        elif spec.get("syslog_parse"):
+            df = parsers.syslog_parser_3164(df, year=spec.get("year", 2024))
+        elif spec.get("message_from_raw"):
+            df = df.withColumn("message", F.col("raw"))
+        return df
     if kind == "union":
         # multi-driver source statements / multi-source log paths:
         # heterogeneous frames align by name, absent columns NULL
@@ -259,6 +270,22 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         return rewrite.credit_card_mask(df)
     if op == "cc-hash":
         return rewrite.credit_card_hash(df)
+    if op == "junction":
+        # junction { channel{...}; ... } / if-elif-else sugar: the frame
+        # fans out into every channel, channel outputs union back into
+        # the path (cfg-tree.c multiplexer). Batch = unionByName with
+        # allowMissingColumns — a branch that parses new columns yields
+        # NULLs on the others, like NV pairs absent on a message.
+        outs = []
+        for chan in spec["channels"]:
+            branch = df
+            for step in chan["steps"]:
+                branch = _step(branch, step)
+            outs.append(branch)
+        merged = outs[0]
+        for b in outs[1:]:
+            merged = merged.unionByName(b, allowMissingColumns=True)
+        return merged
     if op == "unsupported":
         raise NotImplementedError(
             f"step driver {spec.get('driver')!r} has no Spark analog "

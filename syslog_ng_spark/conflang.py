@@ -405,8 +405,7 @@ class Conf:
 # ---------------------------------------------------------------------------
 
 _TOP_BLOCKS = {"source", "destination", "filter", "parser", "rewrite",
-               "template", "options", "log", "block", "template-function",
-               "junction", "if"}
+               "template", "options", "log", "block", "template-function"}
 
 
 class Parser:
@@ -669,18 +668,83 @@ class Parser:
         self.expect("RB")
         self.accept("SEMI")
 
-    def _stmt_junction(self):
-        t = self.peek()
-        raise ConfError(
-            "junction { ... } (parallel fan-out) is not supported by the "
-            "batch compiler — split the junction into one log path per "
-            "branch (each branch's filters keep its semantics)", t.line)
+    def _junction_body(self, line: int) -> list:
+        """junction { channel { ... }; ... }; → list of channel element
+        lists (cfg-grammar.y KW_JUNCTION). Batch semantics: the frame
+        fans out into every channel, channel outputs union back into
+        the path — the daemon's multiplexer shape."""
+        self.expect("LB")
+        channels = []
+        while self.peek().kind != "RB":
+            if self.peek().kind == "SEMI":
+                self.next()
+                continue
+            t = self.expect("IDENT")
+            if t.value != "channel":
+                raise ConfError(
+                    f"only channel {{ ... }} may appear inside junction, "
+                    f"got {t.value!r}", t.line)
+            channels.append(self._channel_body())
+            self.accept("SEMI")
+        self.expect("RB")
+        if not channels:
+            raise ConfError("junction has no channels", line)
+        return channels
 
-    def _stmt_if(self):
-        t = self.peek()
-        raise ConfError(
-            "if/elif/else path sugar is not supported — desugar into "
-            "explicit log paths with filter expressions", t.line)
+    def _if_element(self, line: int) -> LogElement:
+        """if (expr) { elems } elif (expr) { elems } else { elems }; —
+        sugar for a junction (cfg-grammar.y log_if): each branch is a
+        channel guarded by its condition AND NOT any earlier one; a
+        missing else still contributes the pass-through complement
+        channel, exactly like the daemon's generated junction."""
+        branches = []  # (expr-or-None for else, elements)
+        negated: list = []
+
+        def guard(expr):
+            node = expr
+            for prev in negated:
+                node = {"op": "and", "args": [{"op": "not", "arg": prev}, node]} \
+                    if node is not None else None
+            if expr is None:  # else: conjunction of all negations
+                node = None
+                for prev in negated:
+                    neg = {"op": "not", "arg": prev}
+                    node = neg if node is None else {"op": "and",
+                                                     "args": [node, neg]}
+            return node
+
+        first = True
+        while True:
+            if first:
+                first = False
+            else:
+                t = self.peek()
+                if t.kind == "IDENT" and t.value == "elif":
+                    self.next()
+                elif t.kind == "IDENT" and t.value == "else":
+                    self.next()
+                    body = self._channel_body()
+                    self.accept("SEMI")
+                    branches.append((guard(None), body))
+                    break
+                else:
+                    # implicit else: non-matching messages continue
+                    branches.append((guard(None), []))
+                    break
+            self.expect("LP")
+            cond = self._filter_expr()
+            self.expect("RP")
+            body = self._channel_body()
+            self.accept("SEMI")
+            branches.append((guard(cond), body))
+            negated.append(cond)
+        channels = []
+        for cond, body in branches:
+            elems = list(body)
+            if cond is not None:
+                elems.insert(0, LogElement("filter", inline=cond, line=line))
+            channels.append(elems)
+        return LogElement("junction", inline=channels, line=line)
 
     # -- block definitions (SCL) ---------------------------------------------
     def _stmt_block(self):
@@ -749,9 +813,13 @@ class Parser:
             self.accept("SEMI")
             return LogElement("channel", inline=elems, line=t.line)
         if kind == "junction":
-            self._stmt_junction()
-        if kind in ("if", "elif", "else"):
-            self._stmt_if()
+            channels = self._junction_body(t.line)
+            self.accept("SEMI")
+            return LogElement("junction", inline=channels, line=t.line)
+        if kind == "if":
+            return self._if_element(t.line)
+        if kind in ("elif", "else"):
+            raise ConfError(f"{kind} without a preceding if", t.line)
         if kind == "flags":
             call = self._call_body(t)
             self.accept("SEMI")

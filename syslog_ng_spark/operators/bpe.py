@@ -195,12 +195,13 @@ def bpe_train(
     `driver_profile="auto"` (default) picks driver-local when
     n_merges > 32 (round-trip latency dominates) and falls back to
     the distributed loop if the profile exceeds the collect bound.
-    Character model caveat: driver-local splits words by Python code
-    point while the distributed kernel's regexp '(.)' splits by UTF-16
-    unit — identical for all BMP text (the parity test runs both on
-    the real documents corpus); supplementary-plane codepoints would
-    diverge (astral char = 1 symbol locally, 2 surrogate halves
-    distributed).
+    Character model: BOTH paths split words by Unicode code point —
+    Python iterates strings by code point, and Spark's regexp '(.)'
+    does too (java.util.regex treats a surrogate pair as one match),
+    so an astral-plane character (emoji, musical symbols) is ONE
+    symbol in both kernels. Measured, not assumed: the parity tests
+    cover supplementary-plane corpora explicitly
+    (tests/test_bpe.py::test_astral_plane_*).
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")

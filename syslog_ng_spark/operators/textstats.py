@@ -615,18 +615,42 @@ def quality_classifier_train(
     [intercept, w_0 .. w_{dim-1}], which `quality_classifier_score`
     applies as a pure-Column expression and a deployment freezes as a
     fixture (training is a one-off; scoring is the corpus-scale pass).
+
+    Count build is ONE pass over the feature array: explode →
+    groupBy(doc, bucket) → per-doc (bucket → count) map — NOT a
+    dim-wide transform re-filtering the array per bucket (the r8 shape
+    scanned the array dim times per doc: harmless at dim=64, wrong at
+    a realistic 2^16). Dense assembly then does dim lookups against
+    the doc's DISTINCT-bucket map (≤ min(features, dim) entries); for
+    dim beyond ~2^12 switch the assembly to a sparse-features path —
+    the counts computation here already has the right shape for it.
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
     feats = _hashed_ngram_feature_array(df, text_col, id_col, dim)
-    dense = feats.select(
+    counts = (
+        feats.select(F.col(id_col), F.explode_outer("feats").alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("_b").alias("_c"))  # count(col) skips the NULL of
+        # an empty-text doc while keeping its (id, NULL, 0) group
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.filter(
+                    F.collect_list(F.struct("_b", "_c")),
+                    lambda e: e["_b"].isNotNull(),
+                )
+            ).alias("_m")
+        )
+    )
+    dense = counts.select(
         F.col(id_col),
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda b: F.size(F.filter(F.col("feats"), lambda x: x == b)).cast(
-                "double"
-            ),
+            lambda b: F.coalesce(
+                F.element_at(F.col("_m"), b.cast("long")), F.lit(0)
+            ).cast("double"),
         ).alias("_counts"),
     )
     labeled = dense.join(

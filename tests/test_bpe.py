@@ -364,6 +364,66 @@ def test_segment_ids_kernels_agree_and_roundtrip(spark):
         assert decoded == t.lower().split()
 
 
+ASTRAL_CORPUS = [
+    "\U0001F600\U0001F600 low \U0001F600\U0001F601 lower",
+    "\U0001D11E\U0001D11E\U0001D11E music \U0001D11E low",
+    "mixed\U0001F600text low lower \U0001F600\U0001F600",
+    "\U0001F600\U0001F601 \U0001F600\U0001F601 newest widest",
+]
+
+
+def test_astral_plane_train_parity(spark):
+    """Supplementary-plane characters are ONE symbol in BOTH training
+    paths: Python iterates by code point and Spark's regexp '(.)'
+    matches a surrogate pair as one character — the merge lists must
+    be identical on an emoji-bearing corpus."""
+    df = _df(spark, ASTRAL_CORPUS)
+    dist = bpe_train(df, "text", n_merges=8, driver_profile=False)
+    local = bpe_train(df, "text", n_merges=8, driver_profile=True)
+    assert dist == local
+    # astral chars appear as single symbols in the learned merges
+    joined = "".join(a + b for _, a, b in dist)
+    assert "\ud83d" not in joined  # no bare surrogate halves anywhere
+
+
+def test_astral_plane_segment_kernels_agree(spark):
+    """pandas (Python code points) and expr (Java regex) segmenters
+    agree token-for-token on astral text, and the round trip restores
+    the original words."""
+    from syslog_ng_spark.operators.bpe import bpe_segment
+
+    df = _df(spark, ASTRAL_CORPUS)
+    merges = bpe_train(df, "text", n_merges=6, driver_profile=False)
+    pd_rows = {r["doc_id"]: r["bpe"]
+               for r in bpe_segment(df, "text", merges, kernel="pandas").collect()}
+    ex_rows = {r["doc_id"]: r["bpe"]
+               for r in bpe_segment(df, "text", merges, kernel="expr").collect()}
+    assert pd_rows == ex_rows
+    for i, t in enumerate(ASTRAL_CORPUS):
+        decoded = "".join(pd_rows[i]).replace(EOW, " ").split()
+        assert decoded == t.lower().split()
+
+
+def test_astral_plane_property_local_vs_spark(spark):
+    """Property check: random words mixing BMP and supplementary
+    chars — one profile pass each way, identical merge lists."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = ["a", "b", "\U0001F600", "\U0001D11E", "\U0001F680", "z"]
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(2, 6))
+        )
+        for _ in range(12)
+    ]
+    df = _df(spark, texts)
+    assert bpe_train(df, "text", 5, driver_profile=False) == bpe_train(
+        df, "text", 5, driver_profile=True
+    )
+
+
 def test_vocab_duplicate_surface_form_keeps_lowest_id(spark):
     """Two merges yielding the same token string (('ab','c') and
     ('a','bc') both produce 'abc') must not yield duplicate vocab rows:

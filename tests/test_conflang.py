@@ -122,7 +122,9 @@ def test_compile_pipeline_shapes():
     pipes = compile_conf(CONF_BASIC)
     assert len(pipes) == 1
     p = pipes[0]
-    assert p["source"] == {"kind": "file", "path": "/data/logs/app.log"}
+    # file() parses syslog at the source like the daemon (no-parse opts out)
+    assert p["source"] == {"kind": "file", "path": "/data/logs/app.log",
+                           "syslog_parse": "rfc3164"}
     assert p["steps"] == [{"op": "filter-expr",
                            "expr": {"op": "severity", "lo": "err", "hi": "emerg"}}]
     assert p["destinations"] == [{"kind": "text", "path": "/data/out.log"}]
@@ -226,11 +228,186 @@ log { source(s); filter(f_a); destination(d); };
         compile_conf(conf)
 
 
-def test_junction_and_if_fail_loudly():
-    with pytest.raises(ConfError, match="junction"):
-        parse_conf("log { junction { channel { }; }; };")
-    with pytest.raises(ConfError, match="if/elif/else"):
-        parse_conf('log { if (level(err)) { }; };')
+def test_junction_parses_to_channels():
+    conf = parse_conf("""
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log {
+    source(s);
+    junction {
+        channel { filter { level(err..emerg); }; rewrite { set-tag("bad"); }; };
+        channel { filter { level(info); }; };
+    };
+    destination(d);
+};
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    steps = cc(conf)[0]["steps"]
+    assert len(steps) == 1 and steps[0]["op"] == "junction"
+    chans = steps[0]["channels"]
+    assert len(chans) == 2
+    assert [s["op"] for s in chans[0]["steps"]] == ["filter-expr", "set-tag"]
+    assert [s["op"] for s in chans[1]["steps"]] == ["filter-expr"]
+
+
+def test_if_elif_else_desugars_to_guarded_junction():
+    conf = parse_conf("""
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log {
+    source(s);
+    if (level(emerg)) { rewrite { set-tag("page"); }; }
+    elif (level(err..crit)) { rewrite { set-tag("ticket"); }; }
+    else { rewrite { set-tag("archive"); }; };
+    destination(d);
+};
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    steps = cc(conf)[0]["steps"]
+    chans = steps[0]["channels"]
+    assert len(chans) == 3
+    # branch guards: c1 / not c1 and c2 / not c1 and not c2
+    g1 = chans[0]["steps"][0]["expr"]
+    assert g1 == {"op": "severity", "lo": "emerg", "hi": "emerg"}
+    g2 = chans[1]["steps"][0]["expr"]
+    assert g2["op"] == "and" and g2["args"][0]["op"] == "not"
+    g3 = chans[2]["steps"][0]["expr"]
+    assert g3["op"] == "and"
+    assert [s["op"] for s in chans[0]["steps"][1:]] == ["set-tag"]
+
+
+def test_if_without_else_keeps_passthrough_complement():
+    conf = parse_conf("""
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log { source(s); if (level(err)) { rewrite { set-tag("bad"); }; }; destination(d); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    chans = cc(conf)[0]["steps"][0]["channels"]
+    assert len(chans) == 2
+    # implicit else: the negated guard alone, no body
+    assert chans[1]["steps"] == [
+        {"op": "filter-expr",
+         "expr": {"op": "not", "arg": {"op": "severity", "lo": "err", "hi": "err"}}}
+    ]
+
+
+def test_junction_destination_inside_channel_raises():
+    conf = parse_conf("""
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log { source(s); junction { channel { destination(d); }; }; };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    with pytest.raises(ConfError, match="own log path"):
+        cc(conf)
+
+
+# ---------------------------------------------------------------------------
+# log-path flags: final / fallback / catchall filter algebra (cfg-tree.c)
+# ---------------------------------------------------------------------------
+
+FLAGS_PRELUDE = """
+source s_a { file("/in/a.log"); };
+source s_b { file("/in/b.log"); };
+destination d1 { file("/tmp/o1"); };
+destination d2 { file("/tmp/o2"); };
+destination d3 { file("/tmp/o3"); };
+"""
+
+
+def test_final_excludes_matches_from_later_paths():
+    conf = parse_conf(FLAGS_PRELUDE + """
+log { source(s_a); filter { level(err..emerg); }; destination(d1); flags(final); };
+log { source(s_a); destination(d2); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    p2 = cc(conf)[1]
+    assert p2["steps"][0] == {
+        "op": "filter-expr",
+        "expr": {"op": "not",
+                 "arg": {"op": "severity", "lo": "err", "hi": "emerg"}},
+    }
+
+
+def test_final_with_no_filter_consumes_everything():
+    conf = parse_conf(FLAGS_PRELUDE + """
+log { source(s_a); destination(d1); flags(final); };
+log { source(s_a); destination(d2); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    p2 = cc(conf)[1]
+    assert p2["steps"][0]["expr"] == {"op": "const", "value": False}
+
+
+def test_final_does_not_touch_disjoint_sources():
+    conf = parse_conf(FLAGS_PRELUDE + """
+log { source(s_a); filter { level(err); }; destination(d1); flags(final); };
+log { source(s_b); destination(d2); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    assert cc(conf)[1]["steps"] == []
+
+
+def test_fallback_gets_complement_of_earlier_paths():
+    conf = parse_conf(FLAGS_PRELUDE + """
+log { source(s_a); filter { facility(mail); }; destination(d1); };
+log { source(s_a); filter { facility(cron); }; destination(d2); };
+log { source(s_a); destination(d3); flags(fallback); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    p3 = cc(conf)[2]
+    ex = p3["steps"][0]["expr"]
+    assert ex["op"] == "and"
+    assert ex["args"][0] == {"op": "not", "arg": {"op": "facility", "facs": ["mail"]}}
+    assert ex["args"][1] == {"op": "not", "arg": {"op": "facility", "facs": ["cron"]}}
+
+
+def test_catchall_attaches_every_named_source():
+    conf = parse_conf(FLAGS_PRELUDE + """
+log { source(s_a); destination(d1); };
+log { destination(d2); flags(catchall); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    p2 = cc(conf)[1]
+    assert p2["source"]["kind"] == "union"
+    assert {s["path"] for s in p2["source"]["sources"]} == {
+        "/in/a.log", "/in/b.log"}
+
+
+def test_final_after_transform_raises():
+    conf = parse_conf(FLAGS_PRELUDE + """
+log { source(s_a); parser { kv-parser(); }; filter { facility(mail); };
+      destination(d1); flags(final); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    with pytest.raises(ConfError, match="hoisted"):
+        cc(conf)
+
+
+def test_final_partial_source_overlap_raises():
+    conf = parse_conf(FLAGS_PRELUDE + """
+log { source(s_a); filter { level(err); }; destination(d1); flags(final); };
+log { source(s_a); source(s_b); destination(d2); };
+""")
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    # s_a ⊂ {s_a, s_b}: full containment is scopeable... the SECOND
+    # path is a superset, which IS partial per-origin: rows from s_b
+    # must not be excluded. The compiler treats subset/superset as
+    # "full" only when the exclusion is sound — superset is not.
+    with pytest.raises(ConfError, match="split the path"):
+        cc(conf)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +486,8 @@ log { source(s_app); parser { clean-kv(); }; destination(d); };
 def test_block_source_expansion():
     conf = parse_conf(CONF_BLOCKS)
     pipes = compile_conf(conf)
-    assert pipes[0]["source"] == {"kind": "file", "path": "/data/logs/app.log"}
+    assert pipes[0]["source"] == {"kind": "file", "path": "/data/logs/app.log",
+                                  "syslog_parse": "rfc3164"}
 
 
 def test_block_parser_channel_expands_to_steps():
@@ -547,14 +725,14 @@ def test_run_conf_end_to_end(spark, tmp_path):
     src = tmp_path / "in.log"
     src.write_text("\n".join(SYSLOG_LINES) + "\n")
     outdir = tmp_path / "out"
+    # no parser block: file() parses syslog at the source, like the daemon
     text = f"""
 @version: 4.2
 source s_f {{ file("{src}"); }};
-parser p_s {{ syslog-parser(); }};
 filter f_err {{ level(err..emerg) and not facility(cron); }};
 rewrite r_mask {{ subst("secret=\\\\S+", "secret=***", value("MESSAGE")); }};
 destination d_f {{ file("{outdir}" template("$HOST $PROGRAM $MSG")); }};
-log {{ source(s_f); parser(p_s); filter(f_err); rewrite(r_mask); destination(d_f); }};
+log {{ source(s_f); filter(f_err); rewrite(r_mask); destination(d_f); }};
 """
     frames = run_conf(spark, text)
     assert len(frames) == 1
@@ -567,14 +745,60 @@ log {{ source(s_f); parser(p_s); filter(f_err); rewrite(r_mask); destination(d_f
     ]
 
 
+def test_run_conf_if_else_junction_routing(spark, tmp_path):
+    """if/elif/else end-to-end: every message takes exactly one branch
+    (guards are mutually exclusive and exhaustive), branch rewrites
+    apply only to their branch, and the union preserves totals."""
+    src = tmp_path / "in.log"
+    src.write_text("\n".join(SYSLOG_LINES) + "\n")
+    outdir = tmp_path / "out"
+    text = f"""
+source s {{ file("{src}"); }};
+destination d {{ file("{outdir}" template("$PROGRAM $TAGS")); }};
+log {{
+    source(s);
+    if (level(err..emerg)) {{ rewrite {{ set-tag("bad"); }}; }}
+    elif (facility(cron))  {{ rewrite {{ set-tag("cron"); }}; }}
+    else                   {{ rewrite {{ set-tag("rest"); }}; }};
+    destination(d);
+}};
+"""
+    frames = run_conf(spark, text)
+    out = sorted(r["value"] for r in spark.read.text(str(outdir)).collect())
+    assert out == ["cron cron", "nginx bad", "nginx rest", "postgres bad"]
+    assert frames[0].count() == 4  # union preserved every message
+
+
+def test_run_conf_final_routing_between_paths(spark, tmp_path):
+    """flags(final) across two paths sharing a source: the second path
+    sees only what the first did not consume."""
+    src = tmp_path / "in.log"
+    src.write_text("\n".join(SYSLOG_LINES) + "\n")
+    o_bad, o_rest = tmp_path / "bad", tmp_path / "rest"
+    text = f"""
+source s {{ file("{src}"); }};
+destination d_bad {{ file("{o_bad}" template("$PROGRAM")); }};
+destination d_rest {{ file("{o_rest}" template("$PROGRAM")); }};
+log {{ source(s); filter {{ message("secret" type(string)); }};
+      destination(d_bad); flags(final); }};
+log {{ source(s); destination(d_rest); }};
+"""
+    run_conf(spark, text)
+    bad = sorted(r["value"] for r in spark.read.text(str(o_bad)).collect())
+    rest = sorted(r["value"] for r in spark.read.text(str(o_rest)).collect())
+    assert bad == ["nginx", "postgres"]        # the two secret= lines
+    assert rest == ["cron", "nginx"]           # everything else, once
+
+
 def test_run_conf_multiple_destinations_fan_out(spark, tmp_path):
     src = tmp_path / "in.log"
     src.write_text("hello world\n")
     o1, o2 = tmp_path / "o1", tmp_path / "o2"
+    # flags(no-parse): the whole line is MESSAGE, like the daemon
     text = f"""
-source s {{ file("{src}"); }};
-destination d1 {{ file("{o1}" template("$raw")); }};
-destination d2 {{ file("{o2}" template("$raw")); }};
+source s {{ file("{src}" flags(no-parse)); }};
+destination d1 {{ file("{o1}" template("$MESSAGE")); }};
+destination d2 {{ file("{o2}" template("$MESSAGE")); }};
 log {{ source(s); destination(d1); destination(d2); }};
 """
     run_conf(spark, text)
