@@ -195,6 +195,13 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         port = call.opt_scalar("port")
         if port is not None:
             spec["port"] = int(port)
+        flags = call.flag_words()
+        if "no-parse" in flags:
+            spec["message_from_raw"] = True
+        elif n == "syslog" or "syslog-protocol" in flags:
+            spec["syslog_parse"] = "rfc5424"  # syslog() speaks RFC5424
+        else:
+            spec["syslog_parse"] = "rfc3164"
         return [spec]
     if strict:
         raise ConfError(f"source driver {call.name!r} has no Spark analog here "

@@ -297,11 +297,12 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
 def _destination(df: DataFrame, spec: Mapping) -> None:
     kind = spec["kind"]
     if kind == "parquet":
-        sinks.write_parquet(df, spec["path"], partition_by=spec.get("partition_by", ()))
+        sinks.write_parquet(df, spec["path"], partition_by=spec.get("partition_by", ()),
+                            mode=spec.get("mode", "overwrite"))
     elif kind == "csv":
-        sinks.write_csv(df, spec["path"])
+        sinks.write_csv(df, spec["path"], mode=spec.get("mode", "overwrite"))
     elif kind == "json":
-        sinks.write_json(df, spec["path"])
+        sinks.write_json(df, spec["path"], mode=spec.get("mode", "overwrite"))
     elif kind == "text":
         # file() destination: an optional template() renders each line
         # (the reference's file-dest default is $ISODATE $HOST $MSGHDR$MSG)
@@ -309,9 +310,11 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
             from syslog_ng_spark.template import template_format
 
             df = template_format(df, spec["template"].rstrip("\n"), target="rendered")
-            sinks.write_text(df, spec["path"], column="rendered")
+            sinks.write_text(df, spec["path"], column="rendered",
+                             mode=spec.get("mode", "overwrite"))
         else:
-            sinks.write_text(df, spec["path"], column=spec.get("column", "raw"))
+            sinks.write_text(df, spec["path"], column=spec.get("column", "raw"),
+                             mode=spec.get("mode", "overwrite"))
     elif kind == "program":
         sinks.ProgramDestination(
             command=spec["command"], template=spec.get("template", "$MESSAGE")
@@ -399,3 +402,89 @@ def run_conf(spark: SparkSession, text: str, include_dir: str | None = None,
     result frame per path (in file order)."""
     pipelines = compile_conf(parse_conf(text, include_dir), strict=strict)
     return [run_pipeline(spark, p) for p in pipelines]
+
+
+# ---------------------------------------------------------------------------
+# streaming execution of conf pipelines — the daemon mode
+# ---------------------------------------------------------------------------
+
+
+def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
+    """Streaming counterpart of _source: the same specs become
+    readStream frames, so one compiled config runs in either mode.
+    Source-level parse flags apply identically."""
+    from syslog_ng_spark.sources import streaming as stream_src
+
+    kind = spec["kind"]
+    if kind == "file":
+        # directory-watching ingestion (the replayable production path)
+        df = stream_src.file_stream(spark, spec["path"])
+    elif kind == "socket-stream":
+        if spec.get("driver", "").startswith(("udp", "unix")):
+            raise NotImplementedError(
+                f"{spec['driver']}() has no Spark streaming analog "
+                "(TCP only — the socket source)")
+        df = stream_src.socket_lines(
+            spark, spec.get("host", "localhost"), spec.get("port", 514))
+    elif kind == "union":
+        dfs = [_source_stream(spark, s) for s in spec["sources"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+    else:
+        raise NotImplementedError(
+            f"source kind {kind!r} has no streaming mode — journals and "
+            "mboxes ingest as incremental batches (see journal_cursors)")
+    if spec.get("syslog_parse") == "rfc5424":
+        df = parsers.syslog_parser_5424(df)
+    elif spec.get("syslog_parse"):
+        df = parsers.syslog_parser_3164(df, year=spec.get("year", 2024))
+    elif spec.get("message_from_raw"):
+        df = df.withColumn("message", F.col("raw"))
+    return df
+
+
+def run_conf_stream(
+    spark: SparkSession,
+    text: str,
+    checkpoint_dir: str,
+    include_dir: str | None = None,
+    strict: bool = True,
+    available_now: bool = False,
+):
+    """Run a syslog-ng config as Structured Streaming — the daemon
+    mode: network()/syslog() sources become live socket streams,
+    file() sources become checkpointed directory tails, and every
+    destination receives each micro-batch through the SAME batch
+    writer (_destination via foreachBatch), so file/network-TLS/kafka/
+    program destinations all work unchanged. One StreamingQuery per
+    log path, checkpointed under `checkpoint_dir/log#N`. Pass
+    available_now=True to drain what exists and stop (file sources;
+    backfill/testing) — sockets need the default continuous trigger.
+    Returns the list of StreamingQuery handles."""
+    pipelines = compile_conf(parse_conf(text, include_dir), strict=strict)
+    queries = []
+    for p in pipelines:
+        df = _source_stream(spark, p["source"])
+        for step in p.get("steps", ()):
+            df = _step(df, step)
+        # micro-batches APPEND to file-family destinations (the batch
+        # default overwrite would erase earlier batches' output)
+        dests = [
+            {**d, "mode": "append"}
+            if d["kind"] in ("text", "parquet", "csv", "json") else d
+            for d in p.get("destinations", ())
+        ]
+
+        def write_batch(batch_df, _id, _dests=dests):
+            for d in _dests:
+                _destination(batch_df, d)
+
+        writer = df.writeStream.foreachBatch(write_batch).option(
+            "checkpointLocation", f"{checkpoint_dir}/{p['name'].replace('#', '_')}"
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        queries.append(writer.start())
+    return queries

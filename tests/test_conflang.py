@@ -790,6 +790,75 @@ log {{ source(s); destination(d_rest); }};
     assert rest == ["cron", "nginx"]           # everything else, once
 
 
+# ---------------------------------------------------------------------------
+# streaming execution (the daemon mode): run_conf_stream
+# ---------------------------------------------------------------------------
+
+
+def test_run_conf_stream_file_source_exactly_once(spark, tmp_path):
+    """A conf with a file() source runs as a checkpointed stream:
+    draining twice over a shared checkpoint emits each line once —
+    the daemon's tail-and-remember behavior, with Spark's
+    exactly-once instead of a position file."""
+    from syslog_ng_spark.config import run_conf_stream
+
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    indir.mkdir()
+    (indir / "a.log").write_text(SYSLOG_LINES[0] + "\n" + SYSLOG_LINES[1] + "\n")
+    text = f"""
+source s {{ file("{indir}"); }};
+filter f {{ level(err..emerg); }};
+destination d {{ file("{outdir}" template("$HOST $MSG")); }};
+log {{ source(s); filter(f); destination(d); }};
+"""
+    for q in run_conf_stream(spark, text, str(ckpt), available_now=True):
+        q.awaitTermination(60)
+    out1 = sorted(r["value"] for r in spark.read.text(str(outdir)).collect())
+    assert out1 == ["web-1 GET /admin secret=hunter2 code=500"]
+    # the source grows; re-drain over the same checkpoint -> delta only
+    (indir / "b.log").write_text(SYSLOG_LINES[2] + "\n" + SYSLOG_LINES[3] + "\n")
+    for q in run_conf_stream(spark, text, str(ckpt), available_now=True):
+        q.awaitTermination(60)
+    out2 = sorted(r["value"] for r in spark.read.text(str(outdir)).collect())
+    assert out2 == [
+        "db-1 connection refused secret=tok",
+        "web-1 GET /admin secret=hunter2 code=500",
+    ]
+
+
+def test_source_stream_socket_spec_builds_parsed_stream(spark):
+    """network()/syslog() conf sources compile to live socket streams
+    with the daemon's source-level parse — the frame is streaming and
+    already carries the canonical columns (query not started: the
+    socket connects at start, not at plan time)."""
+    from syslog_ng_spark.confcompile import compile_conf as cc
+    from syslog_ng_spark.config import _source_stream
+
+    conf = parse_conf("""
+source s_net { network("0.0.0.0" port(5514)); };
+source s_sys { syslog("0.0.0.0" port(6601)); };
+destination d { file("/tmp/o"); };
+log { source(s_net); destination(d); };
+log { source(s_sys); destination(d); };
+""")
+    p1, p2 = cc(conf)
+    assert p1["source"]["syslog_parse"] == "rfc3164"
+    assert p2["source"]["syslog_parse"] == "rfc5424"  # syslog() = RFC5424
+    df = _source_stream(spark, p1["source"])
+    assert df.isStreaming
+    assert "message" in df.columns and "severity" in df.columns
+
+
+def test_source_stream_journal_and_udp_fail_loudly(spark):
+    from syslog_ng_spark.config import _source_stream
+
+    with pytest.raises(NotImplementedError, match="incremental batches"):
+        _source_stream(spark, {"kind": "systemd-journal", "path": "/x"})
+    with pytest.raises(NotImplementedError, match="TCP only"):
+        _source_stream(spark, {"kind": "socket-stream", "driver": "udp"})
+
+
 def test_run_conf_multiple_destinations_fan_out(spark, tmp_path):
     src = tmp_path / "in.log"
     src.write_text("hello world\n")
