@@ -104,8 +104,14 @@ def lz4_block_decompress(data: bytes, usize: int) -> bytes:
             start = len(out) - offset
             if start < 0:
                 raise JournalFormatError("lz4 block: offset before start")
-            for k in range(match_len):  # byte-forward: overlap replicates
-                out.append(out[start + k])
+            if offset >= match_len:  # disjoint: one slice copy
+                out += out[start: start + match_len]
+            else:
+                # overlapping byte-forward copy replicates the last
+                # `offset` bytes — equivalent to tiling that period
+                # (C-speed bytes multiply), not a per-byte loop
+                seg = bytes(out[start: start + offset])
+                out += (seg * (match_len // offset + 1))[:match_len]
     except IndexError as e:
         # truncated block: an extension byte / offset read past the end
         raise JournalFormatError("lz4 block: truncated input") from e

@@ -71,28 +71,41 @@ class _BackBits:
     the stream is written forward but read from the end; the last byte
     carries a 1-bit start marker above the padding. Reading past the
     start yields zero bits with `remaining` going negative — callers
-    check `remaining` like the reference decoders do."""
+    check `remaining` like the reference decoders do.
+
+    Reads extract a ≤(n+7)/8+1-byte window at the bit offset instead
+    of shifting one whole-stream Python int: the big-int approach made
+    every read O(stream bytes) — quadratic over a 128 KB block — while
+    the window is O(1) per read regardless of block size."""
 
     def __init__(self, data: bytes):
         if not data:
             raise ZstdError("empty backward bitstream")
         if data[-1] == 0:
             raise ZstdError("backward bitstream: missing start marker")
-        self.value = int.from_bytes(data, "little")
+        self.data = data
         # strip the marker bit: total bits below it are readable
         self.remaining = 8 * len(data) - (8 - _highbit(data[-1]))
 
     def read(self, n: int) -> int:
         self.remaining -= n
-        if self.remaining >= 0:
-            return (self.value >> self.remaining) & ((1 << n) - 1)
+        r = self.remaining
         if n == 0:
             return 0
+        data = self.data
+        if r >= 0:
+            lo = r >> 3
+            off = r & 7
+            chunk = int.from_bytes(
+                data[lo: lo + ((n + off + 7) >> 3)], "little")
+            return (chunk >> off) & ((1 << n) - 1)
         # past the start: zero-pad low bits (only reachable in the
         # final, discarded state update — see interleaved FSE loops)
-        shift = self.remaining
-        v = self.value & ((1 << max(0, shift + n)) - 1) if shift + n > 0 else 0
-        return v << (-shift) & ((1 << n) - 1) if shift + n > 0 else 0
+        avail = r + n
+        if avail <= 0:
+            return 0
+        chunk = int.from_bytes(data[: (avail + 7) >> 3], "little")
+        return (chunk & ((1 << avail) - 1)) << (-r)
 
 
 # ---------------------------------------------------------------------------
@@ -281,13 +294,23 @@ def _huf_decode_stream(table: _HufTable, data: bytes, out_len: int) -> bytearray
     stream = _BackBits(data)
     out = bytearray()
     mask = (1 << table.max_bits) - 1
-    value, remaining = stream.value, stream.remaining
+    remaining = stream.remaining
     symbols, num_bits, max_bits = table.symbols, table.num_bits, table.max_bits
     for _ in range(out_len):
-        if remaining >= max_bits:
-            idx = (value >> (remaining - max_bits)) & mask
+        # peek max_bits at the current bit offset via a byte window
+        # (same O(1) trick as _BackBits.read)
+        base = remaining - max_bits
+        if base >= 0:
+            lo = base >> 3
+            off = base & 7
+            chunk = int.from_bytes(
+                data[lo: lo + ((max_bits + off + 7) >> 3)], "little")
+            idx = (chunk >> off) & mask
+        elif remaining > 0:
+            chunk = int.from_bytes(data[: (remaining + 7) >> 3], "little")
+            idx = ((chunk & ((1 << remaining) - 1)) << (max_bits - remaining)) & mask
         else:
-            idx = (value << (max_bits - remaining)) & mask if remaining > 0 else 0
+            idx = 0
         nb = num_bits[idx]
         if nb == 0:
             raise ZstdError("Huffman stream hit an unassigned code")
@@ -539,13 +562,12 @@ def _decode_block(data: bytes, out: bytearray, lit_ctx: _LitCtx,
         lpos += ll
         if offset > len(out):
             raise ZstdError("match offset before window start")
+        start = len(out) - offset
         if offset >= ml:
-            start = len(out) - offset
             out += out[start: start + ml]
-        else:  # overlapping copy replicates byte-forward
-            start = len(out) - offset
-            for k in range(ml):
-                out.append(out[start + k])
+        else:  # overlap: byte-forward copy == tiling the period
+            seg = bytes(out[start: start + offset])
+            out += (seg * (ml // offset + 1))[:ml]
     out += literals[lpos:]
 
 

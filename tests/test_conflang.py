@@ -790,6 +790,29 @@ log {{ source(s); destination(d_rest); }};
     assert rest == ["cron", "nginx"]           # everything else, once
 
 
+def test_filter_expr_pushes_down_to_parquet_scan(spark, tmp_path):
+    """Compiled filter expressions are plain Catalyst predicates, so
+    they reach the scan: a severity filter from conf text shows up in
+    PushedFilters of a parquet source — the property that makes a
+    100 TB filter cheap."""
+    from syslog_ng_spark.config import build_pipeline
+
+    p = str(tmp_path / "logs.parquet")
+    spark.createDataFrame(
+        [(i, i % 8, f"m{i}") for i in range(100)],
+        "id long, severity int, message string",
+    ).write.parquet(p)
+    expr = fexpr("level(err..emerg) and not message('noise' type(string))")
+    df = build_pipeline(spark, {
+        "source": {"kind": "parquet", "path": p},
+        "steps": [{"op": "filter-expr", "expr": expr}],
+    })
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(severity" in plan or "severity" in plan.split(
+        "PushedFilters")[1][:200]
+
+
 # ---------------------------------------------------------------------------
 # streaming execution (the daemon mode): run_conf_stream
 # ---------------------------------------------------------------------------
