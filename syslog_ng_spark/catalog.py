@@ -7211,34 +7211,39 @@ def kafka_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_image")  # rows-only gate: PNG container decode + pixel
-# stats run in Python (Arrow-batched numpy) — not SQL-expressible; pytest
-# checks values (round-trip per filter type + a real OS-shipped PNG)
+@register("multimodal_image")  # rows-only gate: PNG/JPEG container decode +
+# pixel stats run in Python (Arrow-batched numpy) — not SQL-expressible;
+# pytest checks values (PNG round-trip per filter type, JPEG round-trip
+# PSNR, pixel parity vs Java ImageIO on real photos)
 def multimodal_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end image container pipeline (r8, sibling of
+    """End-to-end image container pipeline (r8 PNG, r9 JPEG; sibling of
     multimodal_audio): per-doc deterministic pixel arrays are encoded
-    as genuine PNGs (multimodal.make_png — every row cycles through a
-    different spec filter type) and decoded back by the stdlib zlib +
-    numpy un-filter decoder (multimodal.decode_png) feeding
-    per-channel pixel statistics. Only lossy codecs (JPEG) remain
-    stubbed."""
+    as genuine containers — PNGs cycling every spec filter type, and
+    every third row a baseline JPEG (operators/jpeg.make_jpeg) — then
+    container-sniffed and decoded back (decode_png / decode_jpeg)
+    feeding per-channel pixel statistics. Only progressive JPEG and
+    lossy audio remain stubbed."""
     import numpy as np
     import pandas as pd
 
+    from syslog_ng_spark.operators.jpeg import make_jpeg
     from syslog_ng_spark.operators.multimodal import image_pixel_stats, make_png
 
     docs = rebalance(T(spark, sf_dir, "documents")).select("doc_id")
 
-    def to_png(batches):
+    def to_img(batches):
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 rng = np.random.default_rng(int(did))
                 img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-                payloads.append(make_png(img, filter_type=int(did) % 5))
+                if did % 3 == 0:
+                    payloads.append(make_jpeg(img, quality=90))
+                else:
+                    payloads.append(make_png(img, filter_type=int(did) % 5))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(to_png, schema="media_id long, payload binary")
+    media = docs.mapInPandas(to_img, schema="media_id long, payload binary")
     return image_pixel_stats(media)
 
 

@@ -1,0 +1,577 @@
+"""Pure-Python + numpy baseline JPEG codec (ITU-T T.81).
+
+De-stubs the lossy-image era of the multimodal pipeline the same way
+r8's PNG/WAV and r9's zstd work did the lossless/compression eras:
+written from the public specification (ITU-T T.81 / JFIF), no codec
+libraries. `decode_jpeg` handles baseline sequential DCT (SOF0):
+multi-table DQT/DHT, 4:4:4 / 4:2:2 / 4:2:0 (any h,v ≤ 2) sampling
+with IJG-style triangular "fancy" chroma upsampling, restart markers,
+grayscale and YCbCr. Progressive (SOF2), arithmetic coding, and
+12-bit precision fail loudly with the swap instruction — they are
+rare in training corpora and a PIL/turbojpeg DECODERS swap covers
+them.
+
+`make_jpeg` is the matching encoder (4:4:4, Annex K standard
+quantization + Huffman tables, IJG quality scaling) so the repo's
+writer/reader cross-validation pattern holds (make_wav/decode_wav,
+make_png/decode_png). The INDEPENDENT oracle is Java ImageIO through
+`spark.read.format("image")` — tests decode the Spark-shipped photo
+JPEGs both ways and assert pixel-level agreement (small tolerance:
+ImageIO's integer IDCT vs this decoder's exact float IDCT differ by
+±1-2 per sample).
+
+Scale shape: decode runs inside mapInPandas (multimodal.DECODERS), so
+parallelism is the data's, and the hot loop is the per-symbol Huffman
+scan — numpy does the IDCT/color math in bulk.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1 luminance / chrominance quantization tables (zigzag order
+# is NOT used here; these are natural row-major order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# exact 8x8 DCT-II basis: block_dct = A @ block @ A.T; idct = A.T @ X @ A
+_A = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _A[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5)
+
+
+class JpegError(ValueError):
+    pass
+
+
+class _HuffTable:
+    """Canonical Huffman per T.81 Annex C: codes assigned in BITS
+    order. Decode via (length → {code: value}) dicts — the per-symbol
+    loop peeks one bit at a time extending the code."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.by_len: list[dict[int, int]] = [dict() for _ in range(17)]
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.by_len[ln][code] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        # encoder view: value -> (code, length)
+        self.enc: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.enc[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: MSB-first, 0xFF00 unstuffed,
+    stops at any marker (the caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(self.pos)
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.buf = 0
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        by_len = table.by_len
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            hit = by_len[ln].get(code)
+            if hit is not None:
+                return hit
+        raise JpegError("invalid Huffman code in entropy stream")
+
+
+class _MarkerHit(Exception):
+    def __init__(self, pos: int):
+        self.pos = pos
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _fancy_upsample(plane: np.ndarray, hs: int, vs: int,
+                    out_h: int, out_w: int) -> np.ndarray:
+    """IJG 'fancy' (triangular) 2x upsampling per axis: each output
+    sample is (3*nearer + farther + bias) / 4 with edge replication —
+    what libjpeg-family decoders (incl. Java ImageIO) do, so parity
+    tests can hold tight tolerances. Non-2 factors fall back to
+    nearest (only 1 and 2 occur in practice)."""
+    out = plane.astype(np.float64)
+    if hs == 2:
+        left = np.concatenate([out[:, :1], out[:, :-1]], axis=1)
+        right = np.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        up = np.empty((out.shape[0], out.shape[1] * 2))
+        up[:, 0::2] = (3 * out + left + 1) / 4
+        up[:, 1::2] = (3 * out + right + 2) / 4
+        out = up
+    elif hs != 1:
+        out = np.repeat(out, hs, axis=1)
+    if vs == 2:
+        top = np.concatenate([out[:1, :], out[:-1, :]], axis=0)
+        bot = np.concatenate([out[1:, :], out[-1:, :]], axis=0)
+        up = np.empty((out.shape[0] * 2, out.shape[1]))
+        up[0::2, :] = (3 * out + top + 1) / 4
+        up[1::2, :] = (3 * out + bot + 2) / 4
+        out = up
+    elif vs != 1:
+        out = np.repeat(out, vs, axis=0)
+    return out[:out_h, :out_w]
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one walk
+    """Baseline JPEG → uint8 array (h, w, 3) RGB (or (h, w) for
+    grayscale). Raises JpegError on corrupt streams and
+    NotImplementedError (with the DECODERS swap instruction) on
+    progressive/arithmetic/12-bit files."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None
+    i = 2
+    while i < len(data):
+        if i + 1 >= len(data):
+            raise JpegError("truncated JPEG header")
+        if data[i] != 0xFF:
+            raise JpegError(f"expected marker at {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, i + 2)
+        seg = data[i + 4: i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 15
+                p += 1
+                need = 128 if prec else 64
+                if p + need > len(seg):
+                    raise JpegError("truncated DQT segment")
+                if prec:
+                    tbl = np.frombuffer(seg[p: p + 128], dtype=">u2").astype(np.float64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p: p + 64], dtype=np.uint8).astype(np.float64)
+                    p += 64
+                q = np.zeros(64)
+                q[ZIGZAG] = tbl  # stored zigzag → natural order
+                quant[tid] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1: p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17: p + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _HuffTable(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"{seg[0]}-bit JPEG precision — swap DECODERS for a "
+                    "PIL/turbojpeg-backed decoder")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "q": seg[8 + 3 * c]})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(
+                f"{kind} JPEG is not supported by the baseline decoder — "
+                "swap DECODERS for a PIL/turbojpeg-backed decoder")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                tt = seg[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            return _decode_scan(data, i + 2 + seg_len, frame, sel, quant,
+                                huff_dc, huff_ac, restart_interval)
+        i += 2 + seg_len
+    raise JpegError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac,
+                 restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)))
+    preds = [0] * len(comps)
+    reader = _BitReader(data, pos)
+    zz = ZIGZAG
+    mcu_index = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_index and \
+                        mcu_index % restart_interval == 0:
+                    # RSTn: byte-align, swallow the marker, reset DC
+                    reader.align()
+                    p = reader.pos
+                    while True:
+                        if data[p] == 0xFF and data[p + 1] == 0x00:
+                            p += 2  # unconsumed stuffed padding byte
+                        elif data[p] == 0xFF and data[p + 1] == 0xFF:
+                            p += 1  # fill bytes before the marker
+                        else:
+                            break
+                    if not (data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+                        raise JpegError("missing restart marker")
+                    reader.pos = p + 2
+                    preds = [0] * len(comps)
+                mcu_index += 1
+                for ci, c in enumerate(comps):
+                    dc_t, ac_t = sel[c["id"]]
+                    dct = huff_dc[dc_t]
+                    act = huff_ac[ac_t]
+                    q = quant[c["q"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coefs = np.zeros(64)
+                            t = reader.decode(dct)
+                            diff = _extend(reader.bits(t), t)
+                            preds[ci] += diff
+                            coefs[0] = preds[ci]
+                            k = 0
+                            while k < 63:
+                                rs = reader.decode(act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r + 1
+                                if k > 63:
+                                    raise JpegError("AC index overflow")
+                                coefs[zz[k]] = _extend(reader.bits(s), s)
+                            block = coefs.reshape(8, 8) * q
+                            pix = _A.T @ block @ _A + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    except _MarkerHit as mh:
+        # a non-RST marker inside the scan = truncated/corrupt stream
+        nxt = data[mh.pos + 1]
+        if nxt != 0xD9:
+            raise JpegError(f"unexpected marker 0xff{nxt:02x} mid-scan") from None
+    except IndexError:
+        raise JpegError("truncated JPEG entropy stream") from None
+
+    out_planes = []
+    for ci, c in enumerate(comps):
+        hs, vs = hmax // c["h"], vmax // c["v"]
+        sub_h = -(-h // vs)
+        sub_w = -(-w // hs)
+        p = planes[ci][:sub_h, :sub_w]
+        out_planes.append(
+            _fancy_upsample(p, hs, vs, h, w) if (hs, vs) != (1, 1)
+            else p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(out_planes[0] + 0.5, 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (4:4:4 baseline, Annex K tables, IJG quality scaling)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.float64)
+
+
+def _encode_block(bw, block, q, dct, act, pred):
+    coef = _A @ (block - 128.0) @ _A.T
+    zq = np.round(coef / q).astype(np.int64).reshape(64)[ZIGZAG]
+    diff = int(zq[0]) - pred
+    t = int(abs(diff)).bit_length()
+    code, ln = dct.enc[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zq[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act.enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = act.enc[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = act.enc[0x00]
+        bw.write(code, ln)
+    return int(zq[0])
+
+
+def make_jpeg(img: np.ndarray, quality: int = 85,
+              restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline 4:4:4 JFIF JPEG with the Annex K tables.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (what camera firmware does for error resilience) — it
+    exists mostly so the decoder's restart path has a round-trip
+    test that doesn't depend on external files."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    quants = [ql] if gray else [ql, qc, qc]
+
+    def dqt(tid, q):
+        z = q.reshape(64)[ZIGZAG]  # natural order → zigzag storage
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in z)
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    nc = 1 if gray else 3
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+
+    head = b"\xff\xd8"
+    head += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    head += dqt(0, ql)
+    if not gray:
+        head += dqt(1, qc)
+    head += sof
+    dc_l = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    head += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    head += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        head += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        head += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    head += sos
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((pad_h, pad_w))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1: w]
+        padded.append(pp)
+    mcu_index = 0
+    rst = 0
+    for by in range(pad_h // 8):
+        for bx in range(pad_w // 8):
+            if restart_interval and mcu_index and \
+                    mcu_index % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * nc
+            mcu_index += 1
+            for ci in range(nc):
+                preds[ci] = _encode_block(
+                    bw,
+                    padded[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                    quants[ci],
+                    dc_l if ci == 0 else dc_c,
+                    ac_l if ci == 0 else ac_c,
+                    preds[ci],
+                )
+    bw.flush()
+    return bytes(head) + bytes(bw.out) + b"\xff\xd9"

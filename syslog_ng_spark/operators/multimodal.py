@@ -2,11 +2,14 @@
 
 Images/audio/video ride as opaque ``binary`` columns plus typed
 metadata. The Spark-side machinery — schema, Arrow batching via
-mapInPandas, partition sizing — is real and tested. LOSSLESS container
-decode is real too, stdlib-only: WAV/PCM audio (`decode_wav`, r8) and
-PNG images (`decode_png`, r8 — zlib inflate + numpy un-filtering).
-Only LOSSY codecs (JPEG, mp3/ogg) are stubbed behind `DECODERS`
-loud-fails, which a deployment replaces with PIL/ffmpeg calls.
+mapInPandas, partition sizing — is real and tested. Container decode
+is real too, no codec libraries: WAV/PCM audio (`decode_wav`, r8),
+PNG images (`decode_png`, r8 — zlib inflate + numpy un-filtering),
+and baseline JPEG (`operators/jpeg.py`, r9 — Huffman + IDCT + fancy
+chroma upsampling from the T.81 spec, pixel-parity-tested against
+Java ImageIO on real photos). Remaining stubs are progressive JPEG
+and lossy AUDIO (mp3/ogg) behind `DECODERS` loud-fails, which a
+deployment replaces with PIL/turbojpeg/ffmpeg calls.
 
 Scale notes: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` governs batch memory; mapInPandas
@@ -464,17 +467,30 @@ IMAGE_STATS_SCHEMA = (
 def image_pixel_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """Real image decode in the Arrow pipeline: PNG payloads are
-    decoded (decode_png) and per-channel mean/std computed — the
+    """Real image decode in the Arrow pipeline: PNG and baseline-JPEG
+    payloads are container-sniffed and decoded (decode_png /
+    jpeg.decode_jpeg), per-channel mean/std computed — the
     feature-extraction shape a vision-preprocessing pipeline has, with
-    an honest decoder instead of the digest stand-in."""
+    honest decoders instead of the digest stand-in."""
     import numpy as np
+
+    from syslog_ng_spark.operators.jpeg import decode_jpeg
+
+    def decode_image(payload: bytes):
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            img = decode_jpeg(payload)
+            return img[..., None] if img.ndim == 2 else img
+        raise NotImplementedError(
+            "unrecognized image container (PNG and baseline JPEG decode "
+            "natively; swap DECODERS for a PIL-backed decoder for the rest)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, cs, means, stds = [], [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_png(bytes(payload))
+                img = decode_image(bytes(payload))
                 h, w, c = img.shape
                 ids.append(mid)
                 ws.append(w)

@@ -1,0 +1,133 @@
+"""Baseline JPEG codec (operators/jpeg.py) — round trips through the
+matching encoder, pixel parity against Java ImageIO (the independent
+decoder Spark ships) on real photos, restart markers, grayscale, and
+the loud-fail surfaces (progressive, truncation, garbage)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from syslog_ng_spark.operators.jpeg import (
+    JpegError,
+    decode_jpeg,
+    make_jpeg,
+)
+
+KITTENS = sorted(glob.glob(
+    "/opt/spark-*/data/mllib/images/origin/kittens/*.jpg"))
+PROGRESSIVE = [p for p in glob.glob("/usr/share/doc/nodejs/*.jpg")
+               if os.path.exists(p)]
+
+
+def gradient(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (h + w)
+    ], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,max_err", [(70, 12), (90, 6), (95, 4)])
+def test_round_trip_rgb(quality, max_err):
+    img = gradient()
+    dec = decode_jpeg(make_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0
+    assert err.max() <= max_err
+
+
+def test_round_trip_grayscale_and_odd_dims():
+    # 41x53: exercises edge-block padding on both axes
+    yy, xx = np.mgrid[0:41, 0:53]
+    g = ((xx * 4 + yy * 3) % 256).astype(np.uint8)
+    dec = decode_jpeg(make_jpeg(g, quality=95))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).mean() < 2.0
+
+
+def test_round_trip_noise_bounded():
+    rng = np.random.default_rng(7)
+    n = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    dec = decode_jpeg(make_jpeg(n, quality=95))
+    err = np.abs(dec.astype(int) - n.astype(int))
+    assert err.mean() < 6 and err.max() < 48  # worst-case content
+
+
+def test_restart_markers_round_trip():
+    """DRI + RSTn path: interval 2 forces a restart every other MCU,
+    incl. DC predictor resets and stuffed-pad handling before markers."""
+    img = gradient(24, 80)  # 3x10 MCUs -> 14 restarts
+    enc = make_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+    plain = decode_jpeg(make_jpeg(img, quality=90))
+    restarted = decode_jpeg(enc)
+    assert np.array_equal(plain, restarted)  # same pixels either way
+
+
+@pytest.mark.skipif(not KITTENS, reason="Spark sample images not present")
+def test_pixel_parity_with_java_imageio(spark):
+    """The independent-oracle test: decode the Spark-shipped photos
+    (baseline SOF0, 4:2:0) with Java ImageIO via the image data source
+    AND with this decoder — per-sample agreement within the expected
+    integer-IDCT-vs-float envelope (mean ~1, p99 <= 4, max <= 16)."""
+    rows = (
+        spark.read.format("image")
+        .load(os.path.dirname(KITTENS[0]))
+        .select("image.*")
+        .collect()
+    )
+    checked = 0
+    for r in rows:
+        if r.nChannels != 3:
+            continue
+        theirs = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+            r.height, r.width, 3)[:, :, ::-1]  # BGR -> RGB
+        path = r.origin.replace("file:", "")
+        mine = decode_jpeg(open(path, "rb").read())
+        assert mine.shape == theirs.shape
+        d = np.abs(mine.astype(int) - theirs.astype(int))
+        assert d.mean() < 1.6, (path, d.mean())
+        assert np.percentile(d, 99) <= 4, path
+        assert d.max() <= 16, (path, d.max())
+        checked += 1
+    assert checked >= 3
+
+
+@pytest.mark.skipif(not PROGRESSIVE, reason="no progressive sample")
+def test_progressive_fails_loudly():
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(open(PROGRESSIVE[0], "rb").read())
+
+
+def test_error_surfaces():
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    good = make_jpeg(gradient(16, 16))
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:40])          # truncated in the headers
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:-30])         # truncated entropy stream
+
+
+def test_image_pixel_stats_sniffs_both_containers(spark):
+    """The pipeline entry: a media frame mixing PNG and JPEG payloads
+    decodes per container; JPEG stats match the source pixels within
+    quantization error."""
+    import pandas as pd
+
+    from syslog_ng_spark.operators.multimodal import image_pixel_stats, make_png
+
+    img = gradient(16, 16)
+    pdf = pd.DataFrame({
+        "media_id": [1, 2],
+        "payload": [make_png(img), make_jpeg(img, quality=95)],
+    })
+    df = spark.createDataFrame(pdf)
+    rows = {r["media_id"]: r for r in image_pixel_stats(df).collect()}
+    assert rows[1]["width"] == rows[2]["width"] == 16
+    for ch in range(3):
+        assert abs(rows[1]["mean"][ch] - rows[2]["mean"][ch]) < 2.0
