@@ -4915,6 +4915,89 @@ FROM d LEFT JOIN per USING (doc_id)
 """
 
 
+_SPAN_HITS_CTES = f"""
+t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+d AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, t FROM t WHERE len(t) >= 8),
+gr AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM d, unnest(range(1, n_tokens - 8 + 2)) AS u(i)),
+shared AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS dcount FROM gr GROUP BY 1)
+  WHERE dcount BETWEEN 2 AND 1000),
+hits AS (SELECT gr.doc_id, gr.pos FROM gr JOIN shared USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+  FROM isl)"""
+
+_REPEATED_SPANS_SQL = f"""
+WITH {_SPAN_HITS_CTES}
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + 8)::BIGINT AS span_end,
+       (max(pos) + 8 - min(pos))::BIGINT AS span_len
+FROM grp GROUP BY doc_id, isle
+"""
+
+_EXACTSUBSTR_TRIM_SQL = f"""
+WITH {_SPAN_HITS_CTES},
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM grp
+  GROUP BY doc_id, isle),
+covered AS (
+  SELECT doc_id, c.tok_i FROM spans, unnest(range(s, e)) AS c(tok_i)),
+tokpos AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens, i - 1 AS tok_i, t[i] AS tok
+  FROM t, unnest(range(1, len(t) + 1)) AS u(i)),
+kept AS (
+  SELECT doc_id, n_tokens, tok_i, tok FROM tokpos
+  ANTI JOIN covered USING (doc_id, tok_i)),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tok_i) AS trimmed,
+         count(*)::BIGINT AS kept
+  FROM kept GROUP BY doc_id)
+SELECT a.doc_id, a.n_tokens,
+       (a.n_tokens - coalesce(reb.kept, 0))::BIGINT AS removed_tokens,
+       coalesce(reb.trimmed, '') AS trimmed_text
+FROM (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM t) a
+LEFT JOIN reb USING (doc_id)
+"""
+
+
+@register("repeated_spans", _REPEATED_SPANS_SQL)
+def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans (dedup.repeated_spans) — the interval
+    geometry of ExactSubstr dedup (r9): duplicated 8-gram start
+    positions merge into maximal [start, end) token intervals via one
+    per-doc window pass. Oracle replays the islands with the same
+    running-max-end window in DuckDB, 0-based positions aligned."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.repeated_spans(docs, "text", "doc_id", n=8, min_docs=2,
+                                df_cap=1000)
+
+
+@register("exactsubstr_trim", _EXACTSUBSTR_TRIM_SQL)
+def exactsubstr_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (dedup.exactsubstr_trim, r9): cut every
+    maximal duplicated span out of the normalized text — Lee et al.
+    2022 drop the substring, not the document. Full value oracle
+    including the rebuilt trimmed_text strings (anti-join of token
+    positions against span coverage, order-preserving re-join)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.exactsubstr_trim(docs, "text", "doc_id", n=8, min_docs=2,
+                                  df_cap=1000)
+
+
 @register("repeated_passages", _REPEATED_PASSAGES_SQL)
 def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc repeated-passage mass (dedup.repeated_passages): the

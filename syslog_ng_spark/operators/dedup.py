@@ -688,6 +688,151 @@ def repeated_passages(
     return track_cached(out, exploded)
 
 
+def _dup_gram_hits(
+    df: DataFrame, text_col: str, id_col: str, n: int, min_docs: int,
+    df_cap: int,
+):
+    """Shared front half of the exact-substring family: (doc, pos)
+    start positions of n-grams that recur across >= min_docs docs,
+    plus the tokenized frame (doc, _t). Same normalize/md5-gram shapes
+    as repeated_passages so the oracles replay identically."""
+    base = rebalance(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    with_toks = base.select(F.col(id_col), toks.alias("_t"))
+    long_enough = with_toks.where(F.size("_t") >= n)
+    idx = F.sequence(F.lit(0), F.size("_t") - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(F.col("_t"), i + 1, n), " ")).alias("g"),
+        ),
+    )
+    exploded = long_enough.select(id_col, F.explode(grams).alias("e")).select(
+        id_col, F.col("e.pos").alias("pos"), F.col("e.g").alias("g")
+    )
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    shared = (
+        exploded.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("_d"))
+        .where((F.col("_d") >= min_docs) & (F.col("_d") <= df_cap))
+        .select("g")
+    )
+    hits = exploded.join(shared, "g").select(id_col, "pos")
+    return hits, with_toks, exploded
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """MAXIMAL duplicated spans per document — the interval geometry of
+    ExactSubstr dedup (Lee et al. 2022 remove the duplicated substring
+    itself, not the document): overlapping/adjacent duplicated n-gram
+    start positions merge into [span_start, span_end) token intervals.
+    Complement of repeated_passages, which scores the covered MASS;
+    the union of these spans is exactly that coverage (asserted as a
+    cross-operator pytest invariant).
+
+    Island detection is one window pass per doc: a new span starts
+    where a hit's position clears the running max end of everything
+    before it — O(hits log hits) in the per-doc sort, no self-join.
+    At 100 TB the window partitions by doc (no global sort), and the
+    hits input is already proportional to duplicated mass only."""
+    from pyspark.sql import Window
+
+    hits, _with_toks, exploded = _dup_gram_hits(
+        df, text_col, id_col, n, min_docs, df_cap)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    grouped = hits.select(
+        id_col, "pos", F.sum(brk).over(w).alias("_island"))
+    out = (
+        grouped.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+    return track_cached(out, exploded)
+
+
+def exactsubstr_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """The removal step of ExactSubstr dedup: cut every maximal
+    duplicated span out of the (normalized) text, keeping the
+    remainder in order. Returns (doc_id, n_tokens, removed_tokens,
+    trimmed_text); docs shorter than n tokens pass through untouched
+    (normalized), fully-duplicated docs come back empty — the
+    pipeline's drop candidates.
+
+    Plan shape: spans explode into covered positions (proportional to
+    duplicated mass), token positions anti-join them, and the text
+    rebuilds with one array_sort per doc — no window over tokens."""
+    hits, with_toks, exploded = _dup_gram_hits(
+        df, text_col, id_col, n, min_docs, df_cap)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    spans = (
+        hits.select(id_col, "pos", F.sum(brk).over(w).alias("_island"))
+        .groupBy(id_col, "_island")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + n).alias("_e"))
+    )
+    covered = spans.select(
+        id_col, F.explode(F.sequence("_s", F.col("_e") - 1)).alias("tok_i"))
+    tok_pos = with_toks.select(
+        id_col,
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.posexplode("_t").alias("tok_i", "tok"),
+    )
+    kept = tok_pos.join(covered, [id_col, "tok_i"], "left_anti")
+    rebuilt = kept.groupBy(id_col, "n_tokens").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_i", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+        F.count("tok_i").cast("long").alias("_kept"),
+    )
+    all_docs = with_toks.select(
+        id_col, F.size("_t").cast("long").alias("n_tokens"),
+        F.array_join("_t", " ").alias("_norm"))
+    out = (
+        all_docs.join(
+            rebuilt.select(id_col, "trimmed_text", "_kept"), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_kept", F.lit(0)))
+            .cast("long").alias("removed_tokens"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )
+    return track_cached(out, exploded)
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -356,6 +356,82 @@ def test_repeated_passages_overlapping_grams_merge(spark):
     assert out == {1: 10, 2: 10}
 
 
+def test_repeated_spans_maximal_intervals(spark):
+    """Spans are MAXIMAL: a shared 10-token run yields ONE [start,
+    start+10) interval per doc (overlapping 8-gram hits merged), at
+    the right 0-based offsets; two separate shared runs yield two."""
+    from syslog_ng_spark.operators.dedup import repeated_spans
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    run2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [
+            (1, f"x {run} y z w {run2}"),    # run at 1..11, run2 at 14..22
+            (2, f"p q {run} {run2} tail"),
+            (3, "unique text with no repeats at all here okay fine"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {}
+    for r in repeated_spans(df, n=8, min_docs=2).collect():
+        spans.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.span_len))
+    assert sorted(spans[1]) == [(1, 11, 10), (14, 22, 8)]
+    # doc 2's runs touch ([2,12) then [12,20)): contiguous duplicated
+    # coverage is ONE maximal interval
+    assert sorted(spans[2]) == [(2, 20, 18)]
+    assert 3 not in spans
+
+
+def test_repeated_spans_mass_equals_passages_coverage(spark):
+    """Cross-operator invariant: the union of maximal spans IS the
+    coverage repeated_passages counts — per doc, sum(span_len) ==
+    dup_tokens on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.dedup import repeated_passages, repeated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mass = {
+        r.doc_id: r.total
+        for r in repeated_spans(docs, n=8, min_docs=2)
+        .groupBy("doc_id").agg(F.sum("span_len").alias("total")).collect()
+    }
+    cov = {
+        r.doc_id: r.dup_tokens
+        for r in repeated_passages(docs, n=8, min_docs=2).collect()
+    }
+    assert any(v > 0 for v in cov.values())  # the corpus does repeat
+    for did, dup in cov.items():
+        assert mass.get(did, 0) == dup, did
+
+
+def test_exactsubstr_trim_cuts_spans_only(spark):
+    """The removal step: duplicated runs disappear, unique context
+    stays in order, unique docs and short docs pass through unchanged
+    (normalized), fully-duplicated docs come back empty."""
+    from syslog_ng_spark.operators.dedup import exactsubstr_trim
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    df = spark.createDataFrame(
+        [
+            (1, f"x {run} y"),
+            (2, f"p q {run}"),
+            (3, "unique text that nobody else repeats anywhere at all"),
+            (4, run),                 # fully duplicated -> empty
+            (5, "short doc"),         # < n tokens -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exactsubstr_trim(df, n=8, min_docs=2).collect()}
+    assert out[1].trimmed_text == "x y" and out[1].removed_tokens == 10
+    assert out[2].trimmed_text == "p q" and out[2].removed_tokens == 10
+    assert out[3].removed_tokens == 0
+    assert out[3].trimmed_text.startswith("unique text")
+    assert out[4].trimmed_text == "" and out[4].removed_tokens == 10
+    assert out[5].trimmed_text == "short doc" and out[5].removed_tokens == 0
+
+
 def test_ivf_partitioned_table_prunes_cell_directories(spark, tmp_path):
     """The materialized IVF layout must turn the probe filter into
     literal partition pruning: inputFiles() of the probed scan lists
