@@ -3,13 +3,16 @@
 De-stubs the lossy-image era of the multimodal pipeline the same way
 r8's PNG/WAV and r9's zstd work did the lossless/compression eras:
 written from the public specification (ITU-T T.81 / JFIF), no codec
-libraries. `decode_jpeg` handles baseline sequential DCT (SOF0):
-multi-table DQT/DHT, 4:4:4 / 4:2:2 / 4:2:0 (any h,v ≤ 2) sampling
-with IJG-style triangular "fancy" chroma upsampling, restart markers,
-grayscale and YCbCr. Progressive (SOF2), arithmetic coding, and
-12-bit precision fail loudly with the swap instruction — they are
-rare in training corpora and a PIL/turbojpeg DECODERS swap covers
-them.
+libraries. `decode_jpeg` handles baseline sequential DCT (SOF0/1) AND
+progressive DCT (SOF2, Annex G: interleaved/non-interleaved DC and AC
+scans, spectral selection, successive approximation with EOB runs and
+AC refinement, per-scan restart markers — coefficients accumulate per
+block, dequant+IDCT run once at EOI): multi-table DQT/DHT, 4:4:4 /
+4:2:2 / 4:2:0 (any h,v ≤ 2) sampling with IJG-style triangular
+"fancy" chroma upsampling, grayscale and YCbCr. Arithmetic coding,
+hierarchical/lossless SOFs, and 12-bit precision fail loudly with the
+swap instruction — vanishingly rare in training corpora, and a
+PIL/turbojpeg DECODERS swap covers them.
 
 `make_jpeg` is the matching encoder (4:4:4, Annex K standard
 quantization + Huffman tables, IJG quality scaling) so the repo's
@@ -287,7 +290,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one 
                 vals = list(seg[p + 17: p + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError(
                     f"{seg[0]}-bit JPEG precision — swap DECODERS for a "
@@ -300,13 +303,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one 
                 hv = seg[7 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "q": seg[8 + 3 * c]})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                coef_store = _alloc_coef_store(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
             raise NotImplementedError(
-                f"{kind} JPEG is not supported by the baseline decoder — "
-                "swap DECODERS for a PIL/turbojpeg-backed decoder")
+                f"SOF{marker - 0xC0} JPEG (hierarchical/arithmetic/lossless) "
+                "is not supported — swap DECODERS for a PIL/turbojpeg-backed "
+                "decoder")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
@@ -318,9 +324,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one 
                 cid = seg[1 + 2 * c]
                 tt = seg[2 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
-            return _decode_scan(data, i + 2 + seg_len, frame, sel, quant,
-                                huff_dc, huff_ac, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(data, i + 2 + seg_len, frame, sel, quant,
+                                    huff_dc, huff_ac, restart_interval)
+            # progressive: this scan refines the coefficient store;
+            # the marker walk continues at the position it returns
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            i = _decode_scan_progressive(
+                data, i + 2 + seg_len, frame, sel, huff_dc, huff_ac,
+                restart_interval, coef_store,
+                ss, se, ah_al >> 4, ah_al & 15)
+            continue
         i += 2 + seg_len
+    if frame is not None and frame["progressive"]:
+        return _finish_progressive(frame, coef_store, quant)
     raise JpegError("no SOS marker found")
 
 
@@ -397,6 +415,16 @@ def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac,
     except IndexError:
         raise JpegError("truncated JPEG entropy stream") from None
 
+    return _planes_to_image(frame, planes)
+
+
+def _planes_to_image(frame, planes) -> np.ndarray:
+    """Shared tail of both decode paths: crop/upsample component
+    planes to image dims, YCbCr→RGB (or grayscale passthrough)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for ci, c in enumerate(comps):
         hs, vs = hmax // c["h"], vmax // c["v"]
@@ -417,6 +445,233 @@ def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac,
         y + 1.772 * cb,
     ], axis=-1)
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (SOF2, T.81 Annex G): scans accumulate DCT
+# coefficients per block; dequant + IDCT happen once at EOI
+# ---------------------------------------------------------------------------
+
+
+def _mcu_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coef_store(frame):
+    """Per component: (blocks_y, blocks_x, 64) int32 coefficients in
+    NATURAL order, sized on the interleaved MCU grid (a superset of
+    the non-interleaved grid)."""
+    _, _, mcus_x, mcus_y = _mcu_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _comp_block_dims(frame, c):
+    """Non-interleaved scan grid: ceil(component pixel dims / 8)."""
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _next_marker(data, pos):
+    """After a completed progressive scan: skip entropy padding, fill
+    bytes, and stray RSTn; return the offset of the next real marker."""
+    p = pos
+    while True:
+        while data[p] != 0xFF or data[p + 1] == 0x00:
+            p += 1
+        while data[p + 1] == 0xFF:
+            p += 1
+        if 0xD0 <= data[p + 1] <= 0xD7:
+            p += 2
+            continue
+        return p
+
+
+def _decode_scan_progressive(data, pos, frame, sel, huff_dc, huff_ac,
+                             restart_interval, store, ss, se, ah, al):
+    """One progressive scan (T.81 G.1.2): DC scans may interleave
+    components, AC scans are single-component. Returns the offset of
+    the marker after the scan's entropy data."""
+    comps = frame["comps"]
+    reader = _BitReader(data, pos)
+    zz = ZIGZAG
+    state = {"eobrun": 0}
+    preds = {c["id"]: 0 for c in comps}
+
+    def restart_check(unit_index):
+        if restart_interval and unit_index and \
+                unit_index % restart_interval == 0:
+            reader.align()
+            p = reader.pos
+            while True:
+                if data[p] == 0xFF and data[p + 1] == 0x00:
+                    p += 2
+                elif data[p] == 0xFF and data[p + 1] == 0xFF:
+                    p += 1
+                else:
+                    break
+            if not (data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+                raise JpegError("missing restart marker in progressive scan")
+            reader.pos = p + 2
+            for k in preds:
+                preds[k] = 0
+            state["eobrun"] = 0
+
+    def dc_first(coef, dct, cid):
+        t = reader.decode(dct)
+        preds[cid] += _extend(reader.bits(t), t)
+        coef[0] = preds[cid] << al
+
+    def dc_refine(coef):
+        if reader.bit():
+            coef[0] = int(coef[0]) | (1 << al)
+
+    def ac_first(coef, act):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                return
+            k += r
+            if k > se:
+                raise JpegError("AC index overflow in progressive scan")
+            coef[zz[k]] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(coef, act):
+        # T.81 G.1.2.3 / the classic decode_mcu_AC_refine shape
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode(act)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        # NOTE not (1<<r)-1 like the first-scan case:
+                        # the tail below corrects the CURRENT block and
+                        # decrements, so the full count goes in
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.bits(r)
+                        break
+                    # r == 15: advance over 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise JpegError("invalid AC refinement size")
+                    newval = p1 if reader.bit() else m1
+                while k <= se:
+                    zi = zz[k]
+                    cur = int(coef[zi])
+                    if cur != 0:
+                        if reader.bit() and (cur & p1) == 0:
+                            coef[zi] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    coef[zz[k]] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                zi = zz[k]
+                cur = int(coef[zi])
+                if cur != 0:
+                    if reader.bit() and (cur & p1) == 0:
+                        coef[zi] = cur + (p1 if cur >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    scan_comps = [c for c in comps if c["id"] in sel]
+    try:
+        # T.81 B.2.3: a scan interleaves iff it carries >1 component
+        # (only possible for DC scans in progressive mode)
+        if ss == 0 and len(scan_comps) > 1:
+            _, _, mcus_x, mcus_y = _mcu_geometry(frame)
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    restart_check(unit)
+                    unit += 1
+                    for ci, c in enumerate(comps):
+                        if c["id"] not in sel:
+                            continue
+                        dct = huff_dc[sel[c["id"]][0]] if ah == 0 else None
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coef = store[ci][my * c["v"] + by,
+                                                 mx * c["h"] + bx]
+                                if ah == 0:
+                                    dc_first(coef, dct, c["id"])
+                                else:
+                                    dc_refine(coef)
+        else:
+            # single-component scan (all AC scans; DC scans with ns=1)
+            c = scan_comps[0]
+            ci = comps.index(c)
+            rows, cols = _comp_block_dims(frame, c)
+            dct = huff_dc.get(sel[c["id"]][0]) if ss == 0 else None
+            act = huff_ac.get(sel[c["id"]][1]) if ss > 0 else None
+            unit = 0
+            for bj in range(rows):
+                for bi in range(cols):
+                    restart_check(unit)
+                    unit += 1
+                    coef = store[ci][bj, bi]
+                    if ss == 0:
+                        if ah == 0:
+                            dc_first(coef, dct, c["id"])
+                        else:
+                            dc_refine(coef)
+                    elif ah == 0:
+                        ac_first(coef, act)
+                    else:
+                        ac_refine(coef, act)
+    except _MarkerHit as mh:
+        nxt = data[mh.pos + 1]
+        raise JpegError(
+            f"unexpected marker 0xff{nxt:02x} inside progressive scan") from None
+    except IndexError:
+        raise JpegError("truncated progressive entropy stream") from None
+    reader.align()
+    return _next_marker(data, reader.pos)
+
+
+def _finish_progressive(frame, store, quant):
+    """All scans applied: dequantize + IDCT every block (vectorized),
+    assemble planes, shared upsample/color tail."""
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        q = quant[c["q"]].reshape(64)
+        by, bx, _ = store[ci].shape
+        blocks = store[ci].astype(np.float64) * q  # natural order
+        x = blocks.reshape(by, bx, 8, 8)
+        pix = np.einsum("ki,yxkl,lj->yxij", _A, x, _A) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _planes_to_image(frame, planes)
 
 
 # ---------------------------------------------------------------------------

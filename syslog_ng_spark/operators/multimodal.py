@@ -5,11 +5,12 @@ metadata. The Spark-side machinery — schema, Arrow batching via
 mapInPandas, partition sizing — is real and tested. Container decode
 is real too, no codec libraries: WAV/PCM audio (`decode_wav`, r8),
 PNG images (`decode_png`, r8 — zlib inflate + numpy un-filtering),
-and baseline JPEG (`operators/jpeg.py`, r9 — Huffman + IDCT + fancy
-chroma upsampling from the T.81 spec, pixel-parity-tested against
-Java ImageIO on real photos). Remaining stubs are progressive JPEG
-and lossy AUDIO (mp3/ogg) behind `DECODERS` loud-fails, which a
-deployment replaces with PIL/turbojpeg/ffmpeg calls.
+and JPEG — baseline AND progressive (`operators/jpeg.py`, r9 —
+Huffman + IDCT + fancy chroma upsampling + Annex G successive
+approximation from the T.81 spec, pixel-parity-tested against Java
+ImageIO on real photos and multi-scan progressive files). The one
+remaining stub is lossy AUDIO (mp3/ogg) behind `DECODERS` loud-fails,
+which a deployment replaces with an ffmpeg/torchaudio call.
 
 Scale notes: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` governs batch memory; mapInPandas
@@ -483,8 +484,8 @@ def image_pixel_stats(
             img = decode_jpeg(payload)
             return img[..., None] if img.ndim == 2 else img
         raise NotImplementedError(
-            "unrecognized image container (PNG and baseline JPEG decode "
-            "natively; swap DECODERS for a PIL-backed decoder for the rest)")
+            "unrecognized image container (PNG and JPEG decode natively; "
+            "swap DECODERS for a PIL-backed decoder for the rest)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -308,6 +308,112 @@ log { source(s); junction { channel { destination(d); }; }; };
 
 
 # ---------------------------------------------------------------------------
+# property tests: render a random AST to conf text, parse it back
+# ---------------------------------------------------------------------------
+
+
+def _render_expr(node) -> str:
+    op = node["op"]
+    if op == "and":
+        return "(" + " and ".join(_render_expr(a) for a in node["args"]) + ")"
+    if op == "or":
+        return "(" + " or ".join(_render_expr(a) for a in node["args"]) + ")"
+    if op == "not":
+        return "(not " + _render_expr(node["arg"]) + ")"
+    if op == "severity":
+        if node["lo"] == node["hi"]:
+            return f"level({node['lo']})"
+        return f"level({node['lo']}..{node['hi']})"
+    if op == "facility":
+        return "facility(" + ", ".join(node["facs"]) + ")"
+    if op == "re":
+        pat = node["pattern"].replace("\\", "\\\\").replace('"', '\\"')
+        if "target" in node:
+            return f'{node["target"]}("{pat}" type({node["type"]}))'
+        return f'match("{pat}" value("{node["value"]}") type({node["type"]}))'
+    if op == "netmask":
+        return f'netmask("{node["cidr"]}")'
+    if op == "tags":
+        return "tags(" + " ".join(f'"{t}"' for t in node["tags"]) + ")"
+    if op == "cmp":
+        sym = node["cmp"] if node["numeric"] else {
+            "<": "lt", "<=": "le", "==": "eq", "!=": "ne",
+            ">=": "ge", ">": "gt"}[node["cmp"]]
+        return f'"{node["left"]}" {sym} "{node["right"]}"'
+    raise AssertionError(op)
+
+
+def test_property_filter_expr_render_parse_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sev = st.sampled_from(
+        ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"])
+    fac = st.sampled_from(["kern", "mail", "cron", "authpriv", "daemon"])
+    word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1,
+        max_size=8)
+
+    leaf = st.one_of(
+        st.builds(lambda a, b: {"op": "severity", "lo": a, "hi": a}
+                  if b is None else {"op": "severity", "lo": a, "hi": b},
+                  sev, st.none() | sev),
+        st.lists(fac, min_size=1, max_size=3, unique=True).map(
+            lambda f: {"op": "facility", "facs": f}),
+        st.builds(lambda p, t: {"op": "re", "pattern": p, "type": t,
+                                "target": "host"},
+                  word, st.sampled_from(["pcre", "string", "glob"])),
+        st.builds(lambda p: {"op": "re", "pattern": p, "type": "pcre",
+                             "value": "MESSAGE"}, word),
+        word.map(lambda w: {"op": "netmask", "cidr": f"10.0.0.0/8"}),
+        st.lists(word, min_size=1, max_size=3).map(
+            lambda t: {"op": "tags", "tags": t}),
+        st.builds(lambda l_, r, c, num: {"op": "cmp", "left": l_, "right": r,
+                                         "cmp": c, "numeric": num},
+                  word, word,
+                  st.sampled_from(["<", "<=", "==", "!=", ">=", ">"]),
+                  st.booleans()),
+    )
+
+    def combos(children):
+        return st.one_of(
+            st.tuples(children, children).map(
+                lambda ab: {"op": "and", "args": list(ab)}),
+            st.tuples(children, children).map(
+                lambda ab: {"op": "or", "args": list(ab)}),
+            children.map(lambda a: {"op": "not", "arg": a}),
+        )
+
+    tree = st.recursive(leaf, combos, max_leaves=8)
+
+    @settings(max_examples=120, deadline=None)
+    @given(tree)
+    def check(t):
+        text = "filter f { %s; };" % _render_expr(t)
+        conf = parse_conf(text)
+        assert conf.filters["f"] == t
+
+    check()
+
+
+def test_property_string_escape_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+        max_size=40))
+    def check(s):
+        esc = s.replace("\\", "\\\\").replace('"', '\\"')
+        toks = lex(f'set("{esc}" value("HOST"))')
+        strings = [v for k, v in toks if k == "STRING"]
+        assert strings[0] == s
+
+    check()
+
+
+# ---------------------------------------------------------------------------
 # log-path flags: final / fallback / catchall filter algebra (cfg-tree.c)
 # ---------------------------------------------------------------------------
 

@@ -97,10 +97,52 @@ def test_pixel_parity_with_java_imageio(spark):
     assert checked >= 3
 
 
+GRAYSCALE_PROG = glob.glob(
+    "/opt/spark-*/data/mllib/images/origin/multi-channel/grayscale.jpg")
+
+
 @pytest.mark.skipif(not PROGRESSIVE, reason="no progressive sample")
-def test_progressive_fails_loudly():
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(open(PROGRESSIVE[0], "rb").read())
+def test_progressive_pixel_parity_with_java_imageio(spark):
+    """Progressive (SOF2) decoding against the same independent
+    oracle: the OS-shipped multi-scan 4:4:4 files (spectral selection
+    + successive approximation + AC refinement EOB runs) agree with
+    Java ImageIO within +-2 per sample — tighter than baseline since
+    4:4:4 skips the upsampling difference entirely."""
+    import numpy as np
+
+    for path in PROGRESSIVE:
+        r = (spark.read.format("image").load(path)
+             .select("image.*").collect())[0]
+        theirs = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+            r.height, r.width, 3)[:, :, ::-1]
+        mine = decode_jpeg(open(path, "rb").read())
+        d = np.abs(mine.astype(int) - theirs.astype(int))
+        assert d.mean() < 0.5 and d.max() <= 4, (path, d.mean(), d.max())
+
+
+@pytest.mark.skipif(not GRAYSCALE_PROG, reason="no grayscale sample")
+def test_progressive_grayscale_parity(spark):
+    import numpy as np
+
+    path = GRAYSCALE_PROG[0]
+    r = (spark.read.format("image").load(path)
+         .select("image.*").collect())[0]
+    arr = np.frombuffer(bytes(r.data), dtype=np.uint8)
+    theirs = arr.reshape(r.height, r.width, r.nChannels)[..., 0]
+    mine = decode_jpeg(open(path, "rb").read())
+    assert mine.ndim == 2
+    d = np.abs(mine.astype(int) - theirs.astype(int))
+    assert d.mean() < 0.5 and d.max() <= 2
+
+
+def test_unsupported_sof_fails_loudly():
+    # hand-built SOF3 (lossless) header after SOI
+    import struct as _s
+
+    bogus = (b"\xff\xd8" + b"\xff\xc3" +
+             _s.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(bogus)
 
 
 def test_error_surfaces():
