@@ -340,6 +340,21 @@ def _value_fields(call: Call) -> list[str]:
     return out
 
 
+def _condition_of(conf: Conf, call: Call):
+    """condition(<filter expr>) on a rewrite driver
+    (rewrite_condition_opt): returns the resolved tree or None."""
+    opt = call.opt("condition")
+    if opt is None or not opt.items:
+        return None
+    return _resolve_filter_calls(opt.items[0], conf.filters)
+
+
+def _with_cond(spec: dict, cond) -> list[dict]:
+    if cond is not None:
+        spec["condition"] = cond
+    return [spec]
+
+
 def compile_rewrite_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:  # noqa: C901
     n = call.norm
     block = conf.blocks.get(("rewrite", call.name)) or conf.blocks.get(("rewrite", n))
@@ -351,18 +366,21 @@ def compile_rewrite_driver(conf: Conf, call: Call, strict: bool) -> list[dict]: 
             out.extend(compile_rewrite_driver(conf, d, strict))
         return out
     pos = call.positional()
+    cond = _condition_of(conf, call)
     if n == "set":
         fields = _value_fields(call) or ["message"]
-        return [{"op": "rewrite-set", "field": fields[0], "value": str(pos[0])}]
+        return _with_cond({"op": "rewrite-set", "field": fields[0],
+                           "value": str(pos[0])}, cond)
     if n == "subst":
         fields = _value_fields(call) or ["message"]
-        return [{"op": "rewrite-subst", "field": fields[0],
-                 "pattern": str(pos[0]), "replacement": str(pos[1])}]
+        return _with_cond({"op": "rewrite-subst", "field": fields[0],
+                           "pattern": str(pos[0]),
+                           "replacement": str(pos[1])}, cond)
     if n == "unset":
         fields = _value_fields(call)
         if not fields:
             raise ConfError("unset() needs value(...)", call.line)
-        return [{"op": "rewrite-unset", "fields": fields}]
+        return _with_cond({"op": "rewrite-unset", "fields": fields}, cond)
     if n == "groupunset":
         vals = call.opt("values")
         if vals is None:
@@ -373,13 +391,14 @@ def compile_rewrite_driver(conf: Conf, call: Call, strict: bool) -> list[dict]: 
                             "list the keys (rewrite.unset_map_keys)", call.line)
         return [{"op": "rewrite-groupunset", "map_field": "sdata", "keys": keys}]
     if n == "set-tag":
-        return [{"op": "set-tag", "tag": str(pos[0])}]
+        return _with_cond({"op": "set-tag", "tag": str(pos[0])}, cond)
     if n == "clear-tag":
-        return [{"op": "clear-tag", "tag": str(pos[0])}]
+        return _with_cond({"op": "clear-tag", "tag": str(pos[0])}, cond)
     if n == "set-severity":
-        return [{"op": "set-severity", "level": _scalar(pos[0])}]
+        return _with_cond({"op": "set-severity", "level": _scalar(pos[0])}, cond)
     if n == "set-facility":
-        return [{"op": "set-facility", "facility": _scalar(pos[0])}]
+        return _with_cond({"op": "set-facility", "facility": _scalar(pos[0])},
+                          cond)
     if n == "credit-card-mask":
         return [{"op": "cc-mask"}]
     if n == "credit-card-hash":

@@ -198,6 +198,16 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         from syslog_ng_spark.template import template_format
 
         return template_format(df, spec["template"], target=spec.get("target", "rendered"))
+    def _cond():
+        # condition(<filter expr>) on rewrite drivers: a per-row guard
+        # (rewrite_condition_opt); None when absent
+        tree = spec.get("condition")
+        if tree is None:
+            return None
+        from syslog_ng_spark.confcompile import filter_predicate
+
+        return filter_predicate(df, tree)
+
     if op == "rewrite-set":
         # set()'s value IS a template in the reference (use $$ to
         # write a literal dollar); {"literal": true} opts out for
@@ -206,18 +216,35 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         if isinstance(value, str) and "$" in value and not spec.get("literal"):
             from syslog_ng_spark.template import compile_template
 
-            return rewrite.set_field(df, spec["field"], compile_template(value, df))
-        return rewrite.set_field(df, spec["field"], F.lit(value))
+            return rewrite.set_field(df, spec["field"], compile_template(value, df),
+                                     condition=_cond())
+        return rewrite.set_field(df, spec["field"], F.lit(value), condition=_cond())
     if op == "rewrite-subst":
-        return rewrite.subst(df, spec["field"], spec["pattern"], spec["replacement"])
+        return rewrite.subst(df, spec["field"], spec["pattern"], spec["replacement"],
+                             condition=_cond())
     if op == "rewrite-unset":
-        return rewrite.unset(df, *spec["fields"])
+        cond = _cond()
+        if cond is None:
+            return rewrite.unset(df, *spec["fields"])
+        # conditional unset: per-row NULL-out (the column itself stays)
+        out = df
+        for f_ in spec["fields"]:
+            out = out.withColumn(
+                f_, F.when(cond, F.lit(None)).otherwise(F.col(f_)))
+        return out
     if op == "set-tag":
-        return rewrite.set_tag(df, spec["tag"]) if "tags" in df.columns else df.withColumn(
-            "tags", F.array(F.lit(spec["tag"]))
-        )
+        cond = _cond()
+        base = df if "tags" in df.columns else df.withColumn(
+            "tags", F.array().cast("array<string>"))
+        tagged = rewrite.set_tag(base, spec["tag"])
+        if cond is None:
+            return tagged
+        return base.withColumn(
+            "tags",
+            F.when(cond, F.array_union(F.col("tags"), F.array(F.lit(spec["tag"]))))
+            .otherwise(F.col("tags")))
     if op == "set-severity":
-        return rewrite.set_severity(df, spec["level"])
+        return rewrite.set_severity(df, spec["level"], condition=_cond())
     # ---- ops reachable from the .conf front-end (confcompile) ----
     if op == "filter-expr":
         # a full filter { } expression tree (and/or/not + predicates),
@@ -261,9 +288,15 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         }[spec["app"]]
         return fn(df)
     if op == "clear-tag":
-        return rewrite.clear_tag(df, spec["tag"])
+        cond = _cond()
+        if cond is None:
+            return rewrite.clear_tag(df, spec["tag"])
+        return df.withColumn(
+            "tags",
+            F.when(cond, F.array_remove(F.col("tags"), spec["tag"]))
+            .otherwise(F.col("tags")))
     if op == "set-facility":
-        return rewrite.set_facility(df, spec["facility"])
+        return rewrite.set_facility(df, spec["facility"], condition=_cond())
     if op == "rewrite-groupunset":
         return rewrite.unset_map_keys(df, spec.get("map_field", "sdata"), *spec["keys"])
     if op == "cc-mask":

@@ -526,6 +526,13 @@ class Parser:
 
     def _call_body(self, name_tok: Tok) -> Call:
         self.expect("LP")
+        # condition(...) carries a FILTER EXPRESSION, not option args
+        # (lib/rewrite/rewrite-expr-grammar.ym rewrite_condition_opt):
+        # parse it with the filter grammar and store the tree
+        if name_tok.value.replace("_", "-") == "condition":
+            tree = self._filter_expr()
+            self.expect("RP")
+            return Call(name_tok.value, [tree], name_tok.line)
         items = []
         while self.peek().kind != "RP":
             items.append(self._value())

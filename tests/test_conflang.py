@@ -896,6 +896,55 @@ log {{ source(s); destination(d_rest); }};
     assert rest == ["cron", "nginx"]           # everything else, once
 
 
+def test_rewrite_condition_parses_as_filter_expr():
+    """condition(...) on rewrite drivers carries a filter EXPRESSION
+    (rewrite-expr-grammar.ym rewrite_condition_opt), not option args."""
+    p = one_pipe("""
+rewrite r {
+    set("masked" value("HOST") condition(level(err..emerg) and program("nginx")));
+    set-severity("notice" condition(facility(cron)));
+};
+source s { internal(); };
+destination d { file("/tmp/o"); };
+log { source(s); rewrite(r); destination(d); };
+""")
+    s0, s1 = p["steps"]
+    assert s0["op"] == "rewrite-set"
+    assert s0["condition"]["op"] == "and"
+    assert s0["condition"]["args"][0] == {"op": "severity", "lo": "err",
+                                          "hi": "emerg"}
+    assert s1 == {"op": "set-severity", "level": "notice",
+                  "condition": {"op": "facility", "facs": ["cron"]}}
+
+
+def test_run_conf_conditional_rewrites(spark, tmp_path):
+    """Per-row rewrite guards end-to-end: only matching rows are
+    rewritten/tagged; everything else passes through untouched."""
+    src = tmp_path / "in.log"
+    src.write_text("\n".join(SYSLOG_LINES) + "\n")
+    outdir = tmp_path / "out"
+    text = f"""
+source s {{ file("{src}"); }};
+rewrite r {{
+    subst("secret=\\\\S+", "secret=###", value("MESSAGE")
+          condition(program("nginx")));
+    set-tag("alerted" condition(level(err..emerg)));
+}};
+destination d {{ file("{outdir}" template("$PROGRAM $TAGS $MSG")); }};
+log {{ source(s); rewrite(r); destination(d); }};
+"""
+    run_conf(spark, text)
+    out = sorted(r["value"] for r in spark.read.text(str(outdir)).collect())
+    # nginx secret masked; postgres secret NOT (condition on program);
+    # only the two err-level rows carry the tag
+    assert out == [
+        "cron  job ran",
+        "nginx  GET /index code=200",
+        "nginx alerted GET /admin secret=### code=500",
+        "postgres alerted connection refused secret=tok",
+    ]
+
+
 def test_filter_expr_pushes_down_to_parquet_scan(spark, tmp_path):
     """Compiled filter expressions are plain Catalyst predicates, so
     they reach the scan: a severity filter from conf text shows up in
