@@ -181,6 +181,20 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
                      "recursive": rec, **parse}]
         path = str(pos[0]) if pos else "/dev/stdin"
         return [{"kind": "file", "path": path, **parse}]
+    if n == "program":
+        # afprogram source: the daemon spawns the command and reads its
+        # stdout as a log stream; batch analog runs it once driver-side
+        # (the daemon runs it on its one host too) and parallelizes
+        # the captured lines
+        flags = call.flag_words()
+        spec = {"kind": "program-source", "command": str(pos[0])}
+        if "no-parse" in flags:
+            spec["message_from_raw"] = True
+        elif "syslog-protocol" in flags:
+            spec["syslog_parse"] = "rfc5424"
+        else:
+            spec["syslog_parse"] = "rfc3164"
+        return [spec]
     if n in ("system", "systemd-journal"):
         path = call.opt_scalar("dir", default="/var/log/journal")
         return [{"kind": "systemd-journal", "path": str(path)}]

@@ -64,6 +64,26 @@ def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+    if kind == "program-source":
+        # program() source (modules/afprog): run the command once
+        # driver-side (matching the daemon's single-host spawn), one
+        # row per stdout line; source-level parse flags as for file()
+        import subprocess
+
+        proc = subprocess.run(
+            spec["command"], shell=True, capture_output=True, text=True,
+            timeout=spec.get("timeout", 60),
+        )
+        lines = [(ln,) for ln in proc.stdout.splitlines()]
+        df = spark.createDataFrame(lines, "raw string") if lines else \
+            spark.createDataFrame([], "raw string")
+        if spec.get("syslog_parse") == "rfc5424":
+            df = parsers.syslog_parser_5424(df)
+        elif spec.get("syslog_parse"):
+            df = parsers.syslog_parser_3164(df, year=spec.get("year", 2024))
+        elif spec.get("message_from_raw"):
+            df = df.withColumn("message", F.col("raw"))
+        return df
     if kind == "internal":
         # internal(): the daemon's own diagnostics — an empty canonical
         # frame in batch (there is no daemon), kept so reference configs

@@ -896,6 +896,22 @@ log {{ source(s); destination(d_rest); }};
     assert rest == ["cron", "nginx"]           # everything else, once
 
 
+def test_run_conf_program_source(spark, tmp_path):
+    """program() source: the command's stdout becomes the log stream
+    (afprog source, batch analog: one driver-side run); source-level
+    parse applies like file()."""
+    outdir = tmp_path / "out"
+    line = SYSLOG_LINES[0].replace("'", "'\\''")
+    text = f"""
+source s {{ program("printf '%s\\\\n' '{line}'"); }};
+destination d {{ file("{outdir}" template("$HOST $PROGRAM")); }};
+log {{ source(s); destination(d); }};
+"""
+    run_conf(spark, text)
+    out = [r["value"] for r in spark.read.text(str(outdir)).collect()]
+    assert out == ["web-1 nginx"]
+
+
 def test_rewrite_condition_parses_as_filter_expr():
     """condition(...) on rewrite drivers carries a filter EXPRESSION
     (rewrite-expr-grammar.ym rewrite_condition_opt), not option args."""
