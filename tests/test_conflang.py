@@ -1044,6 +1044,57 @@ log { source(s_sys); destination(d); };
     assert "message" in df.columns and "severity" in df.columns
 
 
+def test_run_conf_stream_live_socket(spark, tmp_path):
+    """Daemon mode against a LIVE TCP feed: a network() conf source
+    streams from a socket, the path's filter and templated file
+    destination apply per micro-batch. (Spark's socket source CONNECTS
+    to the peer — the documented adaptation of the daemon's listening
+    network() — so the test runs a line server.)"""
+    import socketserver
+    import threading
+    import time
+
+    from syslog_ng_spark.config import run_conf_stream
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            for ln in SYSLOG_LINES:
+                self.request.sendall((ln + "\n").encode())
+            time.sleep(60)  # hold the stream open while the query reads
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    outdir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    text = f"""
+source s {{ network("127.0.0.1" port({port})); }};
+filter f {{ level(err..emerg) and not facility(cron); }};
+destination d {{ file("{outdir}" template("$HOST $PROGRAM")); }};
+log {{ source(s); filter(f); destination(d); }};
+"""
+    queries = run_conf_stream(spark, text, str(ckpt))
+    try:
+        want = sorted(["db-1 postgres", "web-1 nginx"])
+        deadline = time.time() + 90
+        got: list = []
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    r["value"] for r in spark.read.text(str(outdir)).collect())
+            except Exception:
+                got = []
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+    finally:
+        for q in queries:
+            q.stop()
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_source_stream_journal_and_udp_fail_loudly(spark):
     from syslog_ng_spark.config import _source_stream
 
