@@ -158,21 +158,29 @@ class Lexer:
                 continue
             if quote == '"' and c == "\\":
                 self.i += 1
+                if self.i >= self.n:
+                    self._err("unterminated string")
                 e = self.text[self.i]
                 if e == "\r" or e == "\n":  # continuation inside string
-                    self.i += 1 + (e == "\r" and self.text[self.i] == "\n")
+                    self.i += 1 + (e == "\r" and
+                                   self.i + 1 < self.n and
+                                   self.text[self.i + 1] == "\n")
                     self.line += 1
                     continue
                 if e in _STR_ESCAPES:
                     out.append(_STR_ESCAPES[e])
                 elif e == "x":
-                    h = re.match(r"[0-9a-fA-F]{1,2}", self.text[self.i + 1:]).group()
-                    out.append(chr(int(h, 16)))
-                    self.i += len(h)
+                    m = re.match(r"[0-9a-fA-F]{1,2}", self.text[self.i + 1:])
+                    if m is None:
+                        self._err(r"\x escape needs hex digits")
+                    out.append(chr(int(m.group(), 16)))
+                    self.i += len(m.group())
                 elif e == "o":
-                    o = re.match(r"[0-7]{1,3}", self.text[self.i + 1:]).group()
-                    out.append(chr(int(o, 8)))
-                    self.i += len(o)
+                    m = re.match(r"[0-7]{1,3}", self.text[self.i + 1:])
+                    if m is None:
+                        self._err(r"\o escape needs octal digits")
+                    out.append(chr(int(m.group(), 8)))
+                    self.i += len(m.group())
                 else:
                     out.append(e)  # \" \\ \$ etc: the char itself
                 self.i += 1

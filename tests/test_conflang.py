@@ -396,6 +396,37 @@ def test_property_filter_expr_render_parse_round_trip():
     check()
 
 
+def test_fuzz_malformed_input_always_raises_conf_error():
+    """Crash-freedom: whatever garbage comes in, the parser answers
+    with ConfError (line-numbered) or NotImplementedError — never a
+    bare IndexError/AttributeError. Found-by-fuzz regressions baked
+    into the token soup: trailing backslash inside an unterminated
+    string, \\x with no hex digits, lone backticks, mid-token EOF."""
+    import random
+
+    rng = random.Random(1234)
+    tokens = ['source', 'filter', 'log', '{', '}', '(', ')', ';', '"abc',
+              '"x"', 'level(err)', 'and', 'or', 'not', '..', '@version: 4',
+              '@define a', "'", '`x`', '1k', '0x', 'block', 'parser',
+              'template', '|', '[', ']', ':', '=>', '...', '#c', '\\', '\n',
+              'if', 'elif', 'else', 'junction', 'channel', 'flags(final)',
+              'condition(', '%', '\x00', '\xff', '"\\', '"\\x', '"\\o9', '`',
+              'rewrite', 'options', 'destination', '@include "x', 'a.b.']
+    for _ in range(1500):
+        text = " ".join(rng.choice(tokens)
+                        for _ in range(rng.randint(1, 14)))
+        try:
+            parse_conf(text)
+        except (ConfError, NotImplementedError):
+            pass
+    for _ in range(500):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randint(1, 50)))
+        try:
+            parse_conf(blob.decode("latin-1"))
+        except (ConfError, NotImplementedError):
+            pass
+
+
 def test_property_string_escape_round_trip():
     from hypothesis import given, settings
     from hypothesis import strategies as st
