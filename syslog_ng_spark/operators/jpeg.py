@@ -237,11 +237,22 @@ def _fancy_upsample(plane: np.ndarray, hs: int, vs: int,
     return out[:out_h, :out_w]
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one walk
-    """Baseline JPEG → uint8 array (h, w, 3) RGB (or (h, w) for
-    grayscale). Raises JpegError on corrupt streams and
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline or progressive JPEG → uint8 array (h, w, 3) RGB (or
+    (h, w) for grayscale). Raises JpegError on corrupt streams —
+    never a bare IndexError/struct.error (fuzz-enforced) — and
     NotImplementedError (with the DECODERS swap instruction) on
-    progressive/arithmetic/12-bit files."""
+    arithmetic/hierarchical/12-bit files."""
+    try:
+        return _decode_jpeg(payload)
+    # KeyError: a scan referencing an undeclared quant/Huffman table id
+    except (IndexError, struct.error, ValueError, KeyError) as e:
+        if isinstance(e, JpegError):
+            raise
+        raise JpegError(f"truncated or corrupt JPEG: {e!r}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one walk
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")

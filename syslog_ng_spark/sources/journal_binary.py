@@ -229,7 +229,21 @@ def journal_entries(data: bytes, since_seqnum: int = 0) -> Iterator[dict]:
     file order (== seqnum order for journald-written files).
     `since_seqnum` skips entries at or below it — the cursor shape for
     incremental batch ingestion of a growing journal (journald only
-    appends; record max seqnum per file, pass it next run)."""
+    appends; record max seqnum per file, pass it next run).
+
+    Truncated/corrupt files raise JournalFormatError — never a bare
+    struct.error or IndexError (fuzz-enforced in tests)."""
+    it = _journal_entries_inner(data, since_seqnum)
+    while True:
+        try:
+            yield next(it)
+        except StopIteration:
+            return
+        except (struct.error, IndexError) as e:
+            raise JournalFormatError(f"truncated or corrupt journal: {e}") from e
+
+
+def _journal_entries_inner(data: bytes, since_seqnum: int = 0) -> Iterator[dict]:
     if data[:8] != HEADER_SIGNATURE:
         raise JournalFormatError("not a systemd journal file (bad signature)")
     compat, incompat = struct.unpack_from("<II", data, 8)

@@ -573,7 +573,15 @@ def _decode_block(data: bytes, out: bytearray, lit_ctx: _LitCtx,
 
 def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     """Decode all zstd frames in `data`, concatenated (the frame
-    container semantics of `zstd -d`)."""
+    container semantics of `zstd -d`). Corrupt/truncated input raises
+    ZstdError — never a bare IndexError (fuzz-enforced)."""
+    try:
+        return _decompress_frames(data, max_output)
+    except (IndexError, struct.error) as e:
+        raise ZstdError(f"truncated or corrupt zstd stream: {e}") from e
+
+
+def _decompress_frames(data: bytes, max_output: int) -> bytes:
     out = bytearray()
     pos = 0
     n = len(data)

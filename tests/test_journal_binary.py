@@ -402,6 +402,37 @@ def test_lz4_journal_object_roundtrip():
     assert got[1]["fields"] == [field]
 
 
+def test_fuzz_corrupt_journal_always_raises_format_error(zstd_journal_path):
+    """Mutated real journals and raw random bytes raise
+    JournalFormatError/NotImplementedError, never a bare struct.error
+    or IndexError."""
+    import random
+
+    rng = random.Random(55)
+    good = zstd_journal_path.read_bytes()[:20000]
+    for trial in range(400):
+        if trial % 2:
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 10)):
+                op = rng.randrange(3)
+                if op == 0 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 300:
+                    del b[rng.randrange(len(b)):]
+                else:
+                    pos = rng.randrange(len(b) + 1)
+                    b[pos:pos] = bytes(rng.randrange(256)
+                                       for _ in range(rng.randint(1, 6)))
+            payload = bytes(b)
+        else:
+            payload = bytes(rng.randrange(256)
+                            for _ in range(rng.randint(0, 400)))
+        try:
+            list(journal_entries(payload))
+        except (JournalFormatError, NotImplementedError):
+            pass
+
+
 def test_since_seqnum_incremental(entries, journal_path):
     data = journal_path.read_bytes()
     mid = entries[len(entries) // 2]["seqnum"]

@@ -155,6 +155,37 @@ def test_error_surfaces():
         decode_jpeg(good[:-30])         # truncated entropy stream
 
 
+def test_fuzz_corrupt_jpeg_always_raises_jpeg_error():
+    """Crash-freedom: mutated real streams and raw random bytes raise
+    JpegError/NotImplementedError, never bare IndexError/KeyError/
+    struct.error (found-by-fuzz classes baked in)."""
+    import random
+
+    rng = random.Random(99)
+    good = make_jpeg(gradient(16, 16))
+    for trial in range(600):
+        if trial % 2:
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 10)):
+                op = rng.randrange(3)
+                if op == 0 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 10:
+                    del b[rng.randrange(len(b)):]
+                else:
+                    pos = rng.randrange(len(b) + 1)
+                    b[pos:pos] = bytes(rng.randrange(256)
+                                       for _ in range(rng.randint(1, 6)))
+            payload = bytes(b)
+        else:
+            payload = bytes(rng.randrange(256)
+                            for _ in range(rng.randint(0, 300)))
+        try:
+            decode_jpeg(payload)
+        except (JpegError, NotImplementedError):
+            pass
+
+
 def test_image_pixel_stats_sniffs_both_containers(spark):
     """The pipeline entry: a media frame mixing PNG and JPEG payloads
     decodes per container; JPEG stats match the source pixels within

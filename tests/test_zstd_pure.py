@@ -117,6 +117,37 @@ def test_error_surfaces():
         decompress(dframe)
 
 
+@pytest.mark.skipif(not HAVE_CLI, reason="no zstd CLI")
+def test_fuzz_corrupt_stream_always_raises_zstd_error():
+    """Mutated real frames and raw random bytes raise ZstdError, never
+    a bare IndexError."""
+    import random
+
+    rng = random.Random(77)
+    good = zc(b"the quick brown fox " * 30)
+    for trial in range(600):
+        if trial % 2:
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 10)):
+                op = rng.randrange(3)
+                if op == 0 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 8:
+                    del b[rng.randrange(len(b)):]
+                else:
+                    pos = rng.randrange(len(b) + 1)
+                    b[pos:pos] = bytes(rng.randrange(256)
+                                       for _ in range(rng.randint(1, 6)))
+            payload = bytes(b)
+        else:
+            payload = bytes(rng.randrange(256)
+                            for _ in range(rng.randint(0, 300)))
+        try:
+            decompress(payload, max_output=1 << 22)
+        except ZstdError:
+            pass
+
+
 def test_output_cap_enforced():
     rle = _frame(_block_header(1, 1, 1 << 16) + b"x")
     with pytest.raises(ZstdError, match="cap"):
