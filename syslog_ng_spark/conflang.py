@@ -32,12 +32,19 @@ in each section below):
     tags(), in-list(), filter() calls (inlined), and template
     comparisons ("$X" == "$Y" numeric, eq/ne/... string forms)
     (filter-expr-grammar.ym:88-196)
+  - junction { channel { ... }; ... } parallel fan-out + union-back
+    (cfg-grammar.y LL_JUNCTION; executed by config._step "junction")
+  - if / elif / else sugar (desugared to a guarded junction with the
+    implicit complement else-branch, like cfg-grammar.y's rewrite)
+  - log flags: final / fallback / catchall compiled as filter algebra
+    (inexact cases raise rather than approximate)
+  - application <name>[<framework>] { filter{...}; parser{...}; }
+    top-level blocks (modules/appmodel/appmodel-parser.c) — compiled
+    to detection predicates for app-parser() auto-detection
 
-NOT supported, loudly: junction { ... } (parallel fan-out inside one
-path — split into multiple log paths instead), if/elif/else sugar,
-and source/destination drivers with no Spark analog (each names
-itself in the error). These raise ConfError at parse/compile time,
-never silently drop config.
+NOT supported, loudly: source/destination drivers with no Spark
+analog (each names itself in the error). These raise ConfError at
+parse/compile time, never silently drop config.
 """
 
 from __future__ import annotations
@@ -65,8 +72,12 @@ _NONWORD = set(" \t\r\n#'\"(){}[];,|.@:`")
 
 _STR_ESCAPES = {"a": "\a", "n": "\n", "r": "\r", "t": "\t", "v": "\v"}
 
+# NOTE no separate octal alternative: the decimal branch matches the
+# full digit run and _parse_number applies strtol-style base detection
+# (0-prefix + all-octal digits → base 8, else base 10 — so `0199` is
+# 199 like flex's longest-match decimal rule, never a ValueError)
 _NUM_RE = re.compile(
-    r"(?:0x[0-9a-fA-F]+|0[0-7]+|[-+]?\d+\.\d+|[-+]?\d+(?:[mMgGkK][iI]?)?[bB]?)"
+    r"(?:0x[0-9a-fA-F]+|[-+]?\d+\.\d+|[-+]?\d+(?:[mMgGkK][iI]?)?[bB]?)"
 )
 _SUFFIX = {"k": 1000, "m": 1000**2, "g": 1000**3}
 
@@ -85,7 +96,11 @@ def _parse_number(text: str) -> int | float:
     if text.startswith("0x"):
         return int(text, 16)
     if len(text) > 1 and text[0] == "0" and text[1:].isdigit():
-        return int(text, 8)
+        if all(c in "01234567" for c in text[1:]):
+            return int(text, 8)
+        # leading zero but non-octal digits (e.g. "08"): flex's octal
+        # rule 0[0-7]+ can't match, the decimal rule wins — base 10
+        return int(text, 10)
     m = re.fullmatch(r"([-+]?\d+)([mMgGkK])?([iI])?([bB])?", text)
     num = int(m.group(1))
     if m.group(2):
@@ -277,9 +292,13 @@ class Lexer:
             return Tok("STRING", s, line, start)
 
         m = _NUM_RE.match(text, self.i)
-        if m and (m.end() >= n or text[m.end()] in _NONWORD or text[m.end()] == "."):
-            # a number only if the next char doesn't continue a word
-            # (so `0rtt-option` stays an identifier)
+        # flex longest-match across rules (cfg-lex.l): the word rule
+        # `({word}+(\.)?)*{word}+` (line 324) BEATS the number rules
+        # whenever it matches MORE characters — so `0.0.0.0`, `1.2.3`,
+        # `0rtt-option`, `1.2.3k` all lex as one word, while `1.5`,
+        # `2k`, `0x10` stay numbers (word match is not longer)
+        word_end = self._word_end()
+        if m and m.end() >= word_end:
             tok_text = m.group()
             self.i = m.end()
             if "." in tok_text and not tok_text.startswith("0x"):
@@ -287,25 +306,30 @@ class Lexer:
             return Tok("NUMBER", _parse_number(tok_text), line, start)
 
         if c not in _NONWORD:
-            # word: runs of word chars joined by single interior dots
-            # (cfg-lex.l:324 `({word}+(\.)?)*{word}+`)
-            j = self.i
-            while j < n and text[j] not in _NONWORD:
-                j += 1
-            while (
-                j < n
-                and text[j] == "."
-                and not text.startswith("..", j)
-                and j + 1 < n
-                and text[j + 1] not in _NONWORD
-            ):
-                j += 1
-                while j < n and text[j] not in _NONWORD:
-                    j += 1
-            word = text[self.i: j]
-            self.i = j
+            word = text[self.i: word_end]
+            self.i = word_end
             return Tok("IDENT", word, line, start)
         self._err(f"unexpected character {c!r}")
+
+    def _word_end(self) -> int:
+        """End offset of the word-rule match starting at self.i (0 width
+        if the current char can't start a word): runs of word chars
+        joined by single interior dots (cfg-lex.l:324)."""
+        text, n = self.text, self.n
+        j = self.i
+        while j < n and text[j] not in _NONWORD:
+            j += 1
+        while (
+            j < n
+            and text[j] == "."
+            and not text.startswith("..", j)
+            and j + 1 < n
+            and text[j + 1] not in _NONWORD
+        ):
+            j += 1
+            while j < n and text[j] not in _NONWORD:
+                j += 1
+        return j
 
 
 # ---------------------------------------------------------------------------

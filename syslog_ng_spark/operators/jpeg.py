@@ -261,6 +261,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None
+    coef_store = None
+    seen_comps: set[int] = set()
     i = 2
     while i < len(data):
         if i + 1 >= len(data):
@@ -336,8 +338,25 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one
                 tt = seg[2 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
             if not frame["progressive"]:
-                return _decode_scan(data, i + 2 + seg_len, frame, sel, quant,
-                                    huff_dc, huff_ac, restart_interval)
+                all_ids = {c["id"] for c in frame["comps"]}
+                if coef_store is None and set(sel) == all_ids:
+                    # single-scan baseline (the overwhelmingly common
+                    # case): decode + IDCT in one pass and return
+                    return _decode_scan(data, i + 2 + seg_len, frame, sel,
+                                        quant, huff_dc, huff_ac,
+                                        restart_interval)
+                # T.81-legal multi-scan sequential baseline: components
+                # split across scans. Accumulate coefficients like the
+                # progressive path; IDCT once all components have a scan.
+                if coef_store is None:
+                    coef_store = _alloc_coef_store(frame)
+                i = _decode_scan_sequential(
+                    data, i + 2 + seg_len, frame, sel, huff_dc, huff_ac,
+                    restart_interval, coef_store)
+                seen_comps.update(sel)
+                if seen_comps == all_ids:
+                    return _finish_progressive(frame, coef_store, quant)
+                continue
             # progressive: this scan refines the coefficient store;
             # the marker walk continues at the position it returns
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -350,6 +369,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:  # noqa: C901 - a decoder is one
         i += 2 + seg_len
     if frame is not None and frame["progressive"]:
         return _finish_progressive(frame, coef_store, quant)
+    if coef_store is not None:
+        missing = {c["id"] for c in frame["comps"]} - seen_comps
+        raise JpegError(
+            f"multi-scan baseline ended with no scan for component(s) "
+            f"{sorted(missing)}")
     raise JpegError("no SOS marker found")
 
 
@@ -505,6 +529,97 @@ def _next_marker(data, pos):
             p += 2
             continue
         return p
+
+
+def _decode_scan_sequential(data, pos, frame, sel, huff_dc, huff_ac,
+                            restart_interval, store):
+    """One SEQUENTIAL scan decoded into the coefficient store — the
+    multi-scan baseline case (T.81 B.2.3 allows a baseline frame's
+    components to be split across scans). Each block codes DC then
+    AC 1..63 exactly like `_decode_scan`; geometry follows the scan's
+    interleave (MCU grid when >1 component, per-component block grid
+    when single-component). Returns the offset of the marker after
+    the scan's entropy data."""
+    comps = frame["comps"]
+    reader = _BitReader(data, pos)
+    zz = ZIGZAG
+    preds = {c["id"]: 0 for c in comps}
+
+    def restart_check(unit_index):
+        if restart_interval and unit_index and \
+                unit_index % restart_interval == 0:
+            reader.align()
+            p = reader.pos
+            while True:
+                if data[p] == 0xFF and data[p + 1] == 0x00:
+                    p += 2
+                elif data[p] == 0xFF and data[p + 1] == 0xFF:
+                    p += 1
+                else:
+                    break
+            if not (data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+                raise JpegError("missing restart marker in sequential scan")
+            reader.pos = p + 2
+            for k in preds:
+                preds[k] = 0
+
+    def block_into(coef, cid, dct, act):
+        t = reader.decode(dct)
+        preds[cid] += _extend(reader.bits(t), t)
+        coef[0] = preds[cid]
+        k = 0
+        while k < 63:
+            rs = reader.decode(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r + 1
+            if k > 63:
+                raise JpegError("AC index overflow")
+            coef[zz[k]] = _extend(reader.bits(s), s)
+
+    scan_comps = [c for c in comps if c["id"] in sel]
+    try:
+        if len(scan_comps) > 1:
+            _, _, mcus_x, mcus_y = _mcu_geometry(frame)
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    restart_check(unit)
+                    unit += 1
+                    for ci, c in enumerate(comps):
+                        if c["id"] not in sel:
+                            continue
+                        dc_t, ac_t = sel[c["id"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block_into(
+                                    store[ci][my * c["v"] + by,
+                                              mx * c["h"] + bx],
+                                    c["id"], huff_dc[dc_t], huff_ac[ac_t])
+        else:
+            c = scan_comps[0]
+            ci = comps.index(c)
+            rows, cols = _comp_block_dims(frame, c)
+            dc_t, ac_t = sel[c["id"]]
+            unit = 0
+            for bj in range(rows):
+                for bi in range(cols):
+                    restart_check(unit)
+                    unit += 1
+                    block_into(store[ci][bj, bi], c["id"],
+                               huff_dc[dc_t], huff_ac[ac_t])
+    except _MarkerHit as mh:
+        nxt = data[mh.pos + 1]
+        raise JpegError(
+            f"unexpected marker 0xff{nxt:02x} inside sequential scan") from None
+    except IndexError:
+        raise JpegError("truncated sequential entropy stream") from None
+    reader.align()
+    return _next_marker(data, reader.pos)
 
 
 def _decode_scan_progressive(data, pos, frame, sel, huff_dc, huff_ac,
@@ -749,13 +864,16 @@ def _encode_block(bw, block, q, dct, act, pred):
 
 
 def make_jpeg(img: np.ndarray, quality: int = 85,
-              restart_interval: int = 0) -> bytes:
+              restart_interval: int = 0, scan_split: bool = False) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
     baseline 4:4:4 JFIF JPEG with the Annex K tables.
     `restart_interval` > 0 emits a DRI segment and RSTn markers every
     N MCUs (what camera firmware does for error resilience) — it
     exists mostly so the decoder's restart path has a round-trip
-    test that doesn't depend on external files."""
+    test that doesn't depend on external files.
+    `scan_split` emits each component in its OWN sequential scan
+    (T.81 B.2.3 multi-scan baseline) instead of one interleaved scan —
+    the decoder's multi-scan accumulation path's round-trip."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -807,10 +925,7 @@ def make_jpeg(img: np.ndarray, quality: int = 85,
         head += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     if restart_interval:
         head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    head += sos
 
-    bw = _BitWriter()
-    preds = [0] * nc
     pad_h, pad_w = -(-h // 8) * 8, -(-w // 8) * 8
     padded = []
     for p in planes:
@@ -819,6 +934,43 @@ def make_jpeg(img: np.ndarray, quality: int = 85,
         pp[h:, :w] = p[-1:, :]
         pp[:, w:] = pp[:, w - 1: w]
         padded.append(pp)
+
+    if scan_split and nc > 1:
+        # one SOS per component; DC predictor + RSTn counter reset per
+        # scan (T.81 E.2.4 — the predictor resets at the start of a scan)
+        out = bytearray(head)
+        for ci in range(nc):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+            out += b"\x00\x3f\x00"
+            bw = _BitWriter()
+            pred = 0
+            unit = 0
+            rst = 0
+            for by in range(pad_h // 8):
+                for bx in range(pad_w // 8):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        bw.flush()
+                        bw.out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) & 7
+                        pred = 0
+                    unit += 1
+                    pred = _encode_block(
+                        bw,
+                        padded[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                        quants[ci],
+                        dc_l if ci == 0 else dc_c,
+                        ac_l if ci == 0 else ac_c,
+                        pred,
+                    )
+            bw.flush()
+            out += bytes(bw.out)
+        return bytes(out) + b"\xff\xd9"
+
+    head += sos
+    bw = _BitWriter()
+    preds = [0] * nc
     mcu_index = 0
     rst = 0
     for by in range(pad_h // 8):

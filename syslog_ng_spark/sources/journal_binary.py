@@ -202,13 +202,17 @@ def _zstd_decompress(payload: bytes) -> bytes:
         if usize == 2**64 - 1:  # ZSTD_CONTENTSIZE_UNKNOWN: no FCS in
             # the frame header (journald always writes one, but be
             # robust) — decompress into a doubling buffer
-            cap = max(4 * len(payload), 1 << 16)
-            while cap <= _ZSTD_MAX_VALUE:
+            cap = min(max(4 * len(payload), 1 << 16), _ZSTD_MAX_VALUE)
+            while True:
                 buf = ctypes.create_string_buffer(cap)
                 ret = lib.ZSTD_decompress(buf, cap, payload, len(payload))
                 if not lib.ZSTD_isError(ret):
                     return buf.raw[: int(ret)]
-                cap *= 8
+                if cap >= _ZSTD_MAX_VALUE:
+                    break  # even the max documented value size failed
+                # grow ×8 but always TRY the max itself before giving
+                # up, so the fast path covers the full value range
+                cap = min(cap * 8, _ZSTD_MAX_VALUE)
         elif 0 <= usize <= _ZSTD_MAX_VALUE:
             buf = ctypes.create_string_buffer(int(usize))
             ret = lib.ZSTD_decompress(buf, int(usize), payload, len(payload))

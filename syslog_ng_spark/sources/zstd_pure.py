@@ -419,7 +419,10 @@ def _decode_sequences(data: bytes, ctx: _SeqTables) -> list[tuple[int, int, int]
     elif b0 < 255:
         nseq, off = ((b0 - 128) << 8) | data[1], 2
     else:
-        nseq, off = data[1] | (data[2] << 8) | 0x7F00, 3
+        # RFC 8878 §3.1.1.3.2.1: byte0==255 → nseq = LE16(byte1,byte2)
+        # + 0x7F00 — an ADDITION (values ≥ 32512 carry into the high
+        # bits), not a bitwise OR
+        nseq, off = (data[1] | (data[2] << 8)) + 0x7F00, 3
     modes = data[off]
     off += 1
     if modes & 0x03:

@@ -43,6 +43,56 @@ def test_lexer_number_suffixes():
     assert vals == [1000, 2000, 3000, 1000000, 2048, 16, 8, 1.5, -7]
 
 
+def test_lexer_leading_zero_non_octal_is_decimal():
+    # flex longest-match: the octal rule 0[0-7]+ can't match "08"/"09",
+    # so the decimal rule wins -> base 10; and a leading-zero token must
+    # never raise a bare ValueError (r10 ADVICE fix)
+    vals = [v for k, v in lex("08 09 0755 0199")]
+    assert vals == [8, 9, 493, 199]
+
+
+def test_lexer_longest_match_words_beat_numbers():
+    # flex picks the LONGEST match across rules (cfg-lex.l:324 word
+    # rule vs the number rules): dotted quads, version strings and
+    # dotted keys are single words, while genuine numbers stay numbers
+    assert lex("0.0.0.0 1.2.3 a.b.c.d") == [
+        ("IDENT", "0.0.0.0"), ("IDENT", "1.2.3"), ("IDENT", "a.b.c.d")]
+    assert lex("ip(0.0.0.0) port(514)") == [
+        ("IDENT", "ip"), ("LP", "("), ("IDENT", "0.0.0.0"), ("RP", ")"),
+        ("IDENT", "port"), ("LP", "("), ("NUMBER", 514), ("RP", ")")]
+    assert lex("1.5 2k 0x10 2km") == [
+        ("FLOAT", 1.5), ("NUMBER", 2000), ("NUMBER", 16), ("IDENT", "2km")]
+
+
+def test_lexer_word_number_boundary_property():
+    """Property: any token made of digit/dot/word chars either lexes
+    exactly like the flex longest-match rule pair (word wins iff its
+    match is strictly longer) and never raises on valid word chars."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word_chars = st.text(
+        alphabet="0123456789.abcxyz-_", min_size=1, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(word_chars)
+    def check(tok):
+        if tok.startswith(".") or tok.endswith(".") or ".." in tok:
+            return  # '.'-edges lex as separate punctuation/DOTDOT
+        toks = lex(f"x({tok})")
+        assert toks[0] == ("IDENT", "x")
+        inner = toks[2:-1]
+        assert len(inner) == 1, f"{tok!r} split into {inner}"
+        kind, val = inner[0]
+        if kind == "IDENT":
+            assert val == tok
+        else:
+            # numbers must reproduce the full token text semantically
+            assert kind in ("NUMBER", "FLOAT")
+
+    check()
+
+
 def test_lexer_word_class():
     # '-' and '_' are word chars; single interior dots join words;
     # '..' separates (the level-range token)
@@ -762,7 +812,7 @@ options {
 source s_sys {
     system();
     internal();
-    # udp(ip(0.0.0.0) port(514));
+    udp(ip(0.0.0.0) port(514));
 };
 
 destination d_msgs { file("/data/log/messages"); };

@@ -492,3 +492,26 @@ def test_incremental_via_declarative_config(spark, tmp_path):
     assert len(rows) == 44
     msgs = [r["message"] for r in rows if r["message"].startswith("payload-")]
     assert len(msgs) == 40  # the zstd-era appends, decoded
+
+
+@pytest.mark.skipif(shutil.which("zstd") is None, reason="no zstd CLI")
+def test_zstd_decompress_frame_without_content_size():
+    """journald always writes a frame content size, but the ctypes
+    fast path must stay robust for frames without one (`zstd
+    --no-content-size`): the doubling buffer grows ×8 and always
+    tries _ZSTD_MAX_VALUE itself before falling through (r10 fix —
+    previously values between the last tried cap and the max silently
+    dropped to the pure-Python decoder)."""
+    import subprocess
+
+    data = b"journal value without FCS " * 4000  # ~100 KiB > first cap
+    comp = subprocess.run(
+        ["zstd", "--no-content-size", "-c"],
+        input=data, capture_output=True, check=True).stdout
+    from syslog_ng_spark.sources import journal_binary as jb
+
+    # sanity: the frame really has no FCS
+    lib = jb._zstd_ctypes()
+    if lib is not None:
+        assert lib.ZSTD_getFrameContentSize(comp, len(comp)) == 2**64 - 1
+    assert jb._zstd_decompress(comp) == data

@@ -204,3 +204,33 @@ def test_image_pixel_stats_sniffs_both_containers(spark):
     assert rows[1]["width"] == rows[2]["width"] == 16
     for ch in range(3):
         assert abs(rows[1]["mean"][ch] - rows[2]["mean"][ch]) < 2.0
+
+
+def test_multiscan_baseline_round_trip():
+    """T.81-legal multi-scan sequential baseline (components split
+    across scans, B.2.3): decodes via the coefficient-store path and
+    matches the interleaved single-scan encoding of the same image
+    EXACTLY (same coefficients, same IDCT — only scan order differs)."""
+    img = gradient(48, 64)
+    single = decode_jpeg(make_jpeg(img, quality=90))
+    multi = decode_jpeg(make_jpeg(img, quality=90, scan_split=True))
+    assert multi.shape == single.shape
+    assert np.array_equal(multi, single)
+
+
+def test_multiscan_baseline_with_restarts():
+    img = gradient(40, 40)
+    single = decode_jpeg(make_jpeg(img, quality=85))
+    multi = decode_jpeg(make_jpeg(img, quality=85, scan_split=True,
+                                  restart_interval=7))
+    assert np.array_equal(multi, single)
+
+
+def test_multiscan_baseline_missing_component_fails_loudly():
+    img = gradient(24, 24)
+    data = make_jpeg(img, quality=85, scan_split=True)
+    # truncate after the second scan's entropy data: drop the last SOS
+    last_sos = data.rfind(b"\xff\xda")
+    truncated = data[:last_sos] + b"\xff\xd9"
+    with pytest.raises(JpegError, match="component"):
+        decode_jpeg(truncated)

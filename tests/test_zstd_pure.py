@@ -152,3 +152,45 @@ def test_output_cap_enforced():
     rle = _frame(_block_header(1, 1, 1 << 16) + b"x")
     with pytest.raises(ZstdError, match="cap"):
         decompress(rle, max_output=1024)
+
+
+@pytest.mark.skipif(not HAVE_CLI, reason="no zstd CLI")
+def test_longhand_sequence_count_over_32512():
+    """RFC 8878 §3.1.1.3.2.1 longhand header: byte0==255 means
+    Number_of_Sequences = LE16(byte1,byte2) + 0x7F00 — an ADDITION.
+    The pre-r10 bitwise-OR lost the carry for blocks with >=32512
+    sequences. Craft such a block: a 4096-token dictionary preamble
+    followed by random 3-byte tokens forces ~3.5-byte sequences;
+    btultra2 + minMatch=3 emits >36k sequences in the first 128 KiB
+    block. Assert the longhand path is actually exercised AND the
+    decode round-trips."""
+    import random
+
+    from syslog_ng_spark.sources import zstd_pure
+
+    rng = random.Random(11)
+    toks = [bytes([i & 0xFF, (i >> 8) & 0xFF, (i * 7) & 0xFF])
+            for i in range(4096)]
+    data = b"".join(toks) + b"".join(rng.choice(toks) for _ in range(45000))
+    comp = subprocess.run(
+        ["zstd", "-f", "--zstd=strategy=7,minMatch=3,targetLength=4096",
+         "--no-check", "-c"],
+        input=data, capture_output=True, check=True).stdout
+
+    seen = []
+    orig = zstd_pure._decode_sequences
+
+    def spy(d, ctx):
+        b0 = d[0]
+        if b0 == 255:
+            seen.append((d[1] | (d[2] << 8)) + 0x7F00)
+        return orig(d, ctx)
+
+    zstd_pure._decode_sequences = spy
+    try:
+        out = decompress(comp, max_output=1 << 24)
+    finally:
+        zstd_pure._decode_sequences = orig
+    assert out == data
+    assert seen and max(seen) > 0x7F00, \
+        "fixture no longer exercises the 255-byte longhand header"
