@@ -250,6 +250,88 @@ _APP_PARSERS = {
 }
 
 
+def _derived_app_filter(conf: Conf, app) -> str:
+    """Match predicate for an application[] block WITHOUT a filter{}.
+    Reference semantics: such an app matches iff its parser succeeds
+    (the generated channel has only the parser, and parser failure
+    drops the message from that junction branch). The general success
+    contract isn't expressible as a predicate, but the common SCL
+    shape — json-parser(marker(M)), used by cee/cim — fails exactly
+    when $MESSAGE doesn't start with the marker
+    (modules/json/json-parser.c marker check), so that prefix test IS
+    the match."""
+    if app.parser_text:
+        items = _parse_in_context(conf, "parser", app.parser_text, {})
+        if len(items) == 1 and isinstance(items[0], Call) \
+                and items[0].norm == "json-parser":
+            marker = items[0].opt_scalar("marker")
+            if marker is not None:
+                m = str(marker).replace("\\", "\\\\").replace("'", "\\'")
+                return f"message('{m}' type(string) flags(prefix))"
+    raise ConfError(
+        f"application {app.name!r} has no filter{{}} and its parser's "
+        "success can't be derived as a match predicate — add a filter{} "
+        "to the application block", app.line)
+
+
+def _compile_app_parser(conf: Conf, call: Call, strict: bool) -> list[dict] | None:
+    """app-parser(topic(T)) — the reference implements this driver as a
+    CONFIG GENERATOR (modules/appmodel/app-parser-generator.c): it
+    splices every registered application[] with a matching topic into
+    `junction { channel { filter{F}; parser{P}; rewrite { set-tag
+    ('.app.<name>'); set('<name>' value('.app.name')); }; flags(final)
+    }; ... }` and re-parses the text. This does the same, except
+    flags(final) first-match-wins is compiled into the channel guards
+    directly (guard_i = F_i and not any earlier F), which is exact for
+    side-effect-free filters. Unmatched messages are DROPPED, like the
+    reference's junction whose final frame never matches — the
+    surrounding if/else recovers them (scl/default-network-drivers).
+    Returns None when the conf registers no application[] blocks (the
+    caller then uses the built-in shipped-app detection)."""
+    if not conf.applications:
+        return None
+    topic = call.opt_scalar("topic")
+    if topic is None:
+        raise ConfError("app-parser() requires a topic() argument", call.line)
+    topic = str(topic)
+    auto = str(call.opt_scalar("auto-parse", default="yes")).lower()
+    included = call.opt_scalar("auto-parse-include")
+    excluded = call.opt_scalar("auto-parse-exclude")
+    apps = [a for (nm, fw), a in conf.applications.items() if fw == topic]
+    if included is not None:
+        # the reference matches included/excluded via strstr on the
+        # option string (app-parser-generator.c:_is_application_included)
+        apps = [a for a in apps if a.name in str(included)]
+    if excluded is not None:
+        apps = [a for a in apps if a.name not in str(excluded)]
+    if auto in ("no", "off", "false", "0") or not apps:
+        # the generator's empty frame: a never-matching filter — the
+        # whole stream fails this parser (if/else routes the other way)
+        return [{"op": "filter-expr", "expr": {"op": "const", "value": False}}]
+    parts = []
+    prior: list[str] = []
+    for a in apps:
+        ftext = (a.filter_text or _derived_app_filter(conf, a)).strip()
+        while ftext.endswith(";"):
+            ftext = ftext[:-1].rstrip()
+        guard = f"({ftext}\n)"
+        if prior:
+            guard += " and not (" + " or ".join(prior) + ")"
+        prior.append(f"({ftext}\n)")
+        body = f"    filter {{ {guard} }};\n"
+        if a.parser_text:
+            body += f"    parser {{ {a.parser_text} }};\n"
+        body += (f"    rewrite {{ set-tag('.app.{a.name}'); "
+                 f"set('{a.name}' value('.app.name')); }};\n")
+        parts.append("channel {\n" + body + "};")
+    text = "channel { junction {\n" + "\n".join(parts) + "\n}; };"
+    items = _parse_in_context(conf, "parser", text, {})
+    out: list[dict] = []
+    for it in items:
+        out.extend(compile_parser_driver(conf, it, strict))
+    return out
+
+
 def _template_column(call: Call, default: str = "message") -> str:
     tpl = call.opt_scalar("template")
     if tpl is None:
@@ -310,6 +392,12 @@ def compile_parser_driver(conf: Conf, call_or_channel, strict: bool) -> list[dic
         prefix = call.opt_scalar("prefix")
         if prefix is not None:
             spec["target"] = str(prefix).strip(".")
+        marker = call.opt_scalar("marker")
+        if marker is not None:
+            # json-parser(marker('@cee:')): only marker-prefixed input
+            # parses; the marker is stripped first (modules/json/
+            # json-parser.c marker check + skip)
+            spec["marker"] = str(marker)
         return [spec]
     if n == "date-parser":
         fmt = call.opt_scalar("format")
@@ -333,6 +421,14 @@ def compile_parser_driver(conf: Conf, call_or_channel, strict: bool) -> list[dic
     if n == "tags-parser":
         tpl = call.opt_scalar("template", default="$MESSAGE")
         return [{"op": "parse-tags", "template": str(tpl)}]
+    if n == "app-parser":
+        generated = _compile_app_parser(conf, call, strict)
+        if generated is not None:
+            return generated
+        # no application[] blocks registered in this conf: the built-in
+        # detect_app rules stand in for the reference's bundled SCL
+        # application registrations (which ship with the daemon)
+        return [{"op": "parse-app", "app": "detect"}]
     if n in _APP_PARSERS:
         return [{"op": "parse-app", "app": _APP_PARSERS[n]}]
     if strict:
@@ -554,10 +650,23 @@ def _re_column(df: DataFrame, node: dict) -> Column:
         col = compile_template(node["template"], df)
     mtype = node.get("type", "pcre")
     pat = node["pattern"]
+    flags = node.get("flags", [])
     if mtype == "string":
-        return col.contains(pat)
+        # LogMatcherString (lib/logmatcher.c:88-116): EXACT match by
+        # default; flags(prefix) / flags(substring) relax it;
+        # flags(ignore-case) lowers both sides
+        if "ignore-case" in flags:
+            col = F.lower(col)
+            pat = pat.lower()
+        if "substring" in flags:
+            return col.contains(pat)
+        if "prefix" in flags:
+            return col.startswith(pat)
+        return col == pat
     if mtype == "glob":
         return col.like(_glob_to_like(pat))
+    if "ignore-case" in flags:
+        return col.rlike("(?i)" + pat)
     return col.rlike(pat)  # pcre / posix
 
 

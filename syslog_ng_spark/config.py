@@ -142,7 +142,19 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
             return parsers.kv_parser_quoted(df, spec["column"], target=spec.get("target", "kv"))
         return parsers.kv_parser(df, spec["column"], target=spec.get("target", "kv"))
     if op == "parse-json":
-        return parsers.json_parser(df, spec["column"], target=spec.get("target", "sdata"))
+        col = spec["column"]
+        if "marker" in spec:
+            # marker check + skip (modules/json/json-parser.c): rows
+            # without the marker get a NULL payload → null map
+            marker = spec["marker"]
+            tmp = "_json_payload"
+            df = df.withColumn(
+                tmp,
+                F.when(F.col(col).startswith(marker),
+                       F.expr(f"substring({col}, {len(marker) + 1})")))
+            return parsers.json_parser(
+                df, tmp, target=spec.get("target", "sdata")).drop(tmp)
+        return parsers.json_parser(df, col, target=spec.get("target", "sdata"))
     if op == "parse-date":
         return parsers.date_parser(df, spec["column"], spec["format"], target=spec.get("target", "ts"))
     if op == "classify":
@@ -236,9 +248,26 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         if isinstance(value, str) and "$" in value and not spec.get("literal"):
             from syslog_ng_spark.template import compile_template
 
-            return rewrite.set_field(df, spec["field"], compile_template(value, df),
-                                     condition=_cond())
-        return rewrite.set_field(df, spec["field"], F.lit(value), condition=_cond())
+            value_col = compile_template(value, df)
+        else:
+            value_col = F.lit(value)
+        field = spec["field"]
+        if "." in field and field not in df.columns:
+            # dotted NV name (".app.name"): NV pairs live in the sdata
+            # map in this datamodel (SURVEY §1), not as literal dotted
+            # columns — so templates/filters resolve it like any NV
+            base = df if "sdata" in df.columns else df.withColumn(
+                "sdata", F.create_map().cast("map<string,string>"))
+            cond = _cond()
+            current = F.coalesce(
+                F.col("sdata"), F.create_map().cast("map<string,string>"))
+            updated = F.map_concat(
+                F.map_filter(current, lambda k, _: k != F.lit(field)),
+                F.create_map(F.lit(field), value_col.cast("string")))
+            if cond is not None:
+                updated = F.when(cond, updated).otherwise(F.col("sdata"))
+            return base.withColumn("sdata", updated)
+        return rewrite.set_field(df, field, value_col, condition=_cond())
     if op == "rewrite-subst":
         return rewrite.subst(df, spec["field"], spec["pattern"], spec["replacement"],
                              condition=_cond())

@@ -414,6 +414,22 @@ class LogPath:
 
 
 @dataclass
+class AppDef:
+    """application <name>[<framework>] { filter{...}; parser{...}; }
+    (modules/appmodel/appmodel-grammar.ym application_definition).
+    Filter and parser bodies are RAW config text, exactly like the
+    reference's Application struct (appmodel.h: filter_expr /
+    parser_expr hold LL_BLOCK strings) — app-parser() splices them
+    into generated config and re-parses in context."""
+
+    name: str
+    framework: str  # the grammar's '[string]' — app-parser topic()
+    filter_text: str | None
+    parser_text: str | None
+    line: int
+
+
+@dataclass
 class Conf:
     version: str | None = None
     requires: list[str] = field(default_factory=list)
@@ -429,6 +445,7 @@ class Conf:
     templates: dict = field(default_factory=dict)      # name -> str
     template_functions: dict = field(default_factory=dict)
     blocks: dict = field(default_factory=dict)         # (ctx, name) -> BlockDef
+    applications: dict = field(default_factory=dict)   # (name, framework) -> AppDef
     logs: list = field(default_factory=list)           # [LogPath]
 
 
@@ -437,7 +454,8 @@ class Conf:
 # ---------------------------------------------------------------------------
 
 _TOP_BLOCKS = {"source", "destination", "filter", "parser", "rewrite",
-               "template", "options", "log", "block", "template-function"}
+               "template", "options", "log", "block", "template-function",
+               "application"}
 
 
 class Parser:
@@ -843,6 +861,58 @@ class Parser:
         self.accept("SEMI")
         self.conf.blocks[(ctx, name)] = BlockDef(ctx, name, params, varargs, body, lb.line)
 
+    def _raw_braced_body(self) -> str:
+        """Expect LB, scan to the matching RB, return the raw source
+        text between them (the LL_BLOCK capture the reference's
+        cfg_lexer_push_context(LL_CONTEXT_BLOCK_CONTENT) does)."""
+        lb = self.expect("LB")
+        depth, j = 1, self.k
+        while depth:
+            tk = self.toks[j]
+            if tk.kind == "LB":
+                depth += 1
+            elif tk.kind == "RB":
+                depth -= 1
+            elif tk.kind == "EOF":
+                raise ConfError("unterminated block body", lb.line)
+            j += 1
+        body = self.text[self.toks[self.k].pos: self.toks[j - 1].pos]
+        self.k = j
+        return body
+
+    def _stmt_application(self):
+        """application <name>[<framework>] { filter{RAW}; parser{RAW}; }
+        (modules/appmodel/appmodel-grammar.ym:66-102 — name and
+        framework are string tokens, the option bodies are LL_BLOCK raw
+        text re-parsed when app-parser() splices them)."""
+        t = self.next()  # 'application'
+        name = self._name()
+        self.expect("LBRK")
+        framework = self._name()
+        self.expect("RBRK")
+        self.expect("LB")
+        filter_text = None
+        parser_text = None
+        while self.peek().kind != "RB":
+            if self.peek().kind == "SEMI":
+                self.next()
+                continue
+            kt = self.expect("IDENT")
+            kw = kt.value.replace("_", "-")
+            if kw == "filter":
+                filter_text = self._raw_braced_body()
+            elif kw == "parser":
+                parser_text = self._raw_braced_body()
+            else:
+                raise ConfError(
+                    f"application block supports filter/parser options, "
+                    f"got {kt.value!r}", kt.line)
+            self.accept("SEMI")
+        self.expect("RB")
+        self.accept("SEMI")
+        self.conf.applications[(name, framework)] = AppDef(
+            name, framework, filter_text, parser_text, t.line)
+
     # -- log paths -------------------------------------------------------------
     def _log_element(self) -> LogElement:
         t = self.expect("IDENT")
@@ -928,7 +998,7 @@ class Parser:
         j = self.k + 1
         while self.toks[j].kind == "SEMI":
             j += 1
-        return self.toks[j].kind not in ("RB", "EOF")
+        return self.toks[j].kind not in ("RB", "RP", "EOF")
 
     def _filter_and(self):
         node = self._filter_not()
@@ -1035,6 +1105,9 @@ class Parser:
         pattern = str(pos[0])
         mtype = call.opt_scalar("type", default="pcre")
         node = {"op": "re", "pattern": pattern, "type": str(mtype)}
+        flags = call.flag_words()
+        if flags:
+            node["flags"] = flags
         if target is not None:
             node["target"] = target
             return node
