@@ -86,6 +86,13 @@ def _scalar(v) -> str:
     return v.name if isinstance(v, Ident) else str(v)
 
 
+def _yesno(v, default: bool) -> bool:
+    """cfg_process_yesno: yes/on/1 true, no/off/0 false."""
+    if v is None:
+        return default
+    return _scalar(v).lower() in ("yes", "on", "1", "true")
+
+
 def _render_item(x) -> str:
     """Render an argument back to config text (block __VARARGS__)."""
     if isinstance(x, Call):
@@ -209,6 +216,20 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         port = call.opt_scalar("port")
         if port is not None:
             spec["port"] = int(port)
+        ip = call.opt_scalar("ip") or call.opt_scalar("localip")
+        if ip is not None:
+            spec["ip"] = str(ip)  # datagram drivers BIND here
+        # hostname-mangling source options (lib/logsource.c
+        # log_source_mangle_hostname): per-driver option wins, then the
+        # global options{} block, then the reference defaults —
+        # keep-hostname(no), chain-hostnames(no), use-dns(yes)
+        for opt, key, dflt in (("keep-hostname", "keep_hostname", False),
+                               ("chain-hostnames", "chain_hostnames", False),
+                               ("use-dns", "use_dns", True)):
+            v = call.opt_scalar(opt)
+            if v is None:
+                v = conf.options.get(opt)
+            spec[key] = _yesno(v, dflt)
         flags = call.flag_words()
         if "no-parse" in flags:
             spec["message_from_raw"] = True

@@ -491,6 +491,11 @@ def run_conf(spark: SparkSession, text: str, include_dir: str | None = None,
 # ---------------------------------------------------------------------------
 
 
+# udp() bridges started by _source_stream — close() to free their
+# ports (threads are daemon-scoped, they die with the process)
+_ACTIVE_UDP_BRIDGES: list = []
+
+
 def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
     """Streaming counterpart of _source: the same specs become
     readStream frames, so one compiled config runs in either mode.
@@ -502,12 +507,21 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
         # directory-watching ingestion (the replayable production path)
         df = stream_src.file_stream(spark, spec["path"])
     elif kind == "socket-stream":
-        if spec.get("driver", "").startswith(("udp", "unix")):
+        driver = spec.get("driver", "")
+        if driver.startswith("unix"):
             raise NotImplementedError(
-                f"{spec['driver']}() has no Spark streaming analog "
-                "(TCP only — the socket source)")
-        df = stream_src.socket_lines(
-            spark, spec.get("host", "localhost"), spec.get("port", 514))
+                f"{driver}() has no Spark streaming analog "
+                "(TCP/UDP only — the socket sources)")
+        if driver.startswith("udp"):
+            # driver-side datagram bridge (r10): one datagram = one
+            # message, per-datagram peer address kept for mangling
+            df, bridge = stream_src.udp_datagram_lines(
+                spark, spec.get("ip", spec.get("host", "127.0.0.1")),
+                spec.get("port", 514))
+            _ACTIVE_UDP_BRIDGES.append(bridge)
+        else:
+            df = stream_src.socket_lines(
+                spark, spec.get("host", "localhost"), spec.get("port", 514))
     elif kind == "union":
         dfs = [_source_stream(spark, s) for s in spec["sources"]]
         out = dfs[0]
@@ -524,7 +538,55 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
         df = parsers.syslog_parser_3164(df, year=spec.get("year", 2024))
     elif spec.get("message_from_raw"):
         df = df.withColumn("message", F.col("raw"))
+    if kind == "socket-stream":
+        df = _mangle_hostname(df, spec)
     return df
+
+
+def _mangle_hostname(df: DataFrame, spec: Mapping) -> DataFrame:
+    """log_source_mangle_hostname (lib/logsource.c:368-415) for the
+    daemon-mode socket source: HOST_FROM is always the resolved peer;
+    under the reference DEFAULT keep-hostname(no) the header HOST is
+    REPLACED by the peer, chain-hostnames(yes) appends it
+    ('orig/peer', or 'peer/peer' when the header carried none), and
+    keep-hostname(yes) preserves a non-empty header HOST. The peer of
+    Spark's socket source is the single configured endpoint, so the
+    'resolved name' is that host (reverse-resolved once, driver-side,
+    when use-dns is on and the endpoint is an address). File/batch
+    sources skip mangling: the reference would substitute the
+    COLLECTOR's hostname there, a daemon-host concept with no analog
+    on a multi-executor cluster."""
+    if "peer" in df.columns:
+        # udp(): per-datagram sender from the bridge. Per-row reverse
+        # DNS would need a blocking UDF per message — addresses are
+        # kept as-is (use-dns(no) semantics; the reference's own
+        # recommendation for busy UDP servers)
+        plit = F.col("peer")
+    else:
+        peer = spec.get("host", "localhost")
+        if spec.get("use_dns", True):
+            import re as _re
+            import socket as _socket
+
+            if _re.fullmatch(r"[0-9.]+|[0-9a-fA-F:]*:[0-9a-fA-F:]*", peer):
+                try:
+                    peer = _socket.gethostbyaddr(peer)[0]
+                except OSError:
+                    pass  # unresolvable: keep the address, like the daemon
+        plit = F.lit(peer)
+    df = df.withColumn("host_from", plit)
+    if "host" not in df.columns:  # flags(no-parse): no header HOST
+        return df.withColumn("host", plit)
+    orig = F.col("host")
+    empty = orig.isNull() | (orig == "")
+    if spec.get("keep_hostname"):
+        new = F.when(empty, plit).otherwise(orig)
+    elif spec.get("chain_hostnames"):
+        new = F.when(empty, F.concat(plit, F.lit("/"), plit)) \
+            .otherwise(F.concat(orig, F.lit("/"), plit))
+    else:
+        new = plit
+    return df.withColumn("host", new)
 
 
 def run_conf_stream(

@@ -26,6 +26,101 @@ def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 5140)
     )
 
 
+class UdpBridge:
+    """udp()/udp6() daemon-mode source adapter (modules/afsocket
+    afsocket-source datagram mode). Spark has no datagram source, so a
+    driver-side listener thread receives datagrams — one datagram =
+    one message, lib/logproto/logproto-dgram-server.c semantics,
+    trailing newline trimmed — and relays them over a loopback TCP
+    server that Spark's socket source connects to. Each relayed line
+    is '<peer-ip> <payload>' so the per-datagram sender survives into
+    the frame (the saddr the reference's hostname mangling uses).
+    Datagrams arriving before the socket source connects are buffered
+    (bounded deque — UDP is lossy by contract anyway). Dev/test-scale
+    like socket_lines itself: production intake is files/kafka via a
+    relay (docs/MIGRATION.md)."""
+
+    _MAXBUF = 65536  # datagrams buffered before the reader connects
+
+    def __init__(self, bind_host: str = "127.0.0.1", bind_port: int = 0):
+        import collections
+        import socket
+        import threading
+
+        self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._udp.bind((bind_host, bind_port))
+        self.bind_host, self.bind_port = self._udp.getsockname()[:2]
+        self._tcp = socket.create_server(("127.0.0.1", 0))
+        self.relay_port = self._tcp.getsockname()[1]
+        self._lock = threading.Lock()
+        self._pending = collections.deque(maxlen=self._MAXBUF)
+        self._clients: list = []
+        self.closed = False
+        threading.Thread(target=self._recv_loop, daemon=True).start()
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _recv_loop(self):
+        while not self.closed:
+            try:
+                data, addr = self._udp.recvfrom(65536)
+            except OSError:
+                return  # socket closed
+            payload = data.decode("utf-8", errors="replace").rstrip("\r\n")
+            # one datagram = ONE message: interior newlines would split
+            # it in the line relay, so they become spaces (documented)
+            line = (addr[0] + " " + payload.replace("\n", " ") + "\n").encode()
+            with self._lock:
+                if not self._clients:
+                    self._pending.append(line)
+                    continue
+                dead = []
+                for c in self._clients:
+                    try:
+                        c.sendall(line)
+                    except OSError:
+                        dead.append(c)
+                for c in dead:
+                    self._clients.remove(c)
+
+    def _accept_loop(self):
+        while not self.closed:
+            try:
+                conn, _ = self._tcp.accept()
+            except OSError:
+                return
+            with self._lock:
+                while self._pending:
+                    try:
+                        conn.sendall(self._pending.popleft())
+                    except OSError:
+                        break
+                self._clients.append(conn)
+
+    def close(self):
+        self.closed = True
+        for s in (self._udp, self._tcp, *self._clients):
+            try:
+                s.close()
+            except OSError:
+                pass
+
+
+def udp_datagram_lines(
+    spark: SparkSession, bind_host: str = "127.0.0.1", bind_port: int = 514,
+) -> tuple[DataFrame, UdpBridge]:
+    """udp() source: datagrams → streaming frame with `raw` (the
+    datagram payload) and `peer` (the sender address, per datagram).
+    Returns (frame, bridge) — close() the bridge to release the
+    ports."""
+    from pyspark.sql import functions as F
+
+    bridge = UdpBridge(bind_host, bind_port)
+    df = socket_lines(spark, "127.0.0.1", bridge.relay_port)
+    peer = F.substring_index(F.col("raw"), " ", 1)
+    payload = F.expr("substring(raw, length(substring_index(raw, ' ', 1)) + 2)")
+    return df.select(peer.alias("peer"), payload.alias("raw")), bridge
+
+
 def file_stream(spark: SparkSession, path: str, fmt: str = "text", schema: str | None = None) -> DataFrame:
     reader = spark.readStream.format(fmt)
     if schema:
