@@ -7330,6 +7330,47 @@ def multimodal_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(media)
 
 
+@register("multimodal_audio_meta")  # rows-only gate: container sniffing +
+# frame-header walks run in Python (Arrow-batched) — not SQL-expressible;
+# pytest checks the metadata values (frame-length math, VBR duration,
+# ID3 skip, stdlib-wave parity for the RIFF half)
+def multimodal_audio_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation profiling scan (r10): a mixed WAV/MP3 corpus is
+    container-sniffed and profiled METADATA-ONLY — RIFF headers via the
+    stdlib wave parser, MPEG audio via the frame-header walk
+    (multimodal.mp3_metadata; ISO/IEC 11172-3 frame-length arithmetic,
+    VBR-exact duration, no audio decode). The duration/bitrate/channel
+    histogram every audio pipeline computes before paying for decode.
+    Lossy DECODE stays behind the DECODERS loud-fail; metadata does
+    not."""
+    import pandas as pd
+
+    from syslog_ng_spark.operators.multimodal import (
+        audio_metadata,
+        make_mp3_stub,
+        make_wav,
+    )
+
+    docs = rebalance(T(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def to_audio(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if did % 2 == 0:
+                    payloads.append(make_wav(text.encode("utf-8")))
+                else:
+                    payloads.append(make_mp3_stub(
+                        n_frames=1 + int(did) % 40,
+                        bitrate=[64, 128, 192, 320][int(did) % 4],
+                        channels=1 if did % 3 == 0 else 2,
+                        id3=did % 5 == 0))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(to_audio, schema="media_id long, payload binary")
+    return audio_metadata(media)
+
+
 # ---------------------------------------------------------------------------
 # §2.8 quality classifier scoring (r8)
 # ---------------------------------------------------------------------------

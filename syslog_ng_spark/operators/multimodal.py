@@ -8,9 +8,12 @@ PNG images (`decode_png`, r8 — zlib inflate + numpy un-filtering),
 and JPEG — baseline AND progressive (`operators/jpeg.py`, r9 —
 Huffman + IDCT + fancy chroma upsampling + Annex G successive
 approximation from the T.81 spec, pixel-parity-tested against Java
-ImageIO on real photos and multi-scan progressive files). The one
-remaining stub is lossy AUDIO (mp3/ogg) behind `DECODERS` loud-fails,
-which a deployment replaces with an ffmpeg/torchaudio call.
+ImageIO on real photos and multi-scan progressive files). MP3
+container METADATA parses natively too (r10 `mp3_metadata`: ID3 skip
++ frame-header walk, VBR-exact duration, no audio decode). The one
+remaining stub is lossy AUDIO DECODE (mp3/ogg samples) behind
+`DECODERS` loud-fails, which a deployment replaces with an
+ffmpeg/torchaudio call.
 
 Scale notes: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` governs batch memory; mapInPandas
@@ -217,6 +220,194 @@ def wrap_pcm_wav(
 
 
 AUDIO_FEATURE_SCHEMA = "media_id long, win_idx long, rms double, zcr double"
+
+
+# ---------------------------------------------------------------------------
+# MP3 container metadata (r10): frame-header walk, NO audio decode.
+# ISO/IEC 11172-3 §2.4.1.3 header layout + the standard frame-length
+# arithmetic; duration comes from summing samples-per-frame over the
+# walk, so VBR files are exact. Full lossy DECODE stays behind the
+# loud-fail (swap DECODERS for ffmpeg/torchaudio) — metadata does not.
+# ---------------------------------------------------------------------------
+
+
+class Mp3Error(ValueError):
+    """Not an MPEG audio stream / corrupt frame sequence."""
+
+
+# kbps by (version-group, layer), index 1..14; version-group 1 = MPEG1,
+# 2 = MPEG2/2.5 (they share tables)
+_MP3_BITRATE = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATE = {3: [44100, 48000, 32000],      # version bits: 3 = MPEG1
+             2: [22050, 24000, 16000],      # 2 = MPEG2
+             0: [11025, 12000, 8000]}       # 0 = MPEG2.5
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (syncsafe 28-bit size)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    return 10 + size + (10 if data[5] & 0x10 else 0)  # footer flag
+
+
+def _mp3_frame(data: bytes, i: int):
+    """Parse one frame header at offset i → (frame_len, samples,
+    sample_rate, channels, bitrate_kbps). Raises Mp3Error on
+    reserved/free-format fields (named — never a silent guess)."""
+    hdr = int.from_bytes(data[i:i + 4], "big")
+    if hdr >> 21 != 0x7FF:
+        raise Mp3Error(f"no frame sync at offset {i}")
+    ver = (hdr >> 19) & 3
+    layer_bits = (hdr >> 17) & 3
+    if ver == 1 or layer_bits == 0:
+        raise Mp3Error("reserved MPEG version/layer bits")
+    layer = 4 - layer_bits  # bits 3/2/1 → Layer I/II/III
+    br_idx = (hdr >> 12) & 15
+    sr_idx = (hdr >> 10) & 3
+    if br_idx == 0:
+        raise Mp3Error("free-format bitrate is not supported")
+    if br_idx == 15 or sr_idx == 3:
+        raise Mp3Error("invalid bitrate/sample-rate index")
+    vgroup = 1 if ver == 3 else 2
+    bitrate = _MP3_BITRATE[(vgroup, layer)][br_idx - 1]
+    rate = _MP3_RATE[ver][sr_idx]
+    padding = (hdr >> 9) & 1
+    channels = 1 if ((hdr >> 6) & 3) == 3 else 2
+    if layer == 1:
+        samples = 384
+        frame_len = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or ver == 3) else 576
+        frame_len = samples // 8 * bitrate * 1000 // rate + padding
+    return frame_len, samples, rate, channels, bitrate
+
+
+def mp3_metadata(payload: bytes) -> dict:
+    """MP3 container metadata WITHOUT decoding audio: skip ID3v2, walk
+    every frame header (VBR-exact duration = Σ samples/rate), tolerate
+    a trailing ID3v1 'TAG' block and a truncated final frame (streams
+    cut mid-frame); anything else between frames raises Mp3Error.
+    Returns {codec, mpeg_version, layer, sample_rate, channels,
+    frames, duration_s, bitrate_kbps (frame-length-weighted mean,
+    rounded)}."""
+    data = bytes(payload)
+    i = _id3v2_size(data)
+    if i >= len(data) - 4:
+        raise Mp3Error("no MPEG audio frames after the ID3v2 tag")
+    frames = 0
+    total_samples = 0
+    weighted_kbps = 0
+    rate = channels = None
+    ver_name = layer_name = None
+    while i + 4 <= len(data):
+        if data[i:i + 3] == b"TAG" and len(data) - i == 128:
+            break  # ID3v1 footer
+        try:
+            frame_len, samples, r, ch, kbps = _mp3_frame(data, i)
+        except Mp3Error as e:
+            if frames:
+                raise
+            raise Mp3Error(f"not an MPEG audio stream: {e}") from None
+        if frames == 0:
+            rate, channels = r, ch
+            hdr = int.from_bytes(data[i:i + 4], "big")
+            ver_name = {3: "1", 2: "2", 0: "2.5"}[(hdr >> 19) & 3]
+            layer_name = 4 - ((hdr >> 17) & 3)
+        if i + frame_len > len(data):
+            break  # truncated final frame: count complete frames only
+        frames += 1
+        total_samples += samples
+        weighted_kbps += kbps * frame_len
+        i += frame_len
+    if not frames:
+        raise Mp3Error("stream shorter than one complete frame")
+    dur = total_samples / rate
+    total_len = i - _id3v2_size(data)
+    return {
+        "codec": "mp3", "mpeg_version": ver_name, "layer": layer_name,
+        "sample_rate": rate, "channels": channels, "frames": frames,
+        "duration_s": round(dur, 6),
+        "bitrate_kbps": round(weighted_kbps / total_len) if total_len else 0,
+    }
+
+
+def make_mp3_stub(
+    n_frames: int, bitrate: int = 128, sample_rate: int = 44100,
+    channels: int = 2, fill: bytes = b"\x00", id3: bool = False,
+) -> bytes:
+    """Assemble a spec-conformant MPEG1 Layer III frame SEQUENCE with
+    arbitrary body bytes — valid container geometry (the metadata
+    surface), silent garbage as audio. The deterministic-fake half of
+    the metadata tests: real mp3 ENCODING needs a codec library this
+    container doesn't ship."""
+    br_idx = _MP3_BITRATE[(1, 3)].index(bitrate) + 1
+    sr_idx = _MP3_RATE[3].index(sample_rate)
+    mode = 3 if channels == 1 else 0
+    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (br_idx << 12) \
+        | (sr_idx << 10) | (mode << 6)
+    frame_len = 1152 // 8 * bitrate * 1000 // sample_rate
+    body = (fill * frame_len)[: frame_len - 4]
+    out = bytearray()
+    if id3:
+        pad = 64
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(pad >> 21) & 0x7F, (pad >> 14) & 0x7F, (pad >> 7) & 0x7F, pad & 0x7F]
+        ) + bytes(pad)
+    for _ in range(n_frames):
+        out += hdr.to_bytes(4, "big") + body
+    return bytes(out)
+
+
+AUDIO_META_SCHEMA = ("media_id long, codec string, sample_rate int, "
+                     "channels int, frames int, duration_s double, "
+                     "bitrate_kbps int")
+
+
+def audio_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id",
+) -> DataFrame:
+    """Per-media audio container profile, metadata only: WAV payloads
+    through the stdlib RIFF parser, MP3 payloads through the r10
+    frame-header walk (no audio decode), anything else a named error.
+    The profiling scan every audio curation pipeline starts with —
+    duration/bitrate/channel histograms before any expensive decode."""
+    import wave
+    from io import BytesIO
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] == b"RIFF":
+                    with wave.open(BytesIO(b)) as w:
+                        nch, width, rate, n = (w.getnchannels(), w.getsampwidth(),
+                                               w.getframerate(), w.getnframes())
+                    rows.append((mid, "wav", rate, nch, n, round(n / rate, 6),
+                                 round(rate * width * 8 * nch / 1000)))
+                elif b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0):
+                    m = mp3_metadata(b)
+                    rows.append((mid, "mp3", m["sample_rate"], m["channels"],
+                                 m["frames"], m["duration_s"], m["bitrate_kbps"]))
+                else:
+                    raise ValueError(
+                        "unrecognized audio container (WAV and MP3 metadata "
+                        "parse natively; other codecs need a DECODERS swap)")
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "codec", "sample_rate", "channels", "frames",
+                "duration_s", "bitrate_kbps"])
+
+    return df.select(F.col(id_col).alias("media_id"), F.col(payload_col)) \
+        .mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 def audio_window_features(

@@ -474,3 +474,87 @@ def test_quality_classifier_score_validates_weights(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textstats.quality_classifier_score(df, [0.5])
+
+
+# ---------------------------------------------------------------------------
+# MP3 container metadata (r10): frame-header walk, no audio decode
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_metadata_frame_walk():
+    from syslog_ng_spark.operators.multimodal import make_mp3_stub, mp3_metadata
+
+    # 38 frames of MPEG1 L3 @128 kbps 44.1 kHz stereo:
+    # duration = 38*1152/44100, CBR → bitrate == 128
+    m = mp3_metadata(make_mp3_stub(38))
+    assert (m["codec"], m["mpeg_version"], m["layer"]) == ("mp3", "1", 3)
+    assert (m["sample_rate"], m["channels"], m["frames"]) == (44100, 2, 38)
+    assert m["duration_s"] == round(38 * 1152 / 44100, 6)
+    assert m["bitrate_kbps"] == 128
+    # mono, different rate/bitrate
+    m = mp3_metadata(make_mp3_stub(10, bitrate=64, sample_rate=32000,
+                                   channels=1))
+    assert (m["sample_rate"], m["channels"], m["bitrate_kbps"]) == (32000, 1, 64)
+    assert m["duration_s"] == round(10 * 1152 / 32000, 6)
+
+
+def test_mp3_metadata_id3_and_truncation():
+    from syslog_ng_spark.operators.multimodal import (
+        Mp3Error,
+        make_mp3_stub,
+        mp3_metadata,
+    )
+
+    # leading ID3v2 tag skipped; trailing ID3v1 'TAG' block tolerated
+    data = make_mp3_stub(5, id3=True) + b"TAG" + bytes(125)
+    assert mp3_metadata(data)["frames"] == 5
+    # truncated final frame: complete frames only
+    whole = make_mp3_stub(4)
+    assert mp3_metadata(whole[: len(whole) - 10])["frames"] == 3
+    # named errors, never a silent guess
+    with pytest.raises(Mp3Error, match="not an MPEG audio stream"):
+        mp3_metadata(b"OggS" + bytes(64))
+    with pytest.raises(Mp3Error, match="free-format"):
+        hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (0 << 12)
+        mp3_metadata(hdr.to_bytes(4, "big") + bytes(400))
+    # garbage BETWEEN frames raises (after a valid first frame)
+    with pytest.raises(Mp3Error):
+        mp3_metadata(make_mp3_stub(2) + b"\x00garbage!" + bytes(500))
+
+
+def test_mp3_metadata_vbr_is_exact():
+    from syslog_ng_spark.operators.multimodal import make_mp3_stub, mp3_metadata
+
+    vbr = make_mp3_stub(10, bitrate=64) + make_mp3_stub(10, bitrate=320)
+    m = mp3_metadata(vbr)
+    assert m["frames"] == 20
+    assert m["duration_s"] == round(20 * 1152 / 44100, 6)
+    assert 64 < m["bitrate_kbps"] < 320  # frame-length-weighted mean
+
+
+def test_audio_metadata_operator_mixed_containers(spark):
+    from syslog_ng_spark.operators.multimodal import (
+        audio_metadata,
+        make_mp3_stub,
+        make_wav,
+    )
+
+    wav = make_wav(bytes(range(200)) * 10, sample_rate=8000, sampwidth=1, channels=1)
+    mp3 = make_mp3_stub(25, bitrate=128, sample_rate=44100, channels=2,
+                        id3=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mp3))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in audio_metadata(df).collect()}
+    assert rows[1]["codec"] == "wav"
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["channels"] == 1
+    assert rows[1]["frames"] == 2000
+    assert rows[1]["duration_s"] == 0.25
+    assert rows[1]["bitrate_kbps"] == 64  # 8000 Hz × 8 bit × 1 ch
+    assert rows[2]["codec"] == "mp3"
+    assert rows[2]["frames"] == 25 and rows[2]["channels"] == 2
+    # unknown container: the task fails loudly with the swap instruction
+    bad = spark.createDataFrame([(3, bytearray(b"OggS" + bytes(32)))],
+                                "media_id long, payload binary")
+    with pytest.raises(Exception, match="unrecognized audio container|Mp3Error"):
+        audio_metadata(bad).collect()
