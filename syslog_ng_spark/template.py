@@ -25,7 +25,18 @@ own tests (lib/template/tests/test_template.c):
 Compilation is declarative: the result is ONE Column expression
 (concat of parts), fully JVM-side — Catalyst sees through it, so a
 compiled template costs the same as the hand-written expression and
-stays inside whole-stage codegen. No UDFs anywhere.
+stays inside whole-stage codegen. The ONLY Python-side functions are
+the two that are Python by nature: $(md4) (no JVM/OpenSSL-3 digest)
+and $(python) (user callables) — both Arrow-batched pandas UDFs,
+opt-in, never in the default path.
+
+Function-name coverage is 1:1 with the reference's registered
+template-function plugins (see tests/test_template_registry.py for
+the per-name sweep against the plugin tables in
+modules/basicfuncs/basic-funcs.c, modules/json/json-plugin.c,
+modules/cryptofuncs, modules/getent, modules/stardate,
+modules/graphite, …). '-' and '_' are interchangeable in function
+names, matching plugin.c:153's candidate comparison.
 """
 
 from __future__ import annotations
@@ -39,8 +50,24 @@ from pyspark.sql import functions as F
 from syslog_ng_spark.datamodel import facility_name, pri, severity_name
 from syslog_ng_spark.functions import macros
 from syslog_ng_spark.functions.fname import basename, dirname
-from syslog_ng_spark.functions.hashfuncs import stable_uuid, tf_hash, tf_md5, tf_sha1, tf_sha256
+from syslog_ng_spark.functions.hashfuncs import (
+    stable_uuid,
+    tf_hash,
+    tf_md4,
+    tf_md5,
+    tf_sha1,
+    tf_sha256,
+    tf_sha512,
+)
 from syslog_ng_spark.functions.ipfuncs import ipv4_to_int
+from syslog_ng_spark.functions.listfuncs import list_search as _list_search_arr
+from syslog_ng_spark.functions.numfuncs import (
+    num_average,
+    num_max,
+    num_min,
+    num_sum,
+)
+from syslog_ng_spark.functions.sysfuncs import dns_resolve_ip, env_value, getent_lookup
 from syslog_ng_spark.functions.strfuncs import (
     indent_multi_line,
     padding,
@@ -351,6 +378,67 @@ def _list_col(args: list[Arg]) -> Column:
     return F.concat_ws(",", *[a.col for a in args])
 
 
+def _split_list(s: Column) -> Column:
+    """comma list string → array, '' → empty array (the list model's
+    empty list, matching list_scanner over an empty input)."""
+    return F.when(s == "", F.array().cast("array<string>")).otherwise(F.split(s, ","))
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when((c.isNotNull()) & (c != ""), c)
+
+
+def _tf_explode(args: list[Arg]) -> Column:
+    """$(explode sep str...) — list-funcs.c tf_explode: split every
+    further arg on the literal separator, emit one comma list. An empty
+    input contributes nothing (g_strsplit of "" is the empty vector)."""
+    if not args:
+        return F.lit("")
+    sep = args[0].lit
+    if sep is None:
+        raise TemplateCompileError("$(explode) separator must be a literal")
+    arrs = [
+        F.when(a.col == "", F.array().cast("array<string>")).otherwise(
+            F.split(a.col, re.escape(sep))
+        )
+        for a in args[1:]
+    ]
+    if not arrs:
+        return F.lit("")
+    return F.array_join(F.concat(*arrs) if len(arrs) > 1 else arrs[0], ",")
+
+
+def _tf_implode(args: list[Arg]) -> Column:
+    """$(implode sep list...) — join the list elements with the literal
+    separator (tf_implode)."""
+    if not args:
+        return F.lit("")
+    sep = args[0].lit
+    if sep is None:
+        raise TemplateCompileError("$(implode) separator must be a literal")
+    return F.array_join(_split_list(_list_col(args[1:])), sep)
+
+
+def _tf_list_slice(args: list[Arg]) -> Column:
+    """$(list-slice FIRST:LAST list...) — 0-based, end-exclusive, either
+    bound omissible (list-funcs.c tf_list_slice)."""
+    spec = args[0].lit
+    if spec is None:
+        raise TemplateCompileError("$(list-slice) FIRST:LAST must be a literal")
+    first_s, _, last_s = spec.partition(":")
+    try:
+        first = int(first_s) if first_s else 0
+        last = int(last_s) if last_s else None
+    except ValueError as e:
+        raise TemplateCompileError(f"$(list-slice) bad slice spec {spec!r}") from e
+    arr = _split_list(_list_col(args[1:]))
+    if last is None:
+        out = F.slice(arr, first + 1, F.greatest(F.size(arr) - first, F.lit(0)))
+    else:
+        out = F.slice(arr, first + 1, max(last - first, 0))
+    return F.array_join(out, ",")
+
+
 def _tf_json_escape(c: Column) -> Column:
     # same single-pass escape as functions.format._json_escape (kept
     # local: format.py imports this module's compiler for $(format-json)
@@ -415,6 +503,23 @@ FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "list-nth": lambda a: F.try_element_at(
         F.split(_list_col(a[1:]), ","), F.lit(a[0].int_lit("list-nth") + 1)
     ),
+    # list-append / list-concat both reduce to re-joining the non-empty
+    # parts in the plain comma-list model (the reference additionally
+    # str_repr-quotes values containing commas; our list model is
+    # unquoted throughout, see list-head/tail above)
+    "list-append": lambda a: F.concat_ws(",", *[_nonempty(x.col) for x in a]),
+    "list-concat": lambda a: F.concat_ws(",", *[_nonempty(x.col) for x in a]),
+    "list-slice": _tf_list_slice,
+    "explode": _tf_explode,
+    "implode": _tf_implode,
+    # numeric-funcs.c aggregates: arguments are lists, non-numeric
+    # elements skipped, int64 arithmetic (num_* handle all of that)
+    "sum": lambda a: num_sum(_split_list(_list_col(a))).cast("string"),
+    "min": lambda a: num_min(_split_list(_list_col(a))).cast("string"),
+    "max": lambda a: num_max(_split_list(_list_col(a))).cast("string"),
+    "average": lambda a: num_average(_split_list(_list_col(a))).cast("string"),
+    "sha512": lambda a: tf_sha512(F.concat(*[x.col for x in a])),
+    "md4": lambda a: tf_md4(F.concat(*[x.col for x in a])),
 }
 
 
@@ -450,9 +555,30 @@ class TemplateCompiler:
     rendering into quoted contexts (lib/template/escaping.c,
     test_template.c test_escaping)."""
 
-    def __init__(self, resolver: Callable[[str], Column | None], escape: bool = False):
+    def __init__(
+        self,
+        resolver: Callable[[str], Column | None],
+        escape: bool = False,
+        templates: dict[str, str] | None = None,
+        context_col: str | None = None,
+        python_funcs: dict[str, Callable] | None = None,
+    ):
         self.resolver = resolver
         self.escape = escape
+        # named templates for $(template NAME) (tf-template.c static /
+        # dynamic binding); the conf front-end fills this from
+        # template {} statements
+        self.templates = templates or {}
+        # array<struct> column holding the correlation context for
+        # $(grep)/$(context-*) (cond-funcs.c / context-funcs.c) — built
+        # by grouping_by-style collect_list upstream
+        self.context_col = context_col
+        # user-registered callables for $(python) (modules/python)
+        self.python_funcs = python_funcs or {}
+        # innermost-first element scopes for $_ / context rows inside
+        # $(map)/$(filter)/$(grep); entries are name→Column|None
+        self._scope: list[Callable[[str], Column | None]] = []
+        self._tpl_stack: list[str] = []
 
     def compile(self, template: str) -> Column:
         return self._parts_col(parse_template(template))
@@ -474,7 +600,13 @@ class TemplateCompiler:
             return F.lit(node[1])
         if kind == "val":
             _, name, default = node
-            val = self.resolver(name)
+            val = None
+            for scope in reversed(self._scope):
+                val = scope(name)
+                if val is not None:
+                    break
+            if val is None:
+                val = self.resolver(name)
             if val is None:
                 return self._parts_col(default) if default is not None else F.lit("")
             val = self._escaped(val.cast("string"))
@@ -486,18 +618,380 @@ class TemplateCompiler:
 
     def _fn(self, node) -> Column:
         _, name, raw_args = node
+        # plugin name lookup treats '-' and '_' as the same character
+        # (lib/plugin.c:153) — $(format_json) and $(format-json) are one
+        # function; canonical spelling here is dashed
+        name = name.replace("_", "-")
         if name == "if":
             return self._fn_if(raw_args)
-        if name in ("format-json", "format-welf"):
+        if name in (
+            "format-json",
+            "format-welf",
+            "format-flat-json",
+            "graphite-output",
+            "format-cef-extension",
+        ):
             return self._fn_format(name, raw_args)
         if name == "or":
             vals = [self._arg_col(a) for a in raw_args]
             cleaned = [F.when((c.isNotNull()) & (c != ""), c) for c in vals]
             return F.coalesce(*cleaned, F.lit(""))
+        if name == "map":
+            return self._fn_map(raw_args)
+        if name == "filter":
+            return self._fn_filter(raw_args)
+        if name in ("grep", "context-lookup"):
+            return self._fn_grep(name, raw_args)
+        if name == "context-values":
+            return self._fn_context_values(raw_args)
+        if name == "context-length":
+            return F.size(self._context("context-length")).cast("string")
+        if name == "template":
+            return self._fn_template(raw_args)
+        if name == "iterate":
+            raise TemplateCompileError(
+                "$(iterate) is a stateful per-output recurrence (tf-iterate.c keeps"
+                " a mutex-guarded counter); in a distributed plan use"
+                " syslog_ng_spark.template.iterate_sequence(df, template, init,"
+                " order_by=...) which closes the affine recurrences over a window"
+            )
+        if name == "python":
+            return self._fn_python(raw_args)
+        if name == "slog":
+            raise TemplateCompileError(
+                "$(slog) secure-logging is a forward-secure sequential chain"
+                " (modules/secure-logging); use"
+                " syslog_ng_spark.operators.securelog.hash_chain/verify_chain"
+            )
+        if name == "geoip2":
+            raise TemplateCompileError(
+                "$(geoip2) needs a maxminddb database; use"
+                " syslog_ng_spark.operators.enrich.geoip_range_enrich (range-join"
+                " enrichment over a geoip table — the broadcastable path)"
+            )
+        if name == "env":
+            return self._fn_env(raw_args)
+        if name == "binary":
+            return self._fn_binary(raw_args)
+        if name == "getent":
+            return self._fn_getent(raw_args)
+        if name == "dns-resolve-ip":
+            return self._fn_dns_resolve_ip(raw_args)
+        if name == "stardate":
+            return self._fn_stardate(raw_args)
+        if name == "list-search":
+            return self._fn_list_search(raw_args)
+        if name in ("md5", "md4", "sha1", "sha256", "sha512", "hash"):
+            return self._fn_hash(name, raw_args)
         handler = FUNCTIONS.get(name)
         if handler is None:
             raise TemplateCompileError(f"unknown template function $({name})")
         return handler([self._arg(a) for a in raw_args])
+
+    # -- scoped evaluation helpers (map/filter/grep element binding) --
+
+    def _in_scope(self, scope: Callable[[str], Column | None], body: Callable[[], Column]) -> Column:
+        self._scope.append(scope)
+        try:
+            return body()
+        finally:
+            self._scope.pop()
+
+    def _leading_flags(self, raw_args: list, known: dict[str, type]) -> tuple[dict, list]:
+        """Pop leading '--flag value' literal pairs (the GOption prefix
+        the reference's prepare functions strip from argv)."""
+        opts: dict[str, object] = {}
+        i = 0
+        while i + 1 < len(raw_args):
+            a = raw_args[i]
+            if a[0] != "tpl" or len(a[1]) != 1 or a[1][0][0] != "lit":
+                break
+            lit = a[1][0][1]
+            if not lit.startswith("--"):
+                break
+            flag = lit[2:]
+            if flag not in known:
+                raise TemplateCompileError(f"unknown option --{flag}")
+            val = self._arg(raw_args[i + 1])
+            if val.lit is None:
+                raise TemplateCompileError(f"--{flag} value must be literal")
+            opts[flag] = known[flag](val.lit)
+            i += 2
+        return opts, raw_args[i:]
+
+    def _fn_map(self, raw_args) -> Column:
+        """$(map template list...) — tf-map.c: render the template once
+        per element with $_ bound to the element (context_id in the
+        reference's eval options), other names still resolving against
+        the row."""
+        if len(raw_args) < 2 or raw_args[0][0] != "tpl":
+            raise TemplateCompileError("$(map) needs a template and a list")
+        tpl_parts = raw_args[0][1]
+        lst = _list_col([self._arg(a) for a in raw_args[1:]])
+        mapped = F.transform(
+            _split_list(lst),
+            lambda elem: self._in_scope(
+                lambda n: elem if n == "_" else None,
+                lambda: self._parts_col(tpl_parts).cast("string"),
+            ),
+        )
+        return F.array_join(mapped, ",")
+
+    def _fn_filter(self, raw_args) -> Column:
+        """$(filter (cond) list...) — tf-filter.c: keep elements whose
+        condition (same mini-language as $(if)) matches with $_ bound."""
+        if len(raw_args) < 2 or raw_args[0][0] != "cond":
+            raise TemplateCompileError("$(filter) needs a (condition) and a list")
+        cond_text = raw_args[0][1]
+        lst = _list_col([self._arg(a) for a in raw_args[1:]])
+        kept = F.filter(
+            _split_list(lst),
+            lambda elem: self._in_scope(
+                lambda n: elem if n == "_" else None,
+                lambda: self._cond(cond_text),
+            ),
+        )
+        return F.array_join(kept, ",")
+
+    def _context(self, fn_name: str) -> Column:
+        if not self.context_col:
+            raise TemplateCompileError(
+                f"$({fn_name}) reads the correlation context: compile with"
+                " context_col=<array<struct> column> (built by a grouping-by"
+                " collect, e.g. operators.correlate.grouping_by)"
+            )
+        return F.col(self.context_col)
+
+    def _ctx_scope(self, elem: Column) -> Callable[[str], Column | None]:
+        # context functions render each name against the CONTEXT row,
+        # not the outer row (context-funcs.c evaluates per message);
+        # missing fields surface as analysis errors, like missing
+        # columns elsewhere
+        return lambda n: elem if n == "_" else elem.getField(n)
+
+    def _fn_grep(self, fn_name: str, raw_args) -> Column:
+        """$(grep [--max-count N] (cond) $nv...) and its alias
+        $(context-lookup): values of matching context rows, comma list
+        (cond-funcs.c tf_grep_call / context-funcs.c)."""
+        opts, rest = self._leading_flags(raw_args, {"max-count": int})
+        if len(rest) < 2 or rest[0][0] != "cond":
+            raise TemplateCompileError(f"$({fn_name}) needs a (condition) and value refs")
+        cond_text = rest[0][1]
+        ctx = self._context(fn_name)
+        matches = F.filter(
+            ctx,
+            lambda m: self._in_scope(self._ctx_scope(m), lambda: self._cond(cond_text)),
+        )
+        max_count = int(opts.get("max-count", 0))
+        if max_count > 0:
+            matches = F.slice(matches, 1, max_count)
+        return self._render_per_ctx_row(matches, rest[1:])
+
+    def _fn_context_values(self, raw_args) -> Column:
+        """$(context-values $nv...) — every context row's values."""
+        if not raw_args:
+            raise TemplateCompileError("$(context-values) needs value refs")
+        return self._render_per_ctx_row(self._context("context-values"), raw_args)
+
+    def _render_per_ctx_row(self, rows: Column, nv_args: list) -> Column:
+        def per_row(m: Column) -> Column:
+            return self._in_scope(
+                self._ctx_scope(m),
+                lambda: F.array(*[self._arg_col(a).cast("string") for a in nv_args]),
+            )
+
+        return F.array_join(F.flatten(F.transform(rows, per_row)), ",")
+
+    def _fn_template(self, raw_args) -> Column:
+        """$(template name [fallback...]) — tf-template.c: static
+        binding when the literal name resolves at compile time; a
+        $-bearing name binds dynamically (runtime CASE over the
+        registry) with the remaining args space-joined as fallback."""
+        if not raw_args:
+            raise TemplateCompileError("$(template) requires the template name")
+        first = self._arg(raw_args[0])
+        if first.lit is not None:
+            name = first.lit
+            if name in self._tpl_stack:
+                raise TemplateCompileError(f"$(template) recursion via {name!r}")
+            if name not in self.templates:
+                raise TemplateCompileError(
+                    f'$(template) Unknown template function or template "{name}"'
+                )
+            self._tpl_stack.append(name)
+            try:
+                return self._parts_col(parse_template(self.templates[name]))
+            finally:
+                self._tpl_stack.pop()
+        # dynamic: runtime name → CASE over registry entries
+        name_col = first.col
+        fallback = (
+            F.concat_ws(" ", *[self._arg_col(a) for a in raw_args[1:]])
+            if len(raw_args) > 1
+            else F.lit("")
+        )
+        out = fallback
+        for tname, ttext in self.templates.items():
+            if tname in self._tpl_stack:
+                continue
+            self._tpl_stack.append(tname)
+            try:
+                rendered = self._parts_col(parse_template(ttext)).cast("string")
+            finally:
+                self._tpl_stack.pop()
+            out = F.when(name_col == tname, rendered).otherwise(out)
+        return out
+
+    def _fn_python(self, raw_args) -> Column:
+        """$(python fn args...) — modules/python tf_python: call a
+        registered Python callable per row. Arrow-batched pandas UDF;
+        the one deliberately Python-side template function."""
+        if not raw_args:
+            raise TemplateCompileError("$(python) requires the function name")
+        first = self._arg(raw_args[0])
+        if first.lit is None:
+            raise TemplateCompileError("$(python) function name must be literal")
+        fn = self.python_funcs.get(first.lit)
+        if fn is None:
+            raise TemplateCompileError(
+                f"$(python) function {first.lit!r} not registered: compile with"
+                " python_funcs={'name': callable} (str args → str)"
+            )
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _py(*cols):
+            if not cols:
+                return pd.Series([], dtype="object")
+            frame = pd.concat(cols, axis=1)
+            return frame.apply(lambda r: str(fn(*[("" if v is None else str(v)) for v in r])), axis=1)
+
+        # real type objects: PEP 563 string hints can't resolve the
+        # local pandas import during pyspark's signature inspection
+        _py.__annotations__ = {"cols": pd.Series, "return": pd.Series}
+        _py = pandas_udf(_py, "string")
+
+        args = [self._arg_col(a).cast("string") for a in raw_args[1:]]
+        if not args:
+            args = [F.lit("")]
+        return _py(*args)
+
+    def _fn_env(self, raw_args) -> Column:
+        names = []
+        for a in raw_args:
+            arg = self._arg(a)
+            if arg.lit is None:
+                raise TemplateCompileError("$(env) names must be literal")
+            names.append(arg.lit)
+        return env_value(*names)
+
+    def _fn_binary(self, raw_args) -> Column:
+        """$(binary XX YY) — misc-funcs.c tf_binary: bytes from numeric
+        (hex-friendly) literals, emitted as the latin-1 string of those
+        bytes."""
+        vals = []
+        for a in raw_args:
+            arg = self._arg(a)
+            if arg.lit is None:
+                raise TemplateCompileError("$(binary) byte values must be literal")
+            try:
+                v = int(arg.lit, 0)
+            except ValueError as e:
+                raise TemplateCompileError(f"$(binary) bad byte value {arg.lit!r}") from e
+            if not 0 <= v <= 255:
+                raise TemplateCompileError(f"$(binary) byte value out of range: {v}")
+            vals.append(v)
+        return F.lit(bytes(vals).decode("latin-1"))
+
+    def _fn_getent(self, raw_args) -> Column:
+        if len(raw_args) < 2:
+            raise TemplateCompileError("$(getent) needs a database and a key")
+        db = self._arg(raw_args[0])
+        if db.lit is None:
+            raise TemplateCompileError("$(getent) database must be literal")
+        member = ""
+        if len(raw_args) > 2:
+            m = self._arg(raw_args[2])
+            if m.lit is None:
+                raise TemplateCompileError("$(getent) member must be literal")
+            member = m.lit
+        try:
+            return getent_lookup(db.lit, self._arg_col(raw_args[1]), member)
+        except ValueError as e:
+            raise TemplateCompileError(str(e)) from e
+
+    def _fn_dns_resolve_ip(self, raw_args) -> Column:
+        if len(raw_args) != 1:
+            raise TemplateCompileError(
+                "dns-resolve-ip: too many arguments provided."
+                " usage: $(dns-resolve-ip [OPTIONS] IP)"
+            )
+        return dns_resolve_ip(self._arg_col(raw_args[0]))
+
+    def _fn_stardate(self, raw_args) -> Column:
+        from syslog_ng_spark.functions.format import stardate
+
+        opts, rest = self._leading_flags(raw_args, {"digits": int})
+        if len(rest) != 1:
+            raise TemplateCompileError("$(stardate [--digits N] timestamp)")
+        digits = int(opts.get("digits", 2))
+        if not 0 <= digits <= 9:
+            raise TemplateCompileError("$(stardate) --digits must be 0-9")
+        ts = self._arg_col(rest[0])
+        # accept either a timestamp-ish string or epoch seconds
+        # ($UNIXTIME is the common argument in the reference's docs)
+        as_ts = F.coalesce(
+            ts.try_cast("timestamp"),
+            F.timestamp_seconds(ts.try_cast("double")),
+        )
+        return F.format_string(f"%.{digits}f", stardate(as_ts, digits))
+
+    def _fn_list_search(self, raw_args) -> Column:
+        opts, rest = self._leading_flags(
+            raw_args, {"mode": str, "start-index": int}
+        )
+        if len(rest) < 2:
+            raise TemplateCompileError("$(list-search [--mode m] pattern list)")
+        pat = self._arg(rest[0])
+        if pat.lit is None:
+            raise TemplateCompileError("$(list-search) pattern must be literal")
+        mode = str(opts.get("mode", "literal"))
+        if mode == "glob":
+            # translate glob → anchored pcre like the reference's
+            # string_matcher glob mode
+            import fnmatch
+
+            pat_val: str | Column = fnmatch.translate(pat.lit)
+            mode = "pcre"
+        else:
+            pat_val = pat.lit
+        try:
+            return _list_search_arr(
+                _split_list(_list_col([self._arg(a) for a in rest[1:]])),
+                pat_val,
+                mode=mode,
+                start_index=int(opts.get("start-index", 0)),
+            )
+        except ValueError as e:
+            raise TemplateCompileError(str(e)) from e
+
+    def _fn_hash(self, name: str, raw_args) -> Column:
+        """cryptofuncs.c hash family with the shared --length option
+        (truncate the hex digest to N chars)."""
+        opts, rest = self._leading_flags(raw_args, {"length": int})
+        data = F.concat(*[self._arg_col(a) for a in rest]) if rest else F.lit("")
+        digest = {
+            "md5": tf_md5,
+            "md4": tf_md4,
+            "sha1": tf_sha1,
+            "sha256": tf_sha256,
+            "sha512": tf_sha512,
+            "hash": tf_sha256,
+        }[name](data)
+        length = int(opts.get("length", 0))
+        if length > 0:
+            digest = F.substring(digest, 1, length)
+        return digest
 
     def _arg(self, arg) -> Arg:
         if arg[0] != "tpl":
@@ -548,6 +1042,10 @@ class TemplateCompiler:
                     opts["rekey_add_prefix"] = val.lit
                 elif flag == "shift":
                     opts["rekey_shift"] = int(val.lit)
+                elif flag == "timestamp" and name == "graphite-output":
+                    # graphite-output.c tf_graphite_set_timestamp: the
+                    # option value is itself a template
+                    opts["timestamp"] = self._parts_col(parse_template(val.lit))
                 else:
                     raise TemplateCompileError(f"unknown option --{flag}")
                 i += 2
@@ -573,6 +1071,60 @@ class TemplateCompiler:
         )
 
         core = dict(pairs)
+        if name == "format-cef-extension":
+            # modules/cef/format-cef-extension.c: space-separated
+            # name=value with value escaping \→\\ =→\= LF→\n CR→\r
+            # (sub-32 control chars additionally escape to \uXXXX in
+            # the reference; the four classes above are the ones log
+            # data hits)
+            def cef_escape(c: Column) -> Column:
+                c = F.regexp_replace(c, r"\\", r"\\\\")
+                c = F.regexp_replace(c, "=", r"\\=")
+                c = F.regexp_replace(c, "\n", r"\\n")
+                return F.regexp_replace(c, "\r", r"\\r")
+
+            if opts:
+                opts.setdefault("scope", "none")
+                m = value_pairs(F.col("sdata"), pairs=core, **opts)  # type: ignore[arg-type]
+                return F.array_join(
+                    F.transform(
+                        F.array_sort(F.map_entries(m)),
+                        lambda e: F.concat(e["key"], F.lit("="), cef_escape(e["value"])),
+                    ),
+                    " ",
+                )
+            return F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(k + "="), cef_escape(v.cast("string")))
+                    for k, v in core.items()
+                ],
+            )
+        if name == "graphite-output":
+            # modules/graphite: one 'key value unixtime\n' line per
+            # selected pair, --timestamp defaulting to $UNIXTIME
+            ts = opts.pop("timestamp", None)
+            if ts is None:
+                ts = self._parts_col(parse_template("$UNIXTIME"))
+            if opts:
+                opts.setdefault("scope", "none")
+                m = value_pairs(F.col("sdata"), pairs=core, **opts)  # type: ignore[arg-type]
+            elif core:
+                m = F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in core]),
+                    F.array(*[v.cast("string") for v in core.values()]),
+                )
+            else:
+                raise TemplateCompileError("$(graphite-output) needs pairs or --key/--scope")
+            return F.array_join(
+                F.transform(
+                    F.array_sort(F.map_entries(m)),
+                    lambda e: F.concat(
+                        e["key"], F.lit(" "), e["value"], F.lit(" "), ts, F.lit("\n")
+                    ),
+                ),
+                "",
+            )
         if opts:
             # scoped selection draws from the canonical sdata NV map;
             # --key without --scope selects ONLY the key matches
@@ -628,7 +1180,12 @@ class TemplateCompiler:
 
 
 def compile_template(
-    template: str, df: DataFrame | None = None, escape: bool = False
+    template: str,
+    df: DataFrame | None = None,
+    escape: bool = False,
+    templates: dict[str, str] | None = None,
+    context_col: str | None = None,
+    python_funcs: dict[str, Callable] | None = None,
 ) -> Column:
     """Compile a syslog-ng template string to one string Column.
 
@@ -636,7 +1193,10 @@ def compile_template(
     against that schema; without, names beyond the macro table resolve
     to bare columns (missing ones fail at analysis, like referencing a
     missing column by hand). `escape=True` backslash-escapes
-    substituted values (the reference's escape option)."""
+    substituted values (the reference's escape option). `templates`
+    feeds $(template NAME); `context_col` names the array<struct>
+    correlation context for $(grep)/$(context-*); `python_funcs`
+    registers callables for $(python)."""
     if df is not None:
         resolver = schema_resolver(df.columns)
     else:
@@ -647,7 +1207,90 @@ def compile_template(
             return F.col(name).cast("string")
 
         resolver = blind
-    return TemplateCompiler(resolver, escape=escape).compile(template)
+    return TemplateCompiler(
+        resolver,
+        escape=escape,
+        templates=templates,
+        context_col=context_col,
+        python_funcs=python_funcs,
+    ).compile(template)
+
+
+def iterate_sequence(
+    df: DataFrame,
+    template: str,
+    init: str,
+    order_by: str | Column,
+    partition_by: str | Column | None = None,
+    target: str = "iterated",
+) -> DataFrame:
+    """$(iterate template initial-value) as a distributed column.
+
+    The reference (tf-iterate.c) keeps a mutex-guarded running value:
+    row n emits f^n(init) where f is the template applied to $_ (the
+    previous value). A serial fold doesn't distribute, but the affine
+    updates that $(iterate) is used for — $(+ $_ k), $(- $_ k),
+    $(* $_ k) — have closed forms over row_number, which keeps the op
+    a window expression (one shuffle on partition_by, none of the
+    single-threaded state). Non-affine templates raise, naming the
+    constraint.
+
+    Without `partition_by` the window is global — fine for bounded
+    outputs, a deliberate choice to surface (Spark warns) at scale."""
+    from pyspark.sql import Window
+
+    parts = parse_template(template)
+    if (
+        len(parts) != 1
+        or parts[0][0] != "fn"
+        or parts[0][1] not in ("+", "-", "*")
+        or len(parts[0][2]) != 2
+    ):
+        raise NotImplementedError(
+            "iterate_sequence closes only affine recurrences: the template must"
+            " be exactly $(+|-|* $_ K) / $(op K $_). For a general sequential"
+            " fold use mapInPandas with an explicit ordering."
+        )
+    op = parts[0][1]
+    args = parts[0][2]
+
+    def _side(a):
+        if a == ("tpl", [("val", "_", None)]):
+            return "_"
+        if len(a[1]) == 1 and a[1][0][0] == "lit":
+            return float(a[1][0][1])
+        raise NotImplementedError(
+            "iterate_sequence: operands must be $_ and a numeric literal"
+        )
+
+    left, right = _side(args[0]), _side(args[1])
+    if (left == "_") == (right == "_"):
+        raise NotImplementedError("iterate_sequence: exactly one operand must be $_")
+    k = right if left == "_" else left
+    try:
+        init_v = float(init)
+    except ValueError as e:
+        raise NotImplementedError("iterate_sequence: init must be numeric") from e
+
+    w = Window.orderBy(order_by)
+    if partition_by is not None:
+        w = Window.partitionBy(partition_by).orderBy(order_by)
+    n = F.row_number().over(w) - 1
+    if op == "+":
+        val = F.lit(init_v) + F.lit(k) * n
+    elif op == "-":
+        val = (F.lit(init_v) - F.lit(k) * n) if left == "_" else (
+            # k - (k - ... ) alternates; non-affine in n when $_ is on
+            # the right of '-': f(x) = k - x has period-2 closed form
+            F.when(n % 2 == 0, F.lit(init_v)).otherwise(F.lit(k) - F.lit(init_v))
+        )
+    else:
+        val = F.lit(init_v) * F.pow(F.lit(k), n)
+    # integer templates render without a trailing .0, like the
+    # reference's int64 arithmetic
+    is_int = float(init_v).is_integer() and float(k).is_integer() and op != "/"
+    out = val.cast("long").cast("string") if is_int else val.cast("string")
+    return df.withColumn(target, out)
 
 
 def template_format(df: DataFrame, template: str, target: str = "rendered") -> DataFrame:
