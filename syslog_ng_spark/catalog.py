@@ -5208,7 +5208,10 @@ def _actions_ruleset():
             patterns=["error value=@FLOAT:val@ user=@NUMBER:uid@"],
             actions=[
                 PdbAction(
-                    condition='"${val}" < "0.25"',
+                    # numeric filter-cmp ops are ATOI comparisons in
+                    # the reference (lib/filter/filter-cmp.c:50) — an
+                    # integer condition, floats always compare 0 == 0
+                    condition='"${uid}" < "500"',
                     message=SyntheticMessage(
                         values={
                             "MESSAGE": "error-alert user=${uid} val=${val}",
@@ -5263,7 +5266,7 @@ match_out AS (
          pid::BIGINT AS pid,
          'error-alert user=' || uid || ' val=' || val AS message,
          host || '/' || program AS alert_src
-  FROM err WHERE TRY_CAST(val AS DOUBLE) < 0.25),
+  FROM err WHERE TRY_CAST(uid AS BIGINT) < 500),
 pur AS (
   SELECT *, regexp_extract(message, '{rx_pur}', {f_pur.index("uid") + 1}) AS uid
   FROM logs WHERE regexp_matches(message, '{rx_pur}')),
@@ -7501,4 +7504,273 @@ def bpe_segment_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.transform(F.col("ids"), lambda i: i.cast("string")), " ").alias("ids_str"),
         F.size("ids").cast("long").alias("n_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: the completed $(...) template-function registry,
+# exercised END-TO-END through compile_template (template text in, one
+# Column out) with hand-written DuckDB oracles — proving the compiled
+# plan equals the expression a reference user would write by hand.
+# ---------------------------------------------------------------------------
+
+_TPL_LISTOPS_SQL = """
+SELECT event_id,
+       event_type || ',h' || (user_id % 5)::VARCHAR || ',e'
+         || (event_id % 3)::VARCHAR || ',tail' AS appended,
+       'h' || (user_id % 5)::VARCHAR || ',e' || (event_id % 3)::VARCHAR AS sliced,
+       event_type || ';h' || (user_id % 5)::VARCHAR || ';e'
+         || (event_id % 3)::VARCHAR AS imploded,
+       event_type || ',h' || (user_id % 5)::VARCHAR || ',e'
+         || (event_id % 3)::VARCHAR AS roundtrip,
+       CASE WHEN event_type LIKE 'e%' THEN '0' ELSE '2' END AS searched
+FROM events
+"""
+
+
+@register("template_listops", _TPL_LISTOPS_SQL)
+def template_listops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(list-append)/$(list-slice)/$(implode)/$(explode)/$(list-search)
+    through the template COMPILER (list-funcs.c semantics: 0-based
+    end-exclusive slices, prefix search returns the first index)."""
+    from syslog_ng_spark.template import compile_template
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    lst = F.concat_ws(
+        ",",
+        F.col("event_type"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+        F.concat(F.lit("e"), (F.col("event_id") % 3).cast("string")),
+    )
+    df = ev.select("event_id", lst.alias("l"))
+    return df.select(
+        "event_id",
+        compile_template("$(list-append $l tail)", df).alias("appended"),
+        compile_template("$(list-slice 1:3 $l)", df).alias("sliced"),
+        compile_template("$(implode ; $l)", df).alias("imploded"),
+        compile_template("$(explode ; $(implode ; $l))", df).alias("roundtrip"),
+        compile_template("$(list-search --mode prefix e $l)", df).alias("searched"),
+    )
+
+
+_TPL_MAP_FILTER_SQL = """
+SELECT event_id,
+       (user_id % 10 + 2)::VARCHAR || ',' || (event_id % 7 + 2)::VARCHAR
+         || ',NaN,' || (user_id % 3 + 2)::VARCHAR AS mapped,
+       (user_id % 10)::VARCHAR || ',' || (event_id % 7)::VARCHAR || ','
+         || (user_id % 3)::VARCHAR AS filtered,
+       coalesce(array_to_string(list_filter(
+         [(user_id % 10)::VARCHAR, (event_id % 7)::VARCHAR, 'x',
+          (user_id % 3)::VARCHAR],
+         x -> CASE WHEN regexp_matches(x, '^[0-9]+$') THEN x::INT < 2
+                   ELSE TRUE END), ','), '') AS kept_lt
+FROM events
+"""
+
+
+@register("template_map_filter", _TPL_MAP_FILTER_SQL)
+def template_map_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(map template list) / $(filter (cond) list) higher-order
+    template functions (tf-map.c / tf-filter.c): $_ binds the element,
+    arithmetic on a non-numeric element renders NaN (numeric-funcs.c
+    failure rendering — the NaN slot in `mapped`), string ops (ne)
+    compare bytewise, and symbolic ops (<) go through the
+    filter-expression grammar's atoi comparison (filter-cmp.c: 'x' is
+    0, so it survives "< 2")."""
+    from syslog_ng_spark.template import compile_template
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    lst = F.concat_ws(
+        ",",
+        (F.col("user_id") % 10).cast("string"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("x"),
+        (F.col("user_id") % 3).cast("string"),
+    )
+    df = ev.select("event_id", lst.alias("l"))
+    return df.select(
+        "event_id",
+        compile_template("$(map $(+ $_ 2) $l)", df).alias("mapped"),
+        compile_template('$(filter ("$_" ne "x") $l)', df).alias("filtered"),
+        compile_template('$(filter ("$_" < "2") $l)', df).alias("kept_lt"),
+    )
+
+
+_TPL_FN_TEMPLATE_SQL = """
+SELECT event_id,
+       CASE WHEN user_id % 2 = 0 THEN 's:' || event_type
+            ELSE 'l:' || event_type || '@h' || (user_id % 5)::VARCHAR
+       END AS dyn,
+       CASE WHEN user_id % 3 = 0 THEN 's:' || event_type
+            ELSE 'fb ' || event_type END AS dyn_fb,
+       's:' || event_type AS stat
+FROM events
+"""
+
+
+@register("template_fn_template", _TPL_FN_TEMPLATE_SQL)
+def template_fn_template_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(template name) (tf-template.c): static binding, dynamic
+    $-bearing name binding (runtime lookup), and the dynamic fallback
+    (remaining args space-joined) when the runtime name misses."""
+    from syslog_ng_spark.template import compile_template
+
+    tpls = {
+        "short": "s:$event_type",
+        "long": "l:$event_type@h$(% $user_id 5)",
+    }
+    ev = rebalance(T(spark, sf_dir, "events"))
+    df = ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("short")).otherwise(F.lit("long")).alias("fmt"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("short")).otherwise(F.lit("nope")).alias("fmt2"),
+    )
+    return df.select(
+        "event_id",
+        compile_template("$(template ${fmt})", df, templates=tpls).alias("dyn"),
+        compile_template("$(template ${fmt2} fb $event_type)", df, templates=tpls).alias("dyn_fb"),
+        compile_template("$(template short)", df, templates=tpls).alias("stat"),
+    )
+
+
+_TPL_CONTEXT_SQL = f"""
+WITH logs AS (SELECT user_id, event_id, event_type,
+                     {EVENT_SEVERITY_SQL} AS sev FROM events
+              WHERE event_id % 100 = 0)
+SELECT user_id,
+       coalesce(array_to_string(
+         array_agg(event_type ORDER BY event_id) FILTER (WHERE sev < 4),
+         ','), '') AS err_types,
+       array_to_string(array_agg(event_type ORDER BY event_id), ',') AS all_types,
+       count(*)::VARCHAR AS ctx_len
+FROM logs GROUP BY user_id
+"""
+
+
+@register("template_context_fns", _TPL_CONTEXT_SQL)
+def template_context_fns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(grep (cond) $nv) / $(context-values) / $(context-length)
+    through the template compiler's context_col binding (cond-funcs.c,
+    context-funcs.c): the correlation context is a per-key collected
+    array<struct>, conditions evaluate per context row."""
+    from syslog_ng_spark.datamodel import event_severity
+    from syslog_ng_spark.template import compile_template
+
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    logs = ev.select(
+        "user_id", "event_id", "event_type",
+        event_severity(F.col("event_type")).alias("sev"),
+    )
+    ctx = logs.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("event_id", "event_type", "sev"))).alias("_ctx")
+    )
+    kw = {"context_col": "_ctx"}
+    return ctx.select(
+        "user_id",
+        compile_template('$(grep ("$sev" < "4") $event_type)', ctx, **kw).alias("err_types"),
+        compile_template("$(context-values $event_type)", ctx, **kw).alias("all_types"),
+        compile_template("$(context-length)", ctx, **kw).alias("ctx_len"),
+    )
+
+
+_TPL_FORMAT_EXT_SQL = """
+SELECT event_id,
+       'ev ' || event_type || ' '
+         || epoch(date_trunc('second', ts))::BIGINT::VARCHAR || chr(10) AS graphite,
+       'act=' || event_type || ' msg=id\\=' || event_id::VARCHAR AS cef_ext
+FROM events
+"""
+
+
+@register("template_format_ext", _TPL_FORMAT_EXT_SQL)
+def template_format_ext_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$(graphite-output) plaintext 'key value ts\\n' lines
+    (modules/graphite) and $(format-cef-extension) k=v pairs with CEF
+    value escaping '=' → '\\=' (modules/cef), both through the
+    compiler's value-pairs tail."""
+    from syslog_ng_spark.template import compile_template
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    df = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.concat(F.lit("id="), F.col("event_id").cast("string")).alias("m"),
+    )
+    return df.select(
+        "event_id",
+        compile_template('$(graphite-output --timestamp "$UNIXTIME" ev=$event_type)', df).alias("graphite"),
+        compile_template("$(format-cef-extension act=$event_type msg=$m)", df).alias("cef_ext"),
+    )
+
+
+_PII_REDACT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'doc ' || doc_id::VARCHAR
+           || ' mail u' || doc_id::VARCHAR || '@ex.org'
+           || ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR
+           || ' ssn ' || (100 + doc_id % 500)::VARCHAR || '-'
+             || (10 + doc_id % 89)::VARCHAR || '-' || (1000 + doc_id % 9000)::VARCHAR
+           || ' tel (555) 123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           || ' card ' || CASE WHEN doc_id % 2 = 0
+                               THEN '4539578763621486'
+                               ELSE '1234567890123456' END
+           || ' ref ' || (doc_id * 7919)::VARCHAR AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         CASE WHEN doc_id % 2 = 0
+              THEN replace(text, '4539578763621486', '<CREDIT_CARD>')
+              ELSE text END,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+         '\\(555\\) 123-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted,
+       1::BIGINT AS n_email, 1::BIGINT AS n_ipv4, 1::BIGINT AS n_ssn,
+       1::BIGINT AS n_phone,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_cc
+FROM d
+"""
+
+
+@register("pii_redact", _PII_REDACT_SQL)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py): email/IPv4/SSN/phone regex
+    redaction plus Luhn-validated credit-card masking, entirely
+    JVM-side. Deterministic PII is injected per doc so the oracle is
+    exact: every doc carries one of each regex category and a card
+    that is Luhn-valid only for even doc_ids — odd docs keep their
+    digit run, proving the checksum actually gates redaction."""
+    from syslog_ng_spark.operators.pii import pii_counts, pii_redact_col
+
+    docs = rebalance(T(spark, sf_dir, "documents"))
+    text = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"),
+        F.lit(" mail u"), F.col("doc_id").cast("string"), F.lit("@ex.org"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" ssn "), (F.col("doc_id") % 500 + 100).cast("string"),
+        F.lit("-"), (F.col("doc_id") % 89 + 10).cast("string"),
+        F.lit("-"), (F.col("doc_id") % 9000 + 1000).cast("string"),
+        F.lit(" tel (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" card "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("4539578763621486")).otherwise(
+            F.lit("1234567890123456")
+        ),
+        F.lit(" ref "), (F.col("doc_id") * 7919).cast("string"),
+    )
+    d = docs.select("doc_id", text.alias("_t"))
+    counts = pii_counts(F.col("_t"))
+    return d.select(
+        "doc_id",
+        pii_redact_col(F.col("_t")).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+        counts["credit_card"].alias("n_cc"),
     )

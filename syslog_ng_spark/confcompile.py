@@ -660,13 +660,35 @@ def _glob_to_like(pat: str) -> str:
     return "".join(out)
 
 
-def _re_column(df: DataFrame, node: dict) -> Column:
+def parse_filter_text(text: str) -> dict:
+    """Parse one filter EXPRESSION string ('facility(local3)',
+    '"$A" lt "$B" and message(...)') to its AST node — the entry the
+    template functions $(if)/$(grep)/$(filter) use, matching
+    tf_cond_prepare running filter_expr_parser over argv[1]
+    (modules/basicfuncs/cond-funcs.c:38-47)."""
+    from syslog_ng_spark.conflang import Conf, Lexer, Parser
+
+    lx = Lexer(text + ";", {})
+    p = Parser(lx.tokens(), Conf(), lx.text)
+    expr = p._filter_expr()
+    return expr
+
+
+def _re_column(
+    df: DataFrame | None,
+    node: dict,
+    resolve=None,
+    compile_tpl=None,
+) -> Column:
     from syslog_ng_spark.template import compile_template
 
+    resolve = resolve or F.col
     if "target" in node:
-        col = F.col(field_column(node["target"].upper()))
+        col = resolve(field_column(node["target"].upper()))
     elif "value" in node:
-        col = F.col(field_column(node["value"]))
+        col = resolve(field_column(node["value"]))
+    elif compile_tpl is not None:
+        col = compile_tpl(node["template"])
     else:
         col = compile_template(node["template"], df)
     mtype = node.get("type", "pcre")
@@ -691,45 +713,67 @@ def _re_column(df: DataFrame, node: dict) -> Column:
     return col.rlike(pat)  # pcre / posix
 
 
-def filter_predicate(df: DataFrame, node: dict) -> Column:
+def filter_predicate(
+    df: DataFrame | None,
+    node: dict,
+    resolve=None,
+    compile_tpl=None,
+) -> Column:
     """Compile a filter expression tree (conflang._filter_expr output)
     to a boolean Column — the FilterExprNode eval analog
     (lib/filter/filter-expr.c), built entirely from Catalyst
-    expressions so the predicate pushes down like any other."""
+    expressions so the predicate pushes down like any other.
+
+    `resolve` overrides how field names become Columns (default F.col
+    against `df`) and `compile_tpl` overrides template compilation —
+    the template functions pass scope-aware versions so the same
+    grammar evaluates per CONTEXT ELEMENT inside $(grep)."""
     from syslog_ng_spark.operators import filters as flt
+
+    resolve = resolve or F.col
+
+    def rec(n: dict) -> Column:
+        return filter_predicate(df, n, resolve=resolve, compile_tpl=compile_tpl)
 
     op = node["op"]
     if op == "and":
-        out = filter_predicate(df, node["args"][0])
+        out = rec(node["args"][0])
         for a in node["args"][1:]:
-            out = out & filter_predicate(df, a)
+            out = out & rec(a)
         return out
     if op == "or":
-        out = filter_predicate(df, node["args"][0])
+        out = rec(node["args"][0])
         for a in node["args"][1:]:
-            out = out | filter_predicate(df, a)
+            out = out | rec(a)
         return out
     if op == "not":
-        return ~filter_predicate(df, node["arg"])
+        return ~rec(node["arg"])
     if op == "severity":
-        return flt.severity_filter(F.col("severity"), node["lo"], node["hi"])
+        return flt.severity_filter(resolve("severity"), node["lo"], node["hi"])
     if op == "facility":
-        return flt.facility_filter(F.col("facility"), *node["facs"])
+        return flt.facility_filter(resolve("facility"), *node["facs"])
     if op == "re":
-        return _re_column(df, node)
+        return _re_column(df, node, resolve=resolve, compile_tpl=compile_tpl)
     if op == "netmask":
-        return flt.netmask_filter(F.col("ip") if "ip" in df.columns else F.col("host"),
+        has_ip = df is not None and "ip" in df.columns
+        return flt.netmask_filter(resolve("ip") if has_ip else resolve("host"),
                                   node["cidr"])
     if op == "netmask6":
-        return flt.netmask6_filter(F.col("ip") if "ip" in df.columns else F.col("host"),
+        has_ip = df is not None and "ip" in df.columns
+        return flt.netmask6_filter(resolve("ip") if has_ip else resolve("host"),
                                    node["cidr"])
     if op == "tags":
-        return flt.tags_filter(F.col("tags"), *node["tags"])
+        return flt.tags_filter(resolve("tags"), *node["tags"])
     if op == "in-list":
         with open(node["path"], encoding="utf-8") as fh:
             values = [ln.strip() for ln in fh if ln.strip()]
-        return flt.in_list_filter(F.col(field_column(node["value"])), values)
+        return flt.in_list_filter(resolve(field_column(node["value"])), values)
     if op == "cmp":
+        if compile_tpl is not None:
+            lc, rc = compile_tpl(node["left"]), compile_tpl(node["right"])
+            if node["numeric"]:
+                lc, rc = flt._atoi(lc), flt._atoi(rc)
+            return flt._CMP_OPS[node["cmp"]](lc, rc)
         return flt.cmp_filter(df, node["left"], node["right"], node["cmp"],
                               numeric=node["numeric"])
     if op == "const":

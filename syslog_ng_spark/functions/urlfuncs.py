@@ -19,7 +19,10 @@ def url_decode(c: Column) -> Column:
 
 
 def base64_encode(c: Column) -> Column:
-    return F.base64(c.cast("binary"))
+    # Spark's base64 emits RFC 2045 MIME chunking (CRLF every 76
+    # chars); the reference emits one unbroken string
+    # (test_basicfuncs.c:262's 134-char input)
+    return F.regexp_replace(F.base64(c.cast("binary")), "[\r\n]", "")
 
 
 def base64_decode(c: Column) -> Column:

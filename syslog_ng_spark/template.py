@@ -104,6 +104,23 @@ def parse_template(text: str) -> list:
             parts.append(("lit", "".join(lit)))
             lit.clear()
 
+    def msg_ref(j: int) -> tuple[int | None, int]:
+        """Parse an optional '@N' correlation-state suffix after a
+        value/function element (lib/template/compiler.c
+        parse_msg_ref): '@<digits>' selects context message N counted
+        from the latest, '@@' collapses to a literal '@', and '@' +
+        non-digit stays literal text."""
+        if j < n and text[j] == "@":
+            if j + 1 < n and text[j + 1] == "@":
+                lit.append("@")
+                return None, j + 2
+            k = j + 1
+            while k < n and text[k].isdigit():
+                k += 1
+            if k > j + 1:
+                return int(text[j + 1 : k]), k
+        return None, j
+
     while i < n:
         ch = text[i]
         if ch != "$":
@@ -123,22 +140,23 @@ def parse_template(text: str) -> list:
                 raise TemplateCompileError("'}' is missing")
             inner = text[i + 2 : end]
             flush()
+            ref, i = msg_ref(end + 1)
             if ":-" in inner:
                 name, default = inner.split(":-", 1)
-                parts.append(("val", name, parse_template(default)))
+                parts.append(("val", name, parse_template(default), ref))
             else:
-                parts.append(("val", inner, None))
-            i = end + 1
+                parts.append(("val", inner, None, ref))
         elif nxt == "(":
             node, i = _parse_fn(text, i + 2)
+            ref, i = msg_ref(i)
             flush()
-            parts.append(node)
+            parts.append((node[0], node[1], node[2], ref))
         else:
             m = _NAME_RE.match(text, i + 1)
             if m:
                 flush()
-                parts.append(("val", m.group(0), None))
-                i = m.end()
+                ref, i = msg_ref(m.end())
+                parts.append(("val", m.group(0), None, ref))
             else:
                 lit.append("$")
                 i += 1
@@ -173,14 +191,28 @@ def _parse_fn(text: str, i: int) -> tuple[tuple, int]:
                     j += 1
             if j >= n:
                 raise TemplateCompileError("missing function name or imbalanced '('")
-            args.append(("tpl", parse_template("".join(buf))))
+            raw = "".join(buf)
+            # the third element is the RAW argument text — prepare-time
+            # consumers ($(if)/$(grep) filter expressions,
+            # tf_cond_prepare) parse the unexpanded source, not the
+            # template-parsed parts
+            args.append(("tpl", parse_template(raw), raw))
             i = j + 1
         elif text[i] == "(":
-            j, depth = i + 1, 1
+            # parens inside ' / " quotes don't count toward balance
+            # ($(grep ('$FACILITY(' eq 'local3(') $PID) is valid,
+            # test_basicfuncs.c:137)
+            j, depth, q = i + 1, 1, None
             while j < n and depth:
-                if text[j] == "(":
+                c = text[j]
+                if q is not None:
+                    if c == q:
+                        q = None
+                elif c in "'\"":
+                    q = c
+                elif c == "(":
                     depth += 1
-                elif text[j] == ")":
+                elif c == ")":
                     depth -= 1
                 j += 1
             if depth:
@@ -210,10 +242,31 @@ def _parse_fn(text: str, i: int) -> tuple[tuple, int]:
                         raise TemplateCompileError("'}' is missing")
                     buf.append(text[j : k + 1])
                     j = k + 1
+                elif text[j] == "(":
+                    # a bare '(' mid-word opens a balanced group that
+                    # is carried whole, whitespace included — the
+                    # reference's arg scanner balances parens, so
+                    # $(if program("x" type(pcre)) a b) passes the
+                    # whole program(...) expression as one argument
+                    # (lib/template/compiler.c)
+                    k, depth = j + 1, 1
+                    while k < n and depth:
+                        if text[k] == "(":
+                            depth += 1
+                        elif text[k] == ")":
+                            depth -= 1
+                        k += 1
+                    if depth:
+                        raise TemplateCompileError(
+                            "missing function name or imbalanced '('"
+                        )
+                    buf.append(text[j:k])
+                    j = k
                 else:
                     buf.append(text[j])
                     j += 1
-            args.append(("tpl", parse_template("".join(buf))))
+            raw = "".join(buf)
+            args.append(("tpl", parse_template(raw), raw))
             i = j
 
 
@@ -345,18 +398,54 @@ def _num(a: Arg) -> Column:
     return a.col.try_cast("long")
 
 
-def _arith(op) -> Callable:
-    return lambda args: op(_num(args[0]), _num(args[1])).try_cast("long").cast("string")
+def _arith(op, zero_guard: bool = False) -> Callable:
+    """numeric-funcs.c binary arithmetic, exactly: int64 when BOTH
+    operands parse as integers (strtoll), double (%.20f output) when
+    either needs strtod, the literal string "NaN" on parse failure or
+    division/modulo by zero (test_basicfuncs.c test_numeric_funcs:
+    '$(/ 19 0)' → NaN, '$(+ foo bar)' → NaN, '$(/ 3.0 2)' →
+    1.50000000000000000000)."""
+
+    def handler(args: list[Arg]) -> Column:
+        a, b = args[0].col, args[1].col
+        ai, bi = a.try_cast("long"), b.try_cast("long")
+        ad, bd = a.try_cast("double"), b.try_cast("double")
+        bad = ad.isNull() | bd.isNull()
+        if zero_guard:
+            bad = bad | (bd == 0.0)
+        both_int = ai.isNotNull() & bi.isNotNull()
+        int_res = op(ai, bi, True)
+        flt_res = F.format_string("%.20f", op(ad, bd, False))
+        return (
+            F.when(bad, F.lit("NaN"))
+            .when(both_int, int_res.cast("long").cast("string"))
+            .otherwise(flt_res)
+        )
+
+    return handler
+
+
+def _int_div(x: Column, y: Column, is_int: bool) -> Column:
+    if not is_int:
+        return F.try_divide(x, y)
+    # C int64 division truncates toward zero: strip the C-sign
+    # remainder first so the double division is over an exact multiple
+    return F.try_divide(x - x % y, y)
 
 
 def _tf_round(args: list[Arg]) -> Column:
-    # numeric-funcs.c $(round value [frac-digits])
+    # numeric-funcs.c $(round value [frac-digits]): digits outside
+    # 0..20 → NaN; 0 digits → integer; else exactly that many decimals
     digits = args[1].int_lit("round") if len(args) > 1 else 0
     val = args[0].col.try_cast("double")
-    if digits <= 0:
-        return F.round(val, 0).try_cast("long").cast("string")
-    return F.when(
-        val.isNotNull(), F.format_string(f"%.{digits}f", F.round(val, digits))
+    if digits < 0 or digits > 20:
+        return F.lit("NaN")
+    if digits == 0:
+        return F.when(val.isNull(), F.lit("NaN")).otherwise(
+            F.round(val, 0).try_cast("long").cast("string")
+        )
+    return F.when(val.isNull(), F.lit("NaN")).otherwise(
+        F.format_string(f"%.{digits}f", F.round(val, digits))
     )
 
 
@@ -368,7 +457,9 @@ def _tf_substr(args: list[Arg]) -> Column:
 
 def _tf_padding(args: list[Arg]) -> Column:
     width = args[1].int_lit("padding")
-    fill = args[2].lit if len(args) > 2 and args[2].lit is not None else " "
+    # an explicit EMPTY padding string falls back to the default space
+    # (test_basicfuncs.c: "$(padding foo 4 '')" → " foo")
+    fill = (args[2].lit or " ") if len(args) > 2 and args[2].lit is not None else " "
     return padding(args[0].col, width, fill)
 
 
@@ -379,9 +470,13 @@ def _list_col(args: list[Arg]) -> Column:
 
 
 def _split_list(s: Column) -> Column:
-    """comma list string → array, '' → empty array (the list model's
-    empty list, matching list_scanner over an empty input)."""
-    return F.when(s == "", F.array().cast("array<string>")).otherwise(F.split(s, ","))
+    """comma list string → array. The reference's list_scanner yields
+    only NON-EMPTY elements (test_basicfuncs.c test_list_funcs:
+    '$(list-head ,bar,baz)' → 'bar', '$(list-tail foo,)' → ''), so
+    empties are dropped here too. Divergence from the reference's
+    quoted list model: values containing commas are not "-quoted in
+    our plain list encoding (documented at the list-append entry)."""
+    return F.filter(F.split(s, ","), lambda x: x != "")
 
 
 def _nonempty(c: Column) -> Column:
@@ -419,9 +514,21 @@ def _tf_implode(args: list[Arg]) -> Column:
     return F.array_join(_split_list(_list_col(args[1:])), sep)
 
 
+def _tf_list_nth(args: list[Arg]) -> Column:
+    n = args[0].int_lit("list-nth")
+    arr = _split_list(_list_col(args[1:]))
+    if n >= 0:
+        return F.coalesce(F.try_element_at(arr, F.lit(n + 1)), F.lit(""))
+    # negative: -1 is the last element; beyond the front renders unset
+    return F.coalesce(F.try_element_at(arr, F.lit(n)), F.lit(""))
+
+
 def _tf_list_slice(args: list[Arg]) -> Column:
-    """$(list-slice FIRST:LAST list...) — 0-based, end-exclusive, either
-    bound omissible (list-funcs.c tf_list_slice)."""
+    """$(list-slice FIRST:LAST list...) — 0-based, end-exclusive,
+    either bound omissible, NEGATIVE bounds count from the end
+    (list-funcs.c tf_list_slice / _list_slice's clamping:
+    '$(list-slice -2: a,b,c)' → 'b,c', '$(list-slice -100: …)' →
+    everything)."""
     spec = args[0].lit
     if spec is None:
         raise TemplateCompileError("$(list-slice) FIRST:LAST must be a literal")
@@ -432,10 +539,15 @@ def _tf_list_slice(args: list[Arg]) -> Column:
     except ValueError as e:
         raise TemplateCompileError(f"$(list-slice) bad slice spec {spec!r}") from e
     arr = _split_list(_list_col(args[1:]))
+    sz = F.size(arr)
+    start = F.lit(first) if first >= 0 else F.greatest(sz + first, F.lit(0))
     if last is None:
-        out = F.slice(arr, first + 1, F.greatest(F.size(arr) - first, F.lit(0)))
+        end = sz
+    elif last >= 0:
+        end = F.least(F.lit(last), sz)
     else:
-        out = F.slice(arr, first + 1, max(last - first, 0))
+        end = F.greatest(sz + last, F.lit(0))
+    out = F.slice(arr, start + 1, F.greatest(end - start, F.lit(0)))
     return F.array_join(out, ",")
 
 
@@ -448,10 +560,16 @@ def _tf_json_escape(c: Column) -> Column:
 
 FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "echo": lambda a: F.concat_ws(" ", *[x.col for x in a]) if a else F.lit(""),
-    "lowercase": lambda a: F.lower(a[0].col),
-    "uppercase": lambda a: F.upper(a[0].col),
-    "strip": lambda a: F.trim(a[0].col),
-    "length": lambda a: F.length(a[0].col).cast("string"),
+    # the str-funcs.c case/strip/length functions process EVERY arg,
+    # space-joined; strip additionally skips args that trim to ''
+    # (test_basicfuncs.c: '$(length $HOST $PID)' → '5 5',
+    # '$(strip  $S5 $S1 $S5)' → 'value')
+    "lowercase": lambda a: F.concat_ws(" ", *[F.lower(x.col) for x in a]) if a else F.lit(""),
+    "uppercase": lambda a: F.concat_ws(" ", *[F.upper(x.col) for x in a]) if a else F.lit(""),
+    "strip": lambda a: F.concat_ws(" ", *[_nonempty(F.trim(x.col)) for x in a]) if a else F.lit(""),
+    "length": lambda a: F.concat_ws(
+        " ", *[F.length(x.col).cast("string") for x in a]
+    ) if a else F.lit(""),
     "basename": lambda a: basename(a[0].col),
     "dirname": lambda a: dirname(a[0].col),
     "md5": lambda a: tf_md5(F.concat(*[x.col for x in a])),
@@ -474,41 +592,41 @@ FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "replace-delimiter": lambda a: replace_delimiter(
         a[2].col, a[0].lit or "", a[1].lit or ""
     ),
-    "+": _arith(lambda x, y: x + y),
-    "-": _arith(lambda x, y: x - y),
-    "*": _arith(lambda x, y: x * y),
-    # try_divide: /0 renders unset, not DIVIDE_BY_ZERO; cast truncates
-    "/": _arith(F.try_divide),
-    "%": _arith(lambda x, y: F.when(y != 0, F.pmod(x, y))),
+    "+": _arith(lambda x, y, i: x + y),
+    "-": _arith(lambda x, y, i: x - y),
+    "*": _arith(lambda x, y, i: x * y),
+    "/": _arith(_int_div, zero_guard=True),
+    # Spark's % follows the dividend's sign, like C's fmod/% — the
+    # reference's int64 and double modulo semantics both match
+    "%": _arith(lambda x, y, i: x % y, zero_guard=True),
     "round": _tf_round,
-    "ceil": lambda a: F.ceil(a[0].col.try_cast("double")).try_cast("long").cast("string"),
-    "floor": lambda a: F.floor(a[0].col.try_cast("double")).try_cast("long").cast("string"),
+    "ceil": lambda a: F.when(a[0].col.try_cast("double").isNull(), F.lit("NaN"))
+    .otherwise(F.ceil(a[0].col.try_cast("double")).try_cast("long").cast("string")),
+    "floor": lambda a: F.when(a[0].col.try_cast("double").isNull(), F.lit("NaN"))
+    .otherwise(F.floor(a[0].col.try_cast("double")).try_cast("long").cast("string")),
     "substr": _tf_substr,
     "padding": _tf_padding,
-    "list-head": lambda a: F.element_at(F.split(_list_col(a), ","), 1),
+    "list-head": lambda a: F.coalesce(F.get(_split_list(_list_col(a)), 0), F.lit("")),
     "list-tail": lambda a: F.array_join(
         F.slice(
-            F.split(_list_col(a), ","),
+            _split_list(_list_col(a)),
             2,
-            F.greatest(F.size(F.split(_list_col(a), ",")) - 1, F.lit(0)),
+            F.greatest(F.size(_split_list(_list_col(a))) - 1, F.lit(0)),
         ),
         ",",
     ),
-    "list-count": lambda a: F.when(_list_col(a) == "", F.lit(0))
-    .otherwise(F.size(F.split(_list_col(a), ",")))
-    .cast("string"),
-    # list-funcs.c tf_list_nth: the INDEX is the first argument; an
-    # out-of-range index renders unset (try_element_at, not the
-    # ANSI-crashing element_at)
-    "list-nth": lambda a: F.try_element_at(
-        F.split(_list_col(a[1:]), ","), F.lit(a[0].int_lit("list-nth") + 1)
-    ),
+    "list-count": lambda a: F.size(_split_list(_list_col(a))).cast("string"),
+    # list-funcs.c tf_list_nth: the INDEX is the first argument;
+    # negative indices count from the end (-1 = last); out-of-range
+    # renders unset (try_element_at, not the ANSI-crashing element_at)
+    "list-nth": _tf_list_nth,
     # list-append / list-concat both reduce to re-joining the non-empty
-    # parts in the plain comma-list model (the reference additionally
-    # str_repr-quotes values containing commas; our list model is
-    # unquoted throughout, see list-head/tail above)
-    "list-append": lambda a: F.concat_ws(",", *[_nonempty(x.col) for x in a]),
-    "list-concat": lambda a: F.concat_ws(",", *[_nonempty(x.col) for x in a]),
+    # ELEMENTS in the plain comma-list model — a trailing comma inside
+    # an evaluated arg contributes nothing (test_basicfuncs.c:420).
+    # (The reference additionally str_repr-quotes values containing
+    # commas; our list model is unquoted throughout.)
+    "list-append": lambda a: F.array_join(_split_list(_list_col(a)), ","),
+    "list-concat": lambda a: F.array_join(_split_list(_list_col(a)), ","),
     "list-slice": _tf_list_slice,
     "explode": _tf_explode,
     "implode": _tf_implode,
@@ -579,6 +697,8 @@ class TemplateCompiler:
         # $(map)/$(filter)/$(grep); entries are name→Column|None
         self._scope: list[Callable[[str], Column | None]] = []
         self._tpl_stack: list[str] = []
+        # a one-message context slice while compiling a $(fn)@N element
+        self._context_override: Column | None = None
 
     def compile(self, template: str) -> Column:
         return self._parts_col(parse_template(template))
@@ -599,7 +719,21 @@ class TemplateCompiler:
         if kind == "lit":
             return F.lit(node[1])
         if kind == "val":
-            _, name, default = node
+            name, default = node[1], node[2]
+            ref = node[3] if len(node) > 3 else None
+            if ref is not None:
+                sel = self._msg_ref_scope(ref)
+                if sel is None:
+                    # @N beyond the context renders unset; @0 without a
+                    # context is the current message (eval.c)
+                    if ref > 0:
+                        return self._parts_col(default) if default is not None else F.lit("")
+                else:
+                    self._scope.append(sel)
+                    try:
+                        return self._part(("val", name, default))
+                    finally:
+                        self._scope.pop()
             val = None
             for scope in reversed(self._scope):
                 val = scope(name)
@@ -613,11 +747,32 @@ class TemplateCompiler:
             fallback = self._parts_col(default) if default is not None else F.lit("")
             return F.coalesce(val, fallback)
         if kind == "fn":
+            ref = node[3] if len(node) > 3 else None
+            if ref is not None and self.context_col:
+                # $(fn ...)@N: the function sees a ONE-message context —
+                # message N counted back from the latest; beyond the
+                # context everything renders unset (eval.c msg_ref:
+                # msg_ndx = num_messages - (N+1))
+                ctx = F.col(self.context_col)
+                elem = F.try_element_at(ctx, F.size(ctx) - F.lit(ref))
+                in_range = F.size(ctx) > ref
+                saved = self._context_override
+                self._context_override = F.when(in_range, F.array(elem)).otherwise(
+                    F.slice(ctx, 1, 0)
+                )
+                inner = self._ctx_scope(elem)
+                self._scope.append(lambda n: F.when(in_range, inner(n)))
+                try:
+                    out = self._fn(node)
+                finally:
+                    self._scope.pop()
+                    self._context_override = saved
+                return F.coalesce(self._escaped(out.cast("string")), F.lit(""))
             return F.coalesce(self._escaped(self._fn(node).cast("string")), F.lit(""))
         raise TemplateCompileError(f"unknown node {kind}")
 
     def _fn(self, node) -> Column:
-        _, name, raw_args = node
+        name, raw_args = node[1], node[2]
         # plugin name lookup treats '-' and '_' as the same character
         # (lib/plugin.c:153) — $(format_json) and $(format-json) are one
         # function; canonical spelling here is dashed
@@ -677,6 +832,8 @@ class TemplateCompiler:
             return self._fn_getent(raw_args)
         if name == "dns-resolve-ip":
             return self._fn_dns_resolve_ip(raw_args)
+        if name == "sanitize":
+            return self._fn_sanitize(raw_args)
         if name == "stardate":
             return self._fn_stardate(raw_args)
         if name == "list-search":
@@ -697,21 +854,47 @@ class TemplateCompiler:
         finally:
             self._scope.pop()
 
-    def _leading_flags(self, raw_args: list, known: dict[str, type]) -> tuple[dict, list]:
-        """Pop leading '--flag value' literal pairs (the GOption prefix
-        the reference's prepare functions strip from argv)."""
+    def _leading_flags(
+        self,
+        raw_args: list,
+        known: dict[str, type],
+        aliases: dict[str, str] | None = None,
+        boolean: set[str] | None = None,
+    ) -> tuple[dict, list]:
+        """Pop leading GOption-style flags: '--flag value',
+        '--flag=value', short '-f value' via `aliases`, and valueless
+        `boolean` flags (the argv prefix the reference's prepare
+        functions strip)."""
+        aliases = aliases or {}
+        boolean = boolean or set()
         opts: dict[str, object] = {}
         i = 0
-        while i + 1 < len(raw_args):
+        while i < len(raw_args):
             a = raw_args[i]
             if a[0] != "tpl" or len(a[1]) != 1 or a[1][0][0] != "lit":
                 break
             lit = a[1][0][1]
-            if not lit.startswith("--"):
+            if lit.startswith("--"):
+                flag = lit[2:]
+            elif lit.startswith("-") and lit[1:] in aliases:
+                flag = aliases[lit[1:]]
+            else:
                 break
-            flag = lit[2:]
+            inline = None
+            if "=" in flag:
+                flag, inline = flag.split("=", 1)
+            if flag in boolean:
+                opts[flag] = True
+                i += 1
+                continue
             if flag not in known:
                 raise TemplateCompileError(f"unknown option --{flag}")
+            if inline is not None:
+                opts[flag] = known[flag](inline)
+                i += 1
+                continue
+            if i + 1 >= len(raw_args):
+                raise TemplateCompileError(f"--{flag} needs a value")
             val = self._arg(raw_args[i + 1])
             if val.lit is None:
                 raise TemplateCompileError(f"--{flag} value must be literal")
@@ -740,9 +923,7 @@ class TemplateCompiler:
     def _fn_filter(self, raw_args) -> Column:
         """$(filter (cond) list...) — tf-filter.c: keep elements whose
         condition (same mini-language as $(if)) matches with $_ bound."""
-        if len(raw_args) < 2 or raw_args[0][0] != "cond":
-            raise TemplateCompileError("$(filter) needs a (condition) and a list")
-        cond_text = raw_args[0][1]
+        cond_text = self._cond_arg_text("filter", raw_args)
         lst = _list_col([self._arg(a) for a in raw_args[1:]])
         kept = F.filter(
             _split_list(lst),
@@ -754,6 +935,8 @@ class TemplateCompiler:
         return F.array_join(kept, ",")
 
     def _context(self, fn_name: str) -> Column:
+        if self._context_override is not None:
+            return self._context_override
         if not self.context_col:
             raise TemplateCompileError(
                 f"$({fn_name}) reads the correlation context: compile with"
@@ -762,21 +945,57 @@ class TemplateCompiler:
             )
         return F.col(self.context_col)
 
+    def _msg_ref_scope(self, ref: int) -> Callable[[str], Column | None] | None:
+        """Scope for a '$NAME@N' value reference: names resolve against
+        context message N-from-latest, null (→ unset) when the context
+        is shorter. None when no context is configured."""
+        if not self.context_col:
+            return None
+        ctx = F.col(self.context_col)
+        elem = F.try_element_at(ctx, F.size(ctx) - F.lit(ref))
+        inner = self._ctx_scope(elem)
+        in_range = F.size(ctx) > ref
+        return lambda n: F.when(in_range, inner(n))
+
     def _ctx_scope(self, elem: Column) -> Callable[[str], Column | None]:
         # context functions render each name against the CONTEXT row,
         # not the outer row (context-funcs.c evaluates per message);
-        # missing fields surface as analysis errors, like missing
-        # columns elsewhere
-        return lambda n: elem if n == "_" else elem.getField(n)
+        # the standard macros map onto the log-schema struct fields,
+        # everything else is a raw field access (missing fields
+        # surface as analysis errors, like missing columns elsewhere)
+        _direct = {
+            "PID": "pid",
+            "HOST": "host",
+            "PROGRAM": "program",
+            "MSG": "message",
+            "MESSAGE": "message",
+        }
+
+        def resolve(name: str) -> Column:
+            if name == "_":
+                return elem
+            if name in _direct:
+                return elem.getField(_direct[name])
+            if name == "FACILITY":
+                return facility_name(elem.getField("facility"))
+            if name == "FACILITY_NUM":
+                return elem.getField("facility")
+            if name in ("SEVERITY", "PRIORITY"):
+                return severity_name(elem.getField("severity"))
+            if name in ("SEVERITY_NUM", "LEVEL_NUM"):
+                return elem.getField("severity")
+            return elem.getField(name)
+
+        return resolve
 
     def _fn_grep(self, fn_name: str, raw_args) -> Column:
         """$(grep [--max-count N] (cond) $nv...) and its alias
         $(context-lookup): values of matching context rows, comma list
         (cond-funcs.c tf_grep_call / context-funcs.c)."""
-        opts, rest = self._leading_flags(raw_args, {"max-count": int})
-        if len(rest) < 2 or rest[0][0] != "cond":
-            raise TemplateCompileError(f"$({fn_name}) needs a (condition) and value refs")
-        cond_text = rest[0][1]
+        opts, rest = self._leading_flags(
+            raw_args, {"max-count": int}, aliases={"m": "max-count"}
+        )
+        cond_text = self._cond_arg_text(fn_name, rest)
         ctx = self._context(fn_name)
         matches = F.filter(
             ctx,
@@ -895,7 +1114,14 @@ class TemplateCompiler:
             if arg.lit is None:
                 raise TemplateCompileError("$(binary) byte values must be literal")
             try:
-                v = int(arg.lit, 0)
+                # C-style numbers: 0x hex, leading-0 octal, else decimal
+                # (misc-funcs.c parses with the C number rules —
+                # "$(binary 0xFF 255 0377)" is three times 255)
+                lit = arg.lit
+                if lit.startswith("0") and len(lit) > 1 and all(c in "01234567" for c in lit[1:]):
+                    v = int(lit, 8)
+                else:
+                    v = int(lit, 0)
             except ValueError as e:
                 raise TemplateCompileError(f"$(binary) bad byte value {arg.lit!r}") from e
             if not 0 <= v <= 255:
@@ -920,13 +1146,64 @@ class TemplateCompiler:
         except ValueError as e:
             raise TemplateCompileError(str(e)) from e
 
+    def _fn_sanitize(self, raw_args) -> Column:
+        """$(sanitize [-r CHAR] [-i CHARS] [-C] value...) — tf_sanitize
+        with its GOption flags; multiple values join with '/'
+        (test_basicfuncs.c: '$(sanitize $HOST $PROGRAM)' →
+        'bzorp/syslog-ng')."""
+        from syslog_ng_spark.functions.strfuncs import sanitize as _sanitize
+
+        opts, rest = self._leading_flags(
+            raw_args,
+            {"replacement": str, "invalid-chars": str},
+            aliases={"r": "replacement", "i": "invalid-chars", "C": "keep-ctrl"},
+            boolean={"keep-ctrl"},
+        )
+        # each arg sanitizes SEPARATELY and the results join with '/'
+        # (tf_sanitize appends the separator outside the replace loop:
+        # '$(sanitize $HOST $PROGRAM)' → 'bzorp/syslog-ng')
+        parts = [
+            _sanitize(
+                self._arg_col(a),
+                replacement=str(opts.get("replacement", "_")),
+                invalid_chars=str(opts.get("invalid-chars", "/")),
+                ctrl_chars=not opts.get("keep-ctrl", False),
+            )
+            for a in rest
+        ]
+        return F.concat_ws("/", *parts) if parts else F.lit("")
+
     def _fn_dns_resolve_ip(self, raw_args) -> Column:
-        if len(raw_args) != 1:
+        """$(dns-resolve-ip [OPTIONS] IP) — ip-funcs.c via the
+        host-resolve options: --use-dns=no passes the address through;
+        otherwise resolution is hosts-file persist-only
+        (--dns-cache-hosts overrides the file). An address that isn't
+        IPv4/IPv6-shaped renders unset, matching g_sockaddr_inet_new
+        failing."""
+        opts, rest = self._leading_flags(
+            raw_args,
+            {
+                "use-dns": str,
+                "dns-cache": str,
+                "dns-cache-hosts": str,
+                "normalize-hostnames": str,
+            },
+        )
+        if len(rest) != 1:
             raise TemplateCompileError(
                 "dns-resolve-ip: too many arguments provided."
                 " usage: $(dns-resolve-ip [OPTIONS] IP)"
             )
-        return dns_resolve_ip(self._arg_col(raw_args[0]))
+        ip = self._arg_col(rest[0]).cast("string")
+        shaped = ip.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$") | (
+            ip.rlike(r"^[0-9A-Fa-f:]+$") & ip.contains(":")
+        )
+        if str(opts.get("use-dns", "yes")) == "no":
+            return F.when(shaped, ip).otherwise(F.lit(""))
+        resolved = dns_resolve_ip(ip, hosts_path=str(opts.get("dns-cache-hosts", "/etc/hosts")))
+        if str(opts.get("normalize-hostnames", "no")) in ("yes", "1", "on"):
+            resolved = F.lower(resolved)
+        return F.when(shaped, resolved).otherwise(F.lit(""))
 
     def _fn_stardate(self, raw_args) -> Column:
         from syslog_ng_spark.functions.format import stardate
@@ -1030,6 +1307,13 @@ class TemplateCompiler:
                 if i + 1 >= len(raw_args):
                     raise TemplateCompileError(f"--{flag} needs a value")
                 val = self._arg(raw_args[i + 1])
+                if flag == "timestamp" and name == "graphite-output":
+                    # graphite-output.c tf_graphite_set_timestamp: the
+                    # option value is itself a template; Arg.col is
+                    # already its compiled form
+                    opts["timestamp"] = val.col
+                    i += 2
+                    continue
                 if val.lit is None:
                     raise TemplateCompileError(f"--{flag} value must be literal")
                 if flag == "scope":
@@ -1042,10 +1326,6 @@ class TemplateCompiler:
                     opts["rekey_add_prefix"] = val.lit
                 elif flag == "shift":
                     opts["rekey_shift"] = int(val.lit)
-                elif flag == "timestamp" and name == "graphite-output":
-                    # graphite-output.c tf_graphite_set_timestamp: the
-                    # option value is itself a template
-                    opts["timestamp"] = self._parts_col(parse_template(val.lit))
                 else:
                     raise TemplateCompileError(f"unknown option --{flag}")
                 i += 2
@@ -1147,13 +1427,77 @@ class TemplateCompiler:
             return format_welf(**core)
         return format_json(**core)
 
+    def _cond_arg_text(self, fn_name: str, args: list) -> str:
+        """First argument of $(grep)/$(filter)/$(context-lookup):
+        either a (parenthesized) condition or a quoted filter-language
+        string ('facility(local3)'), both yielding the cond text."""
+        if len(args) < 2:
+            raise TemplateCompileError(f"$({fn_name}) needs a condition and arguments")
+        first = args[0]
+        if first[0] == "cond":
+            return first[1]
+        if first[0] == "tpl" and len(first) > 2:
+            return first[2]  # raw source text, unexpanded
+        raise TemplateCompileError(
+            f"$({fn_name}) needs a (condition) or quoted filter expression"
+        )
+
+    def _try_filter_language(self, text: str) -> Column | None:
+        """Compile `text` through the conf filter-expression grammar
+        (conflang._filter_expr → confcompile.filter_predicate) with
+        SCOPE-AWARE name/template resolution, or None when the grammar
+        rejects it."""
+        from syslog_ng_spark.confcompile import filter_predicate, parse_filter_text
+
+        try:
+            node = parse_filter_text(text)
+        except Exception:
+            return None
+
+        def resolve(name: str) -> Column:
+            for scope in reversed(self._scope):
+                c = scope(name)
+                if c is not None:
+                    return c
+            # raw column, NOT string-cast: severity()/facility()
+            # compare numerically against the log schema
+            return F.col(name)
+
+        def compile_tpl(t: str) -> Column:
+            return self._parts_col(parse_template(t)).cast("string")
+
+        return filter_predicate(None, node, resolve=resolve, compile_tpl=compile_tpl)
+
     def _fn_if(self, raw_args) -> Column:
+        # the (cond) form AND the reference's quoted-string form
+        # ($(if 'facility(local3)' a b), $(if '"$A" lt "$B"' a b) —
+        # test_basicfuncs.c:141-161; tf_cond_prepare parses the RAW
+        # argument text with the filter-expression grammar)
+        if len(raw_args) == 3 and raw_args[0][0] == "tpl" and len(raw_args[0]) > 2:
+            raw = raw_args[0][2]
+            cond = self._try_filter_language(raw)
+            if cond is not None:
+                return F.when(cond, self._arg_col(raw_args[1])).otherwise(
+                    self._arg_col(raw_args[2])
+                )
         if len(raw_args) != 3 or raw_args[0][0] != "cond":
             raise TemplateCompileError("$(if) needs (cond) true-value false-value")
         cond = self._cond(raw_args[0][1])
         return F.when(cond, self._arg_col(raw_args[1])).otherwise(self._arg_col(raw_args[2]))
 
     def _cond(self, text: str) -> Column:
+        # the reference parses $(if)/$(grep)/$(filter) conditions with
+        # the FULL filter-expression grammar (cond-funcs.c
+        # tf_cond_prepare runs filter_expr_parser over the argument):
+        # 'facility(local3)', 'program("x" type(pcre))', compound
+        # and/or/not, and "template" cmp comparisons whose symbolic ops
+        # are atoi-based (filter-cmp.c). Try that grammar first; the
+        # simple comparison mini-language below stays as the fallback
+        # for unquoted forms ('$SEVERITY_NUM < 4') the conf lexer
+        # rejects.
+        filt = self._try_filter_language(text)
+        if filt is not None:
+            return filt
         m = _COND_RE.match(text)
         if not m:
             raise TemplateCompileError(f"cannot parse condition: {text!r}")
@@ -1255,7 +1599,7 @@ def iterate_sequence(
     args = parts[0][2]
 
     def _side(a):
-        if a == ("tpl", [("val", "_", None)]):
+        if a[0] == "tpl" and len(a[1]) == 1 and a[1][0][:3] == ("val", "_", None):
             return "_"
         if len(a[1]) == 1 and a[1][0][0] == "lit":
             return float(a[1][0][1])

@@ -1482,3 +1482,27 @@ log { source(s_o); destination(d); };
     assert p1["source"]["chain_hostnames"] is False  # reference default
     assert p2["source"]["keep_hostname"] is False    # driver overrides global
     assert p2["source"]["chain_hostnames"] is True
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference checkout")
+def test_reference_distro_config_sweep():
+    """Real-world full configs: every complete syslog-ng.conf the
+    reference ships for distro packaging (debian/rhel/fedora/hpux/aix/
+    openbsd) plus the module example configs must parse — these are
+    the files an actual migrating user would feed us first."""
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob("/root/reference/packaging/**/syslog-ng.conf", recursive=True)
+        + _glob.glob("/root/reference/contrib/**/syslog-ng.conf", recursive=True)
+        + _glob.glob("/root/reference/modules/*/[a-z]*-example.conf")
+    )
+    assert len(files) >= 9
+    failures = []
+    for path in files:
+        try:
+            with open(path, errors="replace") as fh:
+                parse_conf(fh.read(), include_dir="/root/reference/scl")
+        except Exception as e:  # noqa: BLE001 - collecting the sweep
+            failures.append(f"{path}: {e}")
+    assert not failures, "\n".join(failures)

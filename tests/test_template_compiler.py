@@ -119,9 +119,11 @@ def render(spark, template: str) -> str:
         ("$(list-count alma,korte,citrom)", "3"),
         ("$(list-nth 1 alma,korte,citrom)", "korte"),  # index FIRST (list-funcs.c)
         ("$(list-nth 9 alma,korte)", ""),  # out of range renders unset
-        ("$(+ $MSG 1)", ""),  # non-numeric operand renders unset, no ANSI crash
-        ("$(/ 1 0)", ""),  # divide by zero renders unset
-        ("$(round $HOST)", ""),
+        # numeric-funcs.c failure rendering is the literal "NaN"
+        # (test_basicfuncs.c: '$(+ foo bar)' → NaN, '$(/ 19 0)' → NaN)
+        ("$(+ $MSG 1)", "NaN"),
+        ("$(/ 1 0)", "NaN"),
+        ("$(round $HOST)", "NaN"),
         ("$(basename /var/log/messages)", "messages"),
         ("$(dirname /var/log/messages)", "/var/log"),
     ],
@@ -172,7 +174,11 @@ def test_parse_ast_shapes():
     assert parse_template("") == []
     assert parse_template("abc") == [("lit", "abc")]
     assert parse_template("$$") == [("lit", "$")]
-    assert parse_template("$A$B") == [("val", "A", None), ("val", "B", None)]
+    assert parse_template("$A$B") == [("val", "A", None, None), ("val", "B", None, None)]
+    # '@N' correlation-state addressing (compiler.c parse_msg_ref)
+    assert parse_template("$A@2")[0] == ("val", "A", None, 2)
+    assert parse_template("$A@@b") == [("val", "A", None, None), ("lit", "@b")]
+    assert parse_template("$A@x") == [("val", "A", None, None), ("lit", "@x")]
     ast = parse_template("$(echo $A '$(echo $B)')")
     assert ast[0][0] == "fn" and ast[0][1] == "echo"
     inner = ast[0][2][1]
