@@ -181,17 +181,15 @@ def _parse_fn(text: str, i: int) -> tuple[tuple, int]:
         if text[i] == ")":
             return ("fn", name, args), i + 1
         if text[i] in "'\"":
-            quote, j, buf = text[i], i + 1, []
-            while j < n and text[j] != quote:
-                if text[j] == "\\" and j + 1 < n:
-                    buf.append(text[j + 1])
-                    j += 2
-                else:
-                    buf.append(text[j])
-                    j += 1
-            if j >= n:
+            # quoted arg content is copied VERBATIM up to the first
+            # matching quote — no escape processing
+            # (lib/template/compiler.c add_quoted_string: strchr to the
+            # closing quote, raw append; '\t' inside quotes reaches the
+            # function as backslash-t)
+            quote, j = text[i], text.find(text[i], i + 1)
+            if j < 0:
                 raise TemplateCompileError("missing function name or imbalanced '('")
-            raw = "".join(buf)
+            raw = text[i + 1 : j]  # `i = j + 1` below lands past the quote
             # the third element is the RAW argument text — prepare-time
             # consumers ($(if)/$(grep) filter expressions,
             # tf_cond_prepare) parse the unexpanded source, not the
@@ -470,13 +468,71 @@ def _list_col(args: list[Arg]) -> Column:
 
 
 def _split_list(s: Column) -> Column:
-    """comma list string → array. The reference's list_scanner yields
-    only NON-EMPTY elements (test_basicfuncs.c test_list_funcs:
-    '$(list-head ,bar,baz)' → 'bar', '$(list-tail foo,)' → ''), so
-    empties are dropped here too. Divergence from the reference's
-    quoted list model: values containing commas are not "-quoted in
-    our plain list encoding (documented at the list-append entry)."""
-    return F.filter(F.split(s, ","), lambda x: x != "")
+    """comma list string → DECODED element array, implementing the
+    reference's quoted list model (lib/scanner/list-scanner +
+    lib/str-repr/decode.c): elements containing commas/quotes/spaces/
+    control chars travel "-quoted with C escapes, bare empty slots are
+    skipped ('$(list-head ,bar,baz)' → 'bar'), a QUOTED empty '""' is
+    a real empty element. Tokenizer: quoted-or-bare alternation; a
+    token is treated as quoted only when wrapped in one matching
+    quote pair."""
+    toks = F.regexp_extract_all(s, F.lit("(" + _LIST_TOKEN_RX + ")"), 1)
+    return F.transform(toks, _decode_elem)
+
+
+_LIST_TOKEN_RX = "\"(?:[^\"\\\\]|\\\\.)*\"|'(?:[^'\\\\]|\\\\.)*'|[^,]+"
+
+# decode.c escape set: \b \f \n \r \t \\ (+ the quote char); unknown
+# escapes keep their backslash. \x01 is the transient sentinel for the
+# escaped backslash (a literal \x01 inside a quoted value is the one
+# input this mis-decodes — control chars travel \xXX-escaped in the
+# reference, so it cannot appear legitimately).
+_DECODE_ESCAPES = (
+    ("\\b", "\b"),
+    ("\\f", "\f"),
+    ("\\n", "\n"),
+    ("\\r", "\r"),
+    ("\\t", "\t"),
+    ('\\"', '"'),
+    ("\\'", "'"),
+)
+
+
+def _decode_elem(tok: Column) -> Column:
+    first = F.substring(tok, 1, 1)
+    last = F.substring(tok, -1, 1)
+    quoted = (F.length(tok) >= 2) & (first == last) & first.isin('"', "'")
+    s = tok.substr(F.lit(2), F.length(tok) - 2)
+    s = F.replace(s, F.lit("\\\\"), F.lit("\x01"))
+    for esc, ch in _DECODE_ESCAPES:
+        s = F.replace(s, F.lit(esc), F.lit(ch))
+    s = F.replace(s, F.lit("\x01"), F.lit("\\"))
+    return F.when(quoted, s).otherwise(tok)
+
+
+def _encode_elem(v: Column) -> Column:
+    """str_repr_encode with ',' forbidden (encode.c): quote when the
+    value is empty or contains a comma, quote, space, backslash or
+    control char; pick the quote kind that avoids escaping quotes;
+    with BOTH kinds present the double quote escapes as \\x22 (the
+    escaped-binary path)."""
+    has_q = v.contains('"')
+    has_a = v.contains("'")
+    e = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    for ch, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        e = F.replace(e, F.lit(ch), F.lit(esc))
+    e_both = F.replace(e, F.lit('"'), F.lit("\\x22"))
+    wrapped = (
+        F.when(has_q & has_a, F.concat(F.lit('"'), e_both, F.lit('"')))
+        .when(has_q, F.concat(F.lit("'"), e, F.lit("'")))
+        .otherwise(F.concat(F.lit('"'), e, F.lit('"')))
+    )
+    needs = (v == "") | v.rlike("[,\"' \\\\\\x08\\x0c\\n\\r\\t]")
+    return F.when(needs, wrapped).otherwise(v)
+
+
+def _join_encoded(arr: Column) -> Column:
+    return F.array_join(F.transform(arr, _encode_elem), ",")
 
 
 def _nonempty(c: Column) -> Column:
@@ -500,7 +556,8 @@ def _tf_explode(args: list[Arg]) -> Column:
     ]
     if not arrs:
         return F.lit("")
-    return F.array_join(F.concat(*arrs) if len(arrs) > 1 else arrs[0], ",")
+    # tf_explode str_repr-encodes each produced element
+    return _join_encoded(F.concat(*arrs) if len(arrs) > 1 else arrs[0])
 
 
 def _tf_implode(args: list[Arg]) -> Column:
@@ -548,7 +605,8 @@ def _tf_list_slice(args: list[Arg]) -> Column:
     else:
         end = F.greatest(sz + last, F.lit(0))
     out = F.slice(arr, start + 1, F.greatest(end - start, F.lit(0)))
-    return F.array_join(out, ",")
+    # _list_slice str_repr-encodes each element back (list-funcs.c:142)
+    return _join_encoded(out)
 
 
 def _tf_json_escape(c: Column) -> Column:
@@ -607,26 +665,29 @@ FUNCTIONS: dict[str, Callable[[list[Arg]], Column]] = {
     "substr": _tf_substr,
     "padding": _tf_padding,
     "list-head": lambda a: F.coalesce(F.get(_split_list(_list_col(a)), 0), F.lit("")),
-    "list-tail": lambda a: F.array_join(
+    "list-tail": lambda a: _join_encoded(
         F.slice(
             _split_list(_list_col(a)),
             2,
             F.greatest(F.size(_split_list(_list_col(a))) - 1, F.lit(0)),
-        ),
-        ",",
+        )
     ),
     "list-count": lambda a: F.size(_split_list(_list_col(a))).cast("string"),
     # list-funcs.c tf_list_nth: the INDEX is the first argument;
     # negative indices count from the end (-1 = last); out-of-range
     # renders unset (try_element_at, not the ANSI-crashing element_at)
     "list-nth": _tf_list_nth,
-    # list-append / list-concat both reduce to re-joining the non-empty
-    # ELEMENTS in the plain comma-list model — a trailing comma inside
-    # an evaluated arg contributes nothing (test_basicfuncs.c:420).
-    # (The reference additionally str_repr-quotes values containing
-    # commas; our list model is unquoted throughout.)
-    "list-append": lambda a: F.array_join(_split_list(_list_col(a)), ","),
-    "list-concat": lambda a: F.array_join(_split_list(_list_col(a)), ","),
+    # tf_list_append: argv[0] is the list VERBATIM, further args are
+    # VALUES that get str_repr-encoded ('$(list-append l "xxx,")' →
+    # 'l,"xxx,"'); tf_list_concat scans every arg as a LIST and
+    # re-encodes the merged elements (empty slots drop,
+    # test_basicfuncs.c:414-429)
+    "list-append": lambda a: F.concat_ws(
+        ",", _nonempty(a[0].col), *[_encode_elem(x.col) for x in a[1:]]
+    )
+    if a
+    else F.lit(""),
+    "list-concat": lambda a: _join_encoded(_split_list(_list_col(a))),
     "list-slice": _tf_list_slice,
     "explode": _tf_explode,
     "implode": _tf_implode,
@@ -918,7 +979,10 @@ class TemplateCompiler:
                 lambda: self._parts_col(tpl_parts).cast("string"),
             ),
         )
-        return F.array_join(mapped, ",")
+        # tf_map_call str_repr-encodes each rendered value; tf_filter
+        # (below) appends the kept values RAW — asymmetric in the
+        # reference too
+        return _join_encoded(mapped)
 
     def _fn_filter(self, raw_args) -> Column:
         """$(filter (cond) list...) — tf-filter.c: keep elements whose

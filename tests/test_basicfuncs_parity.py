@@ -175,6 +175,20 @@ CASES = [
     ("$(list-append '' foo bar)", "foo,bar"),
     ("$(list-append '' foo bar baz)", "foo,bar,baz"),
     ("$(list-append foo,bar,baz 'x')", "foo,bar,baz,x"),
+    # quoted list model (str_repr encode/decode — r10):
+    ("$(list-append foo,bar,baz '')", 'foo,bar,baz,""'),
+    ("$(list-append foo,bar,baz 'xxx,')", 'foo,bar,baz,"xxx,"'),
+    ("$(list-append foo,bar,baz 'a\tb')", 'foo,bar,baz,"a\\tb"'),
+    ("$(list-head '\"\\tfoo,\",bar,baz')", "\tfoo,"),
+    ("$(list-nth 0 '\"foo,\",\"bar\",\"baz\"')", "foo,"),
+    ("$(list-nth 1 '\"foo,\",\"bar\",\"baz\"')", "bar"),
+    ("$(list-nth 2 '\"foo,\",\"bar\",\"baz\"')", "baz"),
+    ("$(list-nth 3 '\"foo,\",\"bar\",\"baz\"')", ""),
+    ("$(list-nth 4 '\"foo,\",\"bar\",\"baz\"')", ""),
+    ("$(list-nth -1 '\"foo,\",\"bar\",\"baz\"')", "baz"),
+    ("$(list-nth -2 '\"foo,\",\"bar\",\"baz\"')", "bar"),
+    ("$(list-nth -3 '\"foo,\",\"bar\",\"baz\"')", "foo,"),
+    ("$(list-nth -4 '\"foo,\",\"bar\",\"baz\"')", ""),
     ("$(list-head)", ""),
     ("$(list-head '')", ""),
     ("$(list-head foo)", "foo"),
