@@ -501,7 +501,7 @@ def compile_rewrite_driver(conf: Conf, call: Call, strict: bool) -> list[dict]: 
     if n == "set":
         fields = _value_fields(call) or ["message"]
         return _with_cond({"op": "rewrite-set", "field": fields[0],
-                           "value": str(pos[0])}, cond)
+                           "value": expand_template_fns(conf, str(pos[0]))}, cond)
     if n == "subst":
         fields = _value_fields(call) or ["message"]
         return _with_cond({"op": "rewrite-subst", "field": fields[0],
@@ -564,6 +564,33 @@ def _tls_spec(call: Call) -> dict:
     return spec
 
 
+_TPL_FN_RE = None  # lazily-compiled $(template NAME) matcher
+
+
+def expand_template_fns(conf: Conf, text: str, _seen: tuple = ()) -> str:
+    """Inline STATIC $(template NAME) references at config-compile time
+    (tf-template.c static binding: a literal name resolves against the
+    configuration's template registry when the config is read; unknown
+    static names are config errors). Dynamic $-bearing names stay for
+    the template compiler's runtime CASE. Cycle-checked."""
+    import re as _re
+
+    global _TPL_FN_RE
+    if _TPL_FN_RE is None:
+        _TPL_FN_RE = _re.compile(r"\$\(template\s+([A-Za-z0-9_-]+)\s*\)")
+
+    def sub(m):
+        name = m.group(1)
+        if name in _seen:
+            raise ConfError(f"$(template) recursion via {name!r}")
+        body = conf.templates.get(name)
+        if body is None:
+            raise ConfError(f'$(template) Unknown template function or template "{name}"')
+        return expand_template_fns(conf, body, _seen + (name,))
+
+    return _TPL_FN_RE.sub(sub, text)
+
+
 def _dest_template(conf: Conf, call: Call) -> str | None:
     tpl = call.opt("template")
     if tpl is None or not tpl.items:
@@ -572,9 +599,10 @@ def _dest_template(conf: Conf, call: Call) -> str | None:
     if isinstance(v, Ident):  # template(t_name) — named template reference
         if v.name not in conf.templates:
             raise ConfError(f"unknown template {v.name!r}", call.line)
-        return conf.templates[v.name]
+        return expand_template_fns(conf, conf.templates[v.name])
     s = str(v)
-    return conf.templates.get(s, s)  # a bare name in quotes also resolves
+    # a bare name in quotes also resolves
+    return expand_template_fns(conf, conf.templates.get(s, s))
 
 
 def compile_destination_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:  # noqa: C901

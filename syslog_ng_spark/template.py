@@ -273,19 +273,69 @@ def _parse_fn(text: str, i: int) -> tuple[tuple, int]:
 # (reference: lib/template/macros.c macro table)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# date macro family (macros.c M_* time cases), parameterized on the
+# timestamp expression so the four prefix families generate from one
+# table: bare/S_* (stamp) / R_* (received) bind the event time — the
+# batch model carries ONE event timestamp (logmsg.h has two; the
+# documented adaptation) — and C_* / P_* (current/processed) bind
+# F.current_timestamp(), Spark's query-constant "now", which is
+# exactly the reference's eval-time wall clock with plan-level
+# stability.
+# ---------------------------------------------------------------------------
+
+
+def _month_week(ts: Column) -> Column:
+    # macros.c M_MONTH_WEEK: (mday/7) + ((wday > 0) && (mday%7 >= wday))
+    # with tm fields (mday 1-based, wday 0=Sunday)
+    mday = F.dayofmonth(ts)
+    wday = F.dayofweek(ts) - 1
+    bump = ((wday > 0) & (mday % 7 >= wday)).cast("int")
+    return ((mday / 7).cast("int") + bump).cast("string")
+
+
+_DATE_FNS: dict[str, Callable[[Column], Column]] = {
+    "ISODATE": macros.isodate,
+    "FULLDATE": macros.fulldate,
+    "DATE": macros.date,
+    "STAMP": macros.date,
+    "YEAR": macros.year,
+    "MONTH": macros.month,
+    "DAY": macros.day,
+    "HOUR": macros.hour,
+    "MIN": macros.minute,
+    "SEC": macros.sec,
+    "WEEK_DAY": lambda ts: macros.week_day(ts).cast("string"),
+    "UNIXTIME": lambda ts: macros.unixtime(ts).cast("string"),
+    "MONTH_ABBREV": lambda ts: F.date_format(ts, "MMM"),
+    "MONTH_NAME": lambda ts: F.date_format(ts, "MMMM"),
+    "YEAR_DAY": lambda ts: F.date_format(ts, "DDD"),
+    "WEEKDAY": lambda ts: F.date_format(ts, "EEE"),  # deprecated alias
+    "WEEK_DAY_NAME": lambda ts: F.date_format(ts, "EEEE"),
+    "WEEK_DAY_ABBREV": lambda ts: F.date_format(ts, "EEE"),
+    # M_WEEK: zero-based week with Monday-start weeks (macros.c:
+    # (yday - (wday-1+7)%7 + 7) / 7 with tm's 0-based fields)
+    "WEEK": lambda ts: F.lpad(
+        ((F.dayofyear(ts) - 1 - F.pmod(F.dayofweek(ts) - 2 + 7, 7) + 7) / 7)
+        .cast("int")
+        .cast("string"),
+        2,
+        "0",
+    ),
+    "ISOWEEK": lambda ts: F.lpad(F.weekofyear(ts).cast("string"), 2, "0"),
+    "MONTH_WEEK": _month_week,
+    "HOUR12": lambda ts: F.date_format(ts, "hh"),
+    "AMPM": lambda ts: F.date_format(ts, "a"),
+    # session TZ is UTC everywhere (matches the DuckDB oracle)
+    "TZOFFSET": lambda ts: F.lit("+00:00"),
+    "TZ": lambda ts: F.lit("+00:00"),
+    # M_MSEC/M_USEC: zero-padded sub-second fields of the stamp
+    "MSEC": lambda ts: F.date_format(ts, "SSS"),
+    "USEC": lambda ts: F.lpad((F.unix_micros(ts) % 1000000).cast("string"), 6, "0"),
+}
+
+
 MACROS: dict[str, Callable[[], Column]] = {
-    "ISODATE": lambda: macros.isodate(F.col("ts")),
-    "FULLDATE": lambda: macros.fulldate(F.col("ts")),
-    "DATE": lambda: macros.date(F.col("ts")),
-    "STAMP": lambda: macros.date(F.col("ts")),
-    "YEAR": lambda: macros.year(F.col("ts")),
-    "MONTH": lambda: macros.month(F.col("ts")),
-    "DAY": lambda: macros.day(F.col("ts")),
-    "HOUR": lambda: macros.hour(F.col("ts")),
-    "MIN": lambda: macros.minute(F.col("ts")),
-    "SEC": lambda: macros.sec(F.col("ts")),
-    "WEEK_DAY": lambda: macros.week_day(F.col("ts")).cast("string"),
-    "UNIXTIME": lambda: macros.unixtime(F.col("ts")).cast("string"),
     "FACILITY": lambda: facility_name(F.col("facility")),
     "FACILITY_NUM": lambda: F.col("facility").cast("string"),
     "SEVERITY": lambda: severity_name(F.col("severity")),
@@ -301,51 +351,112 @@ MACROS: dict[str, Callable[[], Column]] = {
     "PROGRAM": lambda: F.col("program"),
     "PID": lambda: F.col("pid").cast("string"),
     "TAGS": lambda: F.array_join(F.col("tags"), ","),
-    # name/number date variants (macros.c M_* table)
-    "MONTH_ABBREV": lambda: F.date_format(F.col("ts"), "MMM"),
-    "MONTH_NAME": lambda: F.date_format(F.col("ts"), "MMMM"),
-    "YEAR_DAY": lambda: F.date_format(F.col("ts"), "DDD"),
-    "WEEKDAY": lambda: F.date_format(F.col("ts"), "EEE"),
-    "WEEK_DAY_NAME": lambda: F.date_format(F.col("ts"), "EEEE"),
-    "WEEK_DAY_ABBREV": lambda: F.date_format(F.col("ts"), "EEE"),
-    # M_WEEK: zero-based week with Monday-start weeks (macros.c:
-    # (yday - (wday-1+7)%7 + 7) / 7 with tm's 0-based fields)
-    "WEEK": lambda: F.lpad(
-        (
-            (
-                F.dayofyear(F.col("ts"))
-                - 1
-                - F.pmod(F.dayofweek(F.col("ts")) - 2 + 7, 7)
-                + 7
-            )
-            / 7
-        )
-        .cast("int")
-        .cast("string"),
-        2,
-        "0",
+    # M_TAG: the PRI as a 2-padded HEX number (macros.c:470-474)
+    "TAG": lambda: F.lpad(
+        F.lower(F.hex(pri(F.col("facility"), F.col("severity")))), 2, "0"
     ),
-    "HOUR12": lambda: F.date_format(F.col("ts"), "hh"),
-    "AMPM": lambda: F.date_format(F.col("ts"), "a"),
-    "TZOFFSET": lambda: F.lit("+00:00"),  # session TZ is UTC
-    "TZ": lambda: F.lit("+00:00"),
+    # M_BSDTAG: severity digit + facility as a letter from 'A'
+    # (macros.c:480-485 — pri 155 renders "3T")
+    "BSDTAG": lambda: F.concat(
+        F.col("severity").cast("string"),
+        F.char(F.col("facility") + F.lit(ord("A"))),
+    ),
     "FULLHOST": lambda: F.col("host"),
     "HOST_FROM": lambda: F.col("host"),
     "FULLHOST_FROM": lambda: F.col("host"),
+    # M_LOGHOST: the host doing the processing — the DRIVER's hostname,
+    # captured once (every executor renders the same value, like the
+    # reference's single daemon host)
+    "LOGHOST": lambda: F.lit(__import__("socket").gethostname()),
+    # M_HOSTID: the persistent 8-hex host id (host-id.c) — derived
+    # deterministically from the hostname instead of a random
+    # persist-file value, so reruns are replayable
+    "HOSTID": lambda: F.lit(
+        format(
+            __import__("zlib").crc32(__import__("socket").gethostname().encode()),
+            "08x",
+        )
+    ),
+    # M_SDATA: the whole structured-data block in RFC5424 [id k="v"]
+    # form from the sdata NV map (log_msg_append_format_sdata renders
+    # the stored SD pairs; dotted NV names regroup under their SD-ID)
+    "SDATA": lambda: _sdata_block(F.col("sdata")),
+    # M_RUNID: per-run identifier (run-id.c persists a counter; the
+    # Spark-native run id is the application id — unique per run,
+    # stable within it)
+    "RUNID": lambda: F.lit(_session_run_id()),
+    # M_SYSUPTIME: hundredths of a second since the daemon started —
+    # here since the SparkSession started, evaluated per query
+    "SYSUPTIME": lambda: (
+        (F.unix_millis(F.current_timestamp()) - F.lit(_session_start_ms())) / 10
+    )
+    .cast("long")
+    .cast("string"),
 }
 
-# S_* (stamp) and R_* (received) prefixed date macros: the reference
-# tracks both timestamps per message (logmsg.h); the batch model has
-# one event time, so both families resolve to `ts` — the documented
-# adaptation for configs that mix them.
-for _name in [
-    "ISODATE", "FULLDATE", "DATE", "STAMP", "YEAR", "MONTH", "DAY",
-    "HOUR", "MIN", "SEC", "WEEK", "WEEK_DAY", "WEEKDAY", "YEAR_DAY",
-    "MONTH_ABBREV", "MONTH_NAME", "WEEK_DAY_NAME", "WEEK_DAY_ABBREV",
-    "UNIXTIME", "TZOFFSET", "TZ",
-]:
-    MACROS[f"S_{_name}"] = MACROS[_name]
-    MACROS[f"R_{_name}"] = MACROS[_name]
+
+def _session_run_id() -> str:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    return s.sparkContext.applicationId if s is not None else ""
+
+
+def _session_start_ms() -> int:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    return s.sparkContext.startTime if s is not None else 0
+
+
+def _sdata_block(nv: Column) -> Column:
+    """${SDATA}: render '.SDATA.id.key' NV entries (the 5424 parser's
+    storage convention, syslog-format.c) back to '[id key="v"...]'
+    blocks, ids in sorted order — '-' when none."""
+    sd = F.filter(F.map_entries(nv), lambda e: e["key"].startswith(".SDATA."))
+    ids = F.array_distinct(
+        F.transform(sd, lambda e: F.split(e["key"], "\\.").getItem(2))
+    )
+    block = F.array_join(
+        F.transform(
+            F.array_sort(ids),
+            lambda i: F.concat(
+                F.lit("["),
+                i,
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.filter(
+                                sd,
+                                lambda e: F.split(e["key"], "\\.").getItem(2) == i,
+                            )
+                        ),
+                        lambda e: F.concat(
+                            F.lit(" "),
+                            F.element_at(F.split(e["key"], "\\."), -1),
+                            F.lit('="'),
+                            F.regexp_replace(e["value"], r'([\\"\]])', r"\\$1"),
+                            F.lit('"'),
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("]"),
+            ),
+        ),
+        "",
+    )
+    return F.when(F.size(sd) > 0, block).otherwise(F.lit("-"))
+
+
+# the four prefixed date-macro families + the bare names, all from
+# _DATE_FNS (see its comment for the time-source mapping)
+for _name, _fn in _DATE_FNS.items():
+    MACROS[_name] = lambda f=_fn: f(F.col("ts"))
+    MACROS[f"S_{_name}"] = lambda f=_fn: f(F.col("ts"))
+    MACROS[f"R_{_name}"] = lambda f=_fn: f(F.col("ts"))
+    MACROS[f"C_{_name}"] = lambda f=_fn: f(F.current_timestamp())
+    MACROS[f"P_{_name}"] = lambda f=_fn: f(F.current_timestamp())
 
 
 def schema_resolver(columns: list[str]) -> Callable[[str], Column | None]:
@@ -361,6 +472,15 @@ def schema_resolver(columns: list[str]) -> Callable[[str], Column | None]:
             return MACROS[name]()
         if name in cols:
             return F.col(name).cast("string")
+        # connection macros (macros.c M_SOURCE_IP/M_DEST_IP/M_DEST_PORT/
+        # M_PROTOCOL): socket-derived per-message fields — bound to the
+        # matching columns when the pipeline carries them, unset
+        # otherwise (the reference renders them empty for non-socket
+        # sources too)
+        conn = {"SOURCEIP": "ip", "DESTIP": "destip",
+                "DESTPORT": "destport", "PROTO": "proto"}.get(name)
+        if conn is not None and conn in cols:
+            return F.col(conn).cast("string")
         if "sdata" in cols:  # NV pairs (incl. dotted names) live in the map
             return F.col("sdata").getItem(name)
         return None
@@ -975,7 +1095,7 @@ class TemplateCompiler:
         mapped = F.transform(
             _split_list(lst),
             lambda elem: self._in_scope(
-                lambda n: elem if n == "_" else None,
+                lambda n: elem if n in ("_", "CONTEXT_ID") else None,
                 lambda: self._parts_col(tpl_parts).cast("string"),
             ),
         )
@@ -992,7 +1112,7 @@ class TemplateCompiler:
         kept = F.filter(
             _split_list(lst),
             lambda elem: self._in_scope(
-                lambda n: elem if n == "_" else None,
+                lambda n: elem if n in ("_", "CONTEXT_ID") else None,
                 lambda: self._cond(cond_text),
             ),
         )

@@ -1506,3 +1506,33 @@ def test_reference_distro_config_sweep():
         except Exception as e:  # noqa: BLE001 - collecting the sweep
             failures.append(f"{path}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_dest_template_expands_template_fn():
+    """$(template NAME) inside a destination template or rewrite set()
+    binds statically at config-read time (tf-template.c): the conf
+    compiler inlines the registry text; unknown names and cycles are
+    config errors."""
+    from syslog_ng_spark.confcompile import compile_conf as cc
+
+    conf = parse_conf("""
+template t_line { template("L: $HOST $(template t_suffix)"); };
+template t_suffix { template("[$PROGRAM]"); };
+source s { file("/in/a.log"); };
+destination d { file("/tmp/o" template(t_line)); };
+rewrite r { set("$(template t_suffix) $MSG", value("MESSAGE")); };
+log { source(s); rewrite(r); destination(d); };
+""")
+    path = cc(conf)[0]
+    set_step = next(s for s in path["steps"] if s["op"] == "rewrite-set")
+    assert set_step["value"] == "[$PROGRAM] $MSG"
+    dest = path["destinations"][0]
+    assert dest.get("template") == "L: $HOST [$PROGRAM]"
+
+    with pytest.raises(ConfError, match="Unknown template"):
+        cc(parse_conf("""
+source s { file("/in/a.log"); };
+destination d { file("/tmp/o"); };
+rewrite r { set("$(template nope)", value("MESSAGE")); };
+log { source(s); rewrite(r); destination(d); };
+"""))

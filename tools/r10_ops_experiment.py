@@ -81,11 +81,25 @@ def main() -> None:
             .save()
         )
         text_bytes = docs.select(F.sum(F.octet_length("text"))).collect()[0][0] or 0
+        # the generated parquet has 1M-row groups → few input splits at
+        # these sfs; measure BOTH the as-read and the repartitioned
+        # plan so the per-core constant and the parallel number are
+        # separately visible (at 100 TB the file count provides the
+        # parallelism; locally we have to ask for it)
+        wide = plain.repartition(32)
+        t_wide = timed(
+            lambda: pii_redact(wide, "_t", with_counts=True)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         entry["pii_raw_text"] = {
             "docs": n_docs,
             "mb": round(text_bytes / 1e6, 1),
             "sec": t_plain,
             "mb_per_sec": round(text_bytes / 1e6 / t_plain, 1) if t_plain else None,
+            "sec_32part": t_wide,
+            "mb_per_sec_32part": round(text_bytes / 1e6 / t_wide, 1) if t_wide else None,
         }
         results.append(entry)
         print(json.dumps(entry))
