@@ -7774,3 +7774,60 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phone"),
         counts["credit_card"].alias("n_cc"),
     )
+
+
+_MACRO_CALENDAR_SQL = f"""
+SELECT event_id,
+       lpad(lower(to_hex({EVENT_FACILITY_SQL} * 8 + {EVENT_SEVERITY_SQL})), 2, '0') AS tag,
+       ({EVENT_SEVERITY_SQL})::VARCHAR || chr(65 + {EVENT_FACILITY_SQL}) AS bsdtag,
+       strftime(ts, '%V') AS isoweek,
+       ((dayofmonth(ts) // 7)
+         + CASE WHEN dayofweek(ts) > 0
+                     AND dayofmonth(ts) % 7 >= dayofweek(ts)
+                THEN 1 ELSE 0 END)::VARCHAR AS month_week,
+       lpad(((microsecond(ts) % 1000000) // 1000)::VARCHAR, 3, '0') AS msec,
+       lpad((microsecond(ts) % 1000000)::VARCHAR, 6, '0') AS usec,
+       strftime(ts, '%I') AS hour12,
+       strftime(ts, '%p') AS ampm,
+       '[meta seq="' || event_id::VARCHAR || '"]' AS sdata_block
+FROM events
+"""
+
+
+@register("macro_calendar", _MACRO_CALENDAR_SQL)
+def macro_calendar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 macro additions end-to-end through compile_template
+    (lib/template/macros.c): $TAG hex PRI, $BSDTAG, $ISOWEEK,
+    $MONTH_WEEK (the exact mday/wday formula), $MSEC/$USEC sub-second
+    fields, $HOUR12/$AMPM, and ${SDATA} 5424-block rendering from
+    .SDATA.* NV entries — each against a hand-written DuckDB
+    equivalent."""
+    from syslog_ng_spark.datamodel import event_facility, event_severity
+    from syslog_ng_spark.template import compile_template
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    df = ev.select(
+        "event_id",
+        "ts",
+        event_facility(F.col("event_type")).alias("facility"),
+        event_severity(F.col("event_type")).alias("severity"),
+        F.create_map(
+            F.lit(".SDATA.meta.seq"), F.col("event_id").cast("string")
+        ).alias("sdata"),
+    )
+
+    def tpl(t: str) -> Column:
+        return compile_template(t, df)
+
+    return df.select(
+        "event_id",
+        tpl("$TAG").alias("tag"),
+        tpl("$BSDTAG").alias("bsdtag"),
+        tpl("$ISOWEEK").alias("isoweek"),
+        tpl("$MONTH_WEEK").alias("month_week"),
+        tpl("$MSEC").alias("msec"),
+        tpl("$USEC").alias("usec"),
+        tpl("$HOUR12").alias("hour12"),
+        tpl("$AMPM").alias("ampm"),
+        tpl("$SDATA").alias("sdata_block"),
+    )

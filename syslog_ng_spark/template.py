@@ -331,7 +331,11 @@ _DATE_FNS: dict[str, Callable[[Column], Column]] = {
     "TZ": lambda ts: F.lit("+00:00"),
     # M_MSEC/M_USEC: zero-padded sub-second fields of the stamp
     "MSEC": lambda ts: F.date_format(ts, "SSS"),
-    "USEC": lambda ts: F.lpad((F.unix_micros(ts) % 1000000).cast("string"), 6, "0"),
+    # cast: unix_micros rejects TIMESTAMP_NTZ inputs (session TZ is
+    # UTC, so ntz→ltz is the identity)
+    "USEC": lambda ts: F.lpad(
+        (F.unix_micros(ts.cast("timestamp")) % 1000000).cast("string"), 6, "0"
+    ),
 }
 
 
