@@ -107,26 +107,36 @@ def match_store(
     falls through to the sdata map for numeric names).
 
     Non-participating optional groups store '' (the reference unsets
-    them; '' renders identically in templates). The pattern's group
-    count is taken from the compiled Python regex — Java and Python
-    agree on group counting for the shared syntax subset this engine
-    uses. One regexp pass per group + the rlike gate."""
+    them; '' renders identically in templates). NAMED groups
+    ((?P<name>...) PCRE-style or (?<name>...) Java-style) additionally
+    store under their name, like LogMatcherPcre's named-substring walk
+    (lib/logmatcher.c). Group structure comes from the compiled Python
+    regex; the JVM-side pattern has the names STRIPPED (Java rejects
+    PCRE's (?P<..> spelling and underscores in group names) and
+    extracts positionally — names and positions refer to the same
+    capture. One regexp pass per group + the rlike gate."""
     import re as _re
 
     from syslog_ng_spark.functions.format import _merge_maps
 
-    n_groups = _re.compile(pattern).groups
+    # normalize Java-style (?<name>...) to Python's (?P<name>...) for
+    # structure analysis, then strip ALL names for the JVM pattern
+    py_pattern = _re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", pattern)
+    compiled = _re.compile(py_pattern)
+    jvm_pattern = _re.sub(r"\(\?P?<[A-Za-z_][A-Za-z0-9_]*>", "(", py_pattern)
     c = F.col(col)
     kv = []
-    for i in range(n_groups + 1):
-        kv.extend([F.lit(str(i)), F.regexp_extract(c, pattern, i)])
+    for i in range(compiled.groups + 1):
+        kv.extend([F.lit(str(i)), F.regexp_extract(c, jvm_pattern, i)])
+    for name, idx in compiled.groupindex.items():
+        kv.extend([F.lit(name), F.regexp_extract(c, jvm_pattern, idx)])
     groups_map = F.create_map(*kv)
     merged = (
         _merge_maps(F.coalesce(F.col(target), F.create_map().cast("map<string,string>")), groups_map)
         if target in df.columns
         else groups_map
     )
-    return df.where(c.rlike(pattern)).withColumn(target, merged)
+    return df.where(c.rlike(jvm_pattern)).withColumn(target, merged)
 
 
 def _atoi(c: Column) -> Column:

@@ -8,9 +8,10 @@ Ported: test_filters_fop_cmp.c (the full 28-row cmp table:
 numeric ops are atoi-based, string ops bytewise — note the
 reference's own comment that 7 lt 10 is FALSE as strings),
 test_filters_facility.c, test_filters_level_new.c (severity ranges),
-test_filters_netmask.c (sockaddr rows). The regexp STORE_MATCHES
-capture rows exercise match-variable storage, covered by the
-`filter_match_store` gate, and are not re-ported here.
+test_filters_netmask.c (sockaddr rows), and the
+test_filters_regexp.c LMF_STORE_MATCHES capture table (numeric AND
+named groups through match_store + the template compiler's NV
+fall-through).
 """
 
 from __future__ import annotations
@@ -143,3 +144,45 @@ def test_compound_and_not(spark):
     assert _eval(spark, 15, 'facility(user) and level(err)') is False
     assert _eval(spark, 15, 'facility(user) or level(err)') is True
     assert _eval(spark, 15, 'not facility(user)') is False
+
+
+# test_filters_regexp.c:93-116 — LMF_STORE_MATCHES capture rows: the
+# stored value for numeric and NAMED groups, rendered back through the
+# template compiler's NV fall-through. NULL expectations render unset.
+REGEXP_STORE = [
+    ("al fa", "(a)(l) (fa)", "1", "a"),
+    ("al fa", "(a)(l) (fa)", "0", "al fa"),
+    ("al fa", "(a)(l) (fa)", "232", ""),
+    ("alma fa", "(?P<a>a)(?P<l>l)(?P<MM>m)(?P<aa>a) (?P<fa>fa)", "MM", "m"),
+    ("alma fa", "(?P<a>a)(?P<l>l)(?P<MM>m)(?P<aa>a) (?P<fa>fa)", "aaaa", ""),
+    ("alma fa", "(?P<a>a)(?P<l>l)(?P<MM>m)(?P<aa>a) (?P<fa_name>fa)", "fa_name", "fa"),
+    ("al fa", "(a)(l) (fa)", "2", "l"),
+    ("al fa", "(a)(l) (fa)", "3", "fa"),
+    ("foobar bar", "(?<foobar>foobar) (?<foo>foo)?(?<bar>bar)", "bar", "bar"),
+    ("foobar bar", "(?<foobar>foobar) (?<foo>foo)?(?<bar>bar)", "foobar", "foobar"),
+    ("foobar bar", "(?<foobar>foobar) (?<foo>foo)?(?<bar>bar)", "foo", ""),
+    ("abc", "((a))", "1", "a"),
+    ("abc", "((a))", "2", "a"),
+    ("ab", "(a+|b)*", "1", "b"),
+    ("ab", "(a+|b){0,}", "1", "b"),
+    ("ab", "(a+|b)+", "1", "b"),
+    ("ab", "(a+|b){1,}", "1", "b"),
+    ("ab", "(a+|b)?", "1", "a"),
+    ("ab", "(a+|b){0,1}", "1", "a"),
+    ("abbbcd", "([abc])*d", "1", "c"),
+    ("abcd", "([abc])*bcd", "1", "a"),
+    ("xabyabbbz", "ab*", "0", "ab"),
+]
+
+
+@pytest.mark.parametrize("message,regexp,name,value", REGEXP_STORE)
+def test_regexp_store_matches(spark, message, regexp, name, value):
+    from syslog_ng_spark.operators.filters import match_store
+    from syslog_ng_spark.template import compile_template
+
+    df = spark.createDataFrame([(message,)], "message string")
+    stored = match_store(df, "message", regexp)
+    got = stored.select(
+        compile_template(f"${{{name}}}", stored).alias("v")
+    ).collect()[0].v
+    assert got == value
