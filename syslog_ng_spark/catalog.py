@@ -61,6 +61,13 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # silent shadowing once dropped an oracle-gated query from
+            # the catalog with no gate tripping — fail at import instead
+            raise ValueError(
+                f"catalog: duplicate query registration {name!r} "
+                f"(already bound to {QUERIES[name].__qualname__})"
+            )
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
@@ -3855,49 +3862,6 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
     )
-
-
-_PII_SQL = """
-WITH synth AS (
-  SELECT event_id,
-         'contact user' || user_id || '@example.com or call 555-01'
-           || lpad((user_id % 100)::VARCHAR, 2, '0') || ' from 10.2.'
-           || (user_id % 250)::VARCHAR || '.9 re ' || event_type AS msg
-  FROM events)
-SELECT event_id,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(msg,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\\b\\d{3}-\\d{4,}\\b', '<PHONE>', 'g'),
-         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
-FROM synth
-"""
-
-
-@register("pii_redact", _PII_SQL)
-def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing (training-data prep): layered regex redaction of
-    emails, phone-like numbers, and IPs — all JVM regexp_replace, same
-    shape as the reference's subst() chains used for log scrubbing."""
-    ev = rebalance(T(spark, sf_dir, "events"))
-    msg = F.concat(
-        F.lit("contact user"),
-        F.col("user_id").cast("string"),
-        F.lit("@example.com or call 555-01"),
-        F.lpad((F.col("user_id") % 100).cast("string"), 2, "0"),
-        F.lit(" from 10.2."),
-        (F.col("user_id") % 250).cast("string"),
-        F.lit(".9 re "),
-        F.col("event_type"),
-    )
-    staged = ev.select("event_id", msg.alias("msg"))
-    red = F.regexp_replace(
-        F.col("msg"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
-    )
-    red = F.regexp_replace(red, r"\b\d{3}-\d{4,}\b", "<PHONE>")
-    red = F.regexp_replace(red, r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>")
-    return staged.select("event_id", red.alias("redacted"))
 
 
 _Q13_SQL = """

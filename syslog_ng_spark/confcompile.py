@@ -1031,5 +1031,10 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
             "steps": steps,
             "destinations": dests,
             "flags": flags,
+            # the config's named-template registry, threaded to every
+            # exec-layer compile_template so DYNAMIC $(template ${v})
+            # and fallback forms bind at runtime (tf-template.c) —
+            # expand_template_fns above only inlines the static form
+            "templates": dict(conf.templates),
         })
     return pipelines

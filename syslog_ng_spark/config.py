@@ -126,7 +126,17 @@ def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
     raise ValueError(f"unknown source kind: {kind}")
 
 
-def _step(df: DataFrame, spec: Mapping) -> DataFrame:
+def _tpl_compiler(df: DataFrame, templates: Mapping | None):
+    """compile_tpl override for filter_predicate when the pipeline
+    carries a named-template registry (None → the default path)."""
+    if not templates:
+        return None
+    from syslog_ng_spark.template import compile_template
+
+    return lambda t: compile_template(t, df, templates=templates)
+
+
+def _step(df: DataFrame, spec: Mapping, templates: Mapping | None = None) -> DataFrame:
     op = spec["op"]
     if op == "parse-syslog":
         flavor = spec.get("flavor", "rfc3164")
@@ -229,7 +239,9 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         #    "target": "line"}
         from syslog_ng_spark.template import template_format
 
-        return template_format(df, spec["template"], target=spec.get("target", "rendered"))
+        return template_format(df, spec["template"],
+                               target=spec.get("target", "rendered"),
+                               templates=templates)
     def _cond():
         # condition(<filter expr>) on rewrite drivers: a per-row guard
         # (rewrite_condition_opt); None when absent
@@ -238,7 +250,7 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
             return None
         from syslog_ng_spark.confcompile import filter_predicate
 
-        return filter_predicate(df, tree)
+        return filter_predicate(df, tree, compile_tpl=_tpl_compiler(df, templates))
 
     if op == "rewrite-set":
         # set()'s value IS a template in the reference (use $$ to
@@ -248,7 +260,7 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         if isinstance(value, str) and "$" in value and not spec.get("literal"):
             from syslog_ng_spark.template import compile_template
 
-            value_col = compile_template(value, df)
+            value_col = compile_template(value, df, templates=templates)
         else:
             value_col = F.lit(value)
         field = spec["field"]
@@ -300,14 +312,16 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         # compiled to one Catalyst boolean column
         from syslog_ng_spark.confcompile import filter_predicate
 
-        return df.where(filter_predicate(df, spec["expr"]))
+        return df.where(filter_predicate(
+            df, spec["expr"], compile_tpl=_tpl_compiler(df, templates)))
     if op == "parse-tags":
         # tags-parser(template(...)): render, parse the comma list,
         # merge into `tags` (parsers.tags_parser), drop the scratch col
         from syslog_ng_spark.template import template_format
 
         tmp = "_tags_src"
-        rendered = template_format(df, spec["template"], target=tmp)
+        rendered = template_format(df, spec["template"], target=tmp,
+                                   templates=templates)
         return parsers.tags_parser(rendered, tmp).drop(tmp)
     if op == "parse-audit":
         return parsers.linux_audit_parser(
@@ -362,7 +376,7 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
         for chan in spec["channels"]:
             branch = df
             for step in chan["steps"]:
-                branch = _step(branch, step)
+                branch = _step(branch, step, templates=templates)
             outs.append(branch)
         merged = outs[0]
         for b in outs[1:]:
@@ -376,7 +390,7 @@ def _step(df: DataFrame, spec: Mapping) -> DataFrame:
     raise ValueError(f"unknown step op: {op}")
 
 
-def _destination(df: DataFrame, spec: Mapping) -> None:
+def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None) -> None:
     kind = spec["kind"]
     if kind == "parquet":
         sinks.write_parquet(df, spec["path"], partition_by=spec.get("partition_by", ()),
@@ -391,7 +405,8 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
         if "template" in spec:
             from syslog_ng_spark.template import template_format
 
-            df = template_format(df, spec["template"].rstrip("\n"), target="rendered")
+            df = template_format(df, spec["template"].rstrip("\n"),
+                                 target="rendered", templates=templates)
             sinks.write_text(df, spec["path"], column="rendered",
                              mode=spec.get("mode", "overwrite"))
         else:
@@ -399,7 +414,8 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
                              mode=spec.get("mode", "overwrite"))
     elif kind == "program":
         sinks.ProgramDestination(
-            command=spec["command"], template=spec.get("template", "$MESSAGE")
+            command=spec["command"], template=spec.get("template", "$MESSAGE"),
+            templates=templates,
         ).write(df)
     elif kind == "elasticsearch":
         sinks.elasticsearch_http(spec["url"], spec.get("index", "syslog-ng")).write(df)
@@ -417,6 +433,7 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
             template=spec.get("template", "$MESSAGE"),
             framing=spec.get("framing", "newline"),
             tls=tls,
+            templates=templates,
         ).write(df)
     elif kind == "kafka":
         sinks.kafka_sink(
@@ -426,6 +443,7 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
             key=spec.get("key"),
             topic=spec.get("topic", "syslog-ng"),
             fallback_topic=spec.get("fallback_topic"),
+            templates=templates,
         )
     elif kind == "none":
         pass
@@ -434,10 +452,13 @@ def _destination(df: DataFrame, spec: Mapping) -> None:
 
 
 def build_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
-    """Compile a config dict to a DataFrame (lazily; no execution)."""
+    """Compile a config dict to a DataFrame (lazily; no execution).
+    A `templates` entry (the .conf compiler emits the config's named
+    template registry) binds $(template NAME) in every step."""
     df = _source(spark, spec["source"])
+    tpls = spec.get("templates")
     for step in spec.get("steps", ()):
-        df = _step(df, step)
+        df = _step(df, step, templates=tpls)
     return df
 
 
@@ -446,10 +467,11 @@ def run_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
     frame. `destinations` (a list, the log-path fan-out shape the .conf
     compiler emits) and the original singular `destination` both work."""
     df = build_pipeline(spark, spec)
+    tpls = spec.get("templates")
     if "destination" in spec:
-        _destination(df, spec["destination"])
+        _destination(df, spec["destination"], templates=tpls)
     for dest in spec.get("destinations", ()):
-        _destination(df, dest)
+        _destination(df, dest, templates=tpls)
     return df
 
 
@@ -611,8 +633,9 @@ def run_conf_stream(
     queries = []
     for p in pipelines:
         df = _source_stream(spark, p["source"])
+        tpls = p.get("templates")
         for step in p.get("steps", ()):
-            df = _step(df, step)
+            df = _step(df, step, templates=tpls)
         # micro-batches APPEND to file-family destinations (the batch
         # default overwrite would erase earlier batches' output)
         dests = [
@@ -621,9 +644,9 @@ def run_conf_stream(
             for d in p.get("destinations", ())
         ]
 
-        def write_batch(batch_df, _id, _dests=dests):
+        def write_batch(batch_df, _id, _dests=dests, _tpls=tpls):
             for d in _dests:
-                _destination(batch_df, d)
+                _destination(batch_df, d, templates=_tpls)
 
         writer = df.writeStream.foreachBatch(write_batch).option(
             "checkpointLocation", f"{checkpoint_dir}/{p['name'].replace('#', '_')}"

@@ -1,0 +1,114 @@
+"""Per-delivery message state: $SEQNUM / $RCPTID assignment.
+
+Reference: lib/seqnum.h (init_sequence_number starts at 1,
+step_sequence_number increments per delivered message and wraps the
+gint32 back to 1), lib/logwriter.c:1209 (each destination writer steps
+its OWN counter per message written), lib/logmsg/logmsg.c:1150 +
+lib/rcptid.c (RCPTID: a global uint64 starting at 1, assigned once at
+RECEPTION when use-uniqid(yes) is set, 0 = unset).
+
+Spark mapping — gapless numbering WITHOUT a global shuffle:
+``monotonically_increasing_id`` encodes ``partition_id << 33 |
+row_in_partition``; one tiny aggregate (a single count row per
+partition reaches the driver) turns per-partition counts into
+cumulative offsets, and ``offset[pid] + row_in_partition`` numbers the
+frame gaplessly in physical order. That is exactly the daemon's
+delivery order semantics: arrival order, not a semantic sort. For
+reproducible numbering (tests, oracles, replayable pipelines) pass
+``order_by``: the frame is range-repartitioned and sorted on the key
+first, so the same two-pass offset trick yields a deterministic global
+row_number — still no single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# monotonically_increasing_id layout (MonotonicallyIncreasingID):
+# upper 31 bits partition id, lower 33 bits record number
+_MID_ROW_MASK = (1 << 33) - 1
+
+
+def _partition_offsets(df: DataFrame, start: int) -> tuple[list[int], int]:
+    """Cumulative start offset per partition id + total row count.
+    One job; only one (pid, count) row per partition reaches the
+    driver — safe at any scale."""
+    counts = (
+        df.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    max_pid = max(by_pid) if by_pid else -1
+    offsets, acc = [], start
+    for pid in range(max_pid + 1):
+        offsets.append(acc)
+        acc += by_pid.get(pid, 0)
+    return offsets, acc - start
+
+
+def numbered_in_order(
+    df: DataFrame,
+    target: str,
+    start: int = 1,
+    order_by: str | Column | list | None = None,
+) -> DataFrame:
+    """Add a gapless 1-based (``start``-based) long column ``target``
+    numbering every row. Default: physical (delivery) order, zero
+    shuffle. With ``order_by``: deterministic global order via
+    repartitionByRange + sortWithinPartitions — scalable, no
+    single-partition Window.
+
+    The per-partition counting pass and the numbering pass must see
+    the same partition layout; both run over the same immutable plan,
+    which Spark splits deterministically for file scans and
+    re-executes identically for deterministic expressions."""
+    if order_by is not None:
+        keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+        cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    offsets, _total = _partition_offsets(df, start)
+    if not offsets:
+        return df.withColumn(target, F.lit(start).cast("long"))
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftright(mid, 33).cast("int")
+    row_in_part = mid.bitwiseAND(F.lit(_MID_ROW_MASK))
+    offset_arr = F.array(*[F.lit(o) for o in offsets])
+    return df.withColumn(
+        target, (F.element_at(offset_arr, pid + 1) + row_in_part).cast("long")
+    )
+
+
+def assign_seqnum(
+    df: DataFrame,
+    target: str = "seqnum",
+    start: int = 1,
+    order_by: str | Column | list | None = None,
+) -> DataFrame:
+    """$SEQNUM: the destination writer's per-delivery counter
+    (lib/logwriter.c seq_num). Call at the destination, on the frame
+    being written, so the numbering reflects what THIS writer
+    delivers — a second destination numbers independently, exactly
+    like each LogWriter owning its own counter. Wraps like the
+    reference's gint32 (step_sequence_number: overflow resets to 1)."""
+    out = numbered_in_order(df, target, start=start, order_by=order_by)
+    # gint32 wrap: 1..2147483647 then back to 1
+    wrapped = ((F.col(target) - 1) % F.lit(2147483647)) + 1
+    return out.withColumn(target, wrapped.cast("long"))
+
+
+def assign_rcptid(
+    df: DataFrame,
+    target: str = "rcptid",
+    start: int = 1,
+    order_by: str | Column | list | None = None,
+) -> DataFrame:
+    """$RCPTID: the reception id (use-uniqid(yes)): a unique
+    monotonically increasing uint64 per ingested message, assigned at
+    the SOURCE — call right after the source read so every downstream
+    step and destination sees the same id for the same message.
+    ``start`` carries the persisted next.rcptid across incremental
+    runs (lib/rcptid.c persist-state)."""
+    return numbered_in_order(df, target, start=start, order_by=order_by)

@@ -119,11 +119,25 @@ def match_store(
 
     from syslog_ng_spark.functions.format import _merge_maps
 
-    # normalize Java-style (?<name>...) to Python's (?P<name>...) for
-    # structure analysis, then strip ALL names for the JVM pattern
+    # normalize Java-style (?<name>...) / \k<name> to Python's
+    # (?P<name>...) / (?P=name) for structure analysis, then strip ALL
+    # names for the JVM pattern — with named BACKREFERENCES rewritten
+    # to their numeric \N form (a stripped pattern referencing a named
+    # group would throw PatternSyntaxException JVM-side)
     py_pattern = _re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>", pattern)
+    py_pattern = _re.sub(r"\\k<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P=\1)", py_pattern)
     compiled = _re.compile(py_pattern)
-    jvm_pattern = _re.sub(r"\(\?P?<[A-Za-z_][A-Za-z0-9_]*>", "(", py_pattern)
+
+    def _backref_to_num(m):
+        name = m.group(1)
+        idx = compiled.groupindex.get(name)
+        if idx is None:  # unreachable: _re.compile above rejects it
+            raise ValueError(f"match_store: backreference to unknown group {name!r}")
+        return "\\" + str(idx)
+
+    jvm_pattern = _re.sub(
+        r"\(\?P=([A-Za-z_][A-Za-z0-9_]*)\)", _backref_to_num, py_pattern)
+    jvm_pattern = _re.sub(r"\(\?P?<[A-Za-z_][A-Za-z0-9_]*>", "(", jvm_pattern)
     c = F.col(col)
     kv = []
     for i in range(compiled.groups + 1):

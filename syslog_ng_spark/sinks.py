@@ -133,6 +133,9 @@ class HttpDestination:
     retry_backoff: float = 0.1
     response_actions: Mapping[int, str] = field(default_factory=dict)
     on_exhausted: str = "raise"
+    # the configuration's named-template registry — $(template NAME)
+    # in body templates binds against it (tf-template.c)
+    templates: Mapping[str, str] | None = None
 
     def __post_init__(self) -> None:
         if isinstance(self.urls, str):
@@ -236,7 +239,7 @@ class HttpDestination:
         (one small tuple per partition reaches the driver)."""
         from .template import compile_template
 
-        body = compile_template(self.template, df)
+        body = compile_template(self.template, df, templates=self.templates)
         rendered = df.select(body.alias("_body"))
         dest = self
         stats = (
@@ -281,6 +284,7 @@ class KvStoreDestination:
     key_template: str = "$HOST"
     value_template: str = "$MESSAGE"
     batch_size: int = 100
+    templates: Mapping[str, str] | None = None
 
     def _send_partition(self, rows):
         client = self.client_factory()
@@ -308,8 +312,8 @@ class KvStoreDestination:
         from .template import compile_template
 
         rendered = df.select(
-            compile_template(self.key_template, df).alias("_key"),
-            compile_template(self.value_template, df).alias("_value"),
+            compile_template(self.key_template, df, templates=self.templates).alias("_key"),
+            compile_template(self.value_template, df, templates=self.templates).alias("_value"),
         )
         dest = self
         stats = rendered.rdd.mapPartitions(dest._send_partition).collect()
@@ -430,6 +434,7 @@ class NetworkDestination:
     max_retries: int = 3
     retry_backoff: float = 0.1
     tls: TlsOptions | None = None  # transport(tls) — see TlsOptions
+    templates: Mapping[str, str] | None = None
 
     def __post_init__(self) -> None:
         if not self.targets:
@@ -517,7 +522,7 @@ class NetworkDestination:
     def write(self, df: DataFrame) -> dict:
         from .template import compile_template
 
-        body = compile_template(self.template, df)
+        body = compile_template(self.template, df, templates=self.templates)
         rendered = df.select(body.alias("_body"))
         dest = self
         stats = rendered.rdd.mapPartitionsWithIndex(
@@ -574,6 +579,7 @@ class ProgramDestination:
     template: str = "$MESSAGE"
     max_respawns: int = 3
     respawn_backoff: float = 0.1
+    templates: Mapping[str, str] | None = None
 
     def __post_init__(self) -> None:
         if not self.command or not self.command.strip():
@@ -632,7 +638,7 @@ class ProgramDestination:
     def write(self, df: DataFrame) -> dict:
         from .template import compile_template
 
-        body = compile_template(self.template, df)
+        body = compile_template(self.template, df, templates=self.templates)
         rendered = df.select(body.alias("_body"))
         dest = self
         stats = rendered.rdd.mapPartitionsWithIndex(
@@ -773,6 +779,7 @@ def kafka_records(
     key: str | None = None,
     topic: str = "syslog-ng",
     fallback_topic: str | None = None,
+    templates: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Build the (topic, key, value) record columns the Kafka producer
     sends, with the reference driver's exact semantics:
@@ -807,7 +814,7 @@ def kafka_records(
             )
         if not kafka_topic_valid(fallback_topic):
             raise ValueError(f"kafka: invalid fallback topic {fallback_topic!r}")
-        rendered = compile_template(topic, df)
+        rendered = compile_template(topic, df, templates=templates)
         topic_col = F.when(
             _kafka_topic_valid_col(rendered), rendered
         ).otherwise(F.lit(fallback_topic))
@@ -819,10 +826,10 @@ def kafka_records(
             )
         topic_col = F.lit(topic)
 
-    value_col = compile_template(message, df)
+    value_col = compile_template(message, df, templates=templates)
     cols = [topic_col.alias("topic"), value_col.alias("value")]
     if key is not None:
-        k = compile_template(key, df)
+        k = compile_template(key, df, templates=templates)
         cols.insert(1, F.when(k != "", k).alias("key"))  # '' -> NULL key
     else:
         cols.insert(1, F.lit(None).cast("string").alias("key"))
@@ -850,6 +857,7 @@ def kafka_sink(
     topic: str = "syslog-ng",
     fallback_topic: str | None = None,
     checkpoint: str | None = None,
+    templates: Mapping[str, str] | None = None,
     **producer_options,
 ):
     """kafka() destination: render records (kafka_records — tested,
@@ -857,7 +865,8 @@ def kafka_sink(
     frames .save(), streaming frames .start(). The ONLY environment
     dependency is the connector jar; without it this fails loudly with
     the one-line activation path."""
-    records = kafka_records(df, message, key, topic, fallback_topic)
+    records = kafka_records(df, message, key, topic, fallback_topic,
+                            templates=templates)
     try:
         if records.isStreaming:
             writer = (

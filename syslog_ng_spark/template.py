@@ -148,8 +148,11 @@ def parse_template(text: str) -> list:
                 parts.append(("val", inner, None, ref))
         elif nxt == "(":
             node, i = _parse_fn(text, i + 2)
-            ref, i = msg_ref(i)
+            # flush BEFORE msg_ref: '@@' appends a literal '@' that
+            # must render AFTER the function output (parse_msg_ref —
+            # the ${..} and bare-name branches already order this way)
             flush()
+            ref, i = msg_ref(i)
             parts.append((node[0], node[1], node[2], ref))
         else:
             m = _NAME_RE.match(text, i + 1)
@@ -485,6 +488,24 @@ def schema_resolver(columns: list[str]) -> Callable[[str], Column | None]:
                 "DESTPORT": "destport", "PROTO": "proto"}.get(name)
         if conn is not None and conn in cols:
             return F.col(conn).cast("string")
+        # per-delivery state (macros.c M_SEQNUM/M_RCPTID/M_UNIQID):
+        # bound when the pipeline carries the assigned columns
+        # (operators/delivery.py); 0 renders unset like the reference
+        # (options->seq_num / msg->rcptid of 0 append nothing)
+        if name in ("SEQNUM", "RCPTID"):
+            src = name.lower()
+            if src in cols:
+                c = F.col(src).cast("long")
+                return F.when(c != 0, c.cast("string")).otherwise(F.lit(""))
+        if name == "UNIQID" and "rcptid" in cols:
+            # M_UNIQID (macros.c:657): HOSTID '@' rcptid as 16-wide
+            # zero-padded hex; empty when rcptid is 0
+            c = F.col("rcptid").cast("long")
+            return F.when(
+                c != 0,
+                F.concat(MACROS["HOSTID"](), F.lit("@"),
+                         F.lpad(F.lower(F.hex(c)), 16, "0")),
+            ).otherwise(F.lit(""))
         if "sdata" in cols:  # NV pairs (incl. dotted names) live in the map
             return F.col("sdata").getItem(name)
         return None
@@ -550,9 +571,12 @@ def _arith(op, zero_guard: bool = False) -> Callable:
 def _int_div(x: Column, y: Column, is_int: bool) -> Column:
     if not is_int:
         return F.try_divide(x, y)
-    # C int64 division truncates toward zero: strip the C-sign
-    # remainder first so the double division is over an exact multiple
-    return F.try_divide(x - x % y, y)
+    # C int64 division truncates toward zero (tf_num_div): strip the
+    # C-sign remainder so the quotient is exact, then divide in
+    # DECIMAL — a double intermediate rounds |operands| > 2^53
+    # ('$(/ 9007199254740993 1)' must render ...93, not ...92)
+    exact = (x - x % y).cast("decimal(38,0)")
+    return F.try_divide(exact, y.cast("decimal(38,0)"))
 
 
 def _tf_round(args: list[Arg]) -> Column:
@@ -1344,9 +1368,21 @@ class TemplateCompiler:
         opts, rest = self._leading_flags(
             raw_args,
             {"replacement": str, "invalid-chars": str},
-            aliases={"r": "replacement", "i": "invalid-chars", "C": "keep-ctrl"},
-            boolean={"keep-ctrl"},
+            # the exact GOption set (str-funcs.c stize_options):
+            # --ctrl-chars/-c asserts the TRUE default (a no-op),
+            # --no-ctrl-chars/-C is the G_OPTION_FLAG_REVERSE negation
+            aliases={"r": "replacement", "i": "invalid-chars",
+                     "C": "no-ctrl-chars", "c": "ctrl-chars"},
+            boolean={"no-ctrl-chars", "ctrl-chars"},
         )
+        # both flags write the same GOption variable — the LAST one
+        # seen wins (opts preserves insertion order)
+        ctrl = True
+        for flag in opts:
+            if flag == "ctrl-chars":
+                ctrl = True
+            elif flag == "no-ctrl-chars":
+                ctrl = False
         # each arg sanitizes SEPARATELY and the results join with '/'
         # (tf_sanitize appends the separator outside the replace loop:
         # '$(sanitize $HOST $PROGRAM)' → 'bzorp/syslog-ng')
@@ -1355,7 +1391,7 @@ class TemplateCompiler:
                 self._arg_col(a),
                 replacement=str(opts.get("replacement", "_")),
                 invalid_chars=str(opts.get("invalid-chars", "/")),
-                ctrl_chars=not opts.get("keep-ctrl", False),
+                ctrl_chars=ctrl,
             )
             for a in rest
         ]
@@ -1825,7 +1861,60 @@ def iterate_sequence(
     return df.withColumn(target, out)
 
 
-def template_format(df: DataFrame, template: str, target: str = "rendered") -> DataFrame:
+def referenced_names(template: str, templates: dict[str, str] | None = None) -> set[str]:
+    """Every macro / value name a template string references, walking
+    nested function arguments and (when the registry is given)
+    $(template NAME) bodies. Destination writers use this to decide
+    whether per-delivery state ($SEQNUM/$RCPTID/$UNIQID) must be
+    assigned before rendering."""
+    names: set[str] = set()
+    seen_tpl: set[str] = set()
+
+    def walk(parts) -> None:
+        for p in parts:
+            kind = p[0]
+            if kind == "lit":
+                continue
+            if kind == "val":
+                names.add(p[1])
+                if p[2]:  # :-default is itself a template
+                    walk(p[2])
+            elif kind == "fn":
+                if (
+                    templates
+                    and p[1] == "template"
+                    and p[2]
+                    and p[2][0][0] == "tpl"
+                ):
+                    arg0 = p[2][0]
+                    if len(arg0[1]) == 1 and arg0[1][0][0] == "lit":
+                        tname = arg0[1][0][1]
+                        if tname in templates and tname not in seen_tpl:
+                            seen_tpl.add(tname)
+                            walk(parse_template(templates[tname]))
+                for a in p[2]:
+                    if a[0] == "tpl":
+                        walk(a[1])
+                    elif a[0] == "cond":
+                        # filter-language args reference "$X" inline
+                        import re as _re
+
+                        names.update(
+                            _re.findall(r"\$\{?([A-Za-z0-9_.]+)\}?", a[1])
+                        )
+    walk(parse_template(template))
+    return names
+
+
+def template_format(
+    df: DataFrame,
+    template: str,
+    target: str = "rendered",
+    templates: dict[str, str] | None = None,
+) -> DataFrame:
     """rewrite/sink helper: render `template` per row into `target` —
-    the engine-level equivalent of a template() in a destination."""
-    return df.withColumn(target, compile_template(template, df))
+    the engine-level equivalent of a template() in a destination.
+    `templates` is the configuration's named-template registry for
+    $(template NAME) (tf-template.c binds against the config's
+    registry, so conf-compiled pipelines must thread theirs here)."""
+    return df.withColumn(target, compile_template(template, df, templates=templates))
