@@ -204,10 +204,28 @@ BENCH_QUERIES += [q for q in QUERIES if q not in BENCH_QUERIES]
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def cpu_probe() -> float:
+    """Fixed single-core work (sha256 over 256 MiB) timed before Spark
+    starts: a host-speed constant for the contract line. Comparing a
+    run's probe to the baseline's probe separates host slowdown from
+    code regressions NUMERICALLY — r8→r10 drift (1.02→1.26) had to be
+    adjudicated by cross-round argument; probe_ratio settles it."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    h = hashlib.sha256()
+    t0 = time.perf_counter()
+    for _ in range(256):
+        h.update(buf)
+    h.digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     loadavg_start = os.getloadavg()
+    probe = min(cpu_probe() for _ in range(3))  # min-of-3, like the queries
     cpus = os.cpu_count() or 1
     spark = get_session("syslog-ng-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -240,6 +258,7 @@ def main() -> None:
         "n_runs": N_RUNS,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "cpus": cpus,
+        "cpu_probe_sec": probe,
     }
     # regression floor: each query is compared against its recorded
     # best-round time (BASELINE_LOCAL.json). Ratios are NORMALIZED by
@@ -257,6 +276,12 @@ def main() -> None:
             base_total = sum(base["queries"][q] for q in shared) or 1.0
             drift = max(sum(timings[q] for q in shared) / base_total, 1.0)
             out["drift_vs_baseline"] = round(drift, 2)
+            # host-speed attribution: probe_ratio ≈ drift means the
+            # host got slower; probe_ratio ≈ 1 with drift >> 1 means
+            # the CODE got slower (what the flags below localize)
+            if base.get("cpu_probe_sec"):
+                out["host_slowdown_vs_baseline"] = round(
+                    probe / base["cpu_probe_sec"], 2)
             flagged = {}
             for q in shared:
                 b = base["queries"][q]
@@ -270,24 +295,52 @@ def main() -> None:
             out["flags_suspect_host_contention"] = bool(flagged) and (
                 loadavg_start[0] > 0.25 * cpus
             )
-    # Line order matters: the driver preserves only the TAIL of stdout,
-    # and in round 4 the min-of-3 `queries` dict was truncated away
-    # while the noisy first-exec dict survived. The cold-run numbers
-    # (transparency only) therefore go FIRST, and the contract line —
-    # min-of-3 timings + regression flags + loadavg — is the LAST thing
-    # this process prints.
+    # Line order matters: the driver preserves only the TAIL of stdout
+    # (2000 chars as of r10 — BENCH_r09/r10.json both recorded
+    # parsed:null because the full 189-query contract line is ~5 KB
+    # and only its tail survived). So: the complete result is WRITTEN
+    # to BENCH_LOCAL_FULL.json in the repo, the cold-run transparency
+    # line goes first on stdout, and the LAST line is a contract line
+    # hard-capped under the tail window — headline numbers + the
+    # slowest queries that fit, with a pointer to the full file.
+    full = dict(out)
+    full["queries_first_exec"] = first_exec
+    (Path(__file__).resolve().parent / "BENCH_LOCAL_FULL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
+    )
     print(
         json.dumps(
             {
                 "metric": "catalog_total_wall_first_exec",
                 "value": round(sum(first_exec.values()), 3),
                 "unit": "sec",
-                "queries_first_exec": first_exec,
                 "note": "cold-run transparency only; the min-of-3 contract line follows",
             }
         )
     )
-    print(json.dumps(out))
+    print(json.dumps(_capped_contract(out), separators=(",", ":")))
+
+
+def _capped_contract(out: dict, limit: int = 1900) -> dict:
+    """The stdout contract line, guaranteed to fit the collector's
+    2000-char tail: all scalar fields, then the slowest queries added
+    one at a time while the serialized line stays under `limit`;
+    `queries_elided` counts what didn't fit (full dict is in
+    BENCH_LOCAL_FULL.json either way)."""
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["queries"] = {}
+    compact["queries_elided"] = 0
+    compact["full_results"] = "BENCH_LOCAL_FULL.json"
+    ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    for q, t in ranked:
+        trial = dict(compact)
+        trial["queries"] = {**compact["queries"], q: t}
+        trial["queries_elided"] = len(ranked) - len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > limit:
+            break
+        compact = trial
+    compact["queries_elided"] = len(ranked) - len(compact["queries"])
+    return compact
 
 
 if __name__ == "__main__":

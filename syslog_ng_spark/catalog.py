@@ -1620,6 +1620,32 @@ def macro_isodate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MACRO_SEQNUM_SQL = """
+SELECT event_id,
+       row_number() OVER (ORDER BY event_id)::BIGINT AS seqnum,
+       row_number() OVER (ORDER BY event_id)::VARCHAR
+         || ':' || event_type AS line
+FROM events
+"""
+
+
+@register("macro_seqnum", _MACRO_SEQNUM_SQL)
+def macro_seqnum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$SEQNUM as real per-destination delivery state (lib/seqnum.h,
+    lib/logwriter.c): operators/delivery.py numbers the frame with the
+    zero-Window partition-offset pattern (repartitionByRange +
+    per-partition counts, no single-partition row_number), and the
+    template resolver renders ${SEQNUM} from the assigned column —
+    DuckDB's global row_number is the parity oracle."""
+    from syslog_ng_spark.operators.delivery import assign_seqnum
+    from syslog_ng_spark.template import compile_template
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type")
+    seq = assign_seqnum(ev, order_by="event_id")
+    line = compile_template("${SEQNUM}:${event_type}", seq)
+    return seq.select("event_id", "seqnum", line.alias("line"))
+
+
 _FMT_JSON_SCOPED_SQL = f"""
 WITH logs AS (
   SELECT event_id, {_HOST_SQL} AS host, {_PROG_SQL} AS program,
@@ -3280,6 +3306,53 @@ def kv_parse_quoted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("kv", "msg").alias("msg_v"),
         F.element_at("kv", "code").alias("code_v"),
         F.element_at("kv", "who").alias("who_v"),
+    )
+
+
+_KV_SCANNER_REF_SQL = """
+SELECT event_id,
+       'u' || user_id::VARCHAR AS user_v,
+       'hello ' || (event_id % 7)::VARCHAR || ' x=1' AS msg_v,
+       (event_id % 100)::VARCHAR AS count_v,
+       CASE WHEN event_id % 3 = 0
+            THEN 'hdr' || event_id::VARCHAR || ',stray' || event_id::VARCHAR
+            ELSE 'hdr' || event_id::VARCHAR END AS strays
+FROM events
+"""
+
+
+@register("kv_scanner_ref", _KV_SCANNER_REF_SQL)
+def kv_scanner_ref_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the reference-EXACT kv-scanner (operators/kvscan.py —
+    lib/scanner/kv-scanner/kv-scanner.c algorithm, its criterion suite
+    ported in tests/test_kvscan_parity.py): initial stray words,
+    quoted one-token values keeping '=' and spaces, pair-separator
+    value ends, and str-repr-encoded stray-word extraction. The oracle
+    CONSTRUCTS the expected fields from the same expressions that
+    built the message — construction vs scan parity. One
+    regexp_extract_all pass per row, zero shuffle."""
+    from syslog_ng_spark.operators.kvscan import kv_scanner_parser
+
+    ev = rebalance(T(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit("hdr"), F.col("event_id").cast("string"),
+        F.lit(" user=u"), F.col("user_id").cast("string"),
+        F.lit(' msg="hello '), (F.col("event_id") % 7).cast("string"),
+        F.lit(' x=1" count='), (F.col("event_id") % 100).cast("string"),
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit(", stray"), F.col("event_id").cast("string")))
+        .otherwise(F.lit("")),
+    )
+    parsed = kv_scanner_parser(
+        ev.select("event_id", line.alias("line")), "line",
+        stray_words_target="strays",
+    )
+    return parsed.select(
+        "event_id",
+        F.element_at("kv", "user").alias("user_v"),
+        F.element_at("kv", "msg").alias("msg_v"),
+        F.element_at("kv", "count").alias("count_v"),
+        "strays",
     )
 
 
@@ -5251,6 +5324,91 @@ timeout_out AS (
   FROM sessions GROUP BY host, program, uid, session_id)
 SELECT * FROM match_out UNION ALL SELECT * FROM timeout_out
 """
+
+
+def _grep_context_sql() -> str:
+    from syslog_ng_spark.operators.patterndb import compile_pattern
+
+    rx_pur, f_pur = compile_pattern("purchase value=@ESTRING:val: @user=@NUMBER:uid@")
+    vi = f_pur.index("val") + 1
+    ui = f_pur.index("uid") + 1
+    return f"""
+WITH logs AS (
+  SELECT event_id, ts, {_HOST_SQL} AS host, {_PROG_SQL} AS program,
+         {_MSG_SQL} AS message
+  FROM events),
+pur AS (
+  SELECT *, regexp_extract(message, '{rx_pur}', {vi}) AS val,
+            regexp_extract(message, '{rx_pur}', {ui}) AS uid
+  FROM logs WHERE regexp_matches(message, '{rx_pur}')),
+ordered AS (
+  SELECT *, lag(ts) OVER (PARTITION BY host, program, uid ORDER BY ts, event_id) AS prev_ts
+  FROM pur),
+sessions AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) > 600
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY host, program, uid ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered),
+ctx AS (
+  SELECT host, program, uid, session_id, max(ts) AS ts, count(*) AS n,
+         coalesce(string_agg(val, ',' ORDER BY ts, event_id)
+                  FILTER (WHERE coalesce(TRY_CAST(regexp_extract(val,
+                          '^[ \t\n]*([+-]?[0-9]+)', 1) AS BIGINT), 0) < 50), '') AS small,
+         list(val ORDER BY ts, event_id) AS vals
+  FROM sessions GROUP BY host, program, uid, session_id)
+SELECT ts,
+       'ctx=' || uid || ' n=' || n::VARCHAR || ' small=' || small
+         || ' prev=' || CASE WHEN n >= 2 THEN vals[len(vals) - 1] ELSE '' END
+         AS message
+FROM ctx
+"""
+
+
+@register("patterndb_grep_context", _grep_context_sql())
+def patterndb_grep_context_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: trigger templates evaluating against LIVE context state —
+    $(grep (cond) ${val}) renders matching context rows as a comma
+    list, ${val}@1 addresses one message back from the latest, and
+    ${CONTEXT_ID}/$(context-length) bind to the context key/size
+    (modules/dbparser/context-funcs.c; batch↔stream parity in
+    tests/test_actions.py). The collected per-context array is built
+    ONLY because the template references it (collect_list over the
+    one pool shuffle). DuckDB oracle: sessionized string_agg FILTER +
+    list indexing."""
+    from syslog_ng_spark.operators.actions import (
+        PdbAction,
+        PdbRule,
+        SyntheticMessage,
+        patterndb_actions,
+    )
+
+    rules = [
+        PdbRule(
+            rule_id="grep_ctx",
+            cls="audit",
+            patterns=["purchase value=@ESTRING:val: @user=@NUMBER:uid@"],
+            context_id="${uid}",
+            context_timeout=600,
+            context_scope="program",
+            actions=[
+                PdbAction(
+                    trigger="timeout",
+                    message=SyntheticMessage(
+                        values={
+                            "MESSAGE": "ctx=${CONTEXT_ID} n=$(context-length)"
+                            " small=$(grep ('${val}' < '50') ${val})"
+                            " prev=${val}@1",
+                        },
+                        inherit="none",
+                    ),
+                )
+            ],
+        )
+    ]
+    logs = events_as_logs(T(spark, sf_dir, "events")).drop("pid", "facility", "severity")
+    synth = patterndb_actions(rebalance(logs), rules, order_tiebreak="event_id")
+    return synth.select("ts", "message")
 
 
 @register("patterndb_actions", _actions_sql())

@@ -399,14 +399,26 @@ def compile_parser_driver(conf: Conf, call_or_channel, strict: bool) -> list[dic
         return [{"op": "parse-csv", "column": _template_column(call),
                  "names": names, "sep": sep, "flags": call.flag_words()}]
     if n == "kv-parser":
-        spec = {"op": "parse-kv", "column": _template_column(call)}
+        # r11: the reference-exact kv-scanner (operators/kvscan.py,
+        # lib/scanner/kv-scanner) with the full option surface:
+        # value-separator(c), pair-separator(s),
+        # extract-stray-words-into(name) (kv-parser-grammar.ym)
+        spec = {"op": "parse-kv-scan", "column": _template_column(call)}
         prefix = call.opt_scalar("prefix")
         if prefix is not None:
             spec["target"] = str(prefix).rstrip(".")
         vs = call.opt_scalar("value-separator")
-        if vs not in (None, "="):
-            raise ConfError("kv-parser(value-separator) other than '=' is "
-                            "not supported", call.line)
+        if vs is not None:
+            if len(str(vs)) != 1:
+                raise ConfError("kv-parser(value-separator) must be one "
+                                "character", call.line)
+            spec["kv_sep"] = str(vs)
+        ps = call.opt_scalar("pair-separator")
+        if ps is not None:
+            spec["pair_sep"] = str(ps)
+        esw = call.opt_scalar("extract-stray-words-into")
+        if esw is not None:
+            spec["stray_target"] = str(esw)
         return [spec]
     if n == "json-parser":
         spec = {"op": "parse-json", "column": _template_column(call)}
@@ -940,6 +952,7 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
         steps: list[dict] = []
         dests: list[dict] = []
         flags: list[str] = []
+        inners: list = []
         for elem in path.elements:
             if elem.kind == "source":
                 drivers = conf.sources.get(elem.ref) if elem.ref else elem.inline
@@ -955,7 +968,16 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
                     dests.extend(compile_destination_driver(conf, d, strict))
             elif elem.kind == "flags":
                 flags.extend(elem.inline)
+            elif elem.kind == "inner-log":
+                inners.append(elem)
             else:
+                if inners:
+                    raise ConfError(
+                        "steps after an embedded log { } block are not "
+                        "supported — put them before the inner paths or "
+                        "inside them (the union-back of inner outputs "
+                        "into the outer path has no sound batch shape "
+                        "when inner paths drop rows)", elem.line)
                 steps.extend(_compile_step_element(conf, elem, strict))
         if "catchall" in flags:
             sources = []
@@ -963,7 +985,11 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
                 for d in conf.sources[name]:
                     sources.extend(compile_source_driver(conf, d, strict))
         if not sources:
-            raise ConfError(f"log path #{idx} has no source", path.line)
+            # a path without source() or flags(catchall) is valid and
+            # receives nothing — the reference's functional logpath
+            # suite exercises exactly this shape (a 'log { destination
+            # (d4); };' that must stay empty)
+            continue
 
         skey = frozenset(repr(sorted(s.items())) for s in sources)
         pred, exact = _path_match_pred(steps)
@@ -1025,16 +1051,93 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
 
         source_spec = sources[0] if len(sources) == 1 else {
             "kind": "union", "sources": sources}
-        pipelines.append({
-            "name": f"log#{idx}",
-            "source": source_spec,
-            "steps": steps,
-            "destinations": dests,
-            "flags": flags,
-            # the config's named-template registry, threaded to every
-            # exec-layer compile_template so DYNAMIC $(template ${v})
-            # and fallback forms bind at runtime (tf-template.c) —
-            # expand_template_fns above only inlines the static form
-            "templates": dict(conf.templates),
-        })
+
+        def emit(name: str, psteps: list, pdests: list, pflags: list) -> None:
+            pipelines.append({
+                "name": name,
+                "source": source_spec,
+                "steps": psteps,
+                "destinations": pdests,
+                "flags": pflags,
+                # the config's named-template registry, threaded to every
+                # exec-layer compile_template so DYNAMIC $(template ${v})
+                # and fallback forms bind at runtime (tf-template.c) —
+                # expand_template_fns above only inlines the static form
+                "templates": dict(conf.templates),
+                # options { use-uniqid(yes); } (cfg-grammar.y
+                # KW_USE_UNIQID; use-rcptid is the deprecated alias):
+                # assign $RCPTID at reception. Default off (cfg.c:512).
+                "use_rcptid": str(
+                    conf.options.get("use-uniqid",
+                                     conf.options.get("use-rcptid", "no"))
+                ).lower() in ("yes", "on", "1", "true"),
+            })
+
+        if not inners:
+            emit(f"log#{idx}", steps, dests, flags)
+            continue
+
+        # EMBEDDED log paths (cfg-grammar.y log_forks): each inner
+        # path sees the outer frame after the prefix steps; inner
+        # flags(final) hides its matches from LATER inner siblings,
+        # inner flags(fallback) sees only what no earlier non-fallback
+        # sibling matched — the same hoisted-conjunction algebra as
+        # the top-level flags, scoped to the sibling group. Outer
+        # destinations (before the inner blocks) receive every row.
+        if dests:
+            emit(f"log#{idx}", steps, dests, flags)
+        inner_finals: list = []
+        inner_non_fb: list[tuple[object, bool]] = []
+        for j, ielem in enumerate(inners):
+            isteps: list[dict] = []
+            idests: list[dict] = []
+            iflags: list[str] = []
+            for e in ielem.inline:
+                if e.kind == "source":
+                    raise ConfError(
+                        "source() inside an embedded log { } is not "
+                        "supported — put sources on the outer path", e.line)
+                if e.kind == "inner-log":
+                    raise ConfError(
+                        "embedded log { } nesting beyond one level is "
+                        "not supported", e.line)
+                if e.kind == "destination":
+                    drivers = (conf.destinations.get(e.ref)
+                               if e.ref else e.inline)
+                    if drivers is None:
+                        raise ConfError(f"unknown destination {e.ref!r}",
+                                        e.line)
+                    for d in drivers:
+                        idests.extend(compile_destination_driver(conf, d, strict))
+                elif e.kind == "flags":
+                    iflags.extend(e.inline)
+                else:
+                    isteps.extend(_compile_step_element(conf, e, strict))
+            ipred, iexact = _path_match_pred(isteps)
+            iexcl = [_negate(p) for p in inner_finals]
+            if "fallback" in iflags:
+                for p, pexact in inner_non_fb:
+                    if not pexact:
+                        raise ConfError(
+                            f"embedded fallback path needs the match "
+                            "predicate of an earlier sibling whose filters "
+                            "come after transforms — reorder that sibling's "
+                            "filters first", ielem.line)
+                    iexcl.append(_negate(p))
+            guard: list[dict] = []
+            if iexcl:
+                ex = iexcl[0]
+                for e2 in iexcl[1:]:
+                    ex = {"op": "and", "args": [ex, e2]}
+                guard = [{"op": "filter-expr", "expr": ex}]
+            emit(f"log#{idx}.{j}", steps + guard + isteps, idests,
+                 flags + iflags)
+            if "final" in iflags:
+                if not iexact:
+                    raise ConfError(
+                        "embedded log { } with flags(final) needs its "
+                        "filters before its transforms", ielem.line)
+                inner_finals.append(ipred)
+            if "fallback" not in iflags:
+                inner_non_fb.append((ipred, iexact))
     return pipelines

@@ -126,6 +126,12 @@ def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
     raise ValueError(f"unknown source kind: {kind}")
 
 
+def _referenced(template: str, templates: Mapping | None) -> set:
+    from syslog_ng_spark.template import referenced_names
+
+    return referenced_names(template, dict(templates) if templates else None)
+
+
 def _tpl_compiler(df: DataFrame, templates: Mapping | None):
     """compile_tpl override for filter_predicate when the pipeline
     carries a named-template registry (None → the default path)."""
@@ -151,6 +157,18 @@ def _step(df: DataFrame, spec: Mapping, templates: Mapping | None = None) -> Dat
         if spec.get("quoted"):
             return parsers.kv_parser_quoted(df, spec["column"], target=spec.get("target", "kv"))
         return parsers.kv_parser(df, spec["column"], target=spec.get("target", "kv"))
+    if op == "parse-kv-scan":
+        # the reference-exact kv-scanner path the .conf front-end emits
+        from syslog_ng_spark.operators.kvscan import kv_scanner_parser
+
+        return kv_scanner_parser(
+            df,
+            spec["column"],
+            target=spec.get("target", "kv"),
+            kv_sep=spec.get("kv_sep", "="),
+            pair_sep=spec.get("pair_sep", ", "),
+            stray_words_target=spec.get("stray_target"),
+        )
     if op == "parse-json":
         col = spec["column"]
         if "marker" in spec:
@@ -403,8 +421,11 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
         # file() destination: an optional template() renders each line
         # (the reference's file-dest default is $ISODATE $HOST $MSGHDR$MSG)
         if "template" in spec:
+            from syslog_ng_spark.operators.delivery import ensure_seqnum
             from syslog_ng_spark.template import template_format
 
+            df = ensure_seqnum(df, spec["template"], templates=templates,
+                               start=spec.get("seqnum_start", 1))
             df = template_format(df, spec["template"].rstrip("\n"),
                                  target="rendered", templates=templates)
             sinks.write_text(df, spec["path"], column="rendered",
@@ -415,7 +436,7 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
     elif kind == "program":
         sinks.ProgramDestination(
             command=spec["command"], template=spec.get("template", "$MESSAGE"),
-            templates=templates,
+            templates=templates, seqnum_start=spec.get("seqnum_start", 1),
         ).write(df)
     elif kind == "elasticsearch":
         sinks.elasticsearch_http(spec["url"], spec.get("index", "syslog-ng")).write(df)
@@ -434,8 +455,15 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
             framing=spec.get("framing", "newline"),
             tls=tls,
             templates=templates,
+            seqnum_start=spec.get("seqnum_start", 1),
         ).write(df)
     elif kind == "kafka":
+        if not df.isStreaming:
+            from syslog_ng_spark.operators.delivery import ensure_seqnum
+
+            df = ensure_seqnum(
+                df, spec.get("message"), spec.get("key"), spec.get("topic"),
+                templates=templates, start=spec.get("seqnum_start", 1))
         sinks.kafka_sink(
             df,
             spec["brokers"],
@@ -457,6 +485,13 @@ def build_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
     template registry) binds $(template NAME) in every step."""
     df = _source(spark, spec["source"])
     tpls = spec.get("templates")
+    if spec.get("use_rcptid"):
+        # options { use-uniqid(yes); }: RCPTID assigned at reception,
+        # before any step, so every destination renders the same id
+        # for the same message (lib/rcptid.c)
+        from syslog_ng_spark.operators.delivery import assign_rcptid
+
+        df = assign_rcptid(df)
     for step in spec.get("steps", ()):
         df = _step(df, step, templates=tpls)
     return df
@@ -632,6 +667,13 @@ def run_conf_stream(
     pipelines = compile_conf(parse_conf(text, include_dir), strict=strict)
     queries = []
     for p in pipelines:
+        if p.get("use_rcptid"):
+            raise NotImplementedError(
+                "use-uniqid(yes) in daemon mode needs a persistent "
+                "reception counter across micro-batches before the "
+                "step chain runs — assign rcptid in batch mode "
+                "(run_conf) or at the producing source instead"
+            )
         df = _source_stream(spark, p["source"])
         tpls = p.get("templates")
         for step in p.get("steps", ()):
@@ -643,10 +685,27 @@ def run_conf_stream(
             if d["kind"] in ("text", "parquet", "csv", "json") else d
             for d in p.get("destinations", ())
         ]
+        # per-destination $SEQNUM continuation: the daemon's LogWriter
+        # counter lives for the daemon's lifetime, so each micro-batch
+        # continues where the last ended (one count job per batch,
+        # only when a destination template actually references SEQNUM)
+        seq_dests = [
+            i for i, d in enumerate(dests)
+            if any(
+                t and "SEQNUM" in _referenced(t, tpls)
+                for t in (d.get("template"), d.get("message"), d.get("key"))
+            )
+        ]
+        seq_next = dict.fromkeys(seq_dests, 1)
 
-        def write_batch(batch_df, _id, _dests=dests, _tpls=tpls):
-            for d in _dests:
+        def write_batch(batch_df, _id, _dests=dests, _tpls=tpls, _seq=seq_next):
+            n = batch_df.count() if _seq else 0
+            for i, d in enumerate(_dests):
+                if i in _seq:
+                    d = {**d, "seqnum_start": _seq[i]}
                 _destination(batch_df, d, templates=_tpls)
+            for i in _seq:
+                _seq[i] += n
 
         writer = df.writeStream.foreachBatch(write_batch).option(
             "checkpointLocation", f"{checkpoint_dir}/{p['name'].replace('#', '_')}"

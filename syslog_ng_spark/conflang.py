@@ -925,6 +925,16 @@ class Parser:
             channels = self._junction_body(t.line)
             self.accept("SEMI")
             return LogElement("junction", inline=channels, line=t.line)
+        if kind == "log":
+            # EMBEDDED log path (cfg-grammar.y log_forks): an inner
+            # log { ... } inside an outer path — fans the outer frame
+            # out like a junction channel, but may carry its own
+            # destinations and final/fallback flags scoped to the
+            # sibling inner paths (the reference's
+            # test_multiple_embedded_logpaths / test_multiple_flags)
+            elems = self._channel_body()
+            self.accept("SEMI")
+            return LogElement("inner-log", inline=elems, line=t.line)
         if kind == "if":
             return self._if_element(t.line)
         if kind in ("elif", "else"):

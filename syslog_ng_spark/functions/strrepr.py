@@ -1,0 +1,83 @@
+"""The str-repr quoted-string model, shared by every scanner.
+
+Reference: lib/str-repr/decode.c + encode.c — ONE quoting convention
+used by the list-scanner (template list functions), the kv-scanner
+(kv-parser quoted values), and stray-word storage: values travel
+'-or-"-quoted with C escapes (\\b \\f \\n \\r \\t \\\\ and the quote
+kind), unknown escapes keep their backslash, and encode picks the
+quote kind that avoids escaping quotes (both kinds present → the
+double quote escapes as \\x22).
+
+Everything is pure Column expressions. Decode uses the \\x01 sentinel
+trick for the escaped backslash so a single replace pass can't
+re-interpret its own output (a literal \\x01 inside a quoted value is
+the one input this mis-decodes — control chars travel \\xXX-escaped
+in the reference, so it cannot appear legitimately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# decode.c escape set; unknown escapes keep their backslash
+DECODE_ESCAPES = (
+    ("\\b", "\b"),
+    ("\\f", "\f"),
+    ("\\n", "\n"),
+    ("\\r", "\r"),
+    ("\\t", "\t"),
+    ('\\"', '"'),
+    ("\\'", "'"),
+)
+
+
+def is_quoted_token(tok: Column) -> Column:
+    """True when `tok` is wrapped in one matching quote pair."""
+    first = F.substring(tok, 1, 1)
+    last = F.substring(tok, -1, 1)
+    return (F.length(tok) >= 2) & (first == last) & first.isin('"', "'")
+
+
+def decode_c_string(s: Column) -> Column:
+    """Decode the escape set over already-unwrapped content."""
+    s = F.replace(s, F.lit("\\\\"), F.lit("\x01"))
+    for esc, ch in DECODE_ESCAPES:
+        s = F.replace(s, F.lit(esc), F.lit(ch))
+    return F.replace(s, F.lit("\x01"), F.lit("\\"))
+
+
+def decode_quoted_token(tok: Column) -> Column:
+    """Quoted token → decoded content; unquoted token passes through
+    verbatim (decode.c: only quoted values carry escapes)."""
+    inner = tok.substr(F.lit(2), F.length(tok) - 2)
+    return F.when(is_quoted_token(tok), decode_c_string(inner)).otherwise(tok)
+
+
+def encode_elem(v: Column) -> Column:
+    """str_repr_encode with ',' forbidden (encode.c): quote when the
+    value is empty or contains a comma, quote, space, backslash or
+    control char; pick the quote kind that avoids escaping quotes;
+    with BOTH kinds present the double quote escapes as \\x22 (the
+    escaped-binary path).
+
+    Single-parameter BY CONTRACT: this is passed directly to
+    F.transform, which arity-sniffs lambdas — a second (even
+    defaulted) parameter would receive the array INDEX column."""
+    forbidden = ","
+    has_q = v.contains('"')
+    has_a = v.contains("'")
+    e = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    for ch, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        e = F.replace(e, F.lit(ch), F.lit(esc))
+    e_both = F.replace(e, F.lit('"'), F.lit("\\x22"))
+    wrapped = (
+        F.when(has_q & has_a, F.concat(F.lit('"'), e_both, F.lit('"')))
+        .when(has_q, F.concat(F.lit("'"), e, F.lit("'")))
+        .otherwise(F.concat(F.lit('"'), e, F.lit('"')))
+    )
+    import re as _re
+
+    needs_rx = "[" + _re.escape(forbidden) + "\"' \\\\\\x08\\x0c\\n\\r\\t]"
+    needs = (v == "") | v.rlike(needs_rx)
+    return F.when(needs, wrapped).otherwise(v)

@@ -216,6 +216,41 @@ def _rewrite_context_funcs(template: str) -> str:
     return template.replace("$(context-length)", "${CONTEXT_LENGTH}")
 
 
+def _uses_context_refs(rules: list[PdbRule]) -> bool:
+    """Do any action templates evaluate against the live context —
+    $(grep)/$(context-lookup)/$(context-values) or a '${NAME}@N'
+    message reference (context-funcs.c / parse_msg_ref)? Only then is
+    the per-context message array collected (it costs a collect_list
+    over the pool; templates that don't look at the context shouldn't
+    pay for it)."""
+    from syslog_ng_spark.template import parse_template
+
+    ctx_fns = {"grep", "context-lookup", "context-values"}
+
+    def walk(parts) -> bool:
+        for p in parts:
+            if p[0] == "lit":
+                continue
+            if len(p) > 3 and p[3] is not None:  # @N message reference
+                return True
+            if p[0] == "fn":
+                if p[1] in ctx_fns:
+                    return True
+                for a in p[2]:
+                    if a[0] == "tpl" and walk(a[1]):
+                        return True
+            if p[0] == "val" and p[2] and walk(p[2]):
+                return True
+        return False
+
+    return any(
+        walk(parse_template(t))
+        for r in rules
+        for a in r.actions
+        for t in a.message.values.values()
+    )
+
+
 def _render(
     base: DataFrame,
     action: PdbAction,
@@ -223,11 +258,17 @@ def _render(
     extra_values: list[str],
     inherit_from_row: bool,
     ts_col: str,
+    context_col: str | None = None,
 ) -> DataFrame:
     """Project a candidate DataFrame into synthetic rows with the
     union output schema (input columns + extra value columns +
-    tags/synthetic markers)."""
-    compiler = TemplateCompiler(schema_resolver(base.columns))
+    tags/synthetic markers). `context_col` names the collected
+    per-context message array, binding $(grep)/@N in the action
+    templates to the live context (context-funcs.c semantics)."""
+    compiler = TemplateCompiler(
+        schema_resolver(base.columns),
+        context_col=context_col if context_col in base.columns else None,
+    )
     rendered: dict[str, Column] = {}
     for name, tmpl in action.message.values.items():
         target = _MACRO_COLS.get(name, name)
@@ -507,9 +548,13 @@ def patterndb_actions(
     filter+project (no shuffle); all correlation contexts ride ONE
     shared pool shuffled once on (scope, context-id) — the same key
     the reference's state hash table uses, so it parallelizes at
-    100 TB and AQE splits skewed keys. Not implemented (loud):
-    timeout-triggered create-context (context chaining on expiry) and
-    ${NAME}@n context-indexed template references.
+    100 TB and AQE splits skewed keys. When any action template
+    references the context ($(grep)/$(context-*)/${NAME}@N —
+    context-funcs.c), the pool additionally collects the per-context
+    message array (event order) and templates evaluate against it;
+    templates that don't reference it never pay for the collect.
+    Not implemented (loud): timeout-triggered create-context (context
+    chaining on expiry).
     """
     if sdata_col is None and "sdata" in df.columns:
         sdata_col = "sdata"
@@ -524,6 +569,7 @@ def patterndb_actions(
         [F.col(order_tiebreak)] if order_tiebreak else []
     ) + [F.col("_seq")]
 
+    collect_ctx = _uses_context_refs(rules)
     sess_pool = None
     if prep.pool is not None:
         pool = prep.pool
@@ -552,6 +598,21 @@ def patterndb_actions(
                 "_sdata_merged",
                 _merge_fold(F.collect_list(F.col(sdata_col)).over(wc), base_types[sdata_col]),
             )
+        if collect_ctx:
+            # the live context as an array<struct> in arrival order —
+            # every message so far incl. the current one — so action
+            # templates evaluate $(grep)/$(context-*)/@N against real
+            # context state (context-funcs.c). Map columns are
+            # excluded: the streaming state path can't carry them and
+            # the context scope resolves flat fields (same shape both
+            # modes). Collected ONLY when a template references the
+            # context (collect_list over the pool isn't free).
+            ctx_struct = F.struct(
+                *[F.col(c) for c in pool_payload if not base_types.get(c, "string").startswith("map")]
+            )
+            sess_pool = sess_pool.withColumn(
+                "_context", F.collect_list(ctx_struct).over(wc)
+            )
 
     # ---- timeout-context aggregation (shared by all timeout actions) ----
     ctx_frame = None
@@ -564,6 +625,17 @@ def patterndb_actions(
         ]
         if sdata_col:
             aggs.append(F.max_by(F.col("_sdata_merged"), ordcol).alias("_sdata_merged"))
+        if collect_ctx:
+            # full context in event order: collect (order, message)
+            # structs, sort by the order struct, strip it
+            ctx_struct = F.struct(
+                *[F.col(c) for c in pool_payload if not base_types.get(c, "string").startswith("map")]
+            )
+            aggs.append(
+                F.array_sort(
+                    F.collect_list(F.struct(ordcol.alias("_o"), ctx_struct.alias("_m")))
+                ).alias("_ctx_raw")
+            )
         ctx_frame = (
             sess_pool.groupBy("_scope_key", "CONTEXT_ID", "session_id")
             .agg(*aggs)
@@ -573,6 +645,11 @@ def patterndb_actions(
                 F.col("CONTEXT_ID"),
                 F.col("CONTEXT_LENGTH"),
                 *([F.col("_sdata_merged")] if sdata_col else []),
+                *(
+                    [F.transform(F.col("_ctx_raw"), lambda x: x["_m"]).alias("_context")]
+                    if collect_ctx
+                    else []
+                ),
             )
         )
 
@@ -600,7 +677,8 @@ def patterndb_actions(
                     cand = cand.where(compile_condition(a.condition, cand))
                 cand = _rate_limit(cand, a, rate_key, ts_col)
                 inherit = a.message.inherit != "none"
-                rendered = _render(cand, a, out_columns, extra_values, inherit, ts_col)
+                rendered = _render(cand, a, out_columns, extra_values, inherit, ts_col,
+                                    context_col="_context")
             elif a.trigger == "timeout":
                 if r.context_id is None:
                     continue  # timeout needs a correlation context
@@ -613,7 +691,8 @@ def patterndb_actions(
                     cand = cand.where(compile_condition(a.condition, cand))
                 cand = _rate_limit(cand, a, ["_scope_key", "CONTEXT_ID"], ts_col)
                 inherit = a.message.inherit != "none"
-                rendered = _render(cand, a, out_columns, extra_values, inherit, ts_col)
+                rendered = _render(cand, a, out_columns, extra_values, inherit, ts_col,
+                                    context_col="_context")
             else:
                 raise ValueError(f"unknown trigger {a.trigger!r}")
             rendered = rendered.withColumn("rule_id", F.lit(r.rule_id)).withColumn(

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 # upper 31 bits partition id, lower 33 bits record number
 _MID_ROW_MASK = (1 << 33) - 1
 
+_SEQNUM_WRAP = 2147483647  # gint32 wrap: 1..2^31-1 then back to 1
+
 
 def _partition_offsets(df: DataFrame, start: int) -> tuple[list[int], int]:
     """Cumulative start offset per partition id + total row count.
@@ -49,36 +51,46 @@ def _partition_offsets(df: DataFrame, start: int) -> tuple[list[int], int]:
     return offsets, acc - start
 
 
+def _numbered(
+    df: DataFrame,
+    target: str,
+    start: int,
+    order_by,
+    wrap: int | None,
+) -> tuple[DataFrame, int]:
+    if order_by is not None:
+        keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+        cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    offsets, total = _partition_offsets(df, start)
+    if not offsets:
+        return df.withColumn(target, F.lit(start).cast("long")), 0
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftright(mid, 33).cast("int")
+    row_in_part = mid.bitwiseAND(F.lit(_MID_ROW_MASK))
+    offset_arr = F.array(*[F.lit(o) for o in offsets])
+    num = F.element_at(offset_arr, pid + 1) + row_in_part
+    if wrap is not None:
+        num = ((num - 1) % F.lit(wrap)) + 1
+    return df.withColumn(target, num.cast("long")), total
+
+
 def numbered_in_order(
     df: DataFrame,
     target: str,
     start: int = 1,
     order_by: str | Column | list | None = None,
 ) -> DataFrame:
-    """Add a gapless 1-based (``start``-based) long column ``target``
-    numbering every row. Default: physical (delivery) order, zero
-    shuffle. With ``order_by``: deterministic global order via
-    repartitionByRange + sortWithinPartitions — scalable, no
-    single-partition Window.
+    """Add a gapless ``start``-based long column ``target`` numbering
+    every row. Default: physical (delivery) order, zero shuffle. With
+    ``order_by``: deterministic global order via repartitionByRange +
+    sortWithinPartitions — scalable, no single-partition Window.
 
     The per-partition counting pass and the numbering pass must see
     the same partition layout; both run over the same immutable plan,
     which Spark splits deterministically for file scans and
     re-executes identically for deterministic expressions."""
-    if order_by is not None:
-        keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
-        cols = [F.col(k) if isinstance(k, str) else k for k in keys]
-        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    offsets, _total = _partition_offsets(df, start)
-    if not offsets:
-        return df.withColumn(target, F.lit(start).cast("long"))
-    mid = F.monotonically_increasing_id()
-    pid = F.shiftright(mid, 33).cast("int")
-    row_in_part = mid.bitwiseAND(F.lit(_MID_ROW_MASK))
-    offset_arr = F.array(*[F.lit(o) for o in offsets])
-    return df.withColumn(
-        target, (F.element_at(offset_arr, pid + 1) + row_in_part).cast("long")
-    )
+    return _numbered(df, target, start, order_by, wrap=None)[0]
 
 
 def assign_seqnum(
@@ -93,10 +105,7 @@ def assign_seqnum(
     delivers — a second destination numbers independently, exactly
     like each LogWriter owning its own counter. Wraps like the
     reference's gint32 (step_sequence_number: overflow resets to 1)."""
-    out = numbered_in_order(df, target, start=start, order_by=order_by)
-    # gint32 wrap: 1..2147483647 then back to 1
-    wrapped = ((F.col(target) - 1) % F.lit(2147483647)) + 1
-    return out.withColumn(target, wrapped.cast("long"))
+    return _numbered(df, target, start, order_by, wrap=_SEQNUM_WRAP)[0]
 
 
 def assign_rcptid(
@@ -112,3 +121,44 @@ def assign_rcptid(
     ``start`` carries the persisted next.rcptid across incremental
     runs (lib/rcptid.c persist-state)."""
     return numbered_in_order(df, target, start=start, order_by=order_by)
+
+
+def ensure_seqnum(
+    df: DataFrame,
+    *template_strs: str | None,
+    templates: dict | None = None,
+    start: int = 1,
+) -> DataFrame:
+    """Destination-writer hook: if any of the given template strings
+    references $SEQNUM and the frame doesn't carry a ``seqnum`` column
+    yet, assign it in delivery order (the LogWriter stepping its
+    counter as it renders). $RCPTID/$UNIQID are deliberately NOT
+    assigned here: they are reception ids — the same message must
+    render the same id at every destination, so only the source side
+    (use-uniqid) assigns them; without that they render unset, exactly
+    like the reference with use-uniqid(no)."""
+    return ensure_seqnum_counted(
+        df, *template_strs, templates=templates, start=start)[0]
+
+
+def ensure_seqnum_counted(
+    df: DataFrame,
+    *template_strs: str | None,
+    templates: dict | None = None,
+    start: int = 1,
+) -> tuple[DataFrame, int]:
+    """ensure_seqnum + the number of rows numbered (0 when the
+    template doesn't reference $SEQNUM or the column already exists).
+    The count is free — the numbering pass already aggregates
+    per-partition counts — and lets a long-lived writer (foreachBatch
+    across micro-batches) continue its counter like the daemon's
+    LogWriter living across delivery bursts."""
+    if "seqnum" in df.columns:
+        return df, 0
+    from syslog_ng_spark.template import referenced_names
+
+    if not any(
+        t and "SEQNUM" in referenced_names(t, templates) for t in template_strs
+    ):
+        return df, 0
+    return _numbered(df, "seqnum", start, None, wrap=_SEQNUM_WRAP)

@@ -30,8 +30,16 @@ from pyspark.sql import functions as F
 # (word-boundary anchored; phone requires separators or +CC so bare
 # 10-digit ids don't match).
 PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # scan-cost engineering on the one branch that fires at EVERY
+    # letter position (the others gate on a digit): the lookbehind
+    # rejects mid-word start positions in O(1) — leftmost matching
+    # would pick the word start anyway, so which text matches is
+    # unchanged — and the possessive local part (++) skips the
+    # pointless shorter-run retries ('@' is not in the class, so the
+    # maximal run is the only viable one). Together they turn a
+    # per-word O(w²) reject into O(w).
     "email": (
-        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        r"(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]++@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
         "<EMAIL>",
     ),
     "ipv4": (
@@ -84,37 +92,101 @@ def cc_candidates(text: Column, valid_only: bool = True) -> Column:
     return cands
 
 
-def pii_counts(text: Column) -> dict[str, Column]:
-    """category → match count, one regexp pass per category."""
-    out = {
-        name: F.regexp_count(text, F.lit(pat)).cast("long")
-        for name, (pat, _tok) in PII_PATTERNS.items()
-    }
-    out["credit_card"] = F.size(cc_candidates(text)).cast("long")
-    return out
-
-
-def pii_redact_col(text: Column, categories: list[str] | None = None) -> Column:
-    """Redact each category to its token. Regex categories are chained
-    regexp_replace (one generated-code pass each); Luhn-validated card
-    numbers fold literal `replace` over the distinct valid candidates
-    so invalid digit runs (order ids, timestamps) survive."""
-    cats = list(PII_PATTERNS) + ["credit_card"] if categories is None else categories
-    out = text
-    # credit cards FIRST: an <IP>-redacted text no longer contains the
-    # original card string, and some separators overlap phone patterns
+def _alternation(cats: list[str]) -> str:
+    """ONE alternation over every selected category — credit-card
+    shape included — so the corpus is scanned exactly once (r11;
+    SCALE.md Addendum 17 measures this against the r10 chained form
+    AND against the naive two-scan fusion: Java-regex alternation
+    costs roughly the sum of its branches, so the win comes from
+    sharing the single scan between redaction and counts, not from
+    the alternation itself). Card shape goes FIRST like the chained
+    form redacted cards first; then PII_PATTERNS order."""
+    pats = []
     if "credit_card" in cats:
-        out = F.aggregate(
-            cc_candidates(out),
-            out,
-            lambda acc, cand: F.replace(acc, cand, F.lit(_CC_TOKEN)),
-        )
-    for name in cats:
-        if name == "credit_card":
-            continue
+        pats.append(_CC_CANDIDATE)
+    pats += [PII_PATTERNS[n][0] for n in PII_PATTERNS if n in cats]
+    return "|".join(pats)
+
+
+def pii_matches(text: Column, cats: list[str] | None = None) -> Column:
+    """Every category match (card shapes included, Luhn NOT yet
+    applied) in one alternation scan, in match order, duplicates
+    kept."""
+    cats = list(PII_PATTERNS) + ["credit_card"] if cats is None else cats
+    return F.regexp_extract_all(text, F.lit("(" + _alternation(cats) + ")"), 1)
+
+
+def _is(anchored: str):
+    # closure factory: F.filter/F.exists introspect lambda arity, so a
+    # bound default arg would be mistaken for the index parameter
+    return lambda m: m.rlike(anchored)
+
+
+_CC_ANCHORED = "^(?:" + _CC_CANDIDATE + ")$"
+
+
+def _match_token(m: Column, cats: list[str]) -> Column:
+    """Classify one (short) matched string to its redaction token via
+    anchored re-tests — per-match work, not per-corpus-char work. A
+    card-shaped match that fails Luhn replaces with ITSELF (no-op),
+    so order ids and timestamps survive."""
+    out = m
+    for name in reversed([n for n in PII_PATTERNS if n in cats]):
         pat, tok = PII_PATTERNS[name]
-        out = F.regexp_replace(out, pat, tok)
+        out = F.when(m.rlike("^(?:" + pat + ")$"), F.lit(tok)).otherwise(out)
+    if "credit_card" in cats:
+        out = F.when(
+            m.rlike(_CC_ANCHORED),
+            F.when(luhn_valid(m), F.lit(_CC_TOKEN)).otherwise(m),
+        ).otherwise(out)
     return out
+
+
+def pii_counts(text: Column, matches: Column | None = None) -> dict[str, Column]:
+    """category → match count, classified from the ONE extracted
+    match list (pass `matches` to share the scan with redaction —
+    pii_redact does)."""
+    if matches is None:
+        matches = pii_matches(text)
+    out = {}
+    for name, (pat, _tok) in PII_PATTERNS.items():
+        out[name] = F.size(F.filter(matches, _is("^(?:" + pat + ")$"))).cast("long")
+    cc = F.filter(matches, _is(_CC_ANCHORED))
+    out["credit_card"] = F.size(F.filter(cc, luhn_valid)).cast("long")
+    return out
+
+
+def pii_redact_col(
+    text: Column,
+    categories: list[str] | None = None,
+    matches: Column | None = None,
+) -> Column:
+    """Redact each category to its token from ONE alternation scan:
+    the extracted matches classify to their tokens anchored (cheap —
+    matches are short and few) and a literal-replace fold rewrites
+    them longest-first, so a match that is a substring of another
+    match cannot corrupt it. Card-shaped matches pass through the
+    Luhn gate inside the classification.
+
+    Caveat: the fold replaces LITERAL occurrences, so a matched
+    string that also appears in a non-boundary context elsewhere in
+    the same document is rewritten there too — over-redaction, never
+    under-redaction of matched categories, the right failure
+    direction for a scrubber."""
+    cats = list(PII_PATTERNS) + ["credit_card"] if categories is None else categories
+    if matches is None:
+        matches = pii_matches(text, cats)
+    longest_first = F.array_sort(
+        F.array_distinct(matches),
+        lambda a, b: F.when(F.length(a) > F.length(b), -1)
+        .when(F.length(a) < F.length(b), 1)
+        .otherwise(0),
+    )
+    return F.aggregate(
+        longest_first,
+        text,
+        lambda acc, m: F.replace(acc, m, _match_token(m, cats)),
+    )
 
 
 def pii_redact(
@@ -127,8 +199,19 @@ def pii_redact(
     """DataFrame-level redaction; with_counts adds per-category match
     counts (pre-redaction) for audit/reporting."""
     target = out_col or text_col
-    out = df
+    cats = list(PII_PATTERNS) + ["credit_card"] if categories is None else categories
+    # ONE scan: the extracted match list lands in a scratch column and
+    # both the counts and the redaction fold read it — Catalyst keeps
+    # the non-cheap regexp_extract_all un-inlined (CollapseProject
+    # leaves multiply-referenced expensive expressions alone), so the
+    # corpus is scanned once regardless of with_counts
+    scratch = "_pii_matches"
+    out = df.withColumn(scratch, pii_matches(F.col(text_col), cats))
     if with_counts:
-        for name, c in pii_counts(F.col(text_col)).items():
-            out = out.withColumn(f"pii_{name}", c)
-    return out.withColumn(target, pii_redact_col(F.col(text_col), categories))
+        for name, c in pii_counts(F.col(text_col), matches=F.col(scratch)).items():
+            if name in cats:
+                out = out.withColumn(f"pii_{name}", c)
+    out = out.withColumn(
+        target, pii_redact_col(F.col(text_col), cats, matches=F.col(scratch))
+    )
+    return out.drop(scratch)

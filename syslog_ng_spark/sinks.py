@@ -136,6 +136,9 @@ class HttpDestination:
     # the configuration's named-template registry — $(template NAME)
     # in body templates binds against it (tf-template.c)
     templates: Mapping[str, str] | None = None
+    # $SEQNUM continuation point — this writer's counter survives
+    # across write() calls like the daemon's per-writer seq_num
+    seqnum_start: int = 1
 
     def __post_init__(self) -> None:
         if isinstance(self.urls, str):
@@ -237,8 +240,11 @@ class HttpDestination:
     def write(self, df: DataFrame) -> dict:
         """Deliver a batch DataFrame; returns aggregate delivery stats
         (one small tuple per partition reaches the driver)."""
+        from .operators.delivery import ensure_seqnum_counted
         from .template import compile_template
 
+        df, numbered = ensure_seqnum_counted(
+            df, self.template, templates=self.templates, start=self.seqnum_start)
         body = compile_template(self.template, df, templates=self.templates)
         rendered = df.select(body.alias("_body"))
         dest = self
@@ -248,6 +254,7 @@ class HttpDestination:
             )
             .collect()
         )
+        self.seqnum_start += numbered
         keys = ("delivered", "dropped", "failed", "batches", "requests")
         return {k: sum(s[i] for s in stats) for i, k in enumerate(keys)}
 
@@ -285,6 +292,7 @@ class KvStoreDestination:
     value_template: str = "$MESSAGE"
     batch_size: int = 100
     templates: Mapping[str, str] | None = None
+    seqnum_start: int = 1
 
     def _send_partition(self, rows):
         client = self.client_factory()
@@ -309,14 +317,19 @@ class KvStoreDestination:
         yield (sent, batches)
 
     def write(self, df: DataFrame) -> dict:
+        from .operators.delivery import ensure_seqnum_counted
         from .template import compile_template
 
+        df, numbered = ensure_seqnum_counted(
+            df, self.key_template, self.value_template,
+            templates=self.templates, start=self.seqnum_start)
         rendered = df.select(
             compile_template(self.key_template, df, templates=self.templates).alias("_key"),
             compile_template(self.value_template, df, templates=self.templates).alias("_value"),
         )
         dest = self
         stats = rendered.rdd.mapPartitions(dest._send_partition).collect()
+        self.seqnum_start += numbered
         return {
             "sent": sum(s[0] for s in stats),
             "batches": sum(s[1] for s in stats),
@@ -435,6 +448,7 @@ class NetworkDestination:
     retry_backoff: float = 0.1
     tls: TlsOptions | None = None  # transport(tls) — see TlsOptions
     templates: Mapping[str, str] | None = None
+    seqnum_start: int = 1
 
     def __post_init__(self) -> None:
         if not self.targets:
@@ -520,14 +534,18 @@ class NetworkDestination:
 
     # -- driver-side ------------------------------------------------------
     def write(self, df: DataFrame) -> dict:
+        from .operators.delivery import ensure_seqnum_counted
         from .template import compile_template
 
+        df, numbered = ensure_seqnum_counted(
+            df, self.template, templates=self.templates, start=self.seqnum_start)
         body = compile_template(self.template, df, templates=self.templates)
         rendered = df.select(body.alias("_body"))
         dest = self
         stats = rendered.rdd.mapPartitionsWithIndex(
             lambda pid, rows: dest._send_partition(pid, rows)
         ).collect()
+        self.seqnum_start += numbered
         return {
             "delivered": sum(s[0] for s in stats),
             "reconnects": sum(s[1] for s in stats),
@@ -580,6 +598,7 @@ class ProgramDestination:
     max_respawns: int = 3
     respawn_backoff: float = 0.1
     templates: Mapping[str, str] | None = None
+    seqnum_start: int = 1
 
     def __post_init__(self) -> None:
         if not self.command or not self.command.strip():
@@ -636,14 +655,18 @@ class ProgramDestination:
 
     # -- driver-side ------------------------------------------------------
     def write(self, df: DataFrame) -> dict:
+        from .operators.delivery import ensure_seqnum_counted
         from .template import compile_template
 
+        df, numbered = ensure_seqnum_counted(
+            df, self.template, templates=self.templates, start=self.seqnum_start)
         body = compile_template(self.template, df, templates=self.templates)
         rendered = df.select(body.alias("_body"))
         dest = self
         stats = rendered.rdd.mapPartitionsWithIndex(
             lambda pid, rows: dest._write_partition(pid, rows)
         ).collect()
+        self.seqnum_start += numbered
         return {
             "delivered": sum(s[0] for s in stats),
             "respawns": sum(s[1] for s in stats),

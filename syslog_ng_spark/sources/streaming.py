@@ -122,6 +122,18 @@ def udp_datagram_lines(
 
 
 def file_stream(spark: SparkSession, path: str, fmt: str = "text", schema: str | None = None) -> DataFrame:
+    """Checkpointed directory tail — the daemon's wildcard-file().
+
+    Rotation semantics (vs modules/affile/file-reader.c, which detects
+    a same-name recreate by inode change and reopens at offset 0):
+    Spark's FileStreamSource tracks seen files by PATH in the
+    checkpointed file log, so a same-path recreate is treated as
+    already-processed and its new content is SKIPPED. Rotate by
+    rolling to NEW names (logrotate `dateext`; any roller that moves
+    the old file out of the glob and opens a fresh name) — then the
+    checkpoint gives exactly-once per file with zero loss/duplication
+    across rolls. Both behaviors are pinned executable in
+    tests/test_file_rotation.py."""
     reader = spark.readStream.format(fmt)
     if schema:
         reader = reader.schema(schema)

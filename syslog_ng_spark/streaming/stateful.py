@@ -253,6 +253,7 @@ def pool_context_stream(
     order_tiebreak: str | None = None,
     merge_json_col: str | None = None,
     watermark: str = "10 minutes",
+    collect_context: bool = False,
 ) -> DataFrame:
     """Expiry emitter for the SHARED patterndb correlation pool
     (operators/actions.prepare_actions): contexts are keyed by
@@ -263,20 +264,38 @@ def pool_context_stream(
     patterndb.c:621), and optionally a latest-setter-wins merge of a
     JSON-map column (`merge_json_col`) replicating
     log_msg_merge_context. One output row per expired context with
-    `context_length`, `time_first`/`time_last`, and `merged_json`."""
+    `context_length`, `time_first`/`time_last`, and `merged_json`.
+
+    With `collect_context` the expiry row also carries `_context`: the
+    context's full message list as array<struct> in event order (the
+    non-internal carry columns — the same element shape the batch
+    operator's collect_list builds), so trigger templates evaluate
+    $(grep)/$(context-*)/@N against real context state
+    (modules/dbparser/context-funcs.c). The list rides the state as a
+    JSON array (timestamps as epoch-µs)."""
     import json
 
     dtypes = dict(pool.dtypes)
     key = ["_scope_key", "CONTEXT_ID"]
     carry = [c for c in pool.columns if c not in key]
+    # context element fields: payload only (internal '_'-prefixed
+    # bookkeeping columns stay out, matching the batch element shape)
+    ctx_cols = [c for c in carry if not c.startswith("_")] if collect_context else []
 
     out_schema = ", ".join(
         [f"`{c}` {dtypes[c]}" for c in key]
         + [f"`{c}` {dtypes[c]}" for c in carry]
         + ["context_length long", "time_first timestamp", "time_last timestamp",
            "merged_json string", "closed_by string"]
+        + (
+            ["`_context` array<struct<"
+             + ", ".join(f"`{c}`: {dtypes[c]}" for c in ctx_cols) + ">>"]
+            if collect_context else []
+        )
     )
     state_fields = ["n long", "tf long", "tl long", "mj string"]
+    if collect_context:
+        state_fields.append("ctx string")
     for c in carry:
         state_fields.append(f"`_c_{c}` " + ("long" if dtypes[c] == "timestamp" else dtypes[c]))
     state_schema = ", ".join(state_fields)
@@ -302,7 +321,7 @@ def pool_context_stream(
         return val
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        def emit(n, tf, tl, mj, carried, how):
+        def emit(n, tf, tl, mj, carried, how, ctxj="[]"):
             row = {c: [v] for c, v in zip(key, key_tuple)}
             for c, v in zip(carry, carried):
                 row[c] = [_from_state(v, dtypes[c])]
@@ -311,21 +330,37 @@ def pool_context_stream(
             row["time_last"] = [pd.Timestamp(tl, unit="us")]
             row["merged_json"] = [mj]
             row["closed_by"] = [how]
+            if collect_context:
+                # event-order across micro-batches (stable: same-stamp
+                # messages keep arrival order, like the timer wheel)
+                msgs = sorted(
+                    json.loads(ctxj or "[]"),
+                    key=lambda m: (m.get(ts) is None, m.get(ts)),
+                )
+                row["_context"] = [[
+                    {c: _from_state(m.get(c), dtypes[c]) for c in ctx_cols}
+                    for m in msgs
+                ]]
             return pd.DataFrame(row)
 
         if state.hasTimedOut:
             packed = state.get
             n, tf, tl, mj = packed[0], packed[1], packed[2], packed[3]
+            off = 5 if collect_context else 4
+            ctxj = packed[4] if collect_context else "[]"
             state.remove()
-            yield emit(n, tf, tl, mj, packed[4:], "timeout")
+            yield emit(n, tf, tl, mj, packed[off:], "timeout", ctxj)
             return
 
         if state.exists:
             packed = state.get
             n, tf, tl, mj = packed[0], packed[1], packed[2], packed[3]
-            carried = list(packed[4:])
+            off = 5 if collect_context else 4
+            ctx_msgs = json.loads(packed[4] or "[]") if collect_context else []
+            carried = list(packed[off:])
         else:
             n, tf, tl, mj, carried = 0, None, None, "{}", [None] * len(carry)
+            ctx_msgs = []
         merged = json.loads(mj) if mj else {}
         for pdf in pdfs:
             if pdf.empty:
@@ -341,11 +376,18 @@ def pool_context_stream(
                 if tl is None or row_us >= tl:
                     tl = row_us
                     carried = [_to_state(row[c], dtypes[c]) for c in carry]
+                if collect_context:
+                    ctx_msgs.append(
+                        {c: _to_state(row[c], dtypes[c]) for c in ctx_cols}
+                    )
                 if merge_json_col is not None:
                     rj = row[merge_json_col]
                     if rj:
                         merged.update(json.loads(rj))
-        state.update((n, tf, tl, json.dumps(merged, sort_keys=True), *carried))
+        packed_state = (n, tf, tl, json.dumps(merged, sort_keys=True))
+        if collect_context:
+            packed_state += (json.dumps(ctx_msgs),)
+        state.update(packed_state + tuple(carried))
         wm_ms = state.getCurrentWatermarkMs()
         # the last message's rule's timeout drives the timer
         ito = carry.index("_timeout")
@@ -383,11 +425,15 @@ def patterndb_actions_stream(
 
     Scope note: $(context-length) inside *match*-trigger templates
     renders as '1' here (per-message context position needs the
-    context state; the timeout path provides the real count)."""
+    context state; the timeout path provides the real count), and
+    $(grep)/@N on a *match* trigger raises at compile — the live
+    per-message context view is a timeout-path capability; TIMEOUT
+    trigger templates get the full context (collect_context)."""
     from pyspark.sql import functions as F
 
     from syslog_ng_spark.operators.actions import (
         _render,
+        _uses_context_refs,
         compile_condition,
         prepare_actions,
     )
@@ -437,6 +483,9 @@ def patterndb_actions_stream(
             order_tiebreak=order_tiebreak,
             merge_json_col="_sdata_json" if sdata_col else None,
             watermark=watermark,
+            # $(grep)/@N in trigger templates need the full context
+            # list; collected only when a template references it
+            collect_context=_uses_context_refs(rules),
         ).withColumn("CONTEXT_LENGTH", F.col("context_length").cast("string"))
         for r, a in timeout_actions:
             # the rule that last touched the context owns its expiry
@@ -448,7 +497,8 @@ def patterndb_actions_stream(
             if a.condition:
                 cand = cand.where(compile_condition(a.condition, cand))
             rendered = _render(
-                cand, a, out_columns, extra_values, a.message.inherit != "none", ts_col
+                cand, a, out_columns, extra_values, a.message.inherit != "none", ts_col,
+                context_col="_context",
             )
             outs.append(
                 rendered.withColumn("rule_id", F.lit(r.rule_id)).withColumn(

@@ -630,53 +630,12 @@ def _split_list(s: Column) -> Column:
 
 _LIST_TOKEN_RX = "\"(?:[^\"\\\\]|\\\\.)*\"|'(?:[^'\\\\]|\\\\.)*'|[^,]+"
 
-# decode.c escape set: \b \f \n \r \t \\ (+ the quote char); unknown
-# escapes keep their backslash. \x01 is the transient sentinel for the
-# escaped backslash (a literal \x01 inside a quoted value is the one
-# input this mis-decodes — control chars travel \xXX-escaped in the
-# reference, so it cannot appear legitimately).
-_DECODE_ESCAPES = (
-    ("\\b", "\b"),
-    ("\\f", "\f"),
-    ("\\n", "\n"),
-    ("\\r", "\r"),
-    ("\\t", "\t"),
-    ('\\"', '"'),
-    ("\\'", "'"),
+# ONE quoting implementation (r11 unification): the list model and the
+# kv-scanner share lib/str-repr's encode/decode — functions/strrepr.py
+from syslog_ng_spark.functions.strrepr import (  # noqa: E402
+    decode_quoted_token as _decode_elem,
+    encode_elem as _encode_elem,
 )
-
-
-def _decode_elem(tok: Column) -> Column:
-    first = F.substring(tok, 1, 1)
-    last = F.substring(tok, -1, 1)
-    quoted = (F.length(tok) >= 2) & (first == last) & first.isin('"', "'")
-    s = tok.substr(F.lit(2), F.length(tok) - 2)
-    s = F.replace(s, F.lit("\\\\"), F.lit("\x01"))
-    for esc, ch in _DECODE_ESCAPES:
-        s = F.replace(s, F.lit(esc), F.lit(ch))
-    s = F.replace(s, F.lit("\x01"), F.lit("\\"))
-    return F.when(quoted, s).otherwise(tok)
-
-
-def _encode_elem(v: Column) -> Column:
-    """str_repr_encode with ',' forbidden (encode.c): quote when the
-    value is empty or contains a comma, quote, space, backslash or
-    control char; pick the quote kind that avoids escaping quotes;
-    with BOTH kinds present the double quote escapes as \\x22 (the
-    escaped-binary path)."""
-    has_q = v.contains('"')
-    has_a = v.contains("'")
-    e = F.replace(v, F.lit("\\"), F.lit("\\\\"))
-    for ch, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
-        e = F.replace(e, F.lit(ch), F.lit(esc))
-    e_both = F.replace(e, F.lit('"'), F.lit("\\x22"))
-    wrapped = (
-        F.when(has_q & has_a, F.concat(F.lit('"'), e_both, F.lit('"')))
-        .when(has_q, F.concat(F.lit("'"), e, F.lit("'")))
-        .otherwise(F.concat(F.lit('"'), e, F.lit('"')))
-    )
-    needs = (v == "") | v.rlike("[,\"' \\\\\\x08\\x0c\\n\\r\\t]")
-    return F.when(needs, wrapped).otherwise(v)
 
 
 def _join_encoded(arr: Column) -> Column:

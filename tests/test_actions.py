@@ -560,3 +560,96 @@ def test_streaming_timeout_action_emits_rendered_message(spark):
     assert out[0].rule_id == "10c"
     # synthetic ts = the context's last message stamp
     assert out[0].ts == T0 + dt.timedelta(seconds=10)
+
+
+# ---- r11: $(grep)/@N/$CONTEXT_ID against live context state ----------
+
+GREP_CTX_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='grepctx' id='9'>
+  <rules>
+    <rule provider='test' id='gc1' class='ctx' context-id='${PID}-gc'
+          context-timeout='60' context-scope='program'>
+     <patterns><pattern>gctx @ANYSTRING:what@</pattern></patterns>
+     <actions>
+       <action trigger='timeout'>
+         <message inherit-properties='TRUE'>
+           <values>
+             <value name='MESSAGE'>ctx=${CONTEXT_ID} n=$(context-length) hits=$(grep ('${what}' ne 'skip') ${what}) prev=${what}@1</value>
+           </values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+GREP_SCHEMA = (
+    "event_id long, ts timestamp, host string, program string, pid int, "
+    "message string"
+)
+
+
+def _grep_rows():
+    return [
+        (0, T0, "h1", "prog1", 7, "gctx alpha"),
+        (1, T0 + dt.timedelta(seconds=5), "h1", "prog1", 7, "gctx skip"),
+        (2, T0 + dt.timedelta(seconds=9), "h1", "prog1", 7, "gctx gamma"),
+    ]
+
+
+def test_batch_grep_over_context(spark):
+    """$(grep (cond) $val), $(context-length), ${NAME}@N and
+    $CONTEXT_ID all evaluate against the real collected context in a
+    timeout action (modules/dbparser/context-funcs.c) — the context is
+    the three-message session, in event order."""
+    rules = load_patterndb_rules(GREP_CTX_XML)
+    df = spark.createDataFrame(_grep_rows(), GREP_SCHEMA)
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    assert len(out) == 1
+    # @1 = one back from the latest context message ('skip')
+    assert out[0].message == "ctx=7-gc n=3 hits=alpha,gamma prev=skip"
+
+
+def test_stream_grep_over_context_parity(spark):
+    """Batch ↔ stream parity for context-evaluating trigger templates:
+    the streaming pool (collect_context) must render the identical
+    message."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(GREP_CTX_XML)
+    batch_msg = patterndb_actions(
+        spark.createDataFrame(_grep_rows(), GREP_SCHEMA), rules,
+        order_tiebreak="event_id",
+    ).collect()[0].message
+
+    pusher = [(9, T0 + dt.timedelta(seconds=86400), "h9", "prog9", 99, "gctx push")]
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(GREP_SCHEMA).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds",
+                    order_tiebreak="event_id",
+                )
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(_grep_rows(), GREP_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        spark.createDataFrame(pusher, GREP_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        out = [r for r in spark.read.parquet(d + "/out").collect() if r.pid != 99]
+
+    assert len(out) == 1
+    assert out[0].message == batch_msg

@@ -696,7 +696,7 @@ def test_block_parser_channel_expands_to_steps():
     steps = pipes[0]["steps"]
     assert steps[0]["op"] == "rewrite-subst"
     assert steps[0]["field"] == "message"
-    assert steps[1]["op"] == "parse-kv"
+    assert steps[1]["op"] == "parse-kv-scan"
 
 
 def test_block_unknown_option_without_varargs_raises():
@@ -735,7 +735,7 @@ destination d { file("/tmp/o"); };
 log { source(s); parser(p_all); destination(d); };
 """)
     ops = [s["op"] for s in p["steps"]]
-    assert ops == ["parse-syslog", "parse-csv", "parse-kv", "parse-json",
+    assert ops == ["parse-syslog", "parse-csv", "parse-kv-scan", "parse-json",
                    "parse-date", "parse-audit", "parse-app"]
     assert p["steps"][0]["flavor"] == "rfc5424"
     assert p["steps"][1] == {"op": "parse-csv", "column": "message",

@@ -17,10 +17,13 @@ from syslog_ng_spark.template import MACROS, compile_template
 
 MACROS_C = "/root/reference/lib/template/macros.c"
 
-# eval-option / persist-file state: renders '' without that state in
-# the reference too — resolved via the NV fallback here (setting the
-# value in sdata binds them)
-UNSET_CLASS = {"SEQNUM", "RCPTID", "UNIQID", "CONTEXT_ID", "_",
+# eval-option / socket state: renders '' without that state in the
+# reference too — resolved via the NV fallback here (setting the
+# value in sdata binds them). SEQNUM/RCPTID/UNIQID left this class in
+# r11: operators/delivery.py assigns the columns and the resolver
+# binds them (they render '' only when the state is absent, exactly
+# like seq_num/rcptid of 0 in the reference).
+UNSET_CLASS = {"CONTEXT_ID", "_",
                "SOURCEIP", "DESTIP", "DESTPORT", "PROTO"}
 
 
@@ -42,11 +45,14 @@ def msg(spark):
         "message": "error message",
         "sdata": {".SDATA.meta.sequenceId": "7", ".SDATA.meta.sysUpTime": "5"},
         "tags": ["alma"],
+        "seqnum": 5,
+        "rcptid": 255,
     }
     return spark.createDataFrame(
         [row],
         "ts timestamp, host string, program string, pid int, facility int, "
-        "severity int, message string, sdata map<string,string>, tags array<string>",
+        "severity int, message string, sdata map<string,string>, tags array<string>, "
+        "seqnum long, rcptid long",
     )
 
 
@@ -90,8 +96,10 @@ def test_macro_values(msg):
     assert re.fullmatch(r"[0-9a-f]{8}", r("$HOSTID"))
     assert r("$RUNID").startswith("local-")
     assert int(r("$SYSUPTIME")) > 0
-    # per-delivery state renders unset without the state
-    assert r("$SEQNUM") == "" and r("$RCPTID") == ""
+    # per-delivery state (operators/delivery.py assigns the columns):
+    # M_SEQNUM decimal, M_RCPTID decimal, M_UNIQID hostid@%016x-hex
+    assert r("$SEQNUM") == "5" and r("$RCPTID") == "255"
+    assert re.fullmatch(r"[0-9a-f]{8}@00000000000000ff", r("$UNIQID"))
 
 
 def test_sdata_block_empty_renders_dash(spark):

@@ -39,6 +39,9 @@ def main() -> None:
     merged = {} if rebase else dict(base["queries"])
     sources = [] if rebase else [base.get("source", "prior")]
     accepted = 0
+    # host-speed constant: the FASTEST cpu_probe_sec across the floor's
+    # source runs (rebase discards the old one with the old floors)
+    probes = [] if rebase or "cpu_probe_sec" not in base else [base["cpu_probe_sec"]]
     for arg in args:
         run = json.loads(Path(arg).read_text())
         if run.get("sf") != base.get("sf"):
@@ -50,6 +53,8 @@ def main() -> None:
             if q not in merged or t < merged[q]:
                 merged[q] = t
                 updated += 1
+        if run.get("cpu_probe_sec"):
+            probes.append(run["cpu_probe_sec"])
         sources.append(Path(arg).stem)
         print(f"{arg}: {updated} floors lowered/added")
     if rebase and accepted == 0:
@@ -57,13 +62,17 @@ def main() -> None:
         # now would destroy the floors table with an empty one
         sys.exit("refresh_baseline: --rebase accepted no runs; aborting without writing")
     base["queries"] = dict(sorted(merged.items()))
+    if probes:
+        base["cpu_probe_sec"] = min(probes)
     prefix = "rebase-min(" if rebase else "min("
     base["source"] = prefix + ", ".join(sources) + ")"
     if rebase:
         base["note"] = (
-            "floors re-measured on this host incarnation (quiet start, "
-            "judge r6 directive) - prior faster-VM floors retired; see "
-            "git history for them"
+            "floors re-measured on this host incarnation (quiet start; "
+            "r6 precedent, r11 re-floor per the r10 verdict) - prior "
+            "floors retired, see git history; cpu_probe_sec is the "
+            "host-speed constant bench.py divides its probe by to "
+            "attribute drift to host vs code"
         )
     BASE.write_text(json.dumps(base, indent=1) + "\n")
     print(f"BASELINE_LOCAL.json: {len(merged)} queries")
