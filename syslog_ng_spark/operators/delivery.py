@@ -35,11 +35,23 @@ _SEQNUM_WRAP = 2147483647  # gint32 wrap: 1..2^31-1 then back to 1
 def _partition_offsets(df: DataFrame, start: int) -> tuple[list[int], int]:
     """Cumulative start offset per partition id + total row count.
     One job; only one (pid, count) row per partition reaches the
-    driver — safe at any scale."""
+    driver — safe at any scale.
+
+    The aggregate carries a first(struct(<every column>)) probe so
+    column pruning cannot shrink the counting query's upstream
+    shuffles: AQE coalesces exchanges by their runtime byte size, and
+    a pruned counting pass over a shuffle-tailed plan saw FEWER
+    partitions than the numbering pass did (r11: element_at OOB).
+    Identical bytes → identical coalescing → identical layout."""
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if df.columns:
+        aggs.append(
+            F.first(F.struct(*[F.col(c) for c in df.columns])).alias("_probe")
+        )
     counts = (
-        df.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(*aggs)
+        .select("pid", "count")
         .collect()
     )
     by_pid = {r["pid"]: r["count"] for r in counts}
@@ -51,6 +63,67 @@ def _partition_offsets(df: DataFrame, start: int) -> tuple[list[int], int]:
     return offsets, acc - start
 
 
+def _monotone_surrogate(col: Column) -> Column:
+    """A double that ORDERS like `col` (ties may collapse — tie rows
+    just share a bucket and the in-bucket sort separates them):
+    numerics cast; strings/binary take their first 8 bytes as a
+    big-endian integer, monotone under Spark's binary collation."""
+    prefix = F.substring(col.cast("string").cast("binary"), 1, 8)
+    from_bytes = F.conv(F.hex(prefix), 16, 10).cast("double")
+    return F.coalesce(col.try_cast("double"), from_bytes, F.lit(0.0))
+
+
+def _deterministic_numbered(
+    df: DataFrame, target: str, start: int, keys: list, wrap: int | None
+) -> tuple[DataFrame, int]:
+    """Deterministic global row_number over `keys`, scalable: NO
+    physical-partition-id dependence (range/round-robin layouts vary
+    per query — sampling seeds and AQE coalescing are both
+    query-local, measured in r11) and no single-partition Window.
+    Shape: quantile boundaries over a monotone double surrogate of
+    the first key (collected once) bucket the frame; one tiny
+    count-per-bucket aggregate becomes driver-side offsets; a
+    Window PER BUCKET orders by the full key list. Buckets are a
+    deterministic function of the DATA, so every pass agrees. Skewed
+    first keys shrink to fewer effective buckets — the window
+    partition is then bounded by that key's frequency."""
+    from pyspark.sql import Window
+
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    surr = _monotone_surrogate(cols[0])
+    probs = [i / nb for i in range(1, nb)]
+    with_surr = df.withColumn("_surr", surr)
+    bounds = sorted(
+        set(with_surr.stat.approxQuantile("_surr", probs, 0.001))
+    ) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("_surr")))
+    else:
+        bucket = F.lit(0)
+    bucketed = with_surr.withColumn("_bucket", bucket)
+    counts = bucketed.groupBy("_bucket").count().collect()
+    by_b = {r["_bucket"]: r["count"] for r in counts}
+    max_b = max(by_b) if by_b else -1
+    offsets, acc = [], start
+    for b in range(max_b + 1):
+        offsets.append(acc)
+        acc += by_b.get(b, 0)
+    total = acc - start
+    if not offsets:
+        return df.withColumn(target, F.lit(start).cast("long")), 0
+    off_arr = F.array(*[F.lit(o) for o in offsets])
+    w = Window.partitionBy("_bucket").orderBy(*cols)
+    num = F.element_at(off_arr, F.col("_bucket") + 1) + F.row_number().over(w) - 1
+    if wrap is not None:
+        num = ((num - 1) % F.lit(wrap)) + 1
+    return (
+        bucketed.withColumn(target, num.cast("long")).drop("_surr", "_bucket"),
+        total,
+    )
+
+
 def _numbered(
     df: DataFrame,
     target: str,
@@ -60,8 +133,7 @@ def _numbered(
 ) -> tuple[DataFrame, int]:
     if order_by is not None:
         keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
-        cols = [F.col(k) if isinstance(k, str) else k for k in keys]
-        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        return _deterministic_numbered(df, target, start, list(keys), wrap)
     offsets, total = _partition_offsets(df, start)
     if not offsets:
         return df.withColumn(target, F.lit(start).cast("long")), 0
