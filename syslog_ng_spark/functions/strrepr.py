@@ -5,8 +5,10 @@ used by the list-scanner (template list functions), the kv-scanner
 (kv-parser quoted values), and stray-word storage: values travel
 '-or-"-quoted with C escapes (\\b \\f \\n \\r \\t \\\\ and the quote
 kind), unknown escapes keep their backslash, and encode picks the
-quote kind that avoids escaping quotes (both kinds present → the
-double quote escapes as \\x22).
+quote kind that avoids escaping quotes (both kinds present → wrap
+in double quotes and escape the inner double quote as \\" — encode.c
+passes unsafe_chars="\"" to the escaped-binary appender, which writes
+backslash + char for ASCII unsafe chars).
 
 Everything is pure Column expressions. Decode uses the \\x01 sentinel
 trick for the escaped backslash so a single replace pass can't
@@ -47,19 +49,32 @@ def decode_c_string(s: Column) -> Column:
     return F.replace(s, F.lit("\x01"), F.lit("\\"))
 
 
+def is_well_quoted_token(tok: Column) -> Column:
+    """True only when `tok` is ONE complete quoted string — matching
+    quotes AND no unescaped inner quote. A first==last check is not
+    enough: the scanners' quotation-ERROR path keeps raw rest-of-input
+    tokens like «'foo''bar'» that merely LOOK wrapped."""
+    return tok.rlike(
+        "^\"(?:[^\"\\\\]|\\\\.)*\"$"
+    ) | tok.rlike("^'(?:[^'\\\\]|\\\\.)*'$")
+
+
 def decode_quoted_token(tok: Column) -> Column:
-    """Quoted token → decoded content; unquoted token passes through
-    verbatim (decode.c: only quoted values carry escapes)."""
+    """Well-quoted token → decoded content; anything else passes
+    through verbatim (decode.c: only quoted values carry escapes; a
+    quotation error keeps the raw text)."""
     inner = tok.substr(F.lit(2), F.length(tok) - 2)
-    return F.when(is_quoted_token(tok), decode_c_string(inner)).otherwise(tok)
+    return F.when(is_well_quoted_token(tok), decode_c_string(inner)).otherwise(tok)
 
 
 def encode_elem(v: Column) -> Column:
     """str_repr_encode with ',' forbidden (encode.c): quote when the
     value is empty or contains a comma, quote, space, backslash or
     control char; pick the quote kind that avoids escaping quotes;
-    with BOTH kinds present the double quote escapes as \\x22 (the
-    escaped-binary path).
+    with BOTH kinds present wrap in double quotes and escape the inner
+    double quote as \\" (utf8utils.c: unsafe ASCII chars emit
+    backslash + char — pinned by the reference's own
+    '\"\'foo,' → '"\\"\'foo,"' encode test case).
 
     Single-parameter BY CONTRACT: this is passed directly to
     F.transform, which arity-sniffs lambdas — a second (even
@@ -70,7 +85,7 @@ def encode_elem(v: Column) -> Column:
     e = F.replace(v, F.lit("\\"), F.lit("\\\\"))
     for ch, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
         e = F.replace(e, F.lit(ch), F.lit(esc))
-    e_both = F.replace(e, F.lit('"'), F.lit("\\x22"))
+    e_both = F.replace(e, F.lit('"'), F.lit('\\"'))
     wrapped = (
         F.when(has_q & has_a, F.concat(F.lit('"'), e_both, F.lit('"')))
         .when(has_q, F.concat(F.lit("'"), e, F.lit("'")))

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from syslog_ng_spark.functions.strrepr import (
     decode_c_string,
     encode_elem,
+    is_well_quoted_token,
 )
 
 _KEY_CLASS = "[A-Za-z0-9._-]"
@@ -56,13 +57,23 @@ def _master_pattern(kv_sep: str, pair_sep: str) -> str:
         # delimiter, no look-ahead heuristics (kv-scanner.c
         # _match_delimiter first branch)
         unq = "[^ ]*"
+        delim = "(?=[ ]|\\z)"
     else:
         p = _re.escape(pair_sep)
         # stop at the pair separator (directly, or after skipped
         # spaces — the trailing rtrim eats those), or at a space
         # followed by another key; trailing spaces rtrim away
         unq = f"(?:(?!{p}|[ ]+{_KEY_CLASS}+[ ]*{s}).)*"
-    return f"(?s){_KEY_CLASS}+?[ ]*{s}(?:[ ]*{_DQ}|[ ]*{_SQ}|{unq})"
+        delim = f"(?=[ ]|\\z|{p})"
+    # a quoted token must be FOLLOWED by a delimiter or end-of-input;
+    # otherwise the quotation "errors" and the raw text scans as an
+    # unquoted literal (str-repr decode.c: "'alma'@korte" decodes
+    # FAILED with the raw text as the value — ported in
+    # tests/test_kvscan_parity.py)
+    return (
+        f"(?s){_KEY_CLASS}+?[ ]*{s}"
+        f"(?:[ ]*{_DQ}{delim}|[ ]*{_SQ}{delim}|{unq})"
+    )
 
 
 def kv_scan_entries(
@@ -83,9 +94,9 @@ def kv_scan_entries(
         # _skip_initial_spaces + the trailing-space trim of unquoted
         # values (spaces only — tabs stay, they are not delimiters)
         lt = F.regexp_replace(raw, "^[ ]+", "")
-        first = F.substring(lt, 1, 1)
-        last = F.substring(lt, -1, 1)
-        quoted = (F.length(lt) >= 2) & (first == last) & first.isin('"', "'")
+        # strict well-quoted test: a quotation-error token kept raw by
+        # the unquoted branch can merely LOOK wrapped in quotes
+        quoted = is_well_quoted_token(lt)
         unq_val = F.regexp_replace(lt, "[ ]+$", "")
         dec = decode_c_string(lt.substr(F.lit(2), F.length(lt) - 2))
         return F.struct(

@@ -624,11 +624,24 @@ def _split_list(s: Column) -> Column:
     a real empty element. Tokenizer: quoted-or-bare alternation; a
     token is treated as quoted only when wrapped in one matching
     quote pair."""
-    toks = F.regexp_extract_all(s, F.lit("(" + _LIST_TOKEN_RX + ")"), 1)
+    toks = F.regexp_extract_all(s, F.lit("(?s)(" + _LIST_TOKEN_RX + ")"), 1)
     return F.transform(toks, _decode_elem)
 
 
-_LIST_TOKEN_RX = "\"(?:[^\"\\\\]|\\\\.)*\"|'(?:[^'\\\\]|\\\\.)*'|[^,]+"
+# list-scanner.c token shapes, in order: a properly-closed quoted
+# token must be FOLLOWED by ',' or end-of-input (str-repr decode
+# demands a delimiter after the closing quote); otherwise a token
+# that STARTS with a quote is a quotation error and the decoder
+# keeps the RAW REST of the input ("prefer to have data in an
+# incorrectly formatted way, than no data at all" —
+# _parse_value_from_current_position); bare tokens run to the comma.
+# Parity: tests/test_list_scanner_parity.py (ported criterion suite).
+_LIST_TOKEN_RX = (
+    "\"(?:[^\"\\\\]|\\\\.)*\"(?=,|\\z)"
+    "|'(?:[^'\\\\]|\\\\.)*'(?=,|\\z)"
+    "|[\"'].*"
+    "|[^,]+"
+)
 
 # ONE quoting implementation (r11 unification): the list model and the
 # kv-scanner share lib/str-repr's encode/decode — functions/strrepr.py

@@ -172,6 +172,11 @@ DEFAULT_CASES = [
     ("k===  a", [("k", "==  a")]),
     # initial_spaces_are_trimmed_from_values
     (" k= b", [("k", "b")]),
+    # quotation error: a closed quote NOT followed by a delimiter
+    # scans as a literal (str-repr decode.c test: 'alma'@korte FAILS
+    # and keeps the raw text)
+    ("k='alma'@korte", [("k", "'alma'@korte")]),
+    ('k="alma"x j=1', [("k", '"alma"x'), ("j", "1")]),
 ]
 
 # value_separator ':' (spaces_around_value_separator_are_ignored +

@@ -62,3 +62,63 @@ def test_is_quoted_token(spark):
     )
     vals = [r[0] for r in df.select(is_quoted_token(F.col("t"))).collect()]
     assert vals == [True, True, False, False, True]
+
+
+# ---- ported criterion tables (lib/str-repr/tests) -----------------------
+
+ENCODE_CASES = [
+    # test_encode.c ParameterizedTestParameters(encode, test_strings)
+    ("", '""'),
+    ("a", "a"),
+    ("alma", "alma"),
+    ("al\nma", '"al\\nma"'),
+    ("foo bar", '"foo bar"'),
+    ('"value1', "'\"value1'"),
+    ("'value1", '"\'value1"'),
+    ("\b \f \n \r \t \\", '"\\b \\f \\n \\r \\t \\\\"'),
+    # test_encode_strings_that_need_quotation (forbidden ",")
+    ("foo,", '"foo,"'),
+    # BOTH quote kinds: double-quote wrap, inner '"' escapes as \"
+    # (utf8utils escaped-binary with unsafe_chars='"')
+    ("\"'foo,", '"\\"\'foo,"'),
+]
+
+
+def test_encode_criterion_cases(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(ENCODE_CASES)], "i int, v string"
+    )
+    rows = df.select("i", encode_elem(F.col("v")).alias("e")).orderBy("i").collect()
+    for row, (v, want) in zip(rows, ENCODE_CASES):
+        assert row["e"] == want, f"{v!r}: got {row['e']!r}, want {want!r}"
+
+
+DECODE_CASES = [
+    # test_decode.c (token-level: our decoder takes ONE token)
+    ('"al ma"', "al ma"),
+    ('"\\"value1"', '"value1'),
+    ('"\\b \\f \\n \\r \\t \\\\"', "\b \f \n \r \t \\"),
+    ('"\\p"', "\\p"),
+    ("'al ma'", "al ma"),
+    ("'\\'value1'", "'value1"),
+    ("'\\b \\f \\n \\r \\t \\\\'", "\b \f \n \r \t \\"),
+    ("'\\p'", "\\p"),
+    # malformed: pass through verbatim (decode failure keeps raw)
+    ("'alma", "'alma"),
+    ('"alma', '"alma'),
+    ("alma'", "alma'"),
+    ('alma"', 'alma"'),
+    ('alma"korte', 'alma"korte'),
+    ('alma"korte"', 'alma"korte"'),
+]
+
+
+def test_decode_criterion_cases(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(DECODE_CASES)], "i int, v string"
+    )
+    rows = df.select(
+        "i", decode_quoted_token(F.col("v")).alias("d")
+    ).orderBy("i").collect()
+    for row, (v, want) in zip(rows, DECODE_CASES):
+        assert row["d"] == want, f"{v!r}: got {row['d']!r}, want {want!r}"
