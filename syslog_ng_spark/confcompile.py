@@ -419,6 +419,10 @@ def compile_parser_driver(conf: Conf, call_or_channel, strict: bool) -> list[dic
         esw = call.opt_scalar("extract-stray-words-into")
         if esw is not None:
             spec["stray_target"] = str(esw)
+        # allow-pair-separator-option(yesno): accepted-no-op in the
+        # reference grammar too (kv-parser-grammar.ym:89 consumes it
+        # without a setter — a compat switch for old configs)
+        call.opt_scalar("allow-pair-separator-option")
         return [spec]
     if n == "json-parser":
         spec = {"op": "parse-json", "column": _template_column(call)}

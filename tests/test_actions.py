@@ -653,3 +653,59 @@ def test_stream_grep_over_context_parity(spark):
 
     assert len(out) == 1
     assert out[0].message == batch_msg
+
+
+def test_stream_context_accumulates_across_batches_in_event_order(spark):
+    """collect_context soak: one context fed across three micro-batches
+    with interleaved event times — the emitted context list must hold
+    EVERY message in event order (the state rides micro-batches as
+    JSON and sorts stably at emit)."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(GREP_CTX_XML)
+    n = 90
+    # event times interleave across batches: batch b carries seconds
+    # b, b+3, b+6, ... so no batch is wholly before another (the
+    # 10-minute watermark keeps the interleaved arrivals from being
+    # dropped as late — this test is about state ORDER, not lateness)
+    batches = [
+        [
+            (s, T0 + dt.timedelta(seconds=s), "h1", "prog1", 5, f"gctx m{s:03d}")
+            for s in range(b, n, 3)
+        ]
+        for b in range(3)
+    ]
+    pusher = [(9999, T0 + dt.timedelta(seconds=86400), "h9", "prog9", 99, "gctx push")]
+
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(GREP_SCHEMA).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 minutes", order_tiebreak="event_id"
+                )
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        for rows in batches + [pusher]:
+            spark.createDataFrame(rows, GREP_SCHEMA).coalesce(1).write.mode(
+                "append").parquet(d + "/in")
+            run_once()
+        out = [r for r in spark.read.parquet(d + "/out").collect() if r.pid != 99]
+
+    assert len(out) == 1
+    msg = out[0].message
+    assert f"n={n}" in msg
+    # $(grep) renders the matching context rows in EVENT order — the
+    # hits list must be m000..m089 sorted, despite batch interleaving
+    hits = msg.split("hits=")[1].split(" prev=")[0].split(",")
+    assert hits == [f"m{s:03d}" for s in range(n)]
+    assert msg.endswith(f"prev=m{n - 2:03d}")
