@@ -277,8 +277,13 @@ def main() -> None:
             drift = max(sum(timings[q] for q in shared) / base_total, 1.0)
             out["drift_vs_baseline"] = round(drift, 2)
             # host-speed attribution: probe_ratio ≈ drift means the
-            # host got slower; probe_ratio ≈ 1 with drift >> 1 means
-            # the CODE got slower (what the flags below localize)
+            # host's CPU got slower; probe_ratio ≈ 1 with drift >> 1
+            # means either the CODE got slower (the flags below
+            # localize it) or the host is CONTENDED — the single-core
+            # probe cannot see multi-core contention, so read
+            # loadavg_start alongside (r11: a load-5 host produced
+            # drift 1.39 / probe 1.0 / 10 phantom flags; the quiet
+            # rerun was clean)
             if base.get("cpu_probe_sec"):
                 out["host_slowdown_vs_baseline"] = round(
                     probe / base["cpu_probe_sec"], 2)

@@ -184,3 +184,52 @@ def test_assign_rcptid_basic(spark):
     df = spark.range(0, 8).repartition(3)
     out = assign_rcptid(df)
     assert sorted(r["rcptid"] for r in out.collect()) == list(range(1, 9))
+
+
+def test_conf_stream_seqnum_continues_across_microbatches(spark, tmp_path):
+    """Daemon mode: within ONE streaming run the per-destination
+    $SEQNUM counter survives micro-batches (run_conf_stream keeps a
+    driver-side continuation point, like the LogWriter living across
+    delivery bursts); a NEW run restarts at 1 exactly like
+    init_sequence_number on writer init."""
+    from syslog_ng_spark.config import run_conf_stream
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    out = tmp_path / "out_seq"
+    conf = f"""
+source s {{ file("{watch}/*.log" flags(no-parse)); }};
+destination d {{ file("{out}" template("$SEQNUM $MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+"""
+    (watch / "a.log").write_text("".join(f"a{i}\n" for i in range(7)))
+    qs = run_conf_stream(spark, conf, str(tmp_path / "ck"))
+    try:
+        for q in qs:
+            q.processAllAvailable()
+        (watch / "b.log").write_text("".join(f"b{i}\n" for i in range(5)))
+        for q in qs:
+            q.processAllAvailable()
+    finally:
+        for q in qs:
+            q.stop()
+
+    lines = [ln for f in out.glob("part-*") for ln in f.read_text().splitlines()]
+    seqs = sorted(int(ln.split()[0]) for ln in lines)
+    assert seqs == list(range(1, 13))
+    b_seqs = sorted(int(ln.split()[0]) for ln in lines if ln.split()[1].startswith("b"))
+    assert b_seqs == list(range(8, 13))
+
+    # a RESTARTED run (same checkpoint) is a new writer: counter back
+    # to 1 for the messages it delivers
+    (watch / "c.log").write_text("c0\nc1\n")
+    qs = run_conf_stream(spark, conf, str(tmp_path / "ck"))
+    try:
+        for q in qs:
+            q.processAllAvailable()
+    finally:
+        for q in qs:
+            q.stop()
+    lines = [ln for f in out.glob("part-*") for ln in f.read_text().splitlines()]
+    c_seqs = sorted(int(ln.split()[0]) for ln in lines if ln.split()[1].startswith("c"))
+    assert c_seqs == [1, 2]
