@@ -408,7 +408,13 @@ def _step(df: DataFrame, spec: Mapping, templates: Mapping | None = None) -> Dat
     raise ValueError(f"unknown step op: {op}")
 
 
-def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None) -> None:
+def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None) -> int:
+    """Write `df` to one destination spec. Returns the number of rows
+    this write actually NUMBERED with a fresh $SEQNUM (0 when the
+    destination's templates don't reference it, or the frame already
+    carried a seqnum column) so a long-lived caller (the daemon's
+    foreachBatch) can advance its per-destination counter by exactly
+    what was numbered instead of re-counting the batch."""
     kind = spec["kind"]
     if kind == "parquet":
         sinks.write_parquet(df, spec["path"], partition_by=spec.get("partition_by", ()),
@@ -421,23 +427,30 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
         # file() destination: an optional template() renders each line
         # (the reference's file-dest default is $ISODATE $HOST $MSGHDR$MSG)
         if "template" in spec:
-            from syslog_ng_spark.operators.delivery import ensure_seqnum
+            from syslog_ng_spark.operators.delivery import (
+                ensure_seqnum_counted, release_numbering_cache)
             from syslog_ng_spark.template import template_format
 
-            df = ensure_seqnum(df, spec["template"], templates=templates,
-                               start=spec.get("seqnum_start", 1))
-            df = template_format(df, spec["template"].rstrip("\n"),
-                                 target="rendered", templates=templates)
-            sinks.write_text(df, spec["path"], column="rendered",
+            df, numbered = ensure_seqnum_counted(
+                df, spec["template"], templates=templates,
+                start=spec.get("seqnum_start", 1))
+            rendered = template_format(df, spec["template"].rstrip("\n"),
+                                       target="rendered", templates=templates)
+            sinks.write_text(rendered, spec["path"], column="rendered",
                              mode=spec.get("mode", "overwrite"))
+            release_numbering_cache(df)
+            return numbered
         else:
             sinks.write_text(df, spec["path"], column=spec.get("column", "raw"),
                              mode=spec.get("mode", "overwrite"))
     elif kind == "program":
-        sinks.ProgramDestination(
+        start = spec.get("seqnum_start", 1)
+        dest = sinks.ProgramDestination(
             command=spec["command"], template=spec.get("template", "$MESSAGE"),
-            templates=templates, seqnum_start=spec.get("seqnum_start", 1),
-        ).write(df)
+            templates=templates, seqnum_start=start,
+        )
+        dest.write(df)
+        return dest.seqnum_start - start
     elif kind == "elasticsearch":
         sinks.elasticsearch_http(spec["url"], spec.get("index", "syslog-ng")).write(df)
     elif kind == "unsupported":
@@ -449,19 +462,24 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
         # network()/syslog() with optional transport(tls) tls(...) (r8)
         tls_spec = spec.get("tls")
         tls = sinks.TlsOptions(**tls_spec) if tls_spec else None
-        sinks.NetworkDestination(
+        start = spec.get("seqnum_start", 1)
+        dest = sinks.NetworkDestination(
             targets=[tuple(t) for t in spec["targets"]],
             template=spec.get("template", "$MESSAGE"),
             framing=spec.get("framing", "newline"),
             tls=tls,
             templates=templates,
-            seqnum_start=spec.get("seqnum_start", 1),
-        ).write(df)
+            seqnum_start=start,
+        )
+        dest.write(df)
+        return dest.seqnum_start - start
     elif kind == "kafka":
+        numbered = 0
         if not df.isStreaming:
-            from syslog_ng_spark.operators.delivery import ensure_seqnum
+            from syslog_ng_spark.operators.delivery import (
+                ensure_seqnum_counted, release_numbering_cache)
 
-            df = ensure_seqnum(
+            df, numbered = ensure_seqnum_counted(
                 df, spec.get("message"), spec.get("key"), spec.get("topic"),
                 templates=templates, start=spec.get("seqnum_start", 1))
         sinks.kafka_sink(
@@ -473,10 +491,14 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
             fallback_topic=spec.get("fallback_topic"),
             templates=templates,
         )
+        if numbered:
+            release_numbering_cache(df)
+        return numbered
     elif kind == "none":
         pass
     else:
         raise ValueError(f"unknown destination kind: {kind}")
+    return 0
 
 
 def build_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
@@ -693,19 +715,23 @@ def run_conf_stream(
             i for i, d in enumerate(dests)
             if any(
                 t and "SEQNUM" in _referenced(t, tpls)
-                for t in (d.get("template"), d.get("message"), d.get("key"))
+                for t in (d.get("template"), d.get("message"), d.get("key"),
+                          d.get("topic"))
             )
         ]
         seq_next = dict.fromkeys(seq_dests, 1)
 
         def write_batch(batch_df, _id, _dests=dests, _tpls=tpls, _seq=seq_next):
-            n = batch_df.count() if _seq else 0
+            # each destination reports how many rows IT numbered (0 if
+            # the frame already carried seqnum) — no extra count job,
+            # and the continuation point can't desync from what the
+            # writer actually assigned
             for i, d in enumerate(_dests):
                 if i in _seq:
                     d = {**d, "seqnum_start": _seq[i]}
-                _destination(batch_df, d, templates=_tpls)
-            for i in _seq:
-                _seq[i] += n
+                numbered = _destination(batch_df, d, templates=_tpls)
+                if i in _seq:
+                    _seq[i] += numbered or 0
 
         writer = df.writeStream.foreachBatch(write_batch).option(
             "checkpointLocation", f"{checkpoint_dir}/{p['name'].replace('#', '_')}"

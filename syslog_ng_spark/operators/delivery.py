@@ -32,45 +32,55 @@ _MID_ROW_MASK = (1 << 33) - 1
 _SEQNUM_WRAP = 2147483647  # gint32 wrap: 1..2^31-1 then back to 1
 
 
-def _partition_offsets(df: DataFrame, start: int) -> tuple[list[int], int]:
-    """Cumulative start offset per partition id + total row count.
-    One job; only one (pid, count) row per partition reaches the
-    driver — safe at any scale.
-
-    The aggregate carries a first(struct(<every column>)) probe so
-    column pruning cannot shrink the counting query's upstream
-    shuffles: AQE coalesces exchanges by their runtime byte size, and
-    a pruned counting pass over a shuffle-tailed plan saw FEWER
-    partitions than the numbering pass did (r11: element_at OOB).
-    Identical bytes → identical coalescing → identical layout."""
-    aggs = [F.count(F.lit(1)).alias("count")]
-    if df.columns:
-        aggs.append(
-            F.first(F.struct(*[F.col(c) for c in df.columns])).alias("_probe")
-        )
+def _partition_offsets(
+    df: DataFrame, start: int
+) -> tuple[list[int], list[int], int]:
+    """Cumulative start offset + row count per partition id, plus the
+    total. One job; only one (pid, count) row per partition reaches
+    the driver — safe at any scale. The caller MUST pass a persisted
+    frame: the cache pins the physical row→partition layout, so the
+    counting pass and the consuming pass read the same frozen blocks
+    (r11's element_at OOB came from AQE coalescing the two passes
+    differently; before r12 a full-width first(struct(*)) probe forced
+    identical coalescing — the persist replaces it and also defends
+    against nondeterministic upstreams: round-robin repartition,
+    shuffle fetch retries, recomputation after executor loss)."""
     counts = (
         df.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(*aggs)
-        .select("pid", "count")
+        .agg(F.count(F.lit(1)).alias("count"))
         .collect()
     )
     by_pid = {r["pid"]: r["count"] for r in counts}
     max_pid = max(by_pid) if by_pid else -1
-    offsets, acc = [], start
+    offsets, per_pid, acc = [], [], start
     for pid in range(max_pid + 1):
         offsets.append(acc)
+        per_pid.append(by_pid.get(pid, 0))
         acc += by_pid.get(pid, 0)
-    return offsets, acc - start
+    return offsets, per_pid, acc - start
 
 
-def _monotone_surrogate(col: Column) -> Column:
+def _monotone_surrogate(df: DataFrame, col: Column) -> Column:
     """A double that ORDERS like `col` (ties may collapse — tie rows
-    just share a bucket and the in-bucket sort separates them):
-    numerics cast; strings/binary take their first 8 bytes as a
-    big-endian integer, monotone under Spark's binary collation."""
-    prefix = F.substring(col.cast("string").cast("binary"), 1, 8)
-    from_bytes = F.conv(F.hex(prefix), 16, 10).cast("double")
-    return F.coalesce(col.try_cast("double"), from_bytes, F.lit(0.0))
+    just share a bucket and the in-bucket sort separates them).
+    Branches on the resolved dtype (r12, ADVICE): a blanket
+    try_cast('double') gave numeric-LOOKING strings numeric
+    surrogates ('10'→10.0 > '9'→9.0) while Spark sorts them
+    lexicographically ('10' < '9'), contradicting the in-bucket
+    orderBy. Numerics/booleans cast; timestamps/dates go through
+    epoch seconds; strings/binary take their first 8 bytes
+    RIGHT-PADDED to 8 as a big-endian integer (padding matters:
+    unpadded, 'b'=0x62 < 'aa'=0x6161 inverted the string order)."""
+    from pyspark.sql import types as T
+
+    dt = df.select(col.alias("_k")).schema[0].dataType
+    if isinstance(dt, (T.NumericType, T.BooleanType)):
+        return F.coalesce(col.cast("double"), F.lit(0.0))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.coalesce(col.cast("timestamp").cast("double"), F.lit(0.0))
+    prefix = F.rpad(F.hex(F.substring(col.cast("string").cast("binary"), 1, 8)),
+                    16, "0")
+    return F.coalesce(F.conv(prefix, 16, 10).cast("double"), F.lit(0.0))
 
 
 def _deterministic_numbered(
@@ -91,7 +101,7 @@ def _deterministic_numbered(
 
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    surr = _monotone_surrogate(cols[0])
+    surr = _monotone_surrogate(df, cols[0])
     probs = [i / nb for i in range(1, nb)]
     with_surr = df.withColumn("_surr", surr)
     bounds = sorted(
@@ -134,17 +144,56 @@ def _numbered(
     if order_by is not None:
         keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
         return _deterministic_numbered(df, target, start, list(keys), wrap)
-    offsets, total = _partition_offsets(df, start)
+    # Persist BEFORE counting (r12): the cache materializes during the
+    # counting job and freezes the row→partition layout, so the
+    # consuming job reads the identical blocks — no probe struct, no
+    # AQE-coalescing divergence, and nondeterministic upstreams
+    # (round-robin repartition, fetch retries, executor-loss
+    # recompute) cannot shift rows between the two passes.
+    # MEMORY_AND_DISK: spills instead of recomputing at scale. The
+    # caller may release it after materializing via
+    # release_numbering_cache(returned_df).
+    from pyspark import StorageLevel
+
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    offsets, per_pid, total = _partition_offsets(cached, start)
     if not offsets:
-        return df.withColumn(target, F.lit(start).cast("long")), 0
+        out = cached.withColumn(target, F.lit(start).cast("long"))
+        out._seqnum_cache = cached
+        return out, 0
     mid = F.monotonically_increasing_id()
     pid = F.shiftright(mid, 33).cast("int")
     row_in_part = mid.bitwiseAND(F.lit(_MID_ROW_MASK))
     offset_arr = F.array(*[F.lit(o) for o in offsets])
+    count_arr = F.array(*[F.lit(c) for c in per_pid])
+    # Loud backstop (ADVICE r12): if the layout drifted anyway, fail
+    # the job instead of silently duplicating/skipping seqnums or
+    # emitting NULL from an out-of-range element_at.
+    drift_check = F.assert_true(
+        (pid >= 0) & (pid < F.lit(len(offsets)))
+        & (row_in_part < F.element_at(count_arr, pid + 1)),
+        F.lit("seqnum layout drift: numbering pass saw a (partition,row) "
+              "outside the counted layout — upstream frame changed between "
+              "the counting and consuming jobs"),
+    )
     num = F.element_at(offset_arr, pid + 1) + row_in_part
     if wrap is not None:
         num = ((num - 1) % F.lit(wrap)) + 1
-    return df.withColumn(target, num.cast("long")), total
+    num = F.when(drift_check.isNull(), num)
+    out = cached.withColumn(target, num.cast("long"))
+    out._seqnum_cache = cached
+    return out, total
+
+
+def release_numbering_cache(df: DataFrame) -> None:
+    """Unpersist the layout-pinning cache attached by delivery-order
+    numbering, once the caller has materialized every consumer of the
+    numbered frame (e.g. a destination writer after its write). No-op
+    for frames that carry no cache (deterministic order_by path,
+    already-numbered frames)."""
+    cached = getattr(df, "_seqnum_cache", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def numbered_in_order(
@@ -159,9 +208,12 @@ def numbered_in_order(
     sortWithinPartitions — scalable, no single-partition Window.
 
     The per-partition counting pass and the numbering pass must see
-    the same partition layout; both run over the same immutable plan,
-    which Spark splits deterministically for file scans and
-    re-executes identically for deterministic expressions."""
+    the same partition layout: the frame is persisted
+    (MEMORY_AND_DISK) before the count so both passes read the same
+    frozen cache blocks, and an assert_true backstop fails the job
+    loudly if a row lands outside the counted layout. Call
+    release_numbering_cache(result) after materializing to drop the
+    pin."""
     return _numbered(df, target, start, order_by, wrap=None)[0]
 
 

@@ -99,12 +99,17 @@ def _alternation(cats: list[str]) -> str:
     AND against the naive two-scan fusion: Java-regex alternation
     costs roughly the sum of its branches, so the win comes from
     sharing the single scan between redaction and counts, not from
-    the alternation itself). Card shape goes FIRST like the chained
-    form redacted cards first; then PII_PATTERNS order."""
+    the alternation itself). Branch order follows the CALLER's cats
+    order (r12, ADVICE): where two patterns could match at the same
+    position, the earlier category wins, exactly like the pre-r11
+    chained regexp_replace form honored caller order. The default
+    cats list puts credit_card first, preserving r11 behavior."""
     pats = []
-    if "credit_card" in cats:
-        pats.append(_CC_CANDIDATE)
-    pats += [PII_PATTERNS[n][0] for n in PII_PATTERNS if n in cats]
+    for n in cats:
+        if n == "credit_card":
+            pats.append(_CC_CANDIDATE)
+        elif n in PII_PATTERNS:
+            pats.append(PII_PATTERNS[n][0])
     return "|".join(pats)
 
 
@@ -112,7 +117,7 @@ def pii_matches(text: Column, cats: list[str] | None = None) -> Column:
     """Every category match (card shapes included, Luhn NOT yet
     applied) in one alternation scan, in match order, duplicates
     kept."""
-    cats = list(PII_PATTERNS) + ["credit_card"] if cats is None else cats
+    cats = ["credit_card"] + list(PII_PATTERNS) if cats is None else cats
     return F.regexp_extract_all(text, F.lit("(" + _alternation(cats) + ")"), 1)
 
 
@@ -129,16 +134,20 @@ def _match_token(m: Column, cats: list[str]) -> Column:
     """Classify one (short) matched string to its redaction token via
     anchored re-tests — per-match work, not per-corpus-char work. A
     card-shaped match that fails Luhn replaces with ITSELF (no-op),
-    so order ids and timestamps survive."""
+    so order ids and timestamps survive. Precedence mirrors
+    _alternation: first category in the caller's cats order wins
+    (built inside-out, so the first cat wraps last = outermost)."""
     out = m
-    for name in reversed([n for n in PII_PATTERNS if n in cats]):
-        pat, tok = PII_PATTERNS[name]
-        out = F.when(m.rlike("^(?:" + pat + ")$"), F.lit(tok)).otherwise(out)
-    if "credit_card" in cats:
-        out = F.when(
-            m.rlike(_CC_ANCHORED),
-            F.when(luhn_valid(m), F.lit(_CC_TOKEN)).otherwise(m),
-        ).otherwise(out)
+    known = [n for n in cats if n == "credit_card" or n in PII_PATTERNS]
+    for name in reversed(known):
+        if name == "credit_card":
+            out = F.when(
+                m.rlike(_CC_ANCHORED),
+                F.when(luhn_valid(m), F.lit(_CC_TOKEN)).otherwise(m),
+            ).otherwise(out)
+        else:
+            pat, tok = PII_PATTERNS[name]
+            out = F.when(m.rlike("^(?:" + pat + ")$"), F.lit(tok)).otherwise(out)
     return out
 
 
@@ -173,7 +182,7 @@ def pii_redact_col(
     the same document is rewritten there too — over-redaction, never
     under-redaction of matched categories, the right failure
     direction for a scrubber."""
-    cats = list(PII_PATTERNS) + ["credit_card"] if categories is None else categories
+    cats = ["credit_card"] + list(PII_PATTERNS) if categories is None else categories
     if matches is None:
         matches = pii_matches(text, cats)
     longest_first = F.array_sort(
@@ -199,7 +208,7 @@ def pii_redact(
     """DataFrame-level redaction; with_counts adds per-category match
     counts (pre-redaction) for audit/reporting."""
     target = out_col or text_col
-    cats = list(PII_PATTERNS) + ["credit_card"] if categories is None else categories
+    cats = ["credit_card"] + list(PII_PATTERNS) if categories is None else categories
     # ONE scan: the extracted match list lands in a scratch column and
     # both the counts and the redaction fold read it — Catalyst keeps
     # the non-cheap regexp_extract_all un-inlined (CollapseProject

@@ -240,7 +240,8 @@ class HttpDestination:
     def write(self, df: DataFrame) -> dict:
         """Deliver a batch DataFrame; returns aggregate delivery stats
         (one small tuple per partition reaches the driver)."""
-        from .operators.delivery import ensure_seqnum_counted
+        from .operators.delivery import (
+            ensure_seqnum_counted, release_numbering_cache)
         from .template import compile_template
 
         df, numbered = ensure_seqnum_counted(
@@ -255,6 +256,7 @@ class HttpDestination:
             .collect()
         )
         self.seqnum_start += numbered
+        release_numbering_cache(df)
         keys = ("delivered", "dropped", "failed", "batches", "requests")
         return {k: sum(s[i] for s in stats) for i, k in enumerate(keys)}
 
@@ -317,7 +319,8 @@ class KvStoreDestination:
         yield (sent, batches)
 
     def write(self, df: DataFrame) -> dict:
-        from .operators.delivery import ensure_seqnum_counted
+        from .operators.delivery import (
+            ensure_seqnum_counted, release_numbering_cache)
         from .template import compile_template
 
         df, numbered = ensure_seqnum_counted(
@@ -330,6 +333,7 @@ class KvStoreDestination:
         dest = self
         stats = rendered.rdd.mapPartitions(dest._send_partition).collect()
         self.seqnum_start += numbered
+        release_numbering_cache(df)
         return {
             "sent": sum(s[0] for s in stats),
             "batches": sum(s[1] for s in stats),
@@ -534,7 +538,8 @@ class NetworkDestination:
 
     # -- driver-side ------------------------------------------------------
     def write(self, df: DataFrame) -> dict:
-        from .operators.delivery import ensure_seqnum_counted
+        from .operators.delivery import (
+            ensure_seqnum_counted, release_numbering_cache)
         from .template import compile_template
 
         df, numbered = ensure_seqnum_counted(
@@ -546,6 +551,7 @@ class NetworkDestination:
             lambda pid, rows: dest._send_partition(pid, rows)
         ).collect()
         self.seqnum_start += numbered
+        release_numbering_cache(df)
         return {
             "delivered": sum(s[0] for s in stats),
             "reconnects": sum(s[1] for s in stats),
@@ -655,7 +661,8 @@ class ProgramDestination:
 
     # -- driver-side ------------------------------------------------------
     def write(self, df: DataFrame) -> dict:
-        from .operators.delivery import ensure_seqnum_counted
+        from .operators.delivery import (
+            ensure_seqnum_counted, release_numbering_cache)
         from .template import compile_template
 
         df, numbered = ensure_seqnum_counted(
@@ -667,6 +674,7 @@ class ProgramDestination:
             lambda pid, rows: dest._write_partition(pid, rows)
         ).collect()
         self.seqnum_start += numbered
+        release_numbering_cache(df)
         return {
             "delivered": sum(s[0] for s in stats),
             "respawns": sum(s[1] for s in stats),
