@@ -7953,3 +7953,77 @@ def macro_calendar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tpl("$AMPM").alias("ampm"),
         tpl("$SDATA").alias("sdata_block"),
     )
+
+
+_PROXIED_SQL = """
+WITH p AS (
+  SELECT (event_id % 64) AS conn, event_id AS seq,
+         event_type || ' #' || event_id::VARCHAR AS message
+  FROM events)
+SELECT conn, seq, message,
+  CASE WHEN conn % 8 = 0 THEN NULL
+       WHEN conn % 8 = 2 THEN '2001:db8::' || conn::VARCHAR
+       ELSE '10.0.' || conn::VARCHAR || '.1' END AS proxied_srcip,
+  CASE WHEN conn % 8 = 0 THEN NULL
+       WHEN conn % 8 = 2 THEN '2001:db8::ff'
+       ELSE '192.0.2.7' END AS proxied_dstip,
+  CASE WHEN conn % 8 = 0 THEN NULL
+       WHEN conn % 8 = 2 THEN (3000 + conn)::VARCHAR
+       ELSE (1000 + conn)::VARCHAR END AS proxied_srcport,
+  CASE WHEN conn % 8 = 0 THEN NULL
+       WHEN conn % 8 = 2 THEN '6514'
+       ELSE '514' END AS proxied_dstport,
+  CASE WHEN conn % 8 = 0 THEN NULL
+       WHEN conn % 8 = 2 THEN '6'
+       ELSE '4' END AS proxied_ip_version
+FROM p
+WHERE conn % 8 <> 1
+"""
+
+
+@register("proxied_parse", _PROXIED_SQL)
+def proxied_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transport(proxied-tcp) — the HAProxy v1 handshake
+    (lib/logproto/logproto-proxied-text-server.c): events become
+    per-connection line captures (64 connections; the first line is
+    the handshake — PROXY UNKNOWN on conn%8==0, an INVALID header on
+    conn%8==1 which drops that whole connection, TCP6 on conn%8==2,
+    TCP4 otherwise) and proxied_text_messages parses the header with
+    pure Column expressions, drops it, and attaches the five
+    PROXIED_* NVs to every remaining message. The oracle derives the
+    expected NVs from the same generator rules. Scale shape: one
+    Window over the connection key — the shuffle any per-connection
+    framing needs; no UDFs."""
+    from syslog_ng_spark.sources.proxyproto import proxied_text_messages
+
+    ev = rebalance(T(spark, sf_dir, "events")).select("event_id", "event_type")
+    conn = (F.col("event_id") % 64).cast("long")
+    payload = ev.select(
+        conn.alias("conn"),
+        F.col("event_id").alias("seq"),
+        F.concat(F.col("event_type"), F.lit(" #"),
+                 F.col("event_id").cast("string")).alias("message"),
+    )
+    c = F.col("conn")
+    hs_line = (
+        F.when(c % 8 == 0, F.lit("PROXY UNKNOWN"))
+        .when(c % 8 == 1, F.lit("PROXY TCP4 10.1.1.1"))
+        .when(c % 8 == 2, F.concat(
+            F.lit("PROXY TCP6 2001:db8::"), c.cast("string"),
+            F.lit(" 2001:db8::ff "), (c + 3000).cast("string"), F.lit(" 6514")))
+        .otherwise(F.concat(
+            F.lit("PROXY TCP4 10.0."), c.cast("string"),
+            F.lit(".1 192.0.2.7 "), (c + 1000).cast("string"), F.lit(" 514")))
+    )
+    hs = payload.select("conn").distinct().select(
+        "conn", F.lit(-1).cast("long").alias("seq"), hs_line.alias("message"))
+    cap = payload.unionByName(hs)
+    out = proxied_text_messages(cap, "conn", "seq", "message")
+    return out.select(
+        "conn", "seq", "message",
+        F.col("PROXIED_SRCIP").alias("proxied_srcip"),
+        F.col("PROXIED_DSTIP").alias("proxied_dstip"),
+        F.col("PROXIED_SRCPORT").alias("proxied_srcport"),
+        F.col("PROXIED_DSTPORT").alias("proxied_dstport"),
+        F.col("PROXIED_IP_VERSION").alias("proxied_ip_version"),
+    )

@@ -219,6 +219,17 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         ip = call.opt_scalar("ip") or call.opt_scalar("localip")
         if ip is not None:
             spec["ip"] = str(ip)  # datagram drivers BIND here
+        # transport(proxied-tcp/proxied-tls): the HAProxy v1 header
+        # handshake precedes the log stream
+        # (lib/logproto/logproto-proxied-text-server.c;
+        # transport-mapper-inet.c:387 maps proxied-tls to the same
+        # logproto with TLS required)
+        transport = str(call.opt_scalar("transport", default="")).lower()
+        if transport.startswith("proxied"):
+            spec["proxied"] = True
+            tls = call.opt("tls")
+            if transport == "proxied-tls" or tls is not None:
+                spec["tls"] = _tls_spec(tls) if tls is not None else {}
         # hostname-mangling source options (lib/logsource.c
         # log_source_mangle_hostname): per-driver option wins, then the
         # global options{} block, then the reference defaults —

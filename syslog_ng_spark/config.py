@@ -570,8 +570,9 @@ def run_conf(spark: SparkSession, text: str, include_dir: str | None = None,
 # ---------------------------------------------------------------------------
 
 
-# udp() bridges started by _source_stream — close() to free their
-# ports (threads are daemon-scoped, they die with the process)
+# driver-side source bridges started by _source_stream (udp()
+# datagram relays, proxied-tcp/tls handshake relays) — close() to
+# free their ports (threads are daemon-scoped, die with the process)
 _ACTIVE_UDP_BRIDGES: list = []
 
 
@@ -597,6 +598,18 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
             df, bridge = stream_src.udp_datagram_lines(
                 spark, spec.get("ip", spec.get("host", "127.0.0.1")),
                 spec.get("port", 514))
+            _ACTIVE_UDP_BRIDGES.append(bridge)
+        elif spec.get("proxied"):
+            # transport(proxied-tcp/proxied-tls): per-connection
+            # HAProxy v1 handshake in the accept loop; every message
+            # carries PROXIED_* columns (r12)
+            from syslog_ng_spark.sources.proxyproto import proxied_tcp_lines
+
+            tls_spec = spec.get("tls")
+            tls = sinks.TlsOptions(**tls_spec) if tls_spec else None
+            df, bridge = proxied_tcp_lines(
+                spark, spec.get("ip", spec.get("host", "127.0.0.1")),
+                spec.get("port", 514), tls=tls)
             _ACTIVE_UDP_BRIDGES.append(bridge)
         else:
             df = stream_src.socket_lines(

@@ -392,6 +392,38 @@ class TlsOptions:
         if (self.cert_file is None) != (self.key_file is None):
             raise ValueError("cert_file and key_file must be given together")
 
+    def server_context(self):
+        """Server-side SSLContext for TLS-terminating SOURCES
+        (transport(tls)/transport(proxied-tls) on network()/syslog()
+        — modules/afsocket/transport-mapper-inet.c require_tls):
+        cert_file/key_file are the server identity (mandatory);
+        peer_verify in a *-trusted mode additionally demands and
+        verifies a client certificate against ca_file/ca_dir (the
+        reference's mutual-TLS source mode)."""
+        import ssl
+
+        if not self.cert_file:
+            raise ValueError(
+                "a TLS source needs cert_file/key_file (the server "
+                "identity presented to connecting clients)")
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.minimum_version = {
+            "tls1.2": ssl.TLSVersion.TLSv1_2,
+            "tls1.3": ssl.TLSVersion.TLSv1_3,
+        }[self.ssl_min_version]
+        ctx.load_cert_chain(self.cert_file, self.key_file)
+        if self.peer_verify.endswith("-trusted"):
+            ctx.verify_mode = ssl.CERT_REQUIRED
+            if self.ca_file or self.ca_dir:
+                ctx.load_verify_locations(cafile=self.ca_file, capath=self.ca_dir)
+            else:
+                ctx.load_default_certs(purpose=ssl.Purpose.CLIENT_AUTH)
+        else:
+            ctx.verify_mode = ssl.CERT_NONE
+        if self.ciphers:
+            ctx.set_ciphers(self.ciphers)
+        return ctx
+
     def client_context(self):
         """Build the SSLContext executor-side (contexts aren't
         picklable; the dataclass of plain strings is what ships)."""
