@@ -8027,3 +8027,110 @@ def proxied_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PROXIED_DSTPORT").alias("proxied_dstport"),
         F.col("PROXIED_IP_VERSION").alias("proxied_ip_version"),
     )
+
+
+_PDB_CHAIN_SQL = """
+SELECT event_id::VARCHAR AS uid,
+       ts + INTERVAL 15 SECOND AS ts,
+       'chain-end user=' || event_id::VARCHAR || ' n=2' AS message
+FROM events
+WHERE event_id % 3 = 0
+"""
+
+
+def _chain_ruleset():
+    """Timeout-triggered create-context (context chaining,
+    patterndb.c pattern_db_expire_entry → _execute_action_create_
+    context): a login context expires after 10s and seeds a 100s
+    'watch' context (condition-gated so the seed itself doesn't
+    re-chain); an activity message inside the watch window joins the
+    seeded context, becomes its owner, and the watch expiry emits the
+    chain summary."""
+    from syslog_ng_spark.operators.actions import (
+        PdbAction,
+        PdbRule,
+        SyntheticContext,
+        SyntheticMessage,
+    )
+
+    return [
+        PdbRule(
+            rule_id="chain_login",
+            cls="audit",
+            patterns=["login user=@NUMBER:uid@"],
+            context_id="l-${uid}",
+            context_timeout=10,
+            context_scope="global",
+            actions=[
+                PdbAction(
+                    trigger="timeout",
+                    condition='"${program}" ne "watcher"',
+                    message=SyntheticMessage(
+                        values={"MESSAGE": "watch user=${uid}",
+                                "program": "watcher"},
+                        inherit="last-message",
+                    ),
+                    create_context=SyntheticContext(
+                        id_template="w-${uid}", timeout=100, scope="global"
+                    ),
+                )
+            ],
+        ),
+        PdbRule(
+            rule_id="chain_act",
+            cls="audit",
+            patterns=["act user=@NUMBER:uid@"],
+            context_id="w-${uid}",
+            context_timeout=100,
+            context_scope="global",
+            actions=[
+                PdbAction(
+                    trigger="timeout",
+                    message=SyntheticMessage(
+                        values={
+                            "MESSAGE": "chain-end user=${uid} n=$(context-length)",
+                            "uid_v": "${uid}",
+                        },
+                        inherit="last-message",
+                    ),
+                )
+            ],
+        ),
+    ]
+
+
+@register("patterndb_chain_context", _PDB_CHAIN_SQL)
+def patterndb_chain_context_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context CHAINING end-to-end (r12): every event is a 'login'
+    whose 10s context expires and — via a timeout-triggered
+    create-context — seeds a 100s watch context at the expiry instant
+    (ts+10); every third event also emits an 'act' 15s after its
+    login, which joins the seeded watch context (gap 5 < 100) and
+    owns it, so the watch expiry renders 'chain-end user=N n=2'
+    (seed + joiner). Unjoined watch contexts expire owned by the
+    seeding rule, whose chain condition fails on the seed message —
+    the chain terminates without emissions. The oracle derives
+    directly from the generator rules. Scale shape: the generation
+    loop runs exactly 2 session builds here (converges when a
+    generation seeds nothing); each build is the same single pool
+    shuffle as patterndb_actions."""
+    from syslog_ng_spark.operators.actions import patterndb_actions
+
+    ev = rebalance(T(spark, sf_dir, "events")).select("event_id", "ts")
+    uid = F.col("event_id").cast("string")
+    login = ev.select(
+        F.col("ts"),
+        F.concat(F.lit("login user="), uid).alias("message"),
+        F.lit("auth").alias("program"),
+        F.col("event_id"),
+    )
+    act = ev.where(F.col("event_id") % 3 == 0).select(
+        (F.col("ts") + F.expr("INTERVAL 15 SECONDS")).alias("ts"),
+        F.concat(F.lit("act user="), uid).alias("message"),
+        F.lit("app").alias("program"),
+        F.col("event_id"),
+    )
+    logs = login.unionByName(act)
+    synth = patterndb_actions(logs, _chain_ruleset(), order_tiebreak="event_id")
+    return synth.where(F.col("rule_id") == "chain_act").select(
+        F.col("uid_v").alias("uid"), "ts", "message")

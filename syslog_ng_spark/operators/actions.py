@@ -345,6 +345,14 @@ class PreparedActions:
     out_columns: list[str]
     pool: DataFrame | None
     pool_payload: list[str]
+    # timeout-triggered create-context actions (context chaining on
+    # expiry, patterndb.c pattern_db_expire_entry →
+    # _execute_action_create_context): list of (rule, action); the
+    # seeds can't join the initial pool — they exist only once their
+    # parent context EXPIRES, so the batch operator iterates
+    # generations and the streaming operator pre-renders seed fields
+    make_chain_pool: object = None
+    timeout_seeds: list = None
 
 
 def prepare_actions(
@@ -409,7 +417,7 @@ def prepare_actions(
     pool_payload = list(df.columns) + capture_cols + extra_values
 
     def _pool_project(frame: DataFrame, rule_id: str, timeout: int,
-                      scope: str, seed: bool) -> DataFrame:
+                      scope: str, seed: bool, gen: int = 0) -> DataFrame:
         sel = []
         for c in pool_payload:
             if c in frame.columns:
@@ -420,6 +428,7 @@ def prepare_actions(
         sel.append(F.lit(rule_id).alias("_rule"))
         sel.append(F.lit(timeout).cast("long").alias("_timeout"))
         sel.append(F.lit(1 if seed else 0).alias("_seq"))
+        sel.append(F.lit(gen).alias("_gen"))
         out = frame.select(*sel)
         scope_cols = _scope_cols(scope, df)
         return out.withColumn(
@@ -470,6 +479,7 @@ def prepare_actions(
 
     # ---- shared correlation pool: one frame, one shuffle ----
     pool_parts: list[DataFrame] = []
+    timeout_seeds: list = []
     for r in rules:
         if r.context_id is not None:
             pool_parts.append(
@@ -482,10 +492,11 @@ def prepare_actions(
             if a.create_context is None:
                 continue
             if a.trigger != "match":
-                raise NotImplementedError(
-                    "create-context on trigger='timeout' (context chaining "
-                    "on expiry) is not supported"
-                )
+                # context chaining: the seed exists only once its
+                # parent context EXPIRES — handled generation-wise by
+                # the consumers via make_chain_pool (r12)
+                timeout_seeds.append((r, a))
+                continue
             pool_parts.append(
                 _pool_project(
                     _seed_frame(r, a), r.rule_id, a.create_context.timeout,
@@ -499,6 +510,56 @@ def prepare_actions(
         for p in pool_parts[1:]:
             pool = pool.unionByName(p)
 
+    def make_chain_pool(expired: DataFrame, r: PdbRule, a: PdbAction,
+                        gen: int) -> DataFrame:
+        """Pool rows for the context a timeout-triggered
+        create-context action seeds from an EXPIRED context frame
+        (one row per expiry, last-message fields + CONTEXT_LENGTH +
+        optional _sdata_merged/_context). Reference
+        (_execute_action_create_context with triggering_context set):
+        the seed clones the context's last message
+        (synthetic_message_generate_with_context), values and the new
+        context-id render against it, and the seed's timestamp is the
+        expiry instant (last ts + the expiring row's timeout). We
+        schedule the NEW context with the declared
+        create-context timeout — the reference arms the timer with
+        rule->context.timeout instead (patterndb.c, while its own
+        debug log prints syn_context->timeout); we follow the XML's
+        declared intent, consistently with the match-trigger path."""
+        cand = expired.where(F.col("_rule") == r.rule_id)
+        if a.condition:
+            cand = cand.where(compile_condition(a.condition, cand))
+        compiler = TemplateCompiler(schema_resolver(cand.columns))
+        rendered = {
+            _MACRO_COLS.get(n, n): compiler.compile(_rewrite_context_funcs(t))
+            for n, t in a.message.values.items()
+        }
+        inherit = a.message.inherit != "none"
+        expiry_ts = F.col(ts_col) + F.make_dt_interval(secs=F.col("_timeout"))
+        sel = []
+        for c in pool_payload:
+            dt = base_types.get(c, "string")
+            if c in rendered:
+                col = rendered[c]
+                if dt != "string":
+                    col = col.try_cast(dt)
+                sel.append(col.alias(c))
+            elif c == ts_col:
+                sel.append(expiry_ts.alias(c))
+            elif (c == sdata_col and a.message.inherit == "context"
+                  and "_sdata_merged" in cand.columns):
+                sel.append(F.col("_sdata_merged").alias(c))
+            elif inherit and c in cand.columns:
+                sel.append(F.col(c).alias(c))
+            elif dt == "string":
+                sel.append(F.lit("").alias(c))
+            else:
+                sel.append(F.lit(None).cast(dt).alias(c))
+        ctx_id = compiler.compile(a.create_context.id_template)
+        seed = cand.select(*sel, ctx_id.alias("CONTEXT_ID"))
+        return _pool_project(seed, r.rule_id, a.create_context.timeout,
+                             a.create_context.scope, seed=True, gen=gen)
+
     return PreparedActions(
         matched_by_rule=matched_by_rule,
         capture_cols=capture_cols,
@@ -506,6 +567,8 @@ def prepare_actions(
         out_columns=out_columns,
         pool=pool,
         pool_payload=pool_payload,
+        make_chain_pool=make_chain_pool,
+        timeout_seeds=timeout_seeds,
     )
 
 
@@ -516,6 +579,7 @@ def patterndb_actions(
     ts_col: str = "ts",
     order_tiebreak: str | None = None,
     sdata_col: str | None = None,
+    max_chain_depth: int = 4,
 ) -> DataFrame:
     """Synthetic messages emitted by every rule's actions.
 
@@ -553,8 +617,13 @@ def patterndb_actions(
     context-funcs.c), the pool additionally collects the per-context
     message array (event order) and templates evaluate against it;
     templates that don't reference it never pay for the collect.
-    Not implemented (loud): timeout-triggered create-context (context
-    chaining on expiry).
+    Timeout-triggered create-context (context chaining on expiry,
+    r12) iterates generations: expiries of generation g seed
+    generation g+1 (the seed clones the expiring context's last
+    message, values/ctx-id render against it, stamped at the expiry
+    instant), the pool rebuilds, and the loop stops when a generation
+    seeds nothing — `max_chain_depth` caps it; a ruleset still
+    seeding at the cap raises (self-chaining is unbounded in batch).
     """
     if sdata_col is None and "sdata" in df.columns:
         sdata_col = "sdata"
@@ -570,9 +639,8 @@ def patterndb_actions(
     ) + [F.col("_seq")]
 
     collect_ctx = _uses_context_refs(rules)
-    sess_pool = None
-    if prep.pool is not None:
-        pool = prep.pool
+
+    def _build_sessions(pool: DataFrame) -> tuple[DataFrame, DataFrame]:
         # variable-timeout sessionize: the gap allowed after a message
         # is THAT message's rule's timeout (timer_wheel_mod_timer with
         # rule->context.timeout, patterndb.c:621)
@@ -614,14 +682,17 @@ def patterndb_actions(
                 "_context", F.collect_list(ctx_struct).over(wc)
             )
 
-    # ---- timeout-context aggregation (shared by all timeout actions) ----
-    ctx_frame = None
-    if sess_pool is not None:
+        # ---- timeout-context aggregation (shared by timeout actions) ----
         ordcol = F.struct(*ord_cols)
-        keep = pool_payload + ["_rule"]
+        keep = pool_payload + ["_rule", "_timeout"]
         aggs = [
             F.max_by(F.struct(*[F.col(c) for c in keep]), ordcol).alias("_last"),
             F.count(F.lit(1)).cast("string").alias("CONTEXT_LENGTH"),
+            # the generation a context last GAINED a row in — chained
+            # seeding at generation g processes exactly the contexts
+            # with _max_gen == g (older ones already seeded, newer
+            # ones don't exist yet)
+            F.max(F.col("_gen")).alias("_max_gen"),
         ]
         if sdata_col:
             aggs.append(F.max_by(F.col("_sdata_merged"), ordcol).alias("_sdata_merged"))
@@ -644,6 +715,7 @@ def patterndb_actions(
                 F.col("_scope_key"),
                 F.col("CONTEXT_ID"),
                 F.col("CONTEXT_LENGTH"),
+                F.col("_max_gen"),
                 *([F.col("_sdata_merged")] if sdata_col else []),
                 *(
                     [F.transform(F.col("_ctx_raw"), lambda x: x["_m"]).alias("_context")]
@@ -652,6 +724,53 @@ def patterndb_actions(
                 ),
             )
         )
+        return sess_pool, ctx_frame
+
+    sess_pool = ctx_frame = None
+    if prep.pool is not None:
+        pool = prep.pool
+        sess_pool, ctx_frame = _build_sessions(pool)
+        # ---- context chaining: timeout-triggered create-context ----
+        # (patterndb.c pattern_db_expire_entry → _execute_action_
+        # create_context). Generation-iterated: expiries of
+        # generation g seed generation g+1, the pool grows, sessions
+        # rebuild; terminates when a generation seeds nothing.
+        # Batch-model note: a seed whose rendered context-id EQUALS
+        # its parent's joins the parent's (expired) session instead
+        # of starting a fresh context — distinct chained ids (the
+        # operative use) behave exactly like the reference.
+        for gen in range(max_chain_depth):
+            if not prep.timeout_seeds:
+                break
+            expired = ctx_frame.where(F.col("_max_gen") == gen)
+            seed_parts = [
+                prep.make_chain_pool(expired, r, a, gen + 1)
+                for r, a in prep.timeout_seeds
+            ]
+            seeds = seed_parts[0]
+            for s in seed_parts[1:]:
+                seeds = seeds.unionByName(s)
+            seeds = seeds.persist()
+            if seeds.isEmpty():
+                seeds.unpersist()
+                break
+            pool = pool.unionByName(seeds)
+            sess_pool, ctx_frame = _build_sessions(pool)
+        else:
+            if prep.timeout_seeds:
+                seed_rules = [r.rule_id for r, _ in prep.timeout_seeds]
+                unconverged = ctx_frame.where(
+                    (F.col("_max_gen") == max_chain_depth)
+                    & F.col("_rule").isin(seed_rules)
+                )
+                if not unconverged.isEmpty():
+                    raise RuntimeError(
+                        "patterndb context chain did not converge within "
+                        f"max_chain_depth={max_chain_depth}: the ruleset's "
+                        "timeout create-context actions keep seeding new "
+                        "contexts (self-chaining ruleset?). Raise "
+                        "max_chain_depth if the chain is genuinely deeper."
+                    )
 
     outs: list[DataFrame] = []
     for r in rules:

@@ -442,6 +442,13 @@ def patterndb_actions_stream(
         sdata_col = "sdata"
 
     prep = prepare_actions(events, rules, msg_col=msg_col, ts_col=ts_col, sdata_col=sdata_col)
+    if prep.timeout_seeds:
+        raise NotImplementedError(
+            "timeout-triggered create-context (context chaining) is batch-"
+            "only so far — the streaming pool is keyed per (scope, context-"
+            "id) and an expiry cannot seed a different key's state; run the "
+            "ruleset in batch mode (patterndb_actions) for chaining"
+        )
     out_columns, extra_values = prep.out_columns, prep.extra_values
     sdata_type = dict(events.dtypes).get(sdata_col) if sdata_col else None
 

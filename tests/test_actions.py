@@ -709,3 +709,171 @@ def test_stream_context_accumulates_across_batches_in_event_order(spark):
     hits = msg.split("hits=")[1].split(" prev=")[0].split(",")
     assert hits == [f"m{s:03d}" for s in range(n)]
     assert msg.endswith(f"prev=m{n - 2:03d}")
+
+
+# ---------------------------------------------------------------------------
+# timeout-triggered create-context: context chaining on expiry (r12)
+# patterndb.c pattern_db_expire_entry -> _execute_action_create_context
+# ---------------------------------------------------------------------------
+
+CHAIN_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='chainset' id='2'>
+  <rules>
+    <rule provider='test' id='20' class='violation' context-scope='program'
+          context-id='login-${PID}' context-timeout='10'>
+     <patterns><pattern>user login</pattern></patterns>
+     <actions>
+       <action trigger='timeout' condition='"${MESSAGE}" eq "user login"'>
+         <create-context context-id='watch-${PID}' context-timeout='100'
+                         context-scope='program'>
+           <message inherit-properties='last-message'>
+             <values><value name='MESSAGE'>watching ${PID}</value></values>
+           </message>
+         </create-context>
+       </action>
+     </actions>
+    </rule>
+    <rule provider='test' id='21' class='violation' context-scope='program'
+          context-id='watch-${PID}' context-timeout='100'>
+     <patterns><pattern>suspicious activity</pattern></patterns>
+     <actions>
+       <action trigger='timeout'>
+         <message inherit-properties='last-message'>
+           <values><value name='MESSAGE'>alert n=$(context-length) last=${MESSAGE}</value></values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+
+def test_timeout_create_context_chains_and_later_match_joins(spark):
+    """An expiring context seeds a NEW context (trigger='timeout'
+    create-context); a later message joins the seeded context; its
+    expiry fires the joining rule's timeout actions with the full
+    chained context ($(context-length) counts seed + joiner)."""
+    rules = load_patterndb_rules(CHAIN_XML)
+    df = _logs(spark, [
+        (0, "h1", "p1", 23, "user login"),
+        (50, "h1", "p1", 23, "suspicious activity"),
+    ])
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.message == "alert n=2 last=suspicious activity"
+    assert r.rule_id == "21" and r.trigger == "timeout"
+    # expiry stamp: the joiner's ts (last message of the watch context)
+    assert r.ts == T0 + dt.timedelta(seconds=50)
+
+
+def test_timeout_create_context_no_joiner_owner_keeps_chain_rule(spark):
+    """Without a joiner the seeded context expires owned by the
+    seeding rule; its only timeout action is the condition-gated
+    create-context, whose condition fails on the seed message, so the
+    chain terminates and only the suspicious pid alerts."""
+    rules = load_patterndb_rules(CHAIN_XML)
+    # pid 23 logs in, nothing suspicious follows; pid 7 has both
+    df = _logs(spark, [
+        (0, "h1", "p1", 23, "user login"),
+        (0, "h1", "p1", 7, "user login"),
+        (30, "h1", "p1", 7, "suspicious activity"),
+    ])
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    # pid 23's watch context expires seed-only, owned by rule 20; the
+    # chain action's condition ("MESSAGE eq user login") fails on the
+    # seed message, so the chain terminates without re-seeding
+    alerts = [r for r in out if r.rule_id == "21"]
+    assert len(alerts) == 1
+    assert alerts[0].message == "alert n=2 last=suspicious activity"
+
+
+CHAIN_STOP_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='stopset' id='3'>
+  <rules>
+    <rule provider='test' id='30' class='system' context-scope='program'
+          context-id='b-${PID}' context-timeout='5'>
+     <patterns><pattern>boot</pattern></patterns>
+     <actions>
+       <action trigger='timeout' condition='"${MESSAGE}" eq "boot"'>
+         <create-context context-id='b2-${PID}' context-timeout='5'
+                         context-scope='program'>
+           <message inherit-properties='last-message'>
+             <values><value name='MESSAGE'>stage2</value></values>
+           </message>
+         </create-context>
+       </action>
+     </actions>
+    </rule>
+    <rule provider='test' id='31' class='system' context-scope='program'
+          context-id='b2-${PID}' context-timeout='5'>
+     <patterns><pattern>stage2-probe</pattern></patterns>
+     <actions>
+       <action trigger='timeout'>
+         <message inherit-properties='last-message'>
+           <values><value name='MESSAGE'>probe n=$(context-length)</value></values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+
+def test_chain_condition_evaluates_against_seeded_context(spark):
+    """The chain action's condition gates RE-seeding: it passes on the
+    original context (last message 'boot') and fails on the seeded one
+    (last message 'stage2'), so the chain is depth-1; a probe message
+    joins the seeded b2 context and counts the seed."""
+    rules = load_patterndb_rules(CHAIN_STOP_XML)
+    df = _logs(spark, [
+        (0, "h1", "p1", 5, "boot"),
+        (7, "h1", "p1", 5, "stage2-probe"),  # b2 seeded at t=5; gap 2 < 5
+    ])
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    assert len(out) == 1
+    assert out[0].message == "probe n=2"
+    assert out[0].rule_id == "31"
+
+
+def test_self_chaining_ruleset_raises_at_depth_cap(spark):
+    """A timeout create-context that re-seeds the SAME context id with
+    no stopping condition is unbounded (the reference would re-create
+    it forever in real time); batch fails loudly at max_chain_depth."""
+    import pytest as _pytest
+
+    xml = CHAIN_STOP_XML.replace("b2-${PID}", "b-${PID}").replace(
+        " condition='\"${MESSAGE}\" eq \"boot\"'", "")
+    assert "condition" not in xml
+    rules = load_patterndb_rules(xml)
+    df = _logs(spark, [(0, "h1", "p1", 5, "boot")])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+
+
+def test_chain_soak_many_contexts(spark):
+    """Chained-expiry soak: 12 pids log in; half get a suspicious
+    follow-up inside the watch window, half don't. Exactly one alert
+    per suspicious pid, none for the quiet ones."""
+    rules = load_patterndb_rules(CHAIN_XML)
+    rows = []
+    for pid in range(12):
+        rows.append((pid % 4, "h1", "p1", pid, "user login"))
+        if pid % 2 == 0:
+            rows.append((60 + pid, "h1", "p1", pid, "suspicious activity"))
+    df = _logs(spark, rows)
+    out = patterndb_actions(df, rules, order_tiebreak="event_id").collect()
+    alerts = sorted(r["pid"] for r in out if r.rule_id == "21")
+    assert alerts == [0, 2, 4, 6, 8, 10]
+    assert all(r.message.startswith("alert n=2") for r in out)
+
+
+def test_loader_parses_timeout_create_context():
+    rules = load_patterndb_rules(CHAIN_XML)
+    act = rules[0].actions[0]
+    assert act.trigger == "timeout"
+    assert act.create_context is not None
+    assert act.create_context.id_template == "watch-${PID}"
+    assert act.create_context.timeout == 100
