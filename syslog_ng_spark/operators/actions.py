@@ -223,6 +223,18 @@ def _uses_context_refs(rules: list[PdbRule]) -> bool:
     the per-context message array collected (it costs a collect_list
     over the pool; templates that don't look at the context shouldn't
     pay for it)."""
+    return any(
+        _template_uses_context_refs(t)
+        for r in rules
+        for a in r.actions
+        for t in a.message.values.values()
+    )
+
+
+def _template_uses_context_refs(template: str) -> bool:
+    """Single-template flavor of the check above (used by the
+    streaming chain pre-renderer, which can only evaluate templates
+    against one message, never a live context)."""
     from syslog_ng_spark.template import parse_template
 
     ctx_fns = {"grep", "context-lookup", "context-values"}
@@ -243,12 +255,7 @@ def _uses_context_refs(rules: list[PdbRule]) -> bool:
                 return True
         return False
 
-    return any(
-        walk(parse_template(t))
-        for r in rules
-        for a in r.actions
-        for t in a.message.values.values()
-    )
+    return walk(parse_template(template))
 
 
 def _render(

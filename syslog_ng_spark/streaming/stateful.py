@@ -442,13 +442,6 @@ def patterndb_actions_stream(
         sdata_col = "sdata"
 
     prep = prepare_actions(events, rules, msg_col=msg_col, ts_col=ts_col, sdata_col=sdata_col)
-    if prep.timeout_seeds:
-        raise NotImplementedError(
-            "timeout-triggered create-context (context chaining) is batch-"
-            "only so far — the streaming pool is keyed per (scope, context-"
-            "id) and an expiry cannot seed a different key's state; run the "
-            "ruleset in batch mode (patterndb_actions) for chaining"
-        )
     out_columns, extra_values = prep.out_columns, prep.extra_values
     sdata_type = dict(events.dtypes).get(sdata_col) if sdata_col else None
 
@@ -480,12 +473,15 @@ def patterndb_actions_stream(
 
     if timeout_actions and prep.pool is not None:
         pool = prep.pool
+        chain_specs = []
+        if prep.timeout_seeds:
+            pool, chain_specs = _attach_chain_columns(
+                pool, prep.timeout_seeds, events, ts_col)
         if sdata_col:
             # map columns can't ride Arrow state cleanly — JSON-encode
             # them through the stateful op and decode after
             pool = pool.withColumn("_sdata_json", F.to_json(F.col(sdata_col))).drop(sdata_col)
-        ctx = pool_context_stream(
-            pool,
+        stream_kwargs = dict(
             ts=ts_col,
             order_tiebreak=order_tiebreak,
             merge_json_col="_sdata_json" if sdata_col else None,
@@ -493,7 +489,15 @@ def patterndb_actions_stream(
             # $(grep)/@N in trigger templates need the full context
             # list; collected only when a template references it
             collect_context=_uses_context_refs(rules),
-        ).withColumn("CONTEXT_LENGTH", F.col("context_length").cast("string"))
+        )
+        if chain_specs:
+            # timeout-triggered create-context: the scope's context
+            # table lives in ONE state group so an expiry can seed a
+            # sibling context-id (r12)
+            ctx = chained_pool_context_stream(pool, chain_specs, **stream_kwargs)
+        else:
+            ctx = pool_context_stream(pool, **stream_kwargs)
+        ctx = ctx.withColumn("CONTEXT_LENGTH", F.col("context_length").cast("string"))
         for r, a in timeout_actions:
             # the rule that last touched the context owns its expiry
             # (patterndb.c:629, pattern_db_expire_entry:426)
@@ -517,3 +521,396 @@ def patterndb_actions_stream(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def chained_pool_context_stream(
+    pool: DataFrame,
+    chain_specs: list[dict],
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+    merge_json_col: str | None = None,
+    watermark: str = "10 minutes",
+    collect_context: bool = False,
+) -> DataFrame:
+    """pool_context_stream variant supporting TIMEOUT-TRIGGERED
+    create-context (context chaining on expiry — patterndb.c
+    pattern_db_expire_entry → _execute_action_create_context).
+
+    The fine-grained operator keys state per (scope, context-id); an
+    expiry there cannot seed a DIFFERENT context-id's state. This
+    variant keys per `_scope_key` alone and manages the scope's
+    context table inside the state value (one JSON dict — the
+    reference's `db->correlation.state` hash, partitioned by scope),
+    walking events in time order with timer-wheel expiry processing:
+    before applying a message at time t, every context whose expiry
+    precedes t is expired — emitting its summary row AND, when its
+    owning rule has chain specs whose pre-rendered condition holds,
+    seeding the chained context in the same table.
+
+    All template work stays JVM-side: each pool row carries
+    PRE-RENDERED chain columns — level 0 rendered against the row
+    itself (used when that row ends up the expiring context's last
+    message) and level 1 rendered against the seed the row would
+    produce (used when the SEED's own expiry re-chains, e.g. the
+    stop-condition pattern). Depth ≥3 self-chains reuse level 1
+    (approximate) and a cascade cap fails loudly on runaway chains.
+
+    Scale note: parallelism is per scope value (host/program/...).
+    An empty scope ('global') serializes the whole stream through one
+    state group — the price of the reference's single shared hash
+    table; prefer a scoped ruleset for chained streaming at volume.
+
+    chain_specs items: {rule, timeout, inherit, id0, vals0, cond0,
+    id1, vals1, cond1, scope_cols} — column names of the pre-rendered
+    fields plus the new context's declared timeout/scope.
+    """
+    import heapq
+    import json
+
+    dtypes = dict(pool.dtypes)
+    key = ["_scope_key"]
+    carry = [c for c in pool.columns if c != "_scope_key" and c != "CONTEXT_ID"]
+    ctx_cols = [c for c in carry if not c.startswith("_")] if collect_context else []
+
+    out_schema = ", ".join(
+        ["`_scope_key` string", "`CONTEXT_ID` string"]
+        + [f"`{c}` {dtypes[c]}" for c in carry]
+        + ["context_length long", "time_first timestamp", "time_last timestamp",
+           "merged_json string", "closed_by string"]
+        + (
+            ["`_context` array<struct<"
+             + ", ".join(f"`{c}`: {dtypes[c]}" for c in ctx_cols) + ">>"]
+            if collect_context else []
+        )
+    )
+    state_schema = "ctxs string"
+    sort_cols = [ts] + ([order_tiebreak] if order_tiebreak else []) + (
+        ["_seq"] if "_seq" in pool.columns else []
+    )
+    _CASCADE_CAP = 100000
+
+    def _enc(val, dt):
+        if val is None or (isinstance(val, float) and pd.isna(val)):
+            return None
+        if dt == "timestamp":
+            return int(pd.Timestamp(val).value // 1000)
+        if hasattr(val, "item"):
+            return val.item()
+        return val
+
+    def _dec(val, dt):
+        if val is None:
+            return None
+        if dt == "timestamp":
+            return pd.Timestamp(val, unit="us")
+        return val
+
+    def _cast_rendered(raw, dt):
+        """A to_json'd seed-struct field back to the state encoding."""
+        if raw is None:
+            return None
+        if dt == "timestamp":
+            return int(pd.Timestamp(raw).value // 1000)
+        if dt in ("int", "bigint", "smallint", "tinyint", "long"):
+            try:
+                return int(raw)
+            except (TypeError, ValueError):
+                return None
+        if dt in ("double", "float"):
+            try:
+                return float(raw)
+            except (TypeError, ValueError):
+                return None
+        if dt == "boolean":
+            return bool(raw)
+        return str(raw)
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (scope_key,) = key_tuple
+        ctxs: dict = json.loads(state.get[0]) if state.exists else {}
+        emitted: list[dict] = []
+
+        def expiry_us(c):
+            to = c["carried"].get("_timeout") or 60
+            return c["tl"] + int(to) * 1_000_000
+
+        def emit_ctx(cid, c, how):
+            row = {"_scope_key": scope_key, "CONTEXT_ID": cid}
+            for col in carry:
+                row[col] = _dec(c["carried"].get(col), dtypes[col])
+            row["context_length"] = c["n"]
+            row["time_first"] = pd.Timestamp(c["tf"], unit="us")
+            row["time_last"] = pd.Timestamp(c["tl"], unit="us")
+            row["merged_json"] = json.dumps(c["mj"], sort_keys=True)
+            row["closed_by"] = how
+            if collect_context:
+                row["_context"] = [
+                    {col: _dec(m.get(col), dtypes[col]) for col in ctx_cols}
+                    for m in c["ctx"]
+                ]
+            emitted.append(row)
+
+        def seed_from(cid, c):
+            """Chain: an expiring context seeds new contexts per its
+            owning rule's specs (condition pre-rendered)."""
+            rule = c["carried"].get("_rule")
+            depth = int(c["carried"].get("_chain_depth") or 0)
+            for k, spec in enumerate(chain_specs):
+                if spec["rule"] != rule:
+                    continue
+                lvl = "1" if depth >= 1 else "0"
+                cond = c["carried"].get(spec["cond" + lvl])
+                if not cond:
+                    continue
+                new_cid = c["carried"].get(spec["id" + lvl])
+                vals = json.loads(c["carried"].get(spec["vals" + lvl]) or "{}")
+                exp_us = expiry_us(c)
+                if spec["inherit"] == "none":
+                    carried = {
+                        col: (None if dtypes[col] != "string" else "")
+                        for col in carry
+                    }
+                else:
+                    carried = dict(c["carried"])
+                for col, raw in vals.items():
+                    if col in dtypes:
+                        carried[col] = _cast_rendered(raw, dtypes[col])
+                if ts not in vals:
+                    carried[ts] = exp_us
+                if (spec["inherit"] == "context" and merge_json_col
+                        and merge_json_col in carried):
+                    carried[merge_json_col] = json.dumps(c["mj"], sort_keys=True)
+                carried["_rule"] = rule
+                carried["_timeout"] = spec["timeout"]
+                carried["_seq"] = 1
+                carried["_chain_depth"] = depth + 1
+                if "_gen" in dtypes:
+                    carried["_gen"] = int(c["carried"].get("_gen") or 0) + 1
+                # the seed's own chain columns: level-1 values (exact
+                # for its first re-chain; deeper self-chains reuse them)
+                for kk, sp in enumerate(chain_specs):
+                    carried[sp["cond0"]] = c["carried"].get(sp["cond1"])
+                    carried[sp["id0"]] = c["carried"].get(sp["id1"])
+                    carried[sp["vals0"]] = c["carried"].get(sp["vals1"])
+                seed_scope = "\x1f".join(
+                    "" if carried.get(sc) is None else str(carried.get(sc))
+                    for sc in spec["scope_cols"]
+                )
+                if seed_scope != scope_key:
+                    raise RuntimeError(
+                        "streaming context chain: the seeded context's scope "
+                        f"key {seed_scope!r} differs from the expiring "
+                        f"context's group {scope_key!r} — cross-scope "
+                        "seeding cannot reach another state partition; use "
+                        "batch mode or align the chain's context-scope"
+                    )
+                seed_ts = carried.get(ts) if ts in vals else exp_us
+                mj = {}
+                if merge_json_col and carried.get(merge_json_col):
+                    try:
+                        mj = json.loads(carried[merge_json_col])
+                    except (TypeError, ValueError):
+                        mj = {}
+                new_ctx = {
+                    "n": 1, "tf": seed_ts, "tl": seed_ts, "mj": mj,
+                    "ctx": [dict(carried)] if collect_context else [],
+                    "carried": carried,
+                }
+                # reference g_hash_table_insert semantics: an existing
+                # live context under the same key is REPLACED
+                ctxs[new_cid] = new_ctx
+
+        def expire_until(limit_us, strict):
+            """Expire (and chain) every context whose expiry is
+            < limit_us (strict) or <= limit_us; cascades."""
+            for _ in range(_CASCADE_CAP):
+                best = None
+                for cid, c in ctxs.items():
+                    e = expiry_us(c)
+                    if (e < limit_us) if strict else (e <= limit_us):
+                        if best is None or (e, cid) < best[0]:
+                            best = ((e, cid), c)
+                if best is None:
+                    return
+                (_, cid), c = best
+                del ctxs[cid]
+                emit_ctx(cid, c, "timeout")
+                seed_from(cid, c)
+            raise RuntimeError(
+                f"streaming context chain cascade exceeded {_CASCADE_CAP} "
+                "expiries in one group — self-chaining ruleset?"
+            )
+
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            expire_until(wm_us, strict=False)
+            if not ctxs:
+                state.remove()
+            else:
+                state.update((json.dumps(ctxs),))
+                nxt = min(expiry_us(c) for c in ctxs.values())
+                state.setTimeoutTimestamp(
+                    max(nxt // 1000, state.getCurrentWatermarkMs() + 1))
+            if emitted:
+                yield pd.DataFrame(emitted)
+            return
+
+        rows = []
+        for pdf in pdfs:
+            if not pdf.empty:
+                rows.append(pdf)
+        if rows:
+            allr = pd.concat(rows).sort_values(sort_cols, kind="stable")
+            for _, row in allr.iterrows():
+                t_us = int(pd.Timestamp(row[ts]).value // 1000)
+                expire_until(t_us, strict=True)
+                cid = row["CONTEXT_ID"]
+                enc = {c: _enc(row[c], dtypes[c]) for c in carry}
+                c = ctxs.get(cid)
+                if c is None:
+                    c = {"n": 0, "tf": t_us, "tl": t_us, "mj": {},
+                         "ctx": [], "carried": enc}
+                    ctxs[cid] = c
+                c["n"] += 1
+                c["tf"] = min(c["tf"], t_us)
+                if t_us >= c["tl"]:
+                    c["tl"] = t_us
+                    c["carried"] = enc
+                if collect_context:
+                    c["ctx"].append(enc)
+                if merge_json_col is not None and row.get(merge_json_col):
+                    c["mj"].update(json.loads(row[merge_json_col]))
+
+        if ctxs:
+            state.update((json.dumps(ctxs),))
+            nxt = min(expiry_us(c) for c in ctxs.values())
+            state.setTimeoutTimestamp(
+                max(nxt // 1000, state.getCurrentWatermarkMs() + 1))
+        elif state.exists:
+            state.remove()
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    return (
+        pool.withWatermark(ts, watermark)
+        .groupBy(*key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
+                          ts_col: str):
+    """Pre-render everything a chained expiry needs as pool columns,
+    so chained_pool_context_stream's state fn never touches a
+    template engine: per timeout-create-context spec k, level-0
+    columns (_chN_{id,vals,cond}0) rendered against the row itself —
+    exact when the row is the expiring context's last message — and
+    level-1 columns rendered against the SEED that row would produce
+    (via a seed-view projection: rendered values over inherited
+    fields, ts = the expiry instant), exact for the seed's own first
+    re-chain (the stop-condition pattern). Templates that evaluate
+    against live context state ($(grep)/@N/$(context-length)) cannot
+    pre-render per-row and raise loudly — batch mode supports them."""
+    from pyspark.sql import functions as F
+
+    from syslog_ng_spark.operators.actions import (
+        _MACRO_COLS,
+        _scope_cols,
+        _template_uses_context_refs,
+        compile_condition,
+    )
+    from syslog_ng_spark.template import TemplateCompiler, schema_resolver
+
+    dtypes = dict(pool.dtypes)
+    payload = [c for c in pool.columns
+               if not c.startswith("_") and c != "CONTEXT_ID"]
+    specs = []
+    for k, (r, a) in enumerate(timeout_seeds):
+        for t in list(a.message.values.values()) + [a.create_context.id_template]:
+            if _template_uses_context_refs(t) or "$(context-" in t:
+                raise NotImplementedError(
+                    "streaming context chaining pre-renders seed templates "
+                    "per-row; a template evaluating against live context "
+                    f"state ({t!r}) cannot — run the ruleset in batch mode "
+                    "(patterndb_actions)"
+                )
+        compiler0 = TemplateCompiler(schema_resolver(pool.columns))
+        rendered0 = {}
+        for n, t in a.message.values.items():
+            tgt = _MACRO_COLS.get(n, n)
+            col = compiler0.compile(t)
+            dt = dtypes.get(tgt, "string")
+            if dt != "string":
+                col = col.try_cast(dt)
+            rendered0[tgt] = col
+        id0 = compiler0.compile(a.create_context.id_template)
+        cond0 = (compile_condition(a.condition, pool)
+                 if a.condition else F.lit(True))
+        vals0 = (
+            F.to_json(F.struct(*[c.alias(t) for t, c in rendered0.items()]),
+                      {"ignoreNullFields": "false"})
+            if rendered0 else F.lit("{}")
+        )
+        pool = pool.select(
+            "*",
+            id0.alias(f"_ch{k}_id0"),
+            vals0.alias(f"_ch{k}_vals0"),
+            cond0.cast("boolean").alias(f"_ch{k}_cond0"),
+        )
+
+        # ---- level 1: the seed-view projection ----
+        inherit = a.message.inherit != "none"
+        expiry_ts = F.col(ts_col) + F.make_dt_interval(secs=F.col("_timeout"))
+        seedcols = []
+        for c in payload:
+            dt = dtypes.get(c, "string")
+            if c in rendered0:
+                seedcols.append(rendered0[c].alias(c))
+            elif c == ts_col:
+                seedcols.append(expiry_ts.alias(c))
+            elif inherit:
+                seedcols.append(F.col(c).alias(c))
+            elif dt == "string":
+                seedcols.append(F.lit("").alias(c))
+            else:
+                seedcols.append(F.lit(None).cast(dt).alias(c))
+        prev_cols = pool.columns
+        pool2 = pool.select(
+            *[F.col(c).alias(f"_o_{c}") for c in prev_cols], *seedcols
+        )
+        compiler1 = TemplateCompiler(schema_resolver(pool2.columns))
+        rendered1 = {}
+        for n, t in a.message.values.items():
+            tgt = _MACRO_COLS.get(n, n)
+            col = compiler1.compile(t)
+            dt = dtypes.get(tgt, "string")
+            if dt != "string":
+                col = col.try_cast(dt)
+            rendered1[tgt] = col
+        id1 = compiler1.compile(a.create_context.id_template)
+        cond1 = (compile_condition(a.condition, pool2)
+                 if a.condition else F.lit(True))
+        vals1 = (
+            F.to_json(F.struct(*[c.alias(t) for t, c in rendered1.items()]),
+                      {"ignoreNullFields": "false"})
+            if rendered1 else F.lit("{}")
+        )
+        pool = pool2.select(
+            *[F.col(f"_o_{c}").alias(c) for c in prev_cols],
+            id1.alias(f"_ch{k}_id1"),
+            vals1.alias(f"_ch{k}_vals1"),
+            cond1.cast("boolean").alias(f"_ch{k}_cond1"),
+        )
+        specs.append({
+            "rule": r.rule_id,
+            "timeout": a.create_context.timeout,
+            "inherit": a.message.inherit,
+            "id0": f"_ch{k}_id0", "vals0": f"_ch{k}_vals0",
+            "cond0": f"_ch{k}_cond0",
+            "id1": f"_ch{k}_id1", "vals1": f"_ch{k}_vals1",
+            "cond1": f"_ch{k}_cond1",
+            "scope_cols": _scope_cols(a.create_context.scope, events),
+        })
+    return pool, specs

@@ -877,3 +877,140 @@ def test_loader_parses_timeout_create_context():
     assert act.create_context is not None
     assert act.create_context.id_template == "watch-${PID}"
     assert act.create_context.timeout == 100
+
+
+def test_streaming_chain_parity_with_batch(spark):
+    """Streaming context chaining (chained_pool_context_stream): the
+    same chained corpus replayed through a file stream emits exactly
+    the batch operator's rows — the seeded watch context is created
+    inside the scope group's state table at the login context's
+    expiry, joined by the later message, and its own expiry renders
+    via the joining rule."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(CHAIN_XML)
+    corpus = [
+        (0, "h1", "p1", 23, "user login"),
+        (50, "h1", "p1", 23, "suspicious activity"),
+        (0, "h1", "p1", 7, "user login"),  # never followed up: no alert
+    ]
+    schema = ("event_id long, ts timestamp, host string, program string, "
+              "pid int, message string")
+    batch_df = _logs(spark, corpus)
+    batch_out = patterndb_actions(batch_df, rules, order_tiebreak="event_id").collect()
+    assert sorted(r.message for r in batch_out) == [
+        "alert n=2 last=suspicious activity"]
+
+    pusher = [(9000, T0 + dt.timedelta(seconds=86400), "h1", "p1", 99,
+               "user login")]
+
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds",
+                    order_tiebreak="event_id")
+                .select(*[c for c in batch_out[0].asDict()])
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        rows = [(i, T0 + dt.timedelta(seconds=s), h, p, pid, m)
+                for i, (s, h, p, pid, m) in enumerate(corpus)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        spark.createDataFrame(pusher, schema).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        stream_out = [r for r in spark.read.parquet(d + "/out").collect()
+                      if r.pid != 99]
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            d = r.asDict()
+            d["synthetic_tags"] = tuple(d.get("synthetic_tags") or ())
+            out.append(tuple(d[k] for k in sorted(d)))
+        return sorted(out)
+
+    assert canon(stream_out) == canon(batch_out)
+
+
+def test_streaming_chain_context_ref_templates_raise(spark):
+    """Chain seed templates that evaluate against live context state
+    cannot pre-render per-row — loud, with the batch escape hatch."""
+    import pytest as _pytest
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    import tempfile
+
+    xml = CHAIN_XML.replace("watching ${PID}", "watching $(context-length)")
+    rules = load_patterndb_rules(xml)
+    schema = ("event_id long, ts timestamp, host string, program string, "
+              "pid int, message string")
+    with tempfile.TemporaryDirectory() as d:
+        _logs(spark, [(0, "h1", "p1", 1, "user login")]).write.parquet(d + "/in")
+        stream = spark.readStream.schema(schema).parquet(d + "/in")
+        with _pytest.raises(NotImplementedError, match="batch mode"):
+            patterndb_actions_stream(stream, rules, watermark="10 seconds")
+
+
+def test_streaming_chain_across_micro_batches_soak(spark):
+    """Chained-expiry soak: logins in batch 1, the seeded watch
+    contexts created by expiries processed in batch 2 (where the acts
+    arrive), final expiries flushed in batch 3 — state carries the
+    chain across micro-batch boundaries for many pids at once."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(CHAIN_XML)
+    schema = ("event_id long, ts timestamp, host string, program string, "
+              "pid int, message string")
+
+    def mk(rows, start_id=0):
+        return [(start_id + i, T0 + dt.timedelta(seconds=s), h, p, pid, m)
+                for i, (s, h, p, pid, m) in enumerate(rows)]
+
+    batch1 = mk([(pid % 3, "h1", "p1", pid, "user login") for pid in range(8)])
+    batch2 = mk([(40 + pid, "h1", "p1", pid, "suspicious activity")
+                 for pid in range(8) if pid % 2 == 0], start_id=100)
+    pusher = mk([(86400, "h1", "p1", 999, "user login")], start_id=200)
+
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds",
+                    order_tiebreak="event_id")
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for phase in (batch1, batch2, pusher):
+            spark.createDataFrame(phase, schema).coalesce(1).write.mode(
+                "append").parquet(d + "/in")
+            run_once()
+        out = [r for r in spark.read.parquet(d + "/out").collect()
+               if r.pid != 999]
+
+    alerts = sorted(r.pid for r in out if r.rule_id == "21")
+    assert alerts == [0, 2, 4, 6]
+    assert all(r.message == "alert n=2 last=suspicious activity" for r in out
+               if r.rule_id == "21")
