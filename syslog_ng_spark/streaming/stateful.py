@@ -254,6 +254,7 @@ def pool_context_stream(
     merge_json_col: str | None = None,
     watermark: str = "10 minutes",
     collect_context: bool = False,
+    emit_matches: bool = False,
 ) -> DataFrame:
     """Expiry emitter for the SHARED patterndb correlation pool
     (operators/actions.prepare_actions): contexts are keyed by
@@ -272,7 +273,17 @@ def pool_context_stream(
     operator's collect_list builds), so trigger templates evaluate
     $(grep)/$(context-*)/@N against real context state
     (modules/dbparser/context-funcs.c). The list rides the state as a
-    JSON array (timestamps as epoch-µs)."""
+    JSON array (timestamps as epoch-µs).
+
+    With `emit_matches` (r12) the operator ALSO emits one row per
+    incoming message, closed_by='match', carrying that MESSAGE's own
+    fields plus the context state as of that message (context_length,
+    merged_json, and `_context` when collect_context) — the live
+    per-message context view match-trigger templates evaluate against
+    in the reference (_execute_action_message at RAT_MATCH sees the
+    context the message just joined). Costs one output row per pool
+    row; enable only when a match-trigger template references context
+    state."""
     import json
 
     dtypes = dict(pool.dtypes)
@@ -362,16 +373,19 @@ def pool_context_stream(
             n, tf, tl, mj, carried = 0, None, None, "{}", [None] * len(carry)
             ctx_msgs = []
         merged = json.loads(mj) if mj else {}
+        match_rows: list = []
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(sort_cols, kind="stable")
             us = pdf[ts].astype("int64") // 1000
+            rown = n
             n += len(pdf)
             tf = int(us.min()) if tf is None else min(tf, int(us.min()))
             # walk rows in event order so the merge and the carried
             # "last message" follow the reference's arrival semantics
             for _, row in pdf.iterrows():
+                rown += 1
                 row_us = int(pd.Timestamp(row[ts]).value // 1000)
                 if tl is None or row_us >= tl:
                     tl = row_us
@@ -384,6 +398,29 @@ def pool_context_stream(
                     rj = row[merge_json_col]
                     if rj:
                         merged.update(json.loads(rj))
+                if emit_matches:
+                    # the live per-message context view: THIS message's
+                    # fields + the context as of (and including) it —
+                    # what a match-trigger action evaluates against
+                    d = {c: v for c, v in zip(key, key_tuple)}
+                    for c in carry:
+                        d[c] = _from_state(
+                            _to_state(row[c], dtypes[c]), dtypes[c])
+                    d["context_length"] = rown
+                    d["time_first"] = pd.Timestamp(tf, unit="us")
+                    d["time_last"] = pd.Timestamp(row_us, unit="us")
+                    d["merged_json"] = json.dumps(merged, sort_keys=True)
+                    d["closed_by"] = "match"
+                    if collect_context:
+                        msgs = sorted(
+                            list(ctx_msgs),
+                            key=lambda m: (m.get(ts) is None, m.get(ts)),
+                        )
+                        d["_context"] = [
+                            {c: _from_state(m.get(c), dtypes[c]) for c in ctx_cols}
+                            for m in msgs
+                        ]
+                    match_rows.append(d)
         packed_state = (n, tf, tl, json.dumps(merged, sort_keys=True))
         if collect_context:
             packed_state += (json.dumps(ctx_msgs),)
@@ -393,6 +430,8 @@ def pool_context_stream(
         ito = carry.index("_timeout")
         last_timeout = carried[ito] if carried[ito] is not None else 60
         state.setTimeoutTimestamp(max(tl // 1000 + int(last_timeout) * 1000, wm_ms + 1))
+        if match_rows:
+            yield pd.DataFrame(match_rows)
 
     return (
         pool.withWatermark(ts, watermark)
@@ -423,12 +462,15 @@ def patterndb_actions_stream(
     operators/actions.patterndb_actions (reference trigger plumbing:
     modules/dbparser/patterndb.c:257-400).
 
-    Scope note: $(context-length) inside *match*-trigger templates
-    renders as '1' here (per-message context position needs the
-    context state; the timeout path provides the real count), and
-    $(grep)/@N on a *match* trigger raises at compile — the live
-    per-message context view is a timeout-path capability; TIMEOUT
-    trigger templates get the full context (collect_context)."""
+    Match-trigger templates that reference context state
+    ($(grep)/$(context-*)/@N — the live per-message view the
+    reference's RAT_MATCH actions evaluate against) route through the
+    stateful pool's per-message 'match' emission (r12) and see the
+    REAL context: $(context-length) counts seeds and earlier
+    messages, $(grep)/@N walk the collected context array. Match
+    templates WITHOUT context references keep the cheap stateless
+    path (CONTEXT_LENGTH renders '1' there, by construction those
+    templates never read it)."""
     from pyspark.sql import functions as F
 
     from syslog_ng_spark.operators.actions import (
@@ -445,14 +487,31 @@ def patterndb_actions_stream(
     out_columns, extra_values = prep.out_columns, prep.extra_values
     sdata_type = dict(events.dtypes).get(sdata_col) if sdata_col else None
 
+    def _needs_live_context(a) -> bool:
+        from syslog_ng_spark.operators.actions import _template_uses_context_refs
+
+        return any(
+            _template_uses_context_refs(t) or "$(context-" in t
+            for t in a.message.values.values()
+        )
+
     outs = []
     timeout_actions = []
+    ctx_match_actions = []
     for r in rules:
         matched = prep.matched_by_rule[r.rule_id]
         for a in r.actions:
             if a.create_context is not None:
                 continue  # seeds the pool; emits nothing itself
             if a.trigger == "match":
+                if r.context_id is not None and _needs_live_context(a):
+                    # $(grep)/$(context-*)/@N on a MATCH trigger: the
+                    # template needs the live context the message just
+                    # joined — routed through the stateful pool's
+                    # per-message 'match' emission (r12) instead of
+                    # the stateless path
+                    ctx_match_actions.append((r, a))
+                    continue
                 cand = matched.withColumn("CONTEXT_LENGTH", F.lit("1"))
                 if a.condition:
                     cand = cand.where(compile_condition(a.condition, cand))
@@ -471,7 +530,7 @@ def patterndb_actions_stream(
             else:
                 raise ValueError(f"unknown trigger {a.trigger!r}")
 
-    if timeout_actions and prep.pool is not None:
+    if (timeout_actions or ctx_match_actions) and prep.pool is not None:
         pool = prep.pool
         chain_specs = []
         if prep.timeout_seeds:
@@ -489,6 +548,10 @@ def patterndb_actions_stream(
             # $(grep)/@N in trigger templates need the full context
             # list; collected only when a template references it
             collect_context=_uses_context_refs(rules),
+            # per-message 'match' rows only when a match-trigger
+            # template needs the live context (one output row per
+            # pool row otherwise wasted)
+            emit_matches=bool(ctx_match_actions),
         )
         if chain_specs:
             # timeout-triggered create-context: the scope's context
@@ -498,10 +561,34 @@ def patterndb_actions_stream(
         else:
             ctx = pool_context_stream(pool, **stream_kwargs)
         ctx = ctx.withColumn("CONTEXT_LENGTH", F.col("context_length").cast("string"))
+        for r, a in ctx_match_actions:
+            # match actions of context rules with context-referencing
+            # templates: evaluate on the per-message 'match' rows —
+            # the row's own fields + the live context it just joined
+            cand = ctx.where(
+                (F.col("closed_by") == "match")
+                & (F.col("_rule") == r.rule_id)
+                & (F.col("_seq") == 0)
+            )
+            if sdata_col:
+                src = "merged_json" if a.message.inherit == "context" else "_sdata_json"
+                cand = cand.withColumn(sdata_col, F.from_json(F.col(src), sdata_type))
+            if a.condition:
+                cand = cand.where(compile_condition(a.condition, cand))
+            rendered = _render(
+                cand, a, out_columns, extra_values, a.message.inherit != "none",
+                ts_col, context_col="_context",
+            )
+            outs.append(
+                rendered.withColumn("rule_id", F.lit(r.rule_id)).withColumn(
+                    "trigger", F.lit("match")
+                )
+            )
         for r, a in timeout_actions:
             # the rule that last touched the context owns its expiry
             # (patterndb.c:629, pattern_db_expire_entry:426)
-            cand = ctx.where(F.col("_rule") == r.rule_id)
+            cand = ctx.where(
+                (F.col("closed_by") == "timeout") & (F.col("_rule") == r.rule_id))
             if sdata_col:
                 src = "merged_json" if a.message.inherit == "context" else "_sdata_json"
                 cand = cand.withColumn(sdata_col, F.from_json(F.col(src), sdata_type))
@@ -531,6 +618,7 @@ def chained_pool_context_stream(
     merge_json_col: str | None = None,
     watermark: str = "10 minutes",
     collect_context: bool = False,
+    emit_matches: bool = False,
 ) -> DataFrame:
     """pool_context_stream variant supporting TIMEOUT-TRIGGERED
     create-context (context chaining on expiry — patterndb.c
@@ -780,6 +868,23 @@ def chained_pool_context_stream(
                     c["ctx"].append(enc)
                 if merge_json_col is not None and row.get(merge_json_col):
                     c["mj"].update(json.loads(row[merge_json_col]))
+                if emit_matches:
+                    # live per-message context view (closed_by='match')
+                    d = {"_scope_key": scope_key, "CONTEXT_ID": cid}
+                    for col in carry:
+                        d[col] = _dec(enc.get(col), dtypes[col])
+                    d["context_length"] = c["n"]
+                    d["time_first"] = pd.Timestamp(c["tf"], unit="us")
+                    d["time_last"] = pd.Timestamp(t_us, unit="us")
+                    d["merged_json"] = json.dumps(c["mj"], sort_keys=True)
+                    d["closed_by"] = "match"
+                    if collect_context:
+                        d["_context"] = [
+                            {col: _dec(m.get(col), dtypes[col])
+                             for col in ctx_cols}
+                            for m in c["ctx"]
+                        ]
+                    emitted.append(d)
 
         if ctxs:
             state.update((json.dumps(ctxs),))

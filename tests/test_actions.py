@@ -1014,3 +1014,115 @@ def test_streaming_chain_across_micro_batches_soak(spark):
     assert alerts == [0, 2, 4, 6]
     assert all(r.message == "alert n=2 last=suspicious activity" for r in out
                if r.rule_id == "21")
+
+
+# ---- r12: $(grep)/@N/$(context-length) on MATCH triggers --------------
+
+GREP_MATCH_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='grepmatch' id='11'>
+  <rules>
+    <rule provider='test' id='gm1' class='ctx' context-id='${PID}-gm'
+          context-timeout='60' context-scope='program'>
+     <patterns><pattern>gctx @ANYSTRING:what@</pattern></patterns>
+     <actions>
+       <action trigger='match'>
+         <message inherit-properties='TRUE'>
+           <values>
+             <value name='MESSAGE'>n=$(context-length) hits=$(grep ('${what}' ne 'skip') ${what}) prev=${what}@1</value>
+           </values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+_GREP_MATCH_EXPECTED = [
+    "n=1 hits=alpha prev=",
+    "n=2 hits=alpha prev=alpha",
+    "n=3 hits=alpha,gamma prev=skip",
+]
+
+
+def test_batch_grep_on_match_trigger(spark):
+    """MATCH-trigger templates see the live per-message context view:
+    each matching message's action renders against the context as of
+    (and including) that message — $(context-length) counts earlier
+    messages, $(grep) filters them, @1 is one back from the current."""
+    rules = load_patterndb_rules(GREP_MATCH_XML)
+    df = spark.createDataFrame(_grep_rows(), GREP_SCHEMA)
+    out = sorted(
+        patterndb_actions(df, rules, order_tiebreak="event_id").collect(),
+        key=lambda r: r.ts,
+    )
+    assert [r.message for r in out] == _GREP_MATCH_EXPECTED
+    assert all(r.trigger == "match" for r in out)
+
+
+def test_stream_grep_on_match_trigger_parity(spark):
+    """r12 (was a compile error in r11): streaming match-trigger
+    $(grep)/@N routes through the stateful pool's per-message 'match'
+    emission and renders exactly the batch messages."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(GREP_MATCH_XML)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(_grep_rows(), GREP_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        stream = spark.readStream.schema(GREP_SCHEMA).parquet(d + "/in")
+        q = (
+            patterndb_actions_stream(
+                stream, rules, watermark="10 seconds",
+                order_tiebreak="event_id")
+            .writeStream.format("parquet")
+            .option("path", d + "/out")
+            .option("checkpointLocation", d + "/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = sorted(spark.read.parquet(d + "/out").collect(),
+                     key=lambda r: r.ts)
+
+    assert [r.message for r in out] == _GREP_MATCH_EXPECTED
+    assert all(r.trigger == "match" for r in out)
+
+
+def test_stream_match_context_across_micro_batches(spark):
+    """The match view carries context state ACROSS micro-batches: a
+    message in batch 2 sees batch 1's messages in its context."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(GREP_MATCH_XML)
+    b1 = _grep_rows()[:2]
+    b2 = _grep_rows()[2:]
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(GREP_SCHEMA).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds",
+                    order_tiebreak="event_id")
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for b in (b1, b2):
+            spark.createDataFrame(b, GREP_SCHEMA).coalesce(1).write.mode(
+                "append").parquet(d + "/in")
+            run_once()
+        out = sorted(spark.read.parquet(d + "/out").collect(),
+                     key=lambda r: r.ts)
+
+    assert [r.message for r in out] == _GREP_MATCH_EXPECTED
