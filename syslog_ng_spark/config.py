@@ -699,20 +699,32 @@ def run_conf_stream(
     available_now=True to drain what exists and stop (file sources;
     backfill/testing) — sockets need the default continuous trigger.
     Returns the list of StreamingQuery handles."""
+    import json as _json
+    import os as _os
+
     pipelines = compile_conf(parse_conf(text, include_dir), strict=strict)
     queries = []
     for p in pipelines:
-        if p.get("use_rcptid"):
-            raise NotImplementedError(
-                "use-uniqid(yes) in daemon mode needs a persistent "
-                "reception counter across micro-batches before the "
-                "step chain runs — assign rcptid in batch mode "
-                "(run_conf) or at the producing source instead"
-            )
         df = _source_stream(spark, p["source"])
         tpls = p.get("templates")
-        for step in p.get("steps", ()):
-            df = _step(df, step, templates=tpls)
+        # options { use-uniqid(yes); } in daemon mode (r12): $RCPTID is
+        # a RECEPTION id — assigned per micro-batch on the raw source
+        # frame BEFORE the step chain (filtered messages still consume
+        # ids, lib/rcptid.c), with the next id PERSISTED beside the
+        # checkpoint so the counter survives daemon restarts
+        # (rcptid_set_id persist-state) and batch REPLAYS renumber
+        # from the same start (the saved (batch_id, batch_start) pair)
+        batch_steps: tuple = ()
+        rcpt_path = None
+        if p.get("use_rcptid"):
+            batch_steps = tuple(p.get("steps", ()))
+            _os.makedirs(checkpoint_dir, exist_ok=True)
+            rcpt_path = (
+                f"{checkpoint_dir}/{p['name'].replace('#', '_')}_rcptid.json"
+            )
+        else:
+            for step in p.get("steps", ()):
+                df = _step(df, step, templates=tpls)
         # micro-batches APPEND to file-family destinations (the batch
         # default overwrite would erase earlier batches' output)
         dests = [
@@ -734,7 +746,24 @@ def run_conf_stream(
         ]
         seq_next = dict.fromkeys(seq_dests, 1)
 
-        def write_batch(batch_df, _id, _dests=dests, _tpls=tpls, _seq=seq_next):
+        def write_batch(batch_df, _id, _dests=dests, _tpls=tpls, _seq=seq_next,
+                        _steps=batch_steps, _rcpt=rcpt_path):
+            rcpt_frame = None
+            if _rcpt:
+                from syslog_ng_spark.operators.delivery import (
+                    assign_rcptid_counted, release_numbering_cache)
+
+                try:
+                    with open(_rcpt) as f:
+                        st = _json.load(f)
+                except (OSError, ValueError):
+                    st = {"next": 1, "batch_id": None, "batch_start": 1}
+                start = (st["batch_start"] if _id == st.get("batch_id")
+                         else st["next"])
+                batch_df, total = assign_rcptid_counted(batch_df, start=start)
+                rcpt_frame = batch_df
+                for step in _steps:
+                    batch_df = _step(batch_df, step, templates=_tpls)
             # each destination reports how many rows IT numbered (0 if
             # the frame already carried seqnum) — no extra count job,
             # and the continuation point can't desync from what the
@@ -745,6 +774,13 @@ def run_conf_stream(
                 numbered = _destination(batch_df, d, templates=_tpls)
                 if i in _seq:
                     _seq[i] += numbered or 0
+            if _rcpt:
+                release_numbering_cache(rcpt_frame)
+                tmp = _rcpt + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump({"next": start + total, "batch_id": _id,
+                                "batch_start": start}, f)
+                _os.replace(tmp, _rcpt)
 
         writer = df.writeStream.foreachBatch(write_batch).option(
             "checkpointLocation", f"{checkpoint_dir}/{p['name'].replace('#', '_')}"

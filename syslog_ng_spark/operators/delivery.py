@@ -247,6 +247,19 @@ def assign_rcptid(
     return numbered_in_order(df, target, start=start, order_by=order_by)
 
 
+def assign_rcptid_counted(
+    df: DataFrame,
+    target: str = "rcptid",
+    start: int = 1,
+) -> tuple[DataFrame, int]:
+    """assign_rcptid + the number of rows numbered — the daemon-mode
+    building block: run_conf_stream numbers each micro-batch's raw
+    source frame at reception and advances a PERSISTED next-rcptid by
+    the returned count (lib/rcptid.c keeps the counter in
+    persist-state across daemon restarts)."""
+    return _numbered(df, target, start, None, wrap=None)
+
+
 def ensure_seqnum(
     df: DataFrame,
     *template_strs: str | None,

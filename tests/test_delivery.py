@@ -167,17 +167,28 @@ log {{ source(s); destination(d); }};
     assert seqs == list(range(1, 11))
 
 
-def test_stream_use_uniqid_loud_fails(spark, tmp_path):
+def test_stream_use_uniqid_supported(spark, tmp_path):
+    """r12: daemon-mode use-uniqid(yes) no longer loud-fails — the
+    reception counter persists beside the checkpoint (the full
+    continuity/restart behavior is pinned in test_daemon_rcptid.py)."""
+    import os
+
     from syslog_ng_spark.config import run_conf_stream
 
+    os.makedirs(tmp_path / "watch")
+    (tmp_path / "watch" / "a.log").write_text("hello\n")
     conf = f"""
 options {{ use-uniqid(yes); }};
 source s {{ file("{tmp_path}/watch" flags(no-parse)); }};
-destination d {{ file("{tmp_path}/out" template("$RCPTID\\n")); }};
+destination d {{ file("{tmp_path}/out" template("$RCPTID $MSG")); }};
 log {{ source(s); destination(d); }};
 """
-    with pytest.raises(NotImplementedError, match="use-uniqid"):
-        run_conf_stream(spark, conf, str(tmp_path / "ckpt"))
+    queries = run_conf_stream(spark, conf, str(tmp_path / "ckpt"),
+                              available_now=True)
+    for q in queries:
+        q.awaitTermination(120)
+    out = [r["value"] for r in spark.read.text(str(tmp_path / "out")).collect()]
+    assert out == ["1 hello"]
 
 
 def test_assign_rcptid_basic(spark):
