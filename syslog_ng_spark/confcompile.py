@@ -180,6 +180,11 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
             parse = {"syslog_parse": "rfc5424"}
         else:
             parse = {"syslog_parse": "rfc3164"}
+        # pad-size(N): fixed-size padded records instead of lines
+        # (logproto-file-reader.c:32 → log_proto_padded_record_server)
+        pad = call.opt_scalar("pad-size")
+        if pad is not None and int(pad) > 0:
+            parse["pad_size"] = int(pad)
         if n == "wildcard-file":
             base = call.opt_scalar("base-dir")
             pat = call.opt_scalar("filename-pattern", default="*")

@@ -44,7 +44,17 @@ _LOG_SCHEMA = (
 def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
     kind = spec["kind"]
     if kind == "file":
-        df = files.text_lines(spark, spec["path"], recursive=spec.get("recursive", False))
+        if spec.get("pad_size"):
+            # pad-size(N): fixed-size padded records, not lines
+            # (logproto-record-server.c via logproto-file-reader.c:32)
+            from syslog_ng_spark.sources.framing import record_messages
+
+            blobs = spark.read.format("binaryFile").load(spec["path"])
+            df = record_messages(blobs, spec["pad_size"]).drop(
+                "path", "record_no")
+        else:
+            df = files.text_lines(
+                spark, spec["path"], recursive=spec.get("recursive", False))
         # source-level parse (the daemon's file()/pipe() default; the
         # .conf compiler sets these from flags()): syslog_parse parses
         # each line into the canonical columns, message_from_raw is

@@ -195,3 +195,68 @@ def framed_lines_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def split_records(
+    data: bytes | str, record_size: int, padded: bool = True
+) -> list[str]:
+    """Fixed-size record framing (lib/logproto/logproto-record-server.c,
+    the file()/pipe() pad-size() option). The stream is consumed in
+    exactly `record_size`-byte chunks; in padded mode each record's
+    message ends at the first '\\n' OR NUL byte (find_eom,
+    logproto-server.c:45) — the rest is padding — while binary mode
+    (padded=False) keeps every record verbatim. Empty messages ARE
+    emitted (a record starting with NUL fetches "" in the reference's
+    criterion suite). A short trailing chunk is a hard error exactly
+    like log_proto_record_server_read_data's EIO ("Record size was
+    set, and couldn't read enough bytes") — a torn record means the
+    producer and consumer disagree on the record size, silently
+    re-syncing would corrupt every later record. Encoding conversions
+    (the ucs-4 criterion variants) are out of scope: the line model
+    here is utf-8 (bytes decode with replacement)."""
+    buf = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+    out: list[str] = []
+    for i in range(0, len(buf), record_size):
+        rec = buf[i:i + record_size]
+        if len(rec) != record_size:
+            raise ValueError(
+                "Record size was set, and couldn't read enough bytes: "
+                f"record_size={record_size} read={len(rec)}"
+            )
+        if padded:
+            nl = rec.find(b"\n")
+            nul = rec.find(b"\x00")
+            ends = [e for e in (nl, nul) if e >= 0]
+            if ends:
+                rec = rec[:min(ends)]
+        out.append(rec.decode("utf-8", errors="replace"))
+    return out
+
+
+def record_messages(
+    df: DataFrame,
+    record_size: int,
+    padded: bool = True,
+    blob_col: str = "content",
+    origin_col: str = "path",
+) -> DataFrame:
+    """Explode fixed-size-record blobs (spark.read.format('binaryFile'))
+    into one row per record: (origin, record_no, raw). Parallelism
+    across files, like the reference's one-reader-per-fd model; the
+    per-file splitter is sequential by construction (records are
+    positional)."""
+    import pandas as pd
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for origin, blob in zip(pdf[origin_col], pdf[blob_col]):
+                for k, msg in enumerate(
+                    split_records(bytes(blob), record_size, padded)
+                ):
+                    rows.append((origin, k, msg))
+            yield pd.DataFrame(rows, columns=[origin_col, "record_no", "raw"])
+
+    return df.select(origin_col, blob_col).mapInPandas(
+        explode, schema=f"{origin_col} string, record_no long, raw string"
+    )

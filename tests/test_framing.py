@@ -121,3 +121,83 @@ def test_framed_socket_stream_mixed_framing(spark):
         "abcde",
         "<13>1 - h app - - - embedded",
     ]
+
+
+# ---------------------------------------------------------------------------
+# pad-size fixed records (r12) — logproto-record-server.c; unit table
+# ported from lib/logproto/tests/test-record-server.c (no-encoding
+# variants; the ucs-4 encoding-conversion cases are out of our utf-8
+# line model, documented in split_records)
+# ---------------------------------------------------------------------------
+
+from syslog_ng_spark.sources.framing import record_messages, split_records
+
+_REC_STREAM = (
+    b"0123456789ABCDEF0123456789ABCDEF"
+    + b"01234567" + b"\n" * 24
+    + b"01234567" + b"\x00" * 24
+    + "árvíztűrőtükörfúrógép\n\n".encode("utf-8")  # 32 bytes exactly
+    + b"\xe1\x72\x76\xed\x7a\x74\xfb\x72\xf5\x74\xfc\x6b\xf6\x72\x66\xfa"
+    + b"\x72\xf3\x67\xe9\x70" + b"\n" * 11
+    + b"\x00\x00\x00\xe1\x00\x00\x00\x72\x00\x00\x00\x76\x00\x00\x00\xed"
+    + b"\x00\x00\x00\x7a\x00\x00\x00\x74\x00\x00\x01\x71\x00\x00\x00\x72"
+)
+
+
+def test_binary_record_server_table():
+    got = split_records(_REC_STREAM, 32, padded=False)
+    assert got[0] == "0123456789ABCDEF0123456789ABCDEF"
+    assert got[1] == "01234567" + "\n" * 24
+    assert got[2] == "01234567" + "\x00" * 24
+    assert got[3] == "árvíztűrőtükörfúrógép\n\n"
+    assert len(got) == 6
+
+
+def test_padded_record_server_table():
+    got = split_records(_REC_STREAM, 32, padded=True)
+    assert got[0] == "0123456789ABCDEF0123456789ABCDEF"
+    assert got[1] == "01234567"
+    assert got[2] == "01234567"
+    # no encoding: utf8 remains utf8, trailing newline padding stripped
+    assert got[3] == "árvíztűrőtükörfúrógép"
+    # iso-8859-2 bytes decode with replacement in our utf-8 line model,
+    # but the PADDING semantics (strip at first \n) hold exactly
+    assert got[4] == b"\xe1\x72\x76\xed\x7a\x74\xfb\x72\xf5\x74\xfc\x6b"\
+        b"\xf6\x72\x66\xfa\x72\xf3\x67\xe9\x70".decode("utf-8", "replace")
+    # ucs4 record starts with a zero byte -> EMPTY message, still emitted
+    assert got[5] == ""
+
+
+def test_record_short_tail_is_a_hard_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="couldn't read enough bytes"):
+        split_records(_REC_STREAM + b"01234", 32)
+
+
+def test_record_messages_operator(spark, tmp_path):
+    p = tmp_path / "records.bin"
+    p.write_bytes(b"first record\n   padded to 32..."[:12].ljust(32, b"\n")
+                  + b"second one".ljust(32, b"\x00"))
+    blobs = spark.read.format("binaryFile").load(str(p))
+    rows = sorted(record_messages(blobs, 32).collect(),
+                  key=lambda r: r.record_no)
+    assert [r.raw for r in rows] == ["first record", "second one"]
+
+
+def test_conf_pad_size_file_source(spark, tmp_path):
+    from syslog_ng_spark.config import parse_conf, compile_conf, run_conf
+
+    p = tmp_path / "in.bin"
+    p.write_bytes(b"alpha".ljust(64, b"\n") + b"beta".ljust(64, b"\x00"))
+    out = tmp_path / "out"
+    text = f"""
+source s {{ file("{p}" pad-size(64) flags(no-parse)); }};
+destination d {{ file("{out}" template("$MSG")); }};
+log {{ source(s); destination(d); }};
+"""
+    spec = compile_conf(parse_conf(text))[0]
+    assert spec["source"]["pad_size"] == 64
+    run_conf(spark, text)
+    got = sorted(r["value"] for r in spark.read.text(str(out)).collect())
+    assert got == ["alpha", "beta"]
