@@ -185,6 +185,11 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         pad = call.opt_scalar("pad-size")
         if pad is not None and int(pad) > 0:
             parse["pad_size"] = int(pad)
+        usp = call.opt_scalar("use-syslogng-pid")
+        if usp is None:
+            usp = conf.options.get("use-syslogng-pid")
+        if usp is not None:
+            parse["use_syslogng_pid"] = _yesno(usp, False)
         if n == "wildcard-file":
             base = call.opt_scalar("base-dir")
             pat = call.opt_scalar("filename-pattern", default="*")
@@ -206,6 +211,33 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
             spec["syslog_parse"] = "rfc5424"
         else:
             spec["syslog_parse"] = "rfc3164"
+        return [spec]
+    if n == "example-msg-generator":
+        # modules/examples/sources/msg-generator: one message per
+        # freq() tick, num() caps the count, values(NAME => tpl) set
+        # NV pairs rendered against the empty message, template()
+        # renders MESSAGE against those (source-side template)
+        spec = {"kind": "msg-generator",
+                "num": int(call.opt_scalar("num", default=1) or 1)}
+        tpl = call.opt("template")
+        if tpl is not None and tpl.items:
+            spec["template"] = str(tpl.items[0])
+        vals: dict = {}
+        v = call.opt("values")
+        if v is not None:
+            items = list(v.items)
+            i = 0
+            while i + 2 < len(items) + 1 and i + 2 <= len(items):
+                name, arrow, tv = items[i], items[i + 1], items[i + 2]
+                if getattr(arrow, "name", str(arrow)) != "=>":
+                    raise ConfError(
+                        "values() expects NAME => template pairs", v.line)
+                vals[str(name)] = str(tv)
+                i += 3
+        spec["values"] = vals
+        usp = call.opt_scalar("use-syslogng-pid")
+        if usp is not None:
+            spec["use_syslogng_pid"] = _yesno(usp, False)
         return [spec]
     if n in ("system", "systemd-journal"):
         path = call.opt_scalar("dir", default="/var/log/journal")
@@ -241,7 +273,11 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         # keep-hostname(no), chain-hostnames(no), use-dns(yes)
         for opt, key, dflt in (("keep-hostname", "keep_hostname", False),
                                ("chain-hostnames", "chain_hostnames", False),
-                               ("use-dns", "use_dns", True)):
+                               ("use-dns", "use_dns", True),
+                               # lib/logsource.c:619 — PID replaced by
+                               # the daemon's own pid on every message
+                               ("use-syslogng-pid", "use_syslogng_pid",
+                                False)):
             v = call.opt_scalar(opt)
             if v is None:
                 v = conf.options.get(opt)

@@ -42,7 +42,44 @@ _LOG_SCHEMA = (
 
 
 def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
+    df = _source_raw(spark, spec)
+    if spec.get("use_syslogng_pid"):
+        # lib/logsource.c:619 — the source replaces $PID with the
+        # daemon's own pid on every message it emits
+        df = _override_pid(df)
+    return df
+
+
+def _override_pid(df: DataFrame) -> DataFrame:
+    import os as _os
+
+    pid_t = dict(df.dtypes).get("pid", "int")
+    return df.withColumn("pid", F.lit(_os.getpid()).cast(pid_t))
+
+
+def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
     kind = spec["kind"]
+    if kind == "msg-generator":
+        # modules/examples/sources/msg-generator: values(NAME => tpl)
+        # render against the empty message, then template() renders
+        # MESSAGE against the resulting NV set (source-side template);
+        # default MESSAGE is the module's fixed marker line
+        from syslog_ng_spark.operators.actions import _MACRO_COLS
+        from syslog_ng_spark.template import template_format
+
+        df = spark.range(int(spec.get("num", 1))).select(
+            F.col("id").alias("event_id"))
+        for name, tpl in (spec.get("values") or {}).items():
+            df = template_format(
+                df, tpl, target=_MACRO_COLS.get(name, name),
+                templates=spec.get("templates"))
+        body = spec.get("template")
+        if body:
+            df = template_format(df, body, target="message",
+                                 templates=spec.get("templates"))
+        else:
+            df = df.withColumn("message", F.lit("-- Generated message. --"))
+        return df
     if kind == "file":
         if spec.get("pad_size"):
             # pad-size(N): fixed-size padded records, not lines
@@ -642,6 +679,8 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
         df = df.withColumn("message", F.col("raw"))
     if kind == "socket-stream":
         df = _mangle_hostname(df, spec)
+    if spec.get("use_syslogng_pid"):
+        df = _override_pid(df)
     return df
 
 

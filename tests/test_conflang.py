@@ -1536,3 +1536,76 @@ destination d { file("/tmp/o"); };
 rewrite r { set("$(template nope)", value("MESSAGE")); };
 log { source(s); rewrite(r); destination(d); };
 """))
+
+
+# ---------------------------------------------------------------------------
+# r12: remaining reference functional scenarios
+# (tests/python_functional/functional_tests/config_change/
+#  test_backtick_substitution.py and
+#  source_options/test_use_syslogng_pid.py)
+# ---------------------------------------------------------------------------
+
+
+def test_backtick_substitution_functional(tmp_path):
+    """config_change/test_backtick_substitution.py: @define at file
+    scope substitutes inside an options{} argument — the daemon starts
+    with mark-mode(`disable`) resolving to none."""
+    from syslog_ng_spark.config import parse_conf
+
+    conf = parse_conf("""
+@define disable none
+options {
+    mark-mode(`disable`);
+};
+source s { file("/dev/null" flags(no-parse)); };
+destination d { file("/tmp/x"); };
+log { source(s); destination(d); };
+""")
+    assert str(conf.options.get("mark-mode")) == "none"
+
+
+def test_use_syslogng_pid_functional(spark, tmp_path):
+    """source_options/test_use_syslogng_pid.py, both parameter arms:
+    an example-msg-generator source with values(PID => pid); with
+    use-syslogng-pid(yes) the rendered $PID is the daemon's (here: the
+    driver process') pid, with (no) it is the value-provided one."""
+    import os
+
+    from syslog_ng_spark.config import run_conf
+
+    for arm, expected in (("yes", str(os.getpid())), ("no", "pid")):
+        out = tmp_path / f"out_{arm}"
+        text = f"""
+source s {{ example-msg-generator(num(1) use-syslogng-pid({arm})
+                                  values("PID" => "pid")); }};
+destination d {{ file("{out}" template("PID=$PID")); }};
+log {{ source(s); destination(d); }};
+"""
+        run_conf(spark, text)
+        got = [r["value"] for r in spark.read.text(str(out)).collect()]
+        assert got == [f"PID={expected}"], arm
+
+
+def test_msg_generator_template_and_default_message(spark, tmp_path):
+    """modules/examples msg-generator: default MESSAGE is the fixed
+    marker; template() renders against the values' NV set."""
+    from syslog_ng_spark.config import run_conf
+
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    run_conf(spark, f"""
+source s {{ example-msg-generator(num(2)); }};
+destination d {{ file("{out1}" template("$MSG")); }};
+log {{ source(s); destination(d); }};
+""")
+    got = [r["value"] for r in spark.read.text(str(out1)).collect()]
+    assert got == ["-- Generated message. --"] * 2
+
+    run_conf(spark, f"""
+source s {{ example-msg-generator(num(1)
+    values("unit" => "alpha")
+    template("gen unit=${{unit}}")); }};
+destination d {{ file("{out2}" template("$MSG")); }};
+log {{ source(s); destination(d); }};
+""")
+    got = [r["value"] for r in spark.read.text(str(out2)).collect()]
+    assert got == ["gen unit=alpha"]
