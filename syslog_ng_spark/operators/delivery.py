@@ -78,8 +78,13 @@ def _monotone_surrogate(df: DataFrame, col: Column) -> Column:
         return F.coalesce(col.cast("double"), F.lit(0.0))
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return F.coalesce(col.cast("timestamp").cast("double"), F.lit(0.0))
-    prefix = F.rpad(F.hex(F.substring(col.cast("string").cast("binary"), 1, 8)),
-                    16, "0")
+    if isinstance(dt, T.BinaryType):
+        # raw bytes directly — a cast through string would mangle
+        # non-UTF-8 payloads
+        raw = col
+    else:
+        raw = col.cast("string").cast("binary")
+    prefix = F.rpad(F.hex(F.substring(raw, 1, 8)), 16, "0")
     return F.coalesce(F.conv(prefix, 16, 10).cast("double"), F.lit(0.0))
 
 

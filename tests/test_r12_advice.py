@@ -123,3 +123,12 @@ def test_pii_default_order_unchanged(spark):
     df = spark.createDataFrame([("card 4111 1111 1111 1111 ok",)], ["t"])
     got = df.select(pii_matches(F.col("t")).alias("m")).head()["m"]
     assert got == ["4111 1111 1111 1111"]
+
+
+def test_binary_key_orders_by_raw_bytes(spark):
+    # non-UTF-8 binary keys must not be mangled by a string round-trip
+    keys = [bytes([b, 0xFF, 0x80]) for b in (0x00, 0x7F, 0x80, 0xFE, 0x41)]
+    df = spark.createDataFrame([(k,) for k in keys], "k binary").repartition(3)
+    out = {bytes(r["k"]): r["n"]
+           for r in numbered_in_order(df, "n", order_by="k").collect()}
+    assert out == {k: i + 1 for i, k in enumerate(sorted(keys))}
