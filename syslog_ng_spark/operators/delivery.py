@@ -112,6 +112,33 @@ def _deterministic_numbered(
     bounds = sorted(
         set(with_surr.stat.approxQuantile("_surr", probs, 0.001))
     ) if probs else []
+    if probs and len(bounds) <= 1:
+        # constant-8-byte-prefix pathology (r12): string keys sharing a
+        # long common prefix (a fixed URL root, a log-path stem) all
+        # collapse to ONE surrogate value → one bucket → one window
+        # partition. Fallback: find the population's common prefix
+        # (one tiny min/max aggregate) and take the 8 bytes AFTER it —
+        # the common prefix contributes nothing to the order, so the
+        # offset surrogate is still monotone over this population.
+        # Lazy: the extra scan only happens when the first attempt
+        # actually collapsed.
+        from pyspark.sql import types as T
+
+        dt = df.select(cols[0].alias("_k")).schema[0].dataType
+        if isinstance(dt, T.StringType):
+            mn, mx = df.agg(F.min(cols[0]), F.max(cols[0])).head()
+            if mn is not None and mx is not None:
+                cp = 0
+                for a, b in zip(str(mn), str(mx)):
+                    if a != b:
+                        break
+                    cp += 1
+                if cp > 0:
+                    surr = _monotone_surrogate(
+                        df, F.substring(cols[0], cp + 1, 1 << 20))
+                    with_surr = df.withColumn("_surr", surr)
+                    bounds = sorted(set(
+                        with_surr.stat.approxQuantile("_surr", probs, 0.001)))
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         bucket = F.size(F.filter(barr, lambda b: b < F.col("_surr")))

@@ -132,3 +132,16 @@ def test_binary_key_orders_by_raw_bytes(spark):
     out = {bytes(r["k"]): r["n"]
            for r in numbered_in_order(df, "n", order_by="k").collect()}
     assert out == {k: i + 1 for i, k in enumerate(sorted(keys))}
+
+
+def test_common_prefix_keys_number_correctly(spark):
+    # keys sharing a >8-byte common prefix: the plain 8-byte surrogate
+    # collapses to one bucket; the fallback strips the population's
+    # common prefix and still numbers in exact lexicographic order
+    keys = [f"https://cdn.example.com/assets/{i:04d}.js" for i in range(300)]
+    import random
+    rnd = random.Random(7)
+    rnd.shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(8)
+    out = {r["k"]: r["n"] for r in numbered_in_order(df, "n", order_by="k").collect()}
+    assert out == {k: i + 1 for i, k in enumerate(sorted(keys))}
