@@ -8015,8 +8015,13 @@ def proxied_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("PROXY TCP4 10.0."), c.cast("string"),
             F.lit(".1 192.0.2.7 "), (c + 1000).cast("string"), F.lit(" 514")))
     )
-    hs = payload.select("conn").distinct().select(
-        "conn", F.lit(-1).cast("long").alias("seq"), hs_line.alias("message"))
+    # the connection set is exactly the 64 residues — spark.range
+    # avoids recomputing the events scan for a distinct, and a
+    # residue with no events would just make a handshake-only
+    # connection that emits nothing (same result, two fewer shuffles)
+    hs = spark.range(64).select(
+        F.col("id").alias("conn"), F.lit(-1).cast("long").alias("seq"),
+        hs_line.alias("message"))
     cap = payload.unionByName(hs)
     out = proxied_text_messages(cap, "conn", "seq", "message")
     return out.select(
