@@ -667,6 +667,29 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+    elif kind == "msg-generator":
+        # daemon mode: one message per freq() tick off the rate
+        # source; num() caps via a value filter (the stream then idles,
+        # like the reference's generator after max_num)
+        from syslog_ng_spark.operators.actions import _MACRO_COLS
+        from syslog_ng_spark.template import template_format
+
+        freq = float(spec.get("freq", 1) or 1)
+        df = stream_src.rate_source(
+            spark, rows_per_second=max(1, round(1 / freq)))
+        df = df.where(F.col("value") < int(spec.get("num", 1))).select(
+            F.col("value").alias("event_id"))
+        for name, tpl in (spec.get("values") or {}).items():
+            df = template_format(df, tpl,
+                                 target=_MACRO_COLS.get(name, name))
+        body = spec.get("template")
+        if body:
+            df = template_format(df, body, target="message")
+        else:
+            df = df.withColumn("message", F.lit("-- Generated message. --"))
+        if spec.get("use_syslogng_pid"):
+            df = _override_pid(df)
+        return df
     else:
         raise NotImplementedError(
             f"source kind {kind!r} has no streaming mode — journals and "

@@ -1609,3 +1609,37 @@ log {{ source(s); destination(d); }};
 """)
     got = [r["value"] for r in spark.read.text(str(out2)).collect()]
     assert got == ["gen unit=alpha"]
+
+
+def test_msg_generator_daemon_mode(spark, tmp_path):
+    """example-msg-generator as a live stream: rate-ticked messages,
+    num() caps the count, then the stream idles (the reference's
+    generator after max_num)."""
+    import time
+
+    from syslog_ng_spark.config import run_conf_stream
+
+    out, ckpt = tmp_path / "out", tmp_path / "ck"
+    text = f"""
+source s {{ example-msg-generator(num(3) freq(0.1)
+                                  values("unit" => "u1")
+                                  template("tick ${{unit}}")); }};
+destination d {{ file("{out}" template("$MSG")); }};
+log {{ source(s); destination(d); }};
+"""
+    queries = run_conf_stream(spark, text, str(ckpt))
+    try:
+        deadline = time.time() + 90
+        got: list = []
+        while time.time() < deadline:
+            try:
+                got = [r["value"] for r in spark.read.text(str(out)).collect()]
+            except Exception:
+                got = []
+            if len(got) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+    assert sorted(got)[:3] == ["tick u1"] * 3
