@@ -158,6 +158,42 @@ _SOCKET_DRIVERS = {"network", "syslog", "tcp", "udp", "tcp6", "udp6",
 
 
 def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
+    specs = _compile_source_specs(conf, call, strict)
+    for s in specs:
+        _common_source_options(conf, call, s)
+    return specs
+
+
+def _common_source_options(conf: Conf, call: Call, spec: dict) -> dict:
+    """Generic LogSourceOptions accepted by EVERY source driver
+    (lib/logsource.h:37-48), applied message-side in
+    lib/logsource.c log_source_queue: tags() marks every message from
+    the source (:622-629), host-override()/program-override() replace
+    $HOST/$PROGRAM after the mangle callbacks (:636-641),
+    keep-timestamp(no) drops the sender's stamp so $STAMP is the
+    receive time (LP_NO_PARSE_DATE, lib/logreader.c:750).
+    keep-timestamp falls back to the global options{} block
+    (logsource.c:783-784); the overrides and tags are per-driver
+    only, like the reference grammar."""
+    ho = call.opt_scalar("host-override")
+    if ho is not None:
+        spec["host_override"] = str(ho)
+    po = call.opt_scalar("program-override")
+    if po is not None:
+        spec["program_override"] = str(po)
+    kt = call.opt_scalar("keep-timestamp")
+    if kt is None:
+        kt = conf.options.get("keep-timestamp")
+    if kt is not None:
+        spec["keep_timestamp"] = _yesno(kt, True)
+    tags_opt = call.opt("tags")
+    if tags_opt is not None:
+        spec["tags"] = [x.name if isinstance(x, Ident) else str(x)
+                        for x in tags_opt.items]
+    return spec
+
+
+def _compile_source_specs(conf: Conf, call: Call, strict: bool) -> list[dict]:
     n = call.norm
     block = conf.blocks.get(("source", call.name)) or conf.blocks.get(("source", n))
     if block is not None:
@@ -219,6 +255,12 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         # renders MESSAGE against those (source-side template)
         spec = {"kind": "msg-generator",
                 "num": int(call.opt_scalar("num", default=1) or 1)}
+        # freq(N): N SECONDS between messages (the grammar takes
+        # positive int or float; msg-generator-source-options.h:64
+        # stores freq*1000 ms, default 1000 ms = 1 msg/s)
+        fq = call.opt_scalar("freq")
+        if fq is not None:
+            spec["freq"] = float(fq)
         tpl = call.opt("template")
         if tpl is not None and tpl.items:
             spec["template"] = str(tpl.items[0])
@@ -227,13 +269,18 @@ def compile_source_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
         if v is not None:
             items = list(v.items)
             i = 0
-            while i + 2 < len(items) + 1 and i + 2 <= len(items):
+            while i + 2 < len(items):
                 name, arrow, tv = items[i], items[i + 1], items[i + 2]
                 if getattr(arrow, "name", str(arrow)) != "=>":
                     raise ConfError(
                         "values() expects NAME => template pairs", v.line)
                 vals[str(name)] = str(tv)
                 i += 3
+            if i != len(items):
+                # trailing incomplete pair (e.g. `values(a => x b =>)`)
+                raise ConfError(
+                    "values() has a trailing incomplete NAME => template "
+                    "pair", v.line)
         spec["values"] = vals
         usp = call.opt_scalar("use-syslogng-pid")
         if usp is not None:

@@ -43,10 +43,43 @@ _LOG_SCHEMA = (
 
 def _source(spark: SparkSession, spec: Mapping) -> DataFrame:
     df = _source_raw(spark, spec)
+    return _apply_source_options(df, spec)
+
+
+def _apply_source_options(df: DataFrame, spec: Mapping) -> DataFrame:
+    """Generic LogSourceOptions every driver accepts, applied in the
+    reference's source-side order (lib/logsource.c log_source_queue:
+    hostname mangling — socket streams, done by the caller — then
+    use-syslogng-pid at :618, source tags() at :622-629,
+    host-override() at :636 and program-override() at :639 after the
+    mangle callbacks, so the overrides win over mangling).
+    keep-timestamp(no) drops the sender's parsed stamp: the reference
+    sets LP_NO_PARSE_DATE (lib/logreader.c:750) so $STAMP stays the
+    receive time — here the read instant (current_timestamp is
+    query-constant in batch; per-micro-batch in streaming, which IS
+    the reception time)."""
     if spec.get("use_syslogng_pid"):
-        # lib/logsource.c:619 — the source replaces $PID with the
+        # lib/logsource.c:618 — the source replaces $PID with the
         # daemon's own pid on every message it emits
         df = _override_pid(df)
+    src_tags = spec.get("tags")
+    if src_tags:
+        arr = F.array(*[F.lit(str(t)) for t in src_tags])
+        if "tags" in df.columns:
+            df = df.withColumn(
+                "tags",
+                F.array_union(
+                    F.coalesce(F.col("tags"),
+                               F.array().cast("array<string>")),
+                    arr))
+        else:
+            df = df.withColumn("tags", arr)
+    if spec.get("host_override"):
+        df = df.withColumn("host", F.lit(str(spec["host_override"])))
+    if spec.get("program_override"):
+        df = df.withColumn("program", F.lit(str(spec["program_override"])))
+    if spec.get("keep_timestamp") is False:
+        df = df.withColumn("ts", F.current_timestamp())
     return df
 
 
@@ -538,7 +571,12 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
             fallback_topic=spec.get("fallback_topic"),
             templates=templates,
         )
-        if numbered:
+        if not df.isStreaming:
+            # unconditional: _numbered attaches a persisted layout
+            # cache even on the numbered==0 empty-frame path, and
+            # release is a no-op for frames without one — a daemon's
+            # empty micro-batches must not each leak a pin (r12
+            # ADVICE)
             release_numbering_cache(df)
         return numbered
     elif kind == "none":
@@ -554,6 +592,7 @@ def build_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
     template registry) binds $(template NAME) in every step."""
     df = _source(spark, spec["source"])
     tpls = spec.get("templates")
+    rcpt_frame = None
     if spec.get("use_rcptid"):
         # options { use-uniqid(yes); }: RCPTID assigned at reception,
         # before any step, so every destination renders the same id
@@ -561,8 +600,13 @@ def build_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
         from syslog_ng_spark.operators.delivery import assign_rcptid
 
         df = assign_rcptid(df)
+        rcpt_frame = df  # carries the layout-pinning cache
     for step in spec.get("steps", ()):
         df = _step(df, step, templates=tpls)
+    if rcpt_frame is not None:
+        # hand the numbering cache to run_pipeline so it can release
+        # the pin once every destination has materialized
+        df._rcptid_frame = rcpt_frame
     return df
 
 
@@ -576,6 +620,13 @@ def run_pipeline(spark: SparkSession, spec: Mapping) -> DataFrame:
         _destination(df, spec["destination"], templates=tpls)
     for dest in spec.get("destinations", ()):
         _destination(df, dest, templates=tpls)
+    rcpt_frame = getattr(df, "_rcptid_frame", None)
+    if rcpt_frame is not None:
+        # every destination has materialized the numbered frame —
+        # drop the rcptid layout pin (r12 ADVICE: batch mode leaked it)
+        from syslog_ng_spark.operators.delivery import release_numbering_cache
+
+        release_numbering_cache(rcpt_frame)
     return df
 
 
@@ -670,15 +721,32 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
     elif kind == "msg-generator":
         # daemon mode: one message per freq() tick off the rate
         # source; num() caps via a value filter (the stream then idles,
-        # like the reference's generator after max_num)
+        # like the reference's generator after max_num). freq(N) is
+        # the PERIOD between messages in seconds (msg-generator-
+        # source-options.h:64 stores freq*1000 ms; the timer re-arms
+        # every freq ms, msg-generator-source.c:55) — freq(0.1) is
+        # 10 msg/s, freq(10) one message every 10 s. Spark's rate
+        # source only ticks at integer rows/sec, so sub-1Hz periods
+        # run the source at 1 row/s and keep every round(freq)-th
+        # tick (non-integer periods > 1 s round to the nearest
+        # second).
         from syslog_ng_spark.operators.actions import _MACRO_COLS
         from syslog_ng_spark.template import template_format
 
         freq = float(spec.get("freq", 1) or 1)
-        df = stream_src.rate_source(
-            spark, rows_per_second=max(1, round(1 / freq)))
-        df = df.where(F.col("value") < int(spec.get("num", 1))).select(
-            F.col("value").alias("event_id"))
+        num = int(spec.get("num", 1))
+        if freq <= 1:
+            df = stream_src.rate_source(
+                spark, rows_per_second=max(1, round(1 / freq)))
+            df = df.where(F.col("value") < num).select(
+                F.col("value").alias("event_id"))
+        else:
+            period = max(1, round(freq))
+            df = stream_src.rate_source(spark, rows_per_second=1)
+            df = df.where(
+                (F.col("value") % period == 0)
+                & (F.col("value") < num * period)
+            ).select((F.col("value") / period).cast("long").alias("event_id"))
         for name, tpl in (spec.get("values") or {}).items():
             df = template_format(df, tpl,
                                  target=_MACRO_COLS.get(name, name))
@@ -687,9 +755,7 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
             df = template_format(df, body, target="message")
         else:
             df = df.withColumn("message", F.lit("-- Generated message. --"))
-        if spec.get("use_syslogng_pid"):
-            df = _override_pid(df)
-        return df
+        return _apply_source_options(df, spec)
     else:
         raise NotImplementedError(
             f"source kind {kind!r} has no streaming mode — journals and "
@@ -702,9 +768,7 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
         df = df.withColumn("message", F.col("raw"))
     if kind == "socket-stream":
         df = _mangle_hostname(df, spec)
-    if spec.get("use_syslogng_pid"):
-        df = _override_pid(df)
-    return df
+    return _apply_source_options(df, spec)
 
 
 def _mangle_hostname(df: DataFrame, spec: Mapping) -> DataFrame:

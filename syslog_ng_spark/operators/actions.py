@@ -368,7 +368,17 @@ def prepare_actions(
     msg_col: str = "message",
     ts_col: str = "ts",
     sdata_col: str | None = None,
+    create_context_timeout_mode: str = "declared",
 ) -> PreparedActions:
+    """create_context_timeout_mode: how a create-context action's new
+    context is scheduled. "declared" (default) uses the action's own
+    <create-context context-timeout=...> — the XML's declared intent,
+    and what the reference's debug log prints (patterndb.c:341
+    syn_context->timeout). "rule" arms with the OWNING rule's
+    context-timeout instead, which is what the reference timer
+    actually does (patterndb.c:351 timer_wheel_add_timer(...,
+    rule->context.timeout, ...)) — use it for bit-fidelity against a
+    live syslog-ng when the two values differ."""
     compiled = {r.rule_id: [compile_pattern(p) for p in r.patterns] for r in rules}
 
     # first-match rule classification (radix order)
@@ -484,6 +494,16 @@ def prepare_actions(
         )
         return trig.select(*sel, ctx_id.alias("CONTEXT_ID"))
 
+    if create_context_timeout_mode not in ("declared", "rule"):
+        raise ValueError(
+            "create_context_timeout_mode must be 'declared' or 'rule', "
+            f"got {create_context_timeout_mode!r}")
+
+    def _seed_timeout(r: PdbRule, a: PdbAction) -> int:
+        if create_context_timeout_mode == "rule":
+            return r.context_timeout
+        return a.create_context.timeout
+
     # ---- shared correlation pool: one frame, one shuffle ----
     pool_parts: list[DataFrame] = []
     timeout_seeds: list = []
@@ -506,7 +526,7 @@ def prepare_actions(
                 continue
             pool_parts.append(
                 _pool_project(
-                    _seed_frame(r, a), r.rule_id, a.create_context.timeout,
+                    _seed_frame(r, a), r.rule_id, _seed_timeout(r, a),
                     a.create_context.scope, seed=True,
                 )
             )
@@ -527,12 +547,14 @@ def prepare_actions(
         the seed clones the context's last message
         (synthetic_message_generate_with_context), values and the new
         context-id render against it, and the seed's timestamp is the
-        expiry instant (last ts + the expiring row's timeout). We
-        schedule the NEW context with the declared
-        create-context timeout — the reference arms the timer with
-        rule->context.timeout instead (patterndb.c, while its own
-        debug log prints syn_context->timeout); we follow the XML's
-        declared intent, consistently with the match-trigger path."""
+        expiry instant (last ts + the expiring row's timeout). The
+        NEW context's schedule follows create_context_timeout_mode:
+        "declared" (default) uses the action's create-context
+        timeout (the XML's declared intent, consistently with the
+        match-trigger path); "rule" arms with rule->context.timeout,
+        which is what the reference timer actually does
+        (patterndb.c:351, while its own debug log prints
+        syn_context->timeout)."""
         cand = expired.where(F.col("_rule") == r.rule_id)
         if a.condition:
             cand = cand.where(compile_condition(a.condition, cand))
@@ -564,7 +586,7 @@ def prepare_actions(
                 sel.append(F.lit(None).cast(dt).alias(c))
         ctx_id = compiler.compile(a.create_context.id_template)
         seed = cand.select(*sel, ctx_id.alias("CONTEXT_ID"))
-        return _pool_project(seed, r.rule_id, a.create_context.timeout,
+        return _pool_project(seed, r.rule_id, _seed_timeout(r, a),
                              a.create_context.scope, seed=True, gen=gen)
 
     return PreparedActions(
@@ -587,6 +609,7 @@ def patterndb_actions(
     order_tiebreak: str | None = None,
     sdata_col: str | None = None,
     max_chain_depth: int = 4,
+    create_context_timeout_mode: str = "declared",
 ) -> DataFrame:
     """Synthetic messages emitted by every rule's actions.
 
@@ -635,7 +658,9 @@ def patterndb_actions(
     if sdata_col is None and "sdata" in df.columns:
         sdata_col = "sdata"
 
-    prep = prepare_actions(df, rules, msg_col=msg_col, ts_col=ts_col, sdata_col=sdata_col)
+    prep = prepare_actions(
+        df, rules, msg_col=msg_col, ts_col=ts_col, sdata_col=sdata_col,
+        create_context_timeout_mode=create_context_timeout_mode)
     matched_by_rule = prep.matched_by_rule
     extra_values = prep.extra_values
     out_columns = prep.out_columns
@@ -769,11 +794,22 @@ def patterndb_actions(
             sess_pool, ctx_frame = _build_sessions(pool)
         else:
             if prep.timeout_seeds:
-                seed_rules = [r.rule_id for r, _ in prep.timeout_seeds]
-                unconverged = ctx_frame.where(
-                    (F.col("_max_gen") == max_chain_depth)
-                    & F.col("_rule").isin(seed_rules)
-                )
+                # Only raise if the FINAL generation would actually
+                # seed again: build its would-be seeds (make_chain_pool
+                # applies each action's condition), so a chain that
+                # legitimately terminates exactly at the cap — the
+                # condition goes false on the last generation — is not
+                # a spurious non-convergence (r12 ADVICE).
+                final_expired = ctx_frame.where(
+                    F.col("_max_gen") == max_chain_depth)
+                would_seed = [
+                    prep.make_chain_pool(final_expired, r, a,
+                                         max_chain_depth + 1)
+                    for r, a in prep.timeout_seeds
+                ]
+                unconverged = would_seed[0]
+                for s in would_seed[1:]:
+                    unconverged = unconverged.unionByName(s)
                 if not unconverged.isEmpty():
                     raise RuntimeError(
                         "patterndb context chain did not converge within "

@@ -108,6 +108,18 @@ def parse_proxy_header(line: str | bytes) -> dict | None:
     }
 
 
+def _relay_escape(v) -> str:
+    """Encode one PROXIED_* field for the bridge's space-delimited
+    relay frame: percent-encode everything outside the unreserved
+    set, and a LITERAL "-" value as %2D so it is distinguishable from
+    the bare "-" the UNKNOWN placeholder uses. The reader reverses
+    with url_decode after the "-" → NULL mapping."""
+    from urllib.parse import quote
+
+    s = str(v)
+    return "%2D" if s == "-" else quote(s, safe="")
+
+
 def _header_cols(hdr: Column) -> dict[str, Column]:
     """The same parse as Column expressions (batch data plane — no
     UDFs). Returns valid/unknown flags and the five PROXIED_* values
@@ -250,10 +262,20 @@ class ProxiedTcpBridge:
             if info["unknown"]:
                 prefix = f"{addr[0]} - - - - - "
             else:
-                prefix = (
-                    f"{addr[0]} {info['ip_version']} {info['src_ip']} "
-                    f"{info['dst_ip']} {info['src_port']} {info['dst_port']} "
-                )
+                # percent-escape each stored-verbatim param: the
+                # reference keeps TCP4/TCP6 fields exactly as sent
+                # (logproto-proxied-text-server.c:117-121, no
+                # validation), so a degenerate-but-legal literal "-"
+                # value must survive the relay frame where bare "-"
+                # means PROXY-UNKNOWN/absent
+                prefix = " ".join((
+                    addr[0],
+                    _relay_escape(info["ip_version"]),
+                    _relay_escape(info["src_ip"]),
+                    _relay_escape(info["dst_ip"]),
+                    _relay_escape(info["src_port"]),
+                    _relay_escape(info["dst_port"]),
+                )) + " "
             for raw in rfile:
                 payload = raw.decode("utf-8", errors="replace").rstrip("\r\n")
                 self._emit((prefix + payload + "\n").encode())
@@ -266,6 +288,8 @@ class ProxiedTcpBridge:
                 pass
 
     # -- relay side --------------------------------------------------------
+    # (field escaping helper lives at module level: _relay_escape)
+
     def _emit(self, line: bytes):
         with self._lock:
             if not self._readers:
@@ -316,8 +340,12 @@ def proxied_tcp_lines(spark, bind_host: str = "127.0.0.1",
     bridge = ProxiedTcpBridge(bind_host, bind_port, tls=tls)
     df = socket_lines(spark, "127.0.0.1", bridge.relay_port)
     parts = F.split(F.col("raw"), " ", 7)
+    # bare "-" is the UNKNOWN/absent placeholder → NULL; everything
+    # else was percent-escaped by the bridge (_relay_escape), so a
+    # verbatim-stored literal "-" param arrives as %2D and decodes back
     dash_null = [
-        F.when(F.element_at(parts, i) != "-", F.element_at(parts, i))
+        F.when(F.element_at(parts, i) != "-",
+               F.url_decode(F.element_at(parts, i)))
         for i in range(2, 7)
     ]
     out = df.select(

@@ -427,3 +427,59 @@ log {{ source(s); destination(d); }};
         for q in queries:
             q.stop()
         bridge.close()
+
+
+def test_bridge_verbatim_dash_params_escaped_in_relay():
+    """The reference stores TCP4/TCP6 params VERBATIM — no validation
+    (logproto-proxied-text-server.c:117-121) — so a degenerate-but-
+    legal `PROXY TCP4 - - 1 2` handshake must keep its literal "-"
+    values through the bridge. The relay frame escapes them as %2D
+    (bare "-" stays the UNKNOWN placeholder)."""
+    bridge = ProxiedTcpBridge()
+    try:
+        c = socket.create_connection(("127.0.0.1", bridge.bind_port))
+        c.sendall(b"PROXY TCP4 - - 1 2\r\nhello\n")
+        c.close()
+        lines = _drain_reader(bridge, 1)
+        assert lines == ["127.0.0.1 4 %2D %2D 1 2 hello"]
+    finally:
+        bridge.close()
+
+
+def test_proxied_tcp_lines_verbatim_dash_round_trip(spark):
+    """End-to-end: the reader decodes %2D back to a literal "-" NV
+    value, while PROXY UNKNOWN rows still map to NULL."""
+    df, bridge = proxied_tcp_lines(spark)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("proxied_dash")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        c = socket.create_connection(("127.0.0.1", bridge.bind_port))
+        c.sendall(b"PROXY TCP4 - - 1 2\r\ndash-msg\n")
+        time.sleep(0.5)
+        c.close()
+        u = socket.create_connection(("127.0.0.1", bridge.bind_port))
+        u.sendall(b"PROXY UNKNOWN\r\nunk-msg\n")
+        time.sleep(0.5)
+        u.close()
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("select * from proxied_dash").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        bridge.close()
+    by_msg = {r["raw"]: r for r in rows}
+    assert set(by_msg) == {"dash-msg", "unk-msg"}
+    d = by_msg["dash-msg"]
+    assert d["PROXIED_SRCIP"] == "-" and d["PROXIED_DSTIP"] == "-"
+    assert d["PROXIED_SRCPORT"] == "1" and d["PROXIED_DSTPORT"] == "2"
+    u = by_msg["unk-msg"]
+    assert u["PROXIED_SRCIP"] is None and u["PROXIED_IP_VERSION"] is None

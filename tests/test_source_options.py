@@ -1,0 +1,146 @@
+"""Generic source options every driver accepts (r13):
+host-override(), program-override(), keep-timestamp(no), tags().
+
+Reference: LogSourceOptions (lib/logsource.h:37-48), applied in
+log_source_queue (lib/logsource.c:612-641 — pid, tags, then the
+overrides after the mangle callbacks) and keep-timestamp(no) via
+LP_NO_PARSE_DATE (lib/logreader.c:750: the sender's stamp is not
+parsed, $STAMP stays the receive time). The functional-suite analogs
+are tests/python_functional source_options scenarios
+(test_host_override.py / test_program_override.py shapes)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from syslog_ng_spark.config import compile_conf, run_conf, run_conf_stream
+
+
+def _lines(path):
+    return sorted(
+        ln for f in path.glob("part-*") for ln in f.read_text().splitlines()
+    )
+
+
+def test_compile_source_options_into_spec():
+    spec = compile_conf("""
+source s { file("/tmp/in.log"
+                host-override("lb-internal")
+                program-override("myprog")
+                keep-timestamp(no)
+                tags("ingest", "edge")); };
+destination d { file("/tmp/out"); };
+log { source(s); destination(d); };
+""")[0]["source"]
+    assert spec["host_override"] == "lb-internal"
+    assert spec["program_override"] == "myprog"
+    assert spec["keep_timestamp"] is False
+    assert spec["tags"] == ["ingest", "edge"]
+
+
+def test_compile_keep_timestamp_global_fallback():
+    """Per-driver unset -> the global options{} block value
+    (lib/logsource.c:783-784)."""
+    pipelines = compile_conf("""
+options { keep-timestamp(no); };
+source s { file("/tmp/in.log"); };
+source s2 { file("/tmp/in2.log" keep-timestamp(yes)); };
+destination d { file("/tmp/out"); };
+log { source(s); destination(d); };
+log { source(s2); destination(d); };
+""")
+    assert pipelines[0]["source"]["keep_timestamp"] is False
+    # per-driver wins over the global
+    assert pipelines[1]["source"]["keep_timestamp"] is True
+
+
+def test_batch_overrides_and_tags_end_to_end(spark, tmp_path):
+    """host-override/program-override replace the PARSED header
+    values (applied after parse, logsource.c:636-641); tags() marks
+    every message from the source."""
+    src = tmp_path / "in.log"
+    src.write_text(
+        "Jan  1 00:00:01 realhost realprog[7]: hello\n"
+        "Jan  1 00:00:02 otherhost prog2: world\n")
+    out = tmp_path / "out"
+    run_conf(spark, f"""
+source s {{ file("{src}"
+                 host-override("lb-internal")
+                 program-override("myprog")
+                 tags("ingest", "edge")); }};
+destination d {{ file("{out}" template("$HOST|$PROGRAM|$TAGS|$MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+    lines = _lines(out)
+    assert lines == [
+        "lb-internal|myprog|ingest,edge|hello",
+        "lb-internal|myprog|ingest,edge|world",
+    ]
+
+
+def test_batch_keep_timestamp_no_stamps_receive_time(spark, tmp_path):
+    """keep-timestamp(no): the sender's 'Jan 1' stamp is dropped;
+    $STAMP renders the read instant (LP_NO_PARSE_DATE semantics)."""
+    src = tmp_path / "in.log"
+    src.write_text("Jan  1 00:00:01 h p: kept-or-not\n")
+    out_no = tmp_path / "out_no"
+    out_yes = tmp_path / "out_yes"
+    year_now = dt.datetime.now().year
+    run_conf(spark, f"""
+source s {{ file("{src}" keep-timestamp(no)); }};
+destination d {{ file("{out_no}" template("$YEAR $MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out_no) == [f"{year_now} kept-or-not"]
+    # default keep-timestamp(yes): the parsed stamp survives
+    run_conf(spark, f"""
+source s {{ file("{src}"); }};
+destination d {{ file("{out_yes}" template("$YEAR $MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out_yes) == ["2024 kept-or-not"]
+
+
+def test_batch_tags_merge_with_parsed_tags(spark, tmp_path):
+    """Source tags() union set-wise with tags set later in the path
+    (set-tag rewrite), like log_msg_set_tag over the same bitfield."""
+    src = tmp_path / "in.log"
+    src.write_text("Jan  1 00:00:01 h p: msg\n")
+    out = tmp_path / "out"
+    run_conf(spark, f"""
+source s {{ file("{src}" tags("src-tag")); }};
+rewrite r {{ set-tag("path-tag"); }};
+destination d {{ file("{out}" template("$TAGS\\n")); }};
+log {{ source(s); rewrite(r); destination(d); }};
+""")
+    assert _lines(out) == ["src-tag,path-tag"]
+
+
+def test_daemon_overrides_and_tags(spark, tmp_path):
+    """The same options hold in daemon (streaming) mode — the file
+    tail applies them per micro-batch."""
+    src_dir = tmp_path / "watch"
+    src_dir.mkdir()
+    (src_dir / "a.log").write_text(
+        "Jan  1 00:00:01 realhost realprog: streamed\n")
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    queries = run_conf_stream(spark, f"""
+source s {{ file("{src_dir}/*.log"
+                 host-override("lb-internal")
+                 program-override("myprog")
+                 tags("live")); }};
+destination d {{ file("{out}" template("$HOST|$PROGRAM|$TAGS|$MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""", str(ckpt), available_now=True)
+    for q in queries:
+        q.awaitTermination(60)
+    deadline = time.time() + 30
+    lines = []
+    while time.time() < deadline:
+        lines = _lines(out)
+        if lines:
+            break
+        time.sleep(0.3)
+    assert lines == ["lb-internal|myprog|live|streamed"]
