@@ -558,7 +558,12 @@ def prepare_actions(
         cand = expired.where(F.col("_rule") == r.rule_id)
         if a.condition:
             cand = cand.where(compile_condition(a.condition, cand))
-        compiler = TemplateCompiler(schema_resolver(cand.columns))
+        # seed templates render WITH the triggering context
+        # (log_template_format_with_context, patterndb.c:326-328):
+        # $(grep)/@N walk the expiring context's collected rows
+        compiler = TemplateCompiler(
+            schema_resolver(cand.columns),
+            context_col="_context" if "_context" in cand.columns else None)
         rendered = {
             _MACRO_COLS.get(n, n): compiler.compile(_rewrite_context_funcs(t))
             for n, t in a.message.values.items()

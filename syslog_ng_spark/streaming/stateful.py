@@ -610,6 +610,55 @@ def patterndb_actions_stream(
     return out
 
 
+def _render_ctx_segments(segs, c) -> str:
+    """State-side assembly of one live-context seed template from its
+    segment plan (_ctx_segment_plan) and the context's collected rows:
+    string joins only — every expression was pre-rendered JVM-side
+    into the helper columns each row carries ('_0' slots; a seed row's
+    slots hold its level-1 seed-view renders via rotation)."""
+    ctx_list = c["ctx"]
+    out = []
+    for s in segs:
+        kind = s[0]
+        if kind == "lit":
+            out.append(s[1])
+        elif kind == "last":
+            v = c["carried"].get(s[1] + "_0")
+            out.append("" if v is None else str(v))
+        elif kind == "ctxlen":
+            out.append(str(c["n"]))
+        elif kind == "ref":
+            # @N: message N counted from the latest (@0 = latest);
+            # beyond the context renders unset (template.py msg_ref)
+            nref = s[2]
+            if len(ctx_list) > nref:
+                v = ctx_list[len(ctx_list) - 1 - nref].get(s[1] + "_0")
+                if v is not None:
+                    out.append(str(v))
+        elif kind == "grep":
+            _, cond_col, val_cols, max_count = s
+            acc: list = []
+            matched = 0
+            for m in ctx_list:
+                if m.get(cond_col + "_0"):
+                    acc.extend(
+                        "" if m.get(vc + "_0") is None else str(m.get(vc + "_0"))
+                        for vc in val_cols)
+                    matched += 1
+                    if max_count and matched >= max_count:
+                        break
+            out.append(",".join(acc))
+        elif kind == "ctxvals":
+            val_cols = s[1]
+            acc = []
+            for m in ctx_list:
+                acc.extend(
+                    "" if m.get(vc + "_0") is None else str(m.get(vc + "_0"))
+                    for vc in val_cols)
+            out.append(",".join(acc))
+    return "".join(out)
+
+
 def chained_pool_context_stream(
     pool: DataFrame,
     chain_specs: list[dict],
@@ -658,6 +707,18 @@ def chained_pool_context_stream(
     dtypes = dict(pool.dtypes)
     key = ["_scope_key"]
     carry = [c for c in pool.columns if c != "_scope_key" and c != "CONTEXT_ID"]
+    # live-context seed segments that walk the context rows
+    # ($(grep)/@N/$(context-values)) need every row collected in
+    # state even when no EMIT template references the context
+    needs_ctx_rows = any(
+        s[0] in ("ref", "grep", "ctxvals")
+        for spec in chain_specs
+        for segs in (list((spec.get("ctx_vals") or {}).values())
+                     + ([spec["id_segments"]]
+                        if spec.get("id_segments") else []))
+        for s in segs
+    )
+    collect_context = collect_context or needs_ctx_rows
     ctx_cols = [c for c in carry if not c.startswith("_")] if collect_context else []
 
     out_schema = ", ".join(
@@ -752,6 +813,12 @@ def chained_pool_context_stream(
                     continue
                 new_cid = c["carried"].get(spec["id" + lvl])
                 vals = json.loads(c["carried"].get(spec["vals" + lvl]) or "{}")
+                # live-context seed templates (r13): assembled here
+                # from the context's rows + pre-rendered helper slots
+                if spec.get("id_segments") is not None:
+                    new_cid = _render_ctx_segments(spec["id_segments"], c)
+                for tgt, segs in (spec.get("ctx_vals") or {}).items():
+                    vals[tgt] = _render_ctx_segments(segs, c)
                 exp_us = expiry_us(c)
                 if spec["inherit"] == "none":
                     carried = {
@@ -780,6 +847,8 @@ def chained_pool_context_stream(
                     carried[sp["cond0"]] = c["carried"].get(sp["cond1"])
                     carried[sp["id0"]] = c["carried"].get(sp["id1"])
                     carried[sp["vals0"]] = c["carried"].get(sp["vals1"])
+                    for hcol in sp.get("rot", ()):
+                        carried[hcol + "_0"] = c["carried"].get(hcol + "_1")
                 seed_scope = "\x1f".join(
                     "" if carried.get(sc) is None else str(carried.get(sc))
                     for sc in spec["scope_cols"]
@@ -905,6 +974,195 @@ def chained_pool_context_stream(
     )
 
 
+def _walk_has_context_refs(parts) -> bool:
+    """_template_uses_context_refs over an already-parsed parts list
+    (including $(context-length), which the batch rewrite handles
+    separately)."""
+    ctx_fns = {"grep", "context-lookup", "context-values",
+               "context-length"}
+    for p in parts:
+        if p[0] == "lit":
+            continue
+        if len(p) > 3 and p[3] is not None:
+            return True
+        if p[0] == "fn":
+            if p[1] in ctx_fns:
+                return True
+            for a in p[2]:
+                if a[0] == "tpl" and _walk_has_context_refs(a[1]):
+                    return True
+        if p[0] == "val" and p[2] and _walk_has_context_refs(p[2]):
+            return True
+    return False
+
+
+def _ctx_segment_plan(template: str, compiler, k: int, tag: str):
+    """Compile plan for a chained-seed template that references the
+    LIVE context ($(context-length) / $(grep) / $(context-lookup) /
+    $(context-values) / '@N' message refs — context-funcs.c, the
+    reference renders seed templates with log_template_format_with_
+    context over the triggering context, patterndb.c:326-328).
+
+    The template splits into SEGMENTS: per-row pre-renderable runs
+    become helper Columns (evaluated JVM-side on each pool row), and
+    context-dependent elements become state-side recipes over those
+    helpers — the applyInPandasWithState fn only joins strings at
+    expiry, never touches a template engine:
+
+      ("lit", text)                      literal
+      ("last", col)                      pre-rendered run, read from the
+                                         expiring context's last message
+      ("ctxlen",)                        $(context-length) → str(n)
+      ("ref", col, N)                    element@N → col of the context
+                                         message N-from-latest (@0 =
+                                         latest; beyond the context →
+                                         unset, template.py msg_ref)
+      ("grep", cond, [vals], max)        rows where the pre-rendered
+                                         boolean cond col is true emit
+                                         their val cols, comma-joined
+                                         (tf_grep_call order/limit)
+      ("ctxvals", [vals])                every row's val cols
+
+    Returns (segments, helpers) where helpers is a list of
+    (base_col_name, kind, payload) compiled per level via
+    _compile_ctx_helper; base names get the '_0'/'_1' level suffix.
+    Context refs NESTED inside other template functions (or a
+    $(fn)@N whose subtree itself reads the context) have no per-row
+    pre-render and raise loudly — batch mode supports them."""
+    from syslog_ng_spark.template import parse_template
+
+    parts = parse_template(template)
+    segments: list = []
+    helpers: list = []
+    run: list = []
+    hidx = 0
+
+    def newcol() -> str:
+        nonlocal hidx
+        hidx += 1
+        return f"_ch{k}_{tag}{hidx}"
+
+    def flush_run():
+        nonlocal run
+        if not run:
+            return
+        if all(p[0] == "lit" for p in run):
+            segments.append(("lit", "".join(p[1] for p in run)))
+        else:
+            col = newcol()
+            helpers.append((col, "parts", list(run)))
+            segments.append(("last", col))
+        run = []
+
+    def _nv_cols(raw_args) -> list[str]:
+        cols = []
+        for a in raw_args:
+            if a[0] == "tpl" and _walk_has_context_refs(a[1]):
+                raise NotImplementedError(
+                    "streaming context chaining: context refs nested "
+                    f"inside a context function argument ({template!r}) "
+                    "cannot pre-render per-row — run the ruleset in "
+                    "batch mode (patterndb_actions)")
+            col = newcol()
+            helpers.append((col, "arg", a))
+            cols.append(col)
+        return cols
+
+    for p in parts:
+        kind = p[0]
+        ref = p[3] if len(p) > 3 else None
+        if kind == "lit":
+            run.append(p)
+            continue
+        if kind == "val":
+            if p[2] and _walk_has_context_refs(p[2]):
+                raise NotImplementedError(
+                    "streaming context chaining: context refs inside a "
+                    f"':-' default ({template!r}) cannot pre-render "
+                    "per-row — run the ruleset in batch mode")
+            if ref is None:
+                run.append(p)
+            else:
+                flush_run()
+                col = newcol()
+                helpers.append((col, "parts", [(p[0], p[1], p[2], None)]))
+                segments.append(("ref", col, ref))
+            continue
+        # function element
+        name, raw_args = p[1], p[2]
+        subtree_ctx = _walk_has_context_refs(
+            [(p[0], p[1], p[2], None)])
+        if ref is not None:
+            if subtree_ctx:
+                raise NotImplementedError(
+                    "streaming context chaining: a context function "
+                    f"with an '@N' message ref ({template!r}) cannot "
+                    "pre-render per-row — run the ruleset in batch mode")
+            # $(fn ...)@N evaluates the element against context
+            # message N — per-row pre-render, picked at that position
+            flush_run()
+            col = newcol()
+            helpers.append((col, "parts", [(p[0], p[1], p[2], None)]))
+            segments.append(("ref", col, ref))
+            continue
+        if name == "context-length":
+            flush_run()
+            segments.append(("ctxlen",))
+        elif name in ("grep", "context-lookup"):
+            flush_run()
+            opts, rest = compiler._leading_flags(
+                raw_args, {"max-count": int}, aliases={"m": "max-count"})
+            cond_text = compiler._cond_arg_text(name, rest)
+            cond_col = newcol()
+            helpers.append((cond_col, "cond", cond_text))
+            segments.append(
+                ("grep", cond_col, _nv_cols(rest[1:]),
+                 int(opts.get("max-count", 0))))
+        elif name == "context-values":
+            flush_run()
+            segments.append(("ctxvals", _nv_cols(raw_args)))
+        elif subtree_ctx:
+            raise NotImplementedError(
+                "streaming context chaining: context refs nested inside "
+                f"$({name} ...) ({template!r}) cannot pre-render "
+                "per-row — run the ruleset in batch mode")
+        else:
+            run.append(p)
+    flush_run()
+    return segments, helpers
+
+
+def _compile_ctx_helper(compiler, kind: str, payload):
+    """One helper column at one level: 'parts' = template parts
+    rendered against the row, 'cond' = a $(grep)-style filter
+    expression as boolean, 'arg' = a template-function value arg."""
+    if kind == "parts":
+        return compiler._parts_col(payload).cast("string")
+    if kind == "cond":
+        return compiler._cond(payload).cast("boolean")
+    return compiler._arg_col(payload).cast("string")
+
+
+def _segment_skeleton(segments, level: str):
+    """Seed-view approximation of a context-rendered target: the
+    pre-renderable segments concatenated with context parts as '' —
+    used only for LEVEL-1 helper renders of a re-chaining seed
+    (the emitted values themselves are exact, rendered in-state)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for s in segments:
+        if s[0] == "lit":
+            cols.append(F.lit(s[1]))
+        elif s[0] == "last":
+            cols.append(F.coalesce(F.col(s[1] + level), F.lit("")))
+        else:
+            cols.append(F.lit(""))
+    if not cols:
+        return F.lit("")
+    return F.concat(*cols)
+
+
 def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
                           ts_col: str):
     """Pre-render everything a chained expiry needs as pool columns,
@@ -917,7 +1175,17 @@ def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
     fields, ts = the expiry instant), exact for the seed's own first
     re-chain (the stop-condition pattern). Templates that evaluate
     against live context state ($(grep)/@N/$(context-length)) cannot
-    pre-render per-row and raise loudly — batch mode supports them."""
+    pre-render per-row and raise loudly — batch mode supports them.
+
+    Seed templates that DO reference the live context
+    ($(context-length)/$(grep)/$(context-lookup)/$(context-values)/@N)
+    compile to SEGMENT PLANS instead (r13, _ctx_segment_plan): the
+    per-row pieces (grep conditions, value args, @N field renders,
+    pre-renderable runs) become helper columns on every pool row, and
+    the state fn assembles the final string from the expiring
+    context's collected rows — the reference's
+    log_template_format_with_context evaluated over the same data,
+    with all expression evaluation still JVM-side per-row."""
     from pyspark.sql import functions as F
 
     from syslog_ng_spark.operators.actions import (
@@ -933,24 +1201,43 @@ def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
                if not c.startswith("_") and c != "CONTEXT_ID"]
     specs = []
     for k, (r, a) in enumerate(timeout_seeds):
-        for t in list(a.message.values.values()) + [a.create_context.id_template]:
-            if _template_uses_context_refs(t) or "$(context-" in t:
-                raise NotImplementedError(
-                    "streaming context chaining pre-renders seed templates "
-                    "per-row; a template evaluating against live context "
-                    f"state ({t!r}) cannot — run the ruleset in batch mode "
-                    "(patterndb_actions)"
-                )
+
+        def _has_ctx(t: str) -> bool:
+            return _template_uses_context_refs(t) or "$(context-" in t
+
         compiler0 = TemplateCompiler(schema_resolver(pool.columns))
-        rendered0 = {}
+        plain_vals: dict = {}
+        ctx_val_tpls: dict = {}
         for n, t in a.message.values.items():
             tgt = _MACRO_COLS.get(n, n)
+            if _has_ctx(t):
+                ctx_val_tpls[tgt] = t
+            else:
+                plain_vals[tgt] = t
+        # context-bearing templates → segment plans + helper recipes
+        ctx_plans: dict = {}
+        helper_recipes: list = []
+        for tgt, t in ctx_val_tpls.items():
+            segs, helpers = _ctx_segment_plan(
+                t, compiler0, k, f"v{len(ctx_plans)}_")
+            ctx_plans[tgt] = segs
+            helper_recipes.extend(helpers)
+        id_t = a.create_context.id_template
+        id_segments = None
+        if _has_ctx(id_t):
+            segs, helpers = _ctx_segment_plan(id_t, compiler0, k, "i_")
+            id_segments = segs
+            helper_recipes.extend(helpers)
+
+        rendered0 = {}
+        for tgt, t in plain_vals.items():
             col = compiler0.compile(t)
             dt = dtypes.get(tgt, "string")
             if dt != "string":
                 col = col.try_cast(dt)
             rendered0[tgt] = col
-        id0 = compiler0.compile(a.create_context.id_template)
+        id0 = (compiler0.compile(id_t) if id_segments is None
+               else F.lit(""))
         cond0 = (compile_condition(a.condition, pool)
                  if a.condition else F.lit(True))
         vals0 = (
@@ -963,6 +1250,8 @@ def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
             id0.alias(f"_ch{k}_id0"),
             vals0.alias(f"_ch{k}_vals0"),
             cond0.cast("boolean").alias(f"_ch{k}_cond0"),
+            *[_compile_ctx_helper(compiler0, kind, payload_).alias(h + "_0")
+              for h, kind, payload_ in helper_recipes],
         )
 
         # ---- level 1: the seed-view projection ----
@@ -973,6 +1262,16 @@ def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
             dt = dtypes.get(c, "string")
             if c in rendered0:
                 seedcols.append(rendered0[c].alias(c))
+            elif c in ctx_plans:
+                # context-rendered target: its exact value exists only
+                # in-state at expiry. The seed-view uses the skeleton
+                # (pre-renderable runs, context parts as '') — level-1
+                # helper renders of a re-chaining seed that read THIS
+                # field are approximate; the emitted values are exact.
+                col = _segment_skeleton(ctx_plans[c], "_0")
+                if dt != "string":
+                    col = col.try_cast(dt)
+                seedcols.append(col.alias(c))
             elif c == ts_col:
                 seedcols.append(expiry_ts.alias(c))
             elif inherit:
@@ -987,14 +1286,14 @@ def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
         )
         compiler1 = TemplateCompiler(schema_resolver(pool2.columns))
         rendered1 = {}
-        for n, t in a.message.values.items():
-            tgt = _MACRO_COLS.get(n, n)
+        for tgt, t in plain_vals.items():
             col = compiler1.compile(t)
             dt = dtypes.get(tgt, "string")
             if dt != "string":
                 col = col.try_cast(dt)
             rendered1[tgt] = col
-        id1 = compiler1.compile(a.create_context.id_template)
+        id1 = (compiler1.compile(id_t) if id_segments is None
+               else F.lit(""))
         cond1 = (compile_condition(a.condition, pool2)
                  if a.condition else F.lit(True))
         vals1 = (
@@ -1007,6 +1306,8 @@ def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
             id1.alias(f"_ch{k}_id1"),
             vals1.alias(f"_ch{k}_vals1"),
             cond1.cast("boolean").alias(f"_ch{k}_cond1"),
+            *[_compile_ctx_helper(compiler1, kind, payload_).alias(h + "_1")
+              for h, kind, payload_ in helper_recipes],
         )
         specs.append({
             "rule": r.rule_id,
@@ -1017,5 +1318,11 @@ def _attach_chain_columns(pool: DataFrame, timeout_seeds, events: DataFrame,
             "id1": f"_ch{k}_id1", "vals1": f"_ch{k}_vals1",
             "cond1": f"_ch{k}_cond1",
             "scope_cols": _scope_cols(a.create_context.scope, events),
+            # r13: live-context seed templates — state-side recipes
+            # over the per-row helper columns (empty when every seed
+            # template pre-renders)
+            "ctx_vals": ctx_plans,
+            "id_segments": id_segments,
+            "rot": [h for h, _, _ in helper_recipes],
         })
     return pool, specs

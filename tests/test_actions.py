@@ -945,16 +945,20 @@ def test_streaming_chain_parity_with_batch(spark):
     assert canon(stream_out) == canon(batch_out)
 
 
-def test_streaming_chain_context_ref_templates_raise(spark):
-    """Chain seed templates that evaluate against live context state
-    cannot pre-render per-row — loud, with the batch escape hatch."""
+def test_streaming_chain_nested_context_ref_raises(spark):
+    """Context refs NESTED inside another template function have no
+    per-row pre-render (the outer function would need the live
+    context) — still loud, with the batch escape hatch. Top-level
+    $(context-length)/$(grep)/@N seed templates are supported (r13,
+    see the ctxref parity tests below)."""
     import pytest as _pytest
 
     from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
 
     import tempfile
 
-    xml = CHAIN_XML.replace("watching ${PID}", "watching $(context-length)")
+    xml = CHAIN_XML.replace(
+        "watching ${PID}", "watching $(lowercase $(context-length))")
     rules = load_patterndb_rules(xml)
     schema = ("event_id long, ts timestamp, host string, program string, "
               "pid int, message string")
@@ -1126,3 +1130,184 @@ def test_stream_match_context_across_micro_batches(spark):
                      key=lambda r: r.ts)
 
     assert [r.message for r in out] == _GREP_MATCH_EXPECTED
+
+
+# ---- r13: live-context templates in CHAIN SEEDS (streaming) ----------
+# Reference: _execute_action_create_context with triggering_context set
+# renders seed values/context-id with log_template_format_with_context
+# over the expiring context's messages (patterndb.c:326-336).
+
+CHAIN_CTXREF_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='ctxrefchain' id='4'>
+  <rules>
+    <rule provider='test' id='40' class='violation' context-scope='program'
+          context-id='login-${PID}' context-timeout='10'>
+     <patterns><pattern>user login</pattern></patterns>
+     <actions>
+       <action trigger='timeout' condition='"${MESSAGE}" eq "user login beta"'>
+         <create-context context-id='watch-${PID}' context-timeout='100'
+                         context-scope='program'>
+           <message inherit-properties='last-message'>
+             <values><value name='MESSAGE'>watch n=$(context-length) top=$(grep ('${MESSAGE}' ne 'user login skip') ${MESSAGE}) prev=${MESSAGE}@1</value></values>
+           </message>
+         </create-context>
+       </action>
+     </actions>
+    </rule>
+    <rule provider='test' id='41' class='violation' context-scope='program'
+          context-id='watch-${PID}' context-timeout='100'>
+     <patterns><pattern>suspicious activity</pattern></patterns>
+     <actions>
+       <action trigger='timeout'>
+         <message inherit-properties='last-message'>
+           <values><value name='MESSAGE'>alert len=$(context-length) seed=${MESSAGE}@1</value></values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+_CTXREF_CORPUS = [
+    (0, "h1", "p1", 23, "user login alpha"),
+    (3, "h1", "p1", 23, "user login skip"),
+    (6, "h1", "p1", 23, "user login beta"),
+    (50, "h1", "p1", 23, "suspicious activity"),
+    # pid 7's login context's last message fails the chain condition:
+    # no watch context, no alert
+    (0, "h1", "p1", 7, "user login alpha"),
+]
+
+_CTXREF_ALERT = (
+    "alert len=2 seed=watch n=3 "
+    "top=user login alpha,user login beta prev=user login skip"
+)
+
+
+def test_batch_chain_seed_renders_against_triggering_context(spark):
+    """Batch: the chain seed's $(context-length)/$(grep)/@N render
+    over the EXPIRING context's rows; the seeded context's own expiry
+    sees the rendered string as the seed's MESSAGE (via @1)."""
+    rules = load_patterndb_rules(CHAIN_CTXREF_XML)
+    out = patterndb_actions(
+        _logs(spark, _CTXREF_CORPUS), rules, order_tiebreak="event_id"
+    ).collect()
+    assert [r.message for r in out] == [_CTXREF_ALERT]
+    assert out[0].rule_id == "41" and out[0].trigger == "timeout"
+
+
+def test_streaming_chain_ctxref_parity_with_batch(spark):
+    """Streaming emits exactly the batch rows for the ctxref chained
+    ruleset: the seed's live-context values are assembled in-state
+    from the per-row helper columns (r13)."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(CHAIN_CTXREF_XML)
+    schema = ("event_id long, ts timestamp, host string, program string, "
+              "pid int, message string")
+    batch_out = patterndb_actions(
+        _logs(spark, _CTXREF_CORPUS), rules, order_tiebreak="event_id"
+    ).collect()
+    assert [r.message for r in batch_out] == [_CTXREF_ALERT]
+
+    pusher = [(9000, T0 + dt.timedelta(seconds=86400), "h1", "p1", 999,
+               "user login beta")]
+
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds",
+                    order_tiebreak="event_id")
+                .select(*[c for c in batch_out[0].asDict()])
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        rows = [(i, T0 + dt.timedelta(seconds=s), h, p, pid, m)
+                for i, (s, h, p, pid, m) in enumerate(_CTXREF_CORPUS)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        spark.createDataFrame(pusher, schema).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        stream_out = [r for r in spark.read.parquet(d + "/out").collect()
+                      if r.pid != 999]
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            d = r.asDict()
+            d["synthetic_tags"] = tuple(d.get("synthetic_tags") or ())
+            out.append(tuple(d[k] for k in sorted(d)))
+        return sorted(out)
+
+    assert canon(stream_out) == canon(batch_out)
+
+
+def test_streaming_chain_ctxref_across_micro_batches_soak(spark):
+    """Cross-batch soak for live-context chain seeds: logins arrive in
+    batch 1, the seeds render at expiries processed in batch 2, the
+    chained alerts flush in batch 3 — per-pid context lengths differ
+    so each seed's $(context-length) proves it rendered against ITS
+    context, carried across micro-batch boundaries."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(CHAIN_CTXREF_XML)
+    schema = ("event_id long, ts timestamp, host string, program string, "
+              "pid int, message string")
+
+    def mk(rows, start_id=0):
+        return [(start_id + i, T0 + dt.timedelta(seconds=s), h, p, pid, m)
+                for i, (s, h, p, pid, m) in enumerate(rows)]
+
+    # pid N's login context holds N+1 messages, last one 'beta'
+    batch1 = []
+    for pid in range(1, 5):
+        for j in range(pid):
+            batch1.append((j, "h1", "p1", pid, f"user login fill{j}"))
+        batch1.append((pid, "h1", "p1", pid, "user login beta"))
+    batch2 = [(40 + pid, "h1", "p1", pid, "suspicious activity")
+              for pid in range(1, 5)]
+    pusher = [(86400, "h1", "p1", 999, "user login beta")]
+
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds",
+                    order_tiebreak="event_id")
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for i, phase in enumerate((mk(batch1), mk(batch2, 100),
+                                   mk(pusher, 200))):
+            spark.createDataFrame(phase, schema).coalesce(1).write.mode(
+                "append").parquet(d + "/in")
+            run_once()
+        out = [r for r in spark.read.parquet(d + "/out").collect()
+               if r.pid != 999]
+
+    got = {r.pid: r.message for r in out if r.rule_id == "41"}
+    assert sorted(got) == [1, 2, 3, 4]
+    for pid, msg in got.items():
+        assert msg.startswith(f"alert len=2 seed=watch n={pid + 1} ")
