@@ -221,6 +221,18 @@ def _compile_source_specs(conf: Conf, call: Call, strict: bool) -> list[dict]:
         pad = call.opt_scalar("pad-size")
         if pad is not None and int(pad) > 0:
             parse["pad_size"] = int(pad)
+        # follow-freq(N): the file poll period. The reference grammar
+        # only accepts nonnegative floats (affile-grammar.ym:178
+        # nonnegative_float — a negative value fails config parse,
+        # functional test_follow_freq_value.py); Spark's directory
+        # stream polls per micro-batch, so the value only validates
+        ff = call.opt_scalar("follow-freq")
+        if ff is not None:
+            if float(ff) < 0:
+                raise ConfError(
+                    "follow-freq() expects a nonnegative number",
+                    call.line)
+            parse["follow_freq"] = float(ff)
         usp = call.opt_scalar("use-syslogng-pid")
         if usp is None:
             usp = conf.options.get("use-syslogng-pid")

@@ -90,6 +90,36 @@ def _override_pid(df: DataFrame) -> DataFrame:
     return df.withColumn("pid", F.lit(_os.getpid()).cast(pid_t))
 
 
+def _generator_values(df: DataFrame, spec: Mapping, macro_cols: Mapping,
+                      template_format) -> DataFrame:
+    """example-msg-generator values(NAME => tpl): names of core
+    message fields render into their flat columns; every other name
+    is an arbitrary NV pair and lands in the canonical `sdata` map —
+    the reference's nv-table, which value-pairs scoping / --key
+    globbing ($(graphite-output --key test.*), functional
+    test_graphite_output.py) selects from, and schema_resolver
+    resolves ${name} template refs from."""
+    nv: dict[str, str] = {}
+    for name, tpl in (spec.get("values") or {}).items():
+        if name in macro_cols:
+            df = template_format(df, tpl, target=macro_cols[name],
+                                 templates=spec.get("templates"))
+        else:
+            tmp = f"_genv{len(nv)}"
+            df = template_format(df, tpl, target=tmp,
+                                 templates=spec.get("templates"))
+            nv[name] = tmp
+    if nv:
+        df = df.withColumn(
+            "sdata",
+            F.map_from_arrays(
+                F.array(*[F.lit(n) for n in nv]),
+                F.array(*[F.col(c).cast("string") for c in nv.values()]),
+            ),
+        ).drop(*nv.values())
+    return df
+
+
 def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
     kind = spec["kind"]
     if kind == "msg-generator":
@@ -102,10 +132,7 @@ def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
 
         df = spark.range(int(spec.get("num", 1))).select(
             F.col("id").alias("event_id"))
-        for name, tpl in (spec.get("values") or {}).items():
-            df = template_format(
-                df, tpl, target=_MACRO_COLS.get(name, name),
-                templates=spec.get("templates"))
+        df = _generator_values(df, spec, _MACRO_COLS, template_format)
         body = spec.get("template")
         if body:
             df = template_format(df, body, target="message",
@@ -747,9 +774,7 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
                 (F.col("value") % period == 0)
                 & (F.col("value") < num * period)
             ).select((F.col("value") / period).cast("long").alias("event_id"))
-        for name, tpl in (spec.get("values") or {}).items():
-            df = template_format(df, tpl,
-                                 target=_MACRO_COLS.get(name, name))
+        df = _generator_values(df, spec, _MACRO_COLS, template_format)
         body = spec.get("template")
         if body:
             df = template_format(df, body, target="message")

@@ -688,7 +688,9 @@ def test_block_source_expansion():
     conf = parse_conf(CONF_BLOCKS)
     pipes = compile_conf(conf)
     assert pipes[0]["source"] == {"kind": "file", "path": "/data/logs/app.log",
-                                  "syslog_parse": "rfc3164"}
+                                  "syslog_parse": "rfc3164",
+                                  # r13: follow-freq validated + recorded
+                                  "follow_freq": 1.0}
 
 
 def test_block_parser_channel_expands_to_steps():
