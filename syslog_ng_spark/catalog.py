@@ -8139,3 +8139,45 @@ def patterndb_chain_context_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = patterndb_actions(logs, _chain_ruleset(), order_tiebreak="event_id")
     return synth.where(F.col("rule_id") == "chain_act").select(
         F.col("uid_v").alias("uid"), "ts", "message")
+
+
+# ---------------------------------------------------------------------------
+# r13: generic source options (lib/logsource.h:37-48, applied in
+# log_source_queue lib/logsource.c:612-641): tags() marks every message
+# from the source (set-merged into existing tags), host-override() /
+# program-override() replace $HOST/$PROGRAM after the mangle callbacks
+# ---------------------------------------------------------------------------
+
+_SOURCE_OPTIONS_SQL = """
+WITH tagged AS (
+  SELECT event_id,
+         list_distinct(list_cat(['synthetic', event_type],
+                                ['synthetic', 'edge'])) AS tags
+  FROM events)
+SELECT DISTINCT event_id,
+       'lb-internal' AS host,
+       'collector' AS program,
+       unnest(tags) AS tag
+FROM tagged
+"""
+
+
+@register("source_option_overrides", _SOURCE_OPTIONS_SQL)
+def source_option_overrides_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host-override()/program-override()/tags() through the same
+    source-option application the conf pipeline uses
+    (config._apply_source_options): overrides replace the parsed
+    header values, source tags union set-wise with the message's
+    existing tags (log_msg_set_tag_by_id idempotence — 'synthetic'
+    collides on purpose)."""
+    from syslog_ng_spark.config import _apply_source_options
+
+    logs = events_as_logs(rebalance(T(spark, sf_dir, "events")))
+    out = _apply_source_options(logs, {
+        "tags": ["synthetic", "edge"],
+        "host_override": "lb-internal",
+        "program_override": "collector",
+    })
+    return out.select(
+        "event_id", "host", "program", F.explode("tags").alias("tag")
+    ).distinct()
