@@ -1074,7 +1074,16 @@ def compile_conf(conf: Conf, strict: bool = True) -> list[dict]:
                 if drivers is None:
                     raise ConfError(f"unknown source {elem.ref!r}", elem.line)
                 for d in drivers:
-                    sources.extend(compile_source_driver(conf, d, strict))
+                    compiled = compile_source_driver(conf, d, strict)
+                    if elem.ref:
+                        # the statement NAME becomes $SOURCE
+                        # (driver.c:219) and the '.source.<group>' tag
+                        # (logsource.c:787); inline anonymous sources
+                        # carry neither (the reference generates
+                        # '#anon-source<N>' — not reproduced)
+                        for s in compiled:
+                            s.setdefault("group_name", str(elem.ref))
+                    sources.extend(compiled)
             elif elem.kind == "destination":
                 drivers = conf.destinations.get(elem.ref) if elem.ref else elem.inline
                 if drivers is None:

@@ -58,11 +58,23 @@ def _apply_source_options(df: DataFrame, spec: Mapping) -> DataFrame:
     receive time — here the read instant (current_timestamp is
     query-constant in batch; per-micro-batch in streaming, which IS
     the reception time)."""
+    group = spec.get("group_name")
+    if group:
+        # $SOURCE: the source statement's name, set at reception
+        # (lib/driver.c:219 log_msg_set_value(LM_V_SOURCE, group));
+        # the source() filter string-matches this value
+        # (lib/filter/filter-re.c:138 filter_source_new)
+        df = df.withColumn("source", F.lit(str(group)))
     if spec.get("use_syslogng_pid"):
         # lib/logsource.c:618 — the source replaces $PID with the
         # daemon's own pid on every message it emits
         df = _override_pid(df)
-    src_tags = spec.get("tags")
+    src_tags = list(spec.get("tags") or ())
+    if group:
+        # source-group tag, applied after the per-source tags()
+        # (lib/logsource.c:630 source_group_tag, named
+        # '.source.<group>' per logsource.c:787)
+        src_tags.append(f".source.{group}")
     if src_tags:
         arr = F.array(*[F.lit(str(t)) for t in src_tags])
         if "tags" in df.columns:

@@ -484,6 +484,11 @@ def schema_resolver(columns: list[str]) -> Callable[[str], Column | None]:
         # matching columns when the pipeline carries them, unset
         # otherwise (the reference renders them empty for non-socket
         # sources too)
+        if name == "SOURCE" and "source" in cols:
+            # LM_V_SOURCE: the source statement's group name, set at
+            # reception (lib/driver.c:219) — bound when the conf
+            # pipeline carries it, unset otherwise
+            return F.col("source").cast("string")
         conn = {"SOURCEIP": "ip", "DESTIP": "destip",
                 "DESTPORT": "destport", "PROTO": "proto"}.get(name)
         if conn is not None and conn in cols:

@@ -176,7 +176,9 @@ def test_compile_pipeline_shapes():
     p = pipes[0]
     # file() parses syslog at the source like the daemon (no-parse opts out)
     assert p["source"] == {"kind": "file", "path": "/data/logs/app.log",
-                           "syslog_parse": "rfc3164"}
+                           "syslog_parse": "rfc3164",
+                           # r13: $SOURCE / '.source.<group>' carrier
+                           "group_name": "s_app"}
     assert p["steps"] == [{"op": "filter-expr",
                            "expr": {"op": "severity", "lo": "err", "hi": "emerg"}}]
     assert p["destinations"] == [{"kind": "text", "path": "/data/out.log"}]
@@ -689,8 +691,10 @@ def test_block_source_expansion():
     pipes = compile_conf(conf)
     assert pipes[0]["source"] == {"kind": "file", "path": "/data/logs/app.log",
                                   "syslog_parse": "rfc3164",
-                                  # r13: follow-freq validated + recorded
-                                  "follow_freq": 1.0}
+                                  # r13: follow-freq validated + recorded,
+                                  # statement name carried for $SOURCE
+                                  "follow_freq": 1.0,
+                                  "group_name": "s_app"}
 
 
 def test_block_parser_channel_expands_to_steps():
@@ -968,7 +972,9 @@ log {{
 """
     frames = run_conf(spark, text)
     out = sorted(r["value"] for r in spark.read.text(str(outdir)).collect())
-    assert out == ["cron cron", "nginx bad", "nginx rest", "postgres bad"]
+    # tags render after the '.source.s' group tag (logsource.c:630)
+    assert out == ["cron .source.s,cron", "nginx .source.s,bad",
+                   "nginx .source.s,rest", "postgres .source.s,bad"]
     assert frames[0].count() == 4  # union preserved every message
 
 
@@ -1051,10 +1057,10 @@ log {{ source(s); rewrite(r); destination(d); }};
     # nginx secret masked; postgres secret NOT (condition on program);
     # only the two err-level rows carry the tag
     assert out == [
-        "cron  job ran",
-        "nginx  GET /index code=200",
-        "nginx alerted GET /admin secret=### code=500",
-        "postgres alerted connection refused secret=tok",
+        "cron .source.s job ran",
+        "nginx .source.s GET /index code=200",
+        "nginx .source.s,alerted GET /admin secret=### code=500",
+        "postgres .source.s,alerted connection refused secret=tok",
     ]
 
 

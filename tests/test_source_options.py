@@ -73,9 +73,10 @@ destination d {{ file("{out}" template("$HOST|$PROGRAM|$TAGS|$MESSAGE\\n")); }};
 log {{ source(s); destination(d); }};
 """)
     lines = _lines(out)
+    # tags() first, then the '.source.<group>' tag (logsource.c:622,630)
     assert lines == [
-        "lb-internal|myprog|ingest,edge|hello",
-        "lb-internal|myprog|ingest,edge|world",
+        "lb-internal|myprog|ingest,edge,.source.s|hello",
+        "lb-internal|myprog|ingest,edge,.source.s|world",
     ]
 
 
@@ -114,7 +115,7 @@ rewrite r {{ set-tag("path-tag"); }};
 destination d {{ file("{out}" template("$TAGS\\n")); }};
 log {{ source(s); rewrite(r); destination(d); }};
 """)
-    assert _lines(out) == ["src-tag,path-tag"]
+    assert _lines(out) == ["src-tag,.source.s,path-tag"]
 
 
 def test_daemon_overrides_and_tags(spark, tmp_path):
@@ -143,4 +144,42 @@ log {{ source(s); destination(d); }};
         if lines:
             break
         time.sleep(0.3)
-    assert lines == ["lb-internal|myprog|live|streamed"]
+    assert lines == ["lb-internal|myprog|live,.source.s|streamed"]
+
+
+def test_source_macro_and_group_tag(spark, tmp_path):
+    """$SOURCE renders the source statement's name (set at reception,
+    lib/driver.c:219) and every message carries the
+    '.source.<group>' tag (lib/logsource.c:630,787)."""
+    src = tmp_path / "in.log"
+    src.write_text("Jan  1 00:00:01 h p: msg\n")
+    out = tmp_path / "out"
+    run_conf(spark, f"""
+source s_net {{ file("{src}"); }};
+destination d {{ file("{out}" template("$SOURCE|$TAGS|$MESSAGE\\n")); }};
+log {{ source(s_net); destination(d); }};
+""")
+    assert _lines(out) == ["s_net|.source.s_net|msg"]
+
+
+def test_source_filter_routes_by_group(spark, tmp_path):
+    """filter { source("name"); } — exact string match on $SOURCE
+    (lib/filter/filter-re.c:138 filter_source_new, string matcher):
+    a two-source path routes each origin to its own destination."""
+    a = tmp_path / "a.log"
+    b = tmp_path / "b.log"
+    a.write_text("Jan  1 00:00:01 h p: from-a\n")
+    b.write_text("Jan  1 00:00:02 h p: from-b\n")
+    out_a = tmp_path / "out_a"
+    out_all = tmp_path / "out_all"
+    run_conf(spark, f"""
+source s_a {{ file("{a}"); }};
+source s_b {{ file("{b}"); }};
+filter f_a {{ source("s_a"); }};
+destination d_a {{ file("{out_a}" template("$SOURCE $MESSAGE\\n")); }};
+destination d_all {{ file("{out_all}" template("$SOURCE $MESSAGE\\n")); }};
+log {{ source(s_a); source(s_b); filter(f_a); destination(d_a); }};
+log {{ source(s_a); source(s_b); destination(d_all); }};
+""")
+    assert _lines(out_a) == ["s_a from-a"]
+    assert _lines(out_all) == ["s_a from-a", "s_b from-b"]
