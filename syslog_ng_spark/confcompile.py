@@ -190,6 +190,22 @@ def _common_source_options(conf: Conf, call: Call, spec: dict) -> dict:
     if tags_opt is not None:
         spec["tags"] = [x.name if isinstance(x, Ident) else str(x)
                         for x in tags_opt.items]
+    # default-facility()/default-severity() (cfg-grammar.y
+    # msg_format_option): the PRI a message without a <PRI> header
+    # takes. Either alone fills the other half with the reference's
+    # LOG_USER / LOG_NOTICE defaults (grammar actions at
+    # cfg-grammar.y:1289-1300).
+    ds = call.opt_scalar("default-severity")
+    dfc = call.opt_scalar("default-facility")
+    if ds is not None or dfc is not None:
+        from syslog_ng_spark.operators.filters import _fac_num, _sev_num
+
+        def _num(v, f):
+            return int(v) if isinstance(v, (int, float)) else f(str(v))
+
+        sev = _num(ds, _sev_num) if ds is not None else 5
+        fac = _num(dfc, _fac_num) if dfc is not None else 1
+        spec["default_pri"] = (fac << 3) | sev
     return spec
 
 

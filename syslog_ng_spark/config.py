@@ -169,9 +169,12 @@ def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
         # each line into the canonical columns, message_from_raw is
         # flags(no-parse) — the whole line becomes MESSAGE
         if spec.get("syslog_parse") == "rfc5424":
-            df = parsers.syslog_parser_5424(df)
+            df = parsers.syslog_parser_5424(
+                df, default_pri=spec.get("default_pri", 13))
         elif spec.get("syslog_parse"):
-            df = parsers.syslog_parser_3164(df, year=spec.get("year", 2024))
+            df = parsers.syslog_parser_3164(
+                df, year=spec.get("year", 2024),
+                default_pri=spec.get("default_pri", 13))
         elif spec.get("message_from_raw"):
             df = df.withColumn("message", F.col("raw"))
         return df
@@ -197,9 +200,12 @@ def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
         df = spark.createDataFrame(lines, "raw string") if lines else \
             spark.createDataFrame([], "raw string")
         if spec.get("syslog_parse") == "rfc5424":
-            df = parsers.syslog_parser_5424(df)
+            df = parsers.syslog_parser_5424(
+                df, default_pri=spec.get("default_pri", 13))
         elif spec.get("syslog_parse"):
-            df = parsers.syslog_parser_3164(df, year=spec.get("year", 2024))
+            df = parsers.syslog_parser_3164(
+                df, year=spec.get("year", 2024),
+                default_pri=spec.get("default_pri", 13))
         elif spec.get("message_from_raw"):
             df = df.withColumn("message", F.col("raw"))
         return df
@@ -798,9 +804,12 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
             f"source kind {kind!r} has no streaming mode — journals and "
             "mboxes ingest as incremental batches (see journal_cursors)")
     if spec.get("syslog_parse") == "rfc5424":
-        df = parsers.syslog_parser_5424(df)
+        df = parsers.syslog_parser_5424(
+            df, default_pri=spec.get("default_pri", 13))
     elif spec.get("syslog_parse"):
-        df = parsers.syslog_parser_3164(df, year=spec.get("year", 2024))
+        df = parsers.syslog_parser_3164(
+            df, year=spec.get("year", 2024),
+            default_pri=spec.get("default_pri", 13))
     elif spec.get("message_from_raw"):
         df = df.withColumn("message", F.col("raw"))
     if kind == "socket-stream":

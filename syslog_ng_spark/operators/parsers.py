@@ -60,13 +60,20 @@ def _single_pass_groups(c: Column, regex: str, n_groups: int) -> Column:
     return F.when(replaced.contains(_SEP), F.split(replaced, _SEP, -1))
 
 
-def syslog_parser_3164(df: DataFrame, raw: str = "raw", year: int = 2024) -> DataFrame:
+def syslog_parser_3164(df: DataFrame, raw: str = "raw", year: int = 2024,
+                       default_pri: int = 13) -> DataFrame:
     """Parse BSD-syslog lines. BSD stamps carry no year; the reference
     infers it from the current time (syslog-format.c), we take it as an
-    argument for determinism."""
+    argument for determinism.
+
+    Lines WITHOUT a <PRI> header take ``default_pri`` — the
+    reference's log_msg_parse_pri falls back to default_pri when set
+    and user.notice (13) otherwise (syslog-format.c:96); the conf
+    front-end sets it from default-facility()/default-severity()
+    (cfg-grammar.y msg_format_option)."""
     staged = df.withColumn("_g", _single_pass_groups(F.col(raw), RFC3164_RE, 6))
     g = lambda i: F.nullif(F.element_at(F.col("_g"), i), F.lit(""))  # noqa: E731
-    pri = g(1).cast("int")
+    pri = F.coalesce(g(1).cast("int"), F.lit(int(default_pri)))
     # normalize space-padded day ('Jan  5') for to_timestamp
     stamp_norm = F.regexp_replace(g(2), "  ", " ")
     return staged.select(
@@ -83,15 +90,18 @@ def syslog_parser_3164(df: DataFrame, raw: str = "raw", year: int = 2024) -> Dat
     )
 
 
-def syslog_parser_5424(df: DataFrame, raw: str = "raw") -> DataFrame:
+def syslog_parser_5424(df: DataFrame, raw: str = "raw",
+                       default_pri: int = 13) -> DataFrame:
     """Parse RFC5424 lines incl. structured-data → map<string,string>
     of 'sdid.param' keys (reference flattens SD the same way into
-    .SDATA.sdid.param name-value pairs)."""
+    .SDATA.sdid.param name-value pairs). A line whose <PRI> is absent
+    (parse failure) takes ``default_pri`` — log_msg_parse_pri's
+    fallback (syslog-format.c:96, user.notice unless configured)."""
     staged = df.withColumn("_g", _single_pass_groups(F.col(raw), RFC5424_RE, 9)).withColumn(
         "_sd", F.element_at(F.col("_g"), 8)
     )
     g = lambda i: F.nullif(F.element_at(F.col("_g"), i), F.lit("-"))  # noqa: E731
-    pri = g(1).cast("int")
+    pri = F.coalesce(g(1).cast("int"), F.lit(int(default_pri)))
     # '[id k="v" k2="v2"][id2 ...]' → map('id.k' -> 'v', ...)
     pairs = F.expr(
         "map_from_entries(flatten(transform("

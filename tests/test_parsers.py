@@ -39,7 +39,9 @@ def test_3164_padded_day_no_pri_no_pid(spark):
         [("Jan  5 03:04:05 web-01 cron: job started",)], "raw string"
     )
     row = syslog_parser_3164(lines, year=2024).collect()[0]
-    assert row.facility is None and row.severity is None
+    # no <PRI> -> user.notice, log_msg_parse_pri's fallback
+    # (syslog-format.c:96); default-facility/severity override it
+    assert row.facility == 1 and row.severity == 5
     assert row.host == "web-01"
     assert row.program == "cron"
     assert row.pid is None

@@ -183,3 +183,39 @@ log {{ source(s_a); source(s_b); destination(d_all); }};
 """)
     assert _lines(out_a) == ["s_a from-a"]
     assert _lines(out_all) == ["s_a from-a", "s_b from-b"]
+
+
+def test_default_facility_severity(spark, tmp_path):
+    """default-facility()/default-severity() (cfg-grammar.y
+    msg_format_option): the PRI a message WITHOUT a <PRI> header
+    takes; either alone fills the other half with LOG_USER /
+    LOG_NOTICE (grammar actions, cfg-grammar.y:1289-1300); a header
+    PRI always wins. Unconfigured, the fallback is user.notice
+    (syslog-format.c:96)."""
+    src = tmp_path / "in.log"
+    src.write_text("Jan  1 00:00:01 h p: nopri\n"
+                   "<11>Jan  1 00:00:02 h p: haspri\n")
+    tpl = 'template("$FACILITY.$LEVEL $MESSAGE\\n")'
+    out1 = tmp_path / "o1"
+    run_conf(spark, f"""
+source s {{ file("{src}" default-facility(mail) default-severity(warning)); }};
+destination d {{ file("{out1}" {tpl}); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out1) == ["mail.warning nopri", "user.err haspri"]
+
+    out2 = tmp_path / "o2"
+    run_conf(spark, f"""
+source s {{ file("{src}" default-facility(cron)); }};
+destination d {{ file("{out2}" {tpl}); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out2) == ["cron.notice nopri", "user.err haspri"]
+
+    out3 = tmp_path / "o3"
+    run_conf(spark, f"""
+source s {{ file("{src}"); }};
+destination d {{ file("{out3}" {tpl}); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out3) == ["user.err haspri", "user.notice nopri"]
