@@ -190,6 +190,15 @@ def _common_source_options(conf: Conf, call: Call, spec: dict) -> dict:
     if tags_opt is not None:
         spec["tags"] = [x.name if isinstance(x, Ident) else str(x)
                         for x in tags_opt.items]
+    # time-zone() (cfg-grammar.y:1288 msg_format_option
+    # recv_time_zone): the zone assumed for stamps that carry NO zone
+    # info (BSD 3164 stamps); falls back to the global
+    # recv-time-zone() (cfg-grammar.y:941, msg-format.c:183-184)
+    tz = call.opt_scalar("time-zone")
+    if tz is None:
+        tz = conf.options.get("recv-time-zone")
+    if tz is not None:
+        spec["recv_time_zone"] = str(tz)
     # default-facility()/default-severity() (cfg-grammar.y
     # msg_format_option): the PRI a message without a <PRI> header
     # takes. Either alone fills the other half with the reference's

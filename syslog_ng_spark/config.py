@@ -132,6 +132,18 @@ def _generator_values(df: DataFrame, spec: Mapping, macro_cols: Mapping,
     return df
 
 
+def _apply_recv_tz(df: DataFrame, spec: Mapping) -> DataFrame:
+    """time-zone() / global recv-time-zone(): BSD 3164 stamps carry no
+    zone, so the parsed wallclock is interpreted in the configured
+    zone and normalized to the engine's UTC timeline (msg-format.c
+    recv_time_zone; RFC5424 stamps carry their own offset, which
+    always wins, so only the 3164 path routes here)."""
+    tz = spec.get("recv_time_zone")
+    if tz:
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), str(tz)))
+    return df
+
+
 def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
     kind = spec["kind"]
     if kind == "msg-generator":
@@ -172,9 +184,9 @@ def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
             df = parsers.syslog_parser_5424(
                 df, default_pri=spec.get("default_pri", 13))
         elif spec.get("syslog_parse"):
-            df = parsers.syslog_parser_3164(
+            df = _apply_recv_tz(parsers.syslog_parser_3164(
                 df, year=spec.get("year", 2024),
-                default_pri=spec.get("default_pri", 13))
+                default_pri=spec.get("default_pri", 13)), spec)
         elif spec.get("message_from_raw"):
             df = df.withColumn("message", F.col("raw"))
         return df
@@ -203,9 +215,9 @@ def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
             df = parsers.syslog_parser_5424(
                 df, default_pri=spec.get("default_pri", 13))
         elif spec.get("syslog_parse"):
-            df = parsers.syslog_parser_3164(
+            df = _apply_recv_tz(parsers.syslog_parser_3164(
                 df, year=spec.get("year", 2024),
-                default_pri=spec.get("default_pri", 13))
+                default_pri=spec.get("default_pri", 13)), spec)
         elif spec.get("message_from_raw"):
             df = df.withColumn("message", F.col("raw"))
         return df
@@ -807,9 +819,9 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
         df = parsers.syslog_parser_5424(
             df, default_pri=spec.get("default_pri", 13))
     elif spec.get("syslog_parse"):
-        df = parsers.syslog_parser_3164(
+        df = _apply_recv_tz(parsers.syslog_parser_3164(
             df, year=spec.get("year", 2024),
-            default_pri=spec.get("default_pri", 13))
+            default_pri=spec.get("default_pri", 13)), spec)
     elif spec.get("message_from_raw"):
         df = df.withColumn("message", F.col("raw"))
     if kind == "socket-stream":

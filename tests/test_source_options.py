@@ -219,3 +219,38 @@ destination d {{ file("{out3}" {tpl}); }};
 log {{ source(s); destination(d); }};
 """)
     assert _lines(out3) == ["user.err haspri", "user.notice nopri"]
+
+
+def test_time_zone_on_source(spark, tmp_path):
+    """time-zone() (msg_format_option, cfg-grammar.y:1288): a BSD
+    stamp carries no zone, so the parsed wallclock is interpreted in
+    the configured zone; the global recv-time-zone() is the fallback
+    (msg-format.c:183-184). The engine timeline is UTC, so a +02:00
+    stamp of 12:00 lands at 10:00."""
+    src = tmp_path / "in.log"
+    src.write_text("Jan  1 12:00:00 h p: tz-test\n")
+    tpl = 'template("$HOUR:$MIN $MESSAGE\\n")'
+    out1 = tmp_path / "o1"
+    run_conf(spark, f"""
+source s {{ file("{src}" time-zone("+02:00")); }};
+destination d {{ file("{out1}" {tpl}); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out1) == ["10:00 tz-test"]
+
+    out2 = tmp_path / "o2"
+    run_conf(spark, f"""
+options {{ recv-time-zone("-03:00"); }};
+source s {{ file("{src}"); }};
+destination d {{ file("{out2}" {tpl}); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out2) == ["15:00 tz-test"]
+
+    out3 = tmp_path / "o3"
+    run_conf(spark, f"""
+source s {{ file("{src}"); }};
+destination d {{ file("{out3}" {tpl}); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out3) == ["12:00 tz-test"]
