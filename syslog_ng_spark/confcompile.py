@@ -190,6 +190,21 @@ def _common_source_options(conf: Conf, call: Call, spec: dict) -> dict:
     if tags_opt is not None:
         spec["tags"] = [x.name if isinstance(x, Ident) else str(x)
                         for x in tags_opt.items]
+    # log-msg-size(N) + trim-large-messages() (cfg-grammar.y:1276,
+    # global fallbacks :934 / cfg.trim_large_messages): the proto
+    # message-size cap — over-long text lines split into N-sized
+    # chunks (text server), oversized octet-counted frames truncate
+    # (trim yes) or kill the connection (framing.split_frames)
+    lms = call.opt_scalar("log-msg-size")
+    if lms is None:
+        lms = conf.options.get("log-msg-size")
+    if lms is not None:
+        spec["log_msg_size"] = int(lms)
+    tlm = call.opt_scalar("trim-large-messages")
+    if tlm is None:
+        tlm = conf.options.get("trim-large-messages")
+    if tlm is not None:
+        spec["trim_large_messages"] = _yesno(tlm, False)
     # time-zone() (cfg-grammar.y:1288 msg_format_option
     # recv_time_zone): the zone assumed for stamps that carry NO zone
     # info (BSD 3164 stamps); falls back to the global

@@ -132,6 +132,26 @@ def _generator_values(df: DataFrame, spec: Mapping, macro_cols: Mapping,
     return df
 
 
+def _apply_log_msg_size(df: DataFrame, spec: Mapping) -> DataFrame:
+    """log-msg-size(N) for the line model: the TEXT proto yields the
+    whole max-sized buffer as one message when a line overruns it
+    (logproto-text-server.c:356,384), so an over-long line becomes
+    ceil(len/N) chunk messages. trim-large-messages() does not apply
+    to text framing — it is the framed proto's knob
+    (logproto-framed-server.c:261; framing.split_frames honors it).
+    N counts characters here (the line model is decoded strings; the
+    reference counts octets — identical for ASCII logs)."""
+    n = spec.get("log_msg_size")
+    if not n or "raw" not in df.columns:
+        return df
+    n = int(n)
+    others = [c for c in df.columns if c != "raw"]
+    chunks = F.expr(
+        f"transform(sequence(0, int((greatest(length(raw), 1) - 1) / {n})),"
+        f" i -> substring(raw, i * {n} + 1, {n}))")
+    return df.select(*others, F.explode(chunks).alias("raw"))
+
+
 def _apply_recv_tz(df: DataFrame, spec: Mapping) -> DataFrame:
     """time-zone() / global recv-time-zone(): BSD 3164 stamps carry no
     zone, so the parsed wallclock is interpreted in the configured
@@ -176,6 +196,7 @@ def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
         else:
             df = files.text_lines(
                 spark, spec["path"], recursive=spec.get("recursive", False))
+            df = _apply_log_msg_size(df, spec)
         # source-level parse (the daemon's file()/pipe() default; the
         # .conf compiler sets these from flags()): syslog_parse parses
         # each line into the canonical columns, message_from_raw is
@@ -211,6 +232,7 @@ def _source_raw(spark: SparkSession, spec: Mapping) -> DataFrame:
         lines = [(ln,) for ln in proc.stdout.splitlines()]
         df = spark.createDataFrame(lines, "raw string") if lines else \
             spark.createDataFrame([], "raw string")
+        df = _apply_log_msg_size(df, spec)
         if spec.get("syslog_parse") == "rfc5424":
             df = parsers.syslog_parser_5424(
                 df, default_pri=spec.get("default_pri", 13))
@@ -815,6 +837,7 @@ def _source_stream(spark: SparkSession, spec: Mapping) -> DataFrame:
         raise NotImplementedError(
             f"source kind {kind!r} has no streaming mode — journals and "
             "mboxes ingest as incremental batches (see journal_cursors)")
+    df = _apply_log_msg_size(df, spec)
     if spec.get("syslog_parse") == "rfc5424":
         df = parsers.syslog_parser_5424(
             df, default_pri=spec.get("default_pri", 13))

@@ -24,7 +24,11 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 
 
-def split_frames(data: str | bytes) -> list[str]:
+def split_frames(
+    data: str | bytes,
+    max_msg_size: int | None = None,
+    trim_large_messages: bool = False,
+) -> list[str]:
     """Split one connection's accumulated byte stream into messages.
     MSG-LEN counts OCTETS (RFC6587 §3.4.1), so all offsets operate on
     bytes — a str input is re-encoded first; slicing the decoded
@@ -32,7 +36,17 @@ def split_frames(data: str | bytes) -> list[str]:
     character. Octet-counted frames keep embedded newlines; between
     octet-counted frames a bare LF trailer is tolerated (some senders
     emit one); empty non-transparent lines are dropped. Frames decode
-    utf-8 with replacement at the end."""
+    utf-8 with replacement at the end.
+
+    ``max_msg_size`` is log-msg-size(): an octet-counted frame larger
+    than it is TRUNCATED to max_msg_size when trim_large_messages is
+    set (logproto-framed-server.c:259-266, the rest of the frame is
+    skipped) and otherwise a connection-fatal error — the reference
+    closes the connection (framed-server.c:268-273), so the remainder
+    of the stream is dropped here. Non-transparent lines follow the
+    TEXT server instead, where trim does not apply: an over-long line
+    yields the whole max-sized buffer as a message, i.e. it splits
+    into max_msg_size chunks (logproto-text-server.c:356,384)."""
     buf = data.encode("utf-8") if isinstance(data, str) else bytes(data)
     out: list[bytes] = []
     i, n = 0, len(buf)
@@ -44,36 +58,52 @@ def split_frames(data: str | bytes) -> list[str]:
             if j < n and buf[j] == 0x20:  # space
                 length = int(buf[i:j])
                 start = j + 1
-                out.append(buf[start : start + length])
+                if max_msg_size is not None and length > max_msg_size:
+                    if not trim_large_messages:
+                        # connection closed mid-stream; rest is lost
+                        break
+                    out.append(buf[start : start + max_msg_size])
+                else:
+                    out.append(buf[start : start + length])
                 i = start + length
                 if i < n and buf[i : i + 1] == b"\n":  # optional trailer
                     i += 1
                 continue
         j = buf.find(b"\n", i)
         if j < 0:
-            if i < n:
-                out.append(buf[i:])
-            break
-        if j > i:
-            out.append(buf[i:j])
-        i = j + 1
+            seg = buf[i:]
+            i = n
+        else:
+            seg = buf[i:j]
+            i = j + 1
+        if max_msg_size is not None:
+            while len(seg) > max_msg_size:
+                out.append(seg[:max_msg_size])
+                seg = seg[max_msg_size:]
+        if seg:
+            out.append(seg)
     return [m.decode("utf-8", errors="replace") for m in out if m != b""]
 
 
 def framed_messages(
-    df: DataFrame, blob_col: str = "value", origin_col: str = "path"
+    df: DataFrame, blob_col: str = "value", origin_col: str = "path",
+    max_msg_size: int | None = None, trim_large_messages: bool = False,
 ) -> DataFrame:
     """Explode per-connection blobs into one row per decoded message:
     (origin, frame_no, message). Input shape: one row per connection
     capture / file (spark.read.text(..., wholetext=True) or
-    binaryFile)."""
+    binaryFile). max_msg_size/trim_large_messages = log-msg-size() /
+    trim-large-messages(), see split_frames."""
     import pandas as pd
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for origin, blob in zip(pdf[origin_col], pdf[blob_col]):
-                for k, msg in enumerate(split_frames(blob)):
+                frames = split_frames(
+                    blob, max_msg_size=max_msg_size,
+                    trim_large_messages=trim_large_messages)
+                for k, msg in enumerate(frames):
                     rows.append((origin, k, msg))
             yield pd.DataFrame(rows, columns=[origin_col, "frame_no", "message"])
 

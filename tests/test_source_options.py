@@ -254,3 +254,51 @@ destination d {{ file("{out3}" {tpl}); }};
 log {{ source(s); destination(d); }};
 """)
     assert _lines(out3) == ["12:00 tz-test"]
+
+
+def test_log_msg_size_splits_long_lines(spark, tmp_path):
+    """log-msg-size(N): an over-long line yields the whole max-sized
+    buffer as one message, i.e. splits into N-sized chunks
+    (logproto-text-server.c:356,384); short lines pass untouched."""
+    src = tmp_path / "in.log"
+    src.write_text("short\n" + "A" * 25 + "\n")
+    out = tmp_path / "out"
+    run_conf(spark, f"""
+source s {{ file("{src}" flags(no-parse) log-msg-size(10)); }};
+destination d {{ file("{out}" template("$MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+    assert _lines(out) == sorted(["A" * 10, "A" * 10, "A" * 5, "short"])
+
+
+def test_log_msg_size_global_fallback():
+    specs = compile_conf("""
+options { log-msg-size(8192); trim-large-messages(yes); };
+source s { file("/tmp/in.log"); };
+source s2 { file("/tmp/in2.log" log-msg-size(100)); };
+destination d { file("/tmp/out"); };
+log { source(s); destination(d); };
+log { source(s2); destination(d); };
+""")
+    assert specs[0]["source"]["log_msg_size"] == 8192
+    assert specs[0]["source"]["trim_large_messages"] is True
+    assert specs[1]["source"]["log_msg_size"] == 100
+
+
+def test_framed_oversize_trim_and_fatal():
+    """Octet-counted frames over log-msg-size: trim-large-messages
+    truncates to the cap and skips the rest of the frame
+    (logproto-framed-server.c:259-266); without trim the reference
+    closes the connection, losing the remainder of the stream
+    (framed-server.c:268-273)."""
+    from syslog_ng_spark.sources.framing import split_frames
+
+    stream = "5 AAAAA12 BBBBBBBBBBBB5 CCCCC"
+    assert split_frames(stream) == ["AAAAA", "BBBBBBBBBBBB", "CCCCC"]
+    assert split_frames(stream, max_msg_size=8, trim_large_messages=True) \
+        == ["AAAAA", "BBBBBBBB", "CCCCC"]
+    # no trim: the oversized frame kills the connection mid-stream
+    assert split_frames(stream, max_msg_size=8) == ["AAAAA"]
+    # non-transparent lines split instead (text-server semantics)
+    assert split_frames("x" * 11 + "\nok\n", max_msg_size=4) \
+        == ["xxxx", "xxxx", "xxx", "ok"]
