@@ -8181,3 +8181,69 @@ def source_option_overrides_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "host", "program", F.explode("tags").alias("tag")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# r13: destination-writer suppress() (lib/logwriter.c
+# log_writer_is_msg_suppressed / log_writer_emit_suppress_summary) —
+# the dest_writer_option, distinct from the suppress STEP gate above:
+# repetition key is (message,host,program,pid), the run's first
+# message is DELIVERED verbatim and the run's end emits the
+# "Last message '...' repeated N times" internal summary
+# ---------------------------------------------------------------------------
+
+_WRITER_SUPPRESS_SQL = """
+WITH logs AS (
+  SELECT event_id, ts, event_type AS message,
+         'host-' || (user_id % 20)::VARCHAR AS host,
+         'svc-' || (user_id % 5)::VARCHAR AS program,
+         (user_id % 100) AS pid
+  FROM events),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY message, host, program, pid
+                          ORDER BY ts, event_id) AS prev_ts
+  FROM logs),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 3600
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY message, host, program, pid
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+runs AS (
+  SELECT message, host, program, pid, sid,
+         min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n
+  FROM sess GROUP BY message, host, program, pid, sid)
+SELECT host, program, pid::BIGINT AS pid, message, first_ts AS ts FROM runs
+UNION ALL
+SELECT host, program, NULL::BIGINT AS pid,
+       'Last message ''' || substr(message, 1, 20) || ''' repeated ' ||
+       (n - 1)::VARCHAR ||
+       ' times, suppressed by syslog-ng on sparkhost' AS message,
+       last_ts + INTERVAL 3600 SECOND AS ts
+FROM runs WHERE n > 1
+"""
+
+
+@register("writer_suppress", _WRITER_SUPPRESS_SQL)
+def writer_suppress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syslog_ng_spark.operators.correlate import writer_suppress
+
+    ev = rebalance(T(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "event_type", "ts")
+    logs = ev.select(
+        "event_id", "ts",
+        F.col("event_type").alias("message"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 20).cast("string")
+                 ).alias("host"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string")
+                 ).alias("program"),
+        (F.col("user_id") % 100).cast("int").alias("pid"),
+    )
+    out = writer_suppress(logs, seconds=3600, order_tiebreak="event_id",
+                          local_hostname="sparkhost")
+    return out.select(
+        "host", "program", F.col("pid").cast("long").alias("pid"),
+        "message", "ts")

@@ -772,7 +772,27 @@ def _dest_template(conf: Conf, call: Call) -> str | None:
     return expand_template_fns(conf, conf.templates.get(s, s))
 
 
-def compile_destination_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:  # noqa: C901
+def compile_destination_driver(conf: Conf, call: Call, strict: bool) -> list[dict]:
+    specs = _compile_destination_specs(conf, call, strict)
+    for s in specs:
+        _common_dest_options(conf, call, s)
+    return specs
+
+
+def _common_dest_options(conf: Conf, call: Call, spec: dict) -> dict:
+    """dest_writer_options every writer accepts: suppress(N) collapses
+    repeated identical messages per writer (cfg-grammar.y:1314, with
+    the global options{} fallback at :926; applied by
+    operators.correlate.writer_suppress)."""
+    sup = call.opt_scalar("suppress")
+    if sup is None:
+        sup = conf.options.get("suppress")
+    if sup is not None and int(sup) > 0:
+        spec["suppress"] = int(sup)
+    return spec
+
+
+def _compile_destination_specs(conf: Conf, call: Call, strict: bool) -> list[dict]:  # noqa: C901
     n = call.norm
     block = (conf.blocks.get(("destination", call.name))
              or conf.blocks.get(("destination", n)))

@@ -575,6 +575,15 @@ def _destination(df: DataFrame, spec: Mapping, templates: Mapping | None = None)
     foreachBatch) can advance its per-destination counter by exactly
     what was numbered instead of re-counting the batch."""
     kind = spec["kind"]
+    if spec.get("suppress") and not df.isStreaming:
+        # suppress(N): per-writer duplicate collapse
+        # (lib/logwriter.c log_writer_is_msg_suppressed) — applied to
+        # THIS destination's view only, like each LogWriter owning its
+        # own last-message state. In daemon mode the foreachBatch
+        # frame lands here, so runs are scoped to a micro-batch.
+        from syslog_ng_spark.operators.correlate import writer_suppress
+
+        df = writer_suppress(df, seconds=int(spec["suppress"]))
     if kind == "parquet":
         sinks.write_parquet(df, spec["path"], partition_by=spec.get("partition_by", ()),
                             mode=spec.get("mode", "overwrite"))

@@ -103,6 +103,69 @@ def suppress(
     )
 
 
+def writer_suppress(
+    df: DataFrame,
+    seconds: int = 30,
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+    local_hostname: str | None = None,
+) -> DataFrame:
+    """Destination-writer suppress() (lib/logwriter.c
+    log_writer_is_msg_suppressed): a repetition — same MESSAGE, HOST,
+    PROGRAM and PID (_is_message_a_repetition, logwriter.c:662-668) —
+    arriving within `seconds` of the run's previous occurrence is
+    swallowed; the run's FIRST message is delivered, and the run's
+    end emits the internal summary message
+    ``Last message '<first 20 chars>' repeated N times, suppressed by
+    syslog-ng on <local fqdn>`` carrying the suppressed message's
+    pri/host/program (log_writer_emit_suppress_summary,
+    logwriter.c:602-628); '-- MARK --' lines are never suppressed
+    (logwriter.c:654-659). The summary is stamped at the run's
+    suppress-timer expiry (last occurrence + seconds); its pid is
+    unset (the reference stamps the daemon's own pid on the internal
+    message).
+
+    Model note: the reference writer tracks only THE last message, so
+    a DIFFERENT message interleaving on the same writer ends a run
+    early; a single-writer total order has no scalable analog, so
+    runs here are per (message,host,program,pid) KEY — one shuffle,
+    parallel across keys. Output is identical whenever distinct
+    messages don't interleave inside the suppress window, and strictly
+    fewer rows otherwise (the keyed run keeps suppressing where the
+    reference would restart)."""
+    import socket as _socket
+
+    if local_hostname is None:
+        local_hostname = _socket.getfqdn()
+    key = [c for c in ("message", "host", "program", "pid") if c in df.columns]
+    mark = F.col("message") == "-- MARK --"
+    marks = df.where(mark)
+    sess = sessionize(df.where(~mark), key, ts, timeout=seconds,
+                      order_tiebreak=order_tiebreak)
+    w = Window.partitionBy(*key, "session_id").orderBy(
+        F.col(ts), *( [F.col(order_tiebreak)] if order_tiebreak else [] ))
+    ranked = sess.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(
+            Window.partitionBy(*key, "session_id")))
+    firsts = ranked.where(F.col("_rn") == 1).drop("_rn", "_n", "session_id")
+    summary_src = ranked.where((F.col("_rn") == F.col("_n"))
+                               & (F.col("_n") > 1))
+    summary = summary_src.withColumn(
+        "message",
+        F.format_string(
+            "Last message '%s' repeated %d times, suppressed by "
+            "syslog-ng on %s",
+            F.substring(F.col("message"), 1, 20),
+            (F.col("_n") - 1).cast("int"),
+            F.lit(local_hostname)),
+    ).withColumn(ts, F.col(ts) + F.make_dt_interval(secs=F.lit(seconds)))
+    if "pid" in summary.columns:
+        pid_t = dict(df.dtypes).get("pid", "int")
+        summary = summary.withColumn("pid", F.lit(None).cast(pid_t))
+    summary = summary.drop("_rn", "_n", "session_id")
+    return firsts.unionByName(summary).unionByName(marks)
+
+
 def suppress_stream(
     events: DataFrame,
     key: Sequence[str],

@@ -302,3 +302,46 @@ def test_framed_oversize_trim_and_fatal():
     # non-transparent lines split instead (text-server semantics)
     assert split_frames("x" * 11 + "\nok\n", max_msg_size=4) \
         == ["xxxx", "xxxx", "xxx", "ok"]
+
+
+def test_destination_suppress_option(spark, tmp_path):
+    """suppress(N) dest_writer_option (cfg-grammar.y:1314,
+    lib/logwriter.c): duplicates within the window are swallowed;
+    the run's first message is delivered and a
+    "Last message '...' repeated N times" summary follows
+    (log_writer_emit_suppress_summary); '-- MARK --' is exempt."""
+    src = tmp_path / "in.log"
+    src.write_text(
+        "Jan  1 00:00:01 h1 app[5]: disk full\n"
+        "Jan  1 00:00:02 h1 app[5]: disk full\n"
+        "Jan  1 00:00:03 h1 app[5]: disk full\n"
+        "Jan  1 00:01:40 h1 app[5]: all clear\n")
+    out = tmp_path / "out"
+    run_conf(spark, f"""
+source s {{ file("{src}"); }};
+destination d {{ file("{out}" suppress(30) template("$MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+    lines = _lines(out)
+    assert "disk full" in lines and "all clear" in lines
+    assert lines.count("disk full") == 1
+    summary = [ln for ln in lines if ln.startswith("Last message")]
+    assert len(summary) == 1
+    assert summary[0].startswith(
+        "Last message 'disk full' repeated 2 times, suppressed by syslog-ng on ")
+
+
+def test_destination_suppress_global_fallback_and_mark(spark, tmp_path):
+    src = tmp_path / "in.log"
+    src.write_text(
+        "Jan  1 00:00:01 h1 app[5]: -- MARK --\n"
+        "Jan  1 00:00:02 h1 app[5]: -- MARK --\n")
+    out = tmp_path / "out"
+    run_conf(spark, f"""
+options {{ suppress(60); }};
+source s {{ file("{src}"); }};
+destination d {{ file("{out}" template("$MESSAGE\\n")); }};
+log {{ source(s); destination(d); }};
+""")
+    # MARK lines are never suppressed (logwriter.c:654-659)
+    assert _lines(out) == ["-- MARK --", "-- MARK --"]
