@@ -1311,3 +1311,93 @@ def test_streaming_chain_ctxref_across_micro_batches_soak(spark):
     assert sorted(got) == [1, 2, 3, 4]
     for pid, msg in got.items():
         assert msg.startswith(f"alert len=2 seed=watch n={pid + 1} ")
+
+
+CHAIN_CTXID_XML = """<patterndb version='5' pub_date='2010-02-22'>
+ <ruleset name='ctxidchain' id='5'>
+  <rules>
+    <rule provider='test' id='50' class='violation' context-scope='program'
+          context-id='login-${PID}' context-timeout='10'>
+     <patterns><pattern>user login</pattern></patterns>
+     <actions>
+       <action trigger='timeout' condition='"${MESSAGE}" eq "user login beta"'>
+         <create-context context-id='watch-${PID}-n$(context-length)'
+                         context-timeout='100' context-scope='program'>
+           <message inherit-properties='last-message'>
+             <values><value name='MESSAGE'>seen=$(context-values ${PID})</value></values>
+           </message>
+         </create-context>
+       </action>
+     </actions>
+    </rule>
+    <rule provider='test' id='51' class='violation' context-scope='program'
+          context-id='watch-${PID}-n3' context-timeout='100'>
+     <patterns><pattern>suspicious activity</pattern></patterns>
+     <actions>
+       <action trigger='timeout'>
+         <message inherit-properties='last-message'>
+           <values><value name='MESSAGE'>alert id=${CONTEXT_ID} seed=${MESSAGE}@1</value></values>
+         </message>
+       </action>
+     </actions>
+    </rule>
+  </rules>
+ </ruleset>
+</patterndb>"""
+
+_CTXID_CORPUS = [
+    (0, "h1", "p1", 23, "user login one"),
+    (3, "h1", "p1", 23, "user login two"),
+    (6, "h1", "p1", 23, "user login beta"),
+    (50, "h1", "p1", 23, "suspicious activity"),
+]
+
+
+def test_chain_context_id_with_live_context_refs_batch_and_stream(spark):
+    """The chained context-ID template itself reads the live context
+    ($(context-length), patterndb.c:326-328 renders the id template
+    with the triggering context): pid 23's 3-login context seeds
+    'watch-23-n3', which the joining rule's static id matches; the
+    seed's $(context-values) renders every context row's PID."""
+    import tempfile
+
+    from syslog_ng_spark.streaming.stateful import patterndb_actions_stream
+
+    rules = load_patterndb_rules(CHAIN_CTXID_XML)
+    expected = "alert id=watch-23-n3 seed=seen=23,23,23"
+    batch_out = patterndb_actions(
+        _logs(spark, _CTXID_CORPUS), rules, order_tiebreak="event_id"
+    ).collect()
+    assert [r.message for r in batch_out] == [expected]
+
+    schema = ("event_id long, ts timestamp, host string, program string, "
+              "pid int, message string")
+    pusher = [(9000, T0 + dt.timedelta(seconds=86400), "h1", "p1", 999,
+               "user login beta")]
+    with tempfile.TemporaryDirectory() as d:
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(d + "/in")
+            q = (
+                patterndb_actions_stream(
+                    stream, rules, watermark="10 seconds",
+                    order_tiebreak="event_id")
+                .writeStream.format("parquet")
+                .option("path", d + "/out")
+                .option("checkpointLocation", d + "/ck")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        rows = [(i, T0 + dt.timedelta(seconds=s), h, p, pid, m)
+                for i, (s, h, p, pid, m) in enumerate(_CTXID_CORPUS)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        spark.createDataFrame(pusher, schema).coalesce(1).write.mode(
+            "append").parquet(d + "/in")
+        run_once()
+        stream_out = [r for r in spark.read.parquet(d + "/out").collect()
+                      if r.pid != 999]
+    assert [r.message for r in stream_out if r.rule_id == "51"] == [expected]
