@@ -24,6 +24,100 @@ def _corpus_dim(df: DataFrame, vec_col: str) -> int:
     return len(first[0])
 
 
+# --- SQL-text expression builders (r14 optimization) -------------------
+#
+# The k-means/LSH expressions embed hundreds of literals (k centroids x
+# dim components). Building them as Column trees costs one py4j round
+# trip PER OPERATOR — profiled at 1.4-4s per ivf_assign call on the
+# driver, dwarfing the 0.5s Spark job it feeds (guide §1/§5: the driver
+# must not be the bottleneck). Rendering the SAME expression as one SQL
+# string and parsing it JVM-side with F.expr is a single round trip.
+#
+# The rendered form also unrolls dot/norm into plain arithmetic
+# (codegen-friendly) instead of transform/zip_with/aggregate lambdas
+# (interpreted per row, one intermediate array per centroid). FP
+# equivalence is by construction: the unrolled sum keeps aggregate()'s
+# exact left-associative fold order ((((0.0 + x0*c0) + x1*c1) + ...)
+# and the identical per-element CAST(v[d] AS DOUBLE), so every double
+# is bit-identical to the lambda form — verified value-exact against
+# the DuckDB oracles (which replay the same parenthesisation).
+
+
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: repr() round-trips the double, and the
+    D suffix stops Spark's parser from reading a bare decimal as
+    DECIMAL(p,s)."""
+    r = repr(float(v))
+    return f"{r}D" if ("." in r or "e" in r or "E" in r or "n" in r) else f"{r}.0D"
+
+
+def _dot_lit_sql(vec: str, vals: list[float], offset: int = 0) -> str:
+    """Unrolled dot(vec[offset:offset+len(vals)], vals) with dot()'s
+    fold order: (((0.0 + cast(v[o])*c0) + cast(v[o+1])*c1) + ...).
+
+    Keep unrolled expressions under ~200 terms: past that the
+    generated method exceeds HotSpot's JIT size limit and runs in the
+    BYTECODE interpreter — measured 2.2s vs 0.5s per Lloyd-round job
+    for the 16x64-term argmax; _dot_lit_hof_sql is the large-k form."""
+    s = "0.0D"
+    for d, v in enumerate(vals):
+        s = f"({s} + (CAST(`{vec}`[{offset + d}] AS DOUBLE) * {_dlit(v)}))"
+    return s
+
+
+def _dot_lit_hof_sql(vec: str, vals: list[float]) -> str:
+    """dot(vec, vals) in the original higher-order-function shape
+    (aggregate over zip_with), rendered as SQL text: identical
+    expression tree to dot() — bit-identical values, interpreted
+    evaluation with small hot methods (fast under JIT), and one parse
+    instead of ~70 py4j calls. Used where many dots share one Project
+    (the k-way argmax) and unrolling would blow the method size."""
+    arr = ", ".join(_dlit(v) for v in vals)
+    return (
+        f"aggregate(zip_with(transform(`{vec}`, x -> CAST(x AS DOUBLE)), "
+        f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dot_cols_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled dot between two vector columns, same fold order."""
+    s = "0.0D"
+    for d in range(dim):
+        s = f"({s} + (CAST(`{a}`[{d}] AS DOUBLE) * CAST(`{b}`[{d}] AS DOUBLE)))"
+    return s
+
+
+def _dot_cols_hof_sql(a: str, b: str) -> str:
+    """dot between two vector columns in the original HOF tree shape
+    (bit-identical to dot()); the fast form when the dot sits in a
+    join's output projection over many pairs — the unrolled version
+    inflates the codegen'd join method past JIT limits (measured
+    5.9s vs 1.5s on the blocked all-pairs join)."""
+    return (
+        f"aggregate(zip_with(transform(`{a}`, x -> CAST(x AS DOUBLE)), "
+        f"transform(`{b}`, x -> CAST(x AS DOUBLE)), (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(vec: str, dim: int) -> str:
+    """Unrolled norm(vec): sqrt of aggregate()'s fold
+    (((0.0 + x0*x0) + x1*x1) + ...) with the same per-element cast."""
+    s = "0.0D"
+    for d in range(dim):
+        s = f"({s} + (CAST(`{vec}`[{d}] AS DOUBLE) * CAST(`{vec}`[{d}] AS DOUBLE)))"
+    return f"SQRT({s})"
+
+
+def _norm_hof_sql(vec: str) -> str:
+    """norm(vec) in the original HOF tree shape — bit-identical to
+    norm(), no dim knowledge needed."""
+    return (
+        f"SQRT(aggregate(transform(`{vec}`, x -> CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x * x))"
+    )
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -122,7 +216,7 @@ def cosine_pairs_blocked(
     normed = rebalance(corpus).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_n"),
+        F.expr(_norm_hof_sql(vec_col)).alias("_n"),
         F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("_b"),
     )
     # block b joins tasks (b, j) for j >= b as the low side and
@@ -153,8 +247,8 @@ def cosine_pairs_blocked(
         F.greatest("id_l", "id_r").alias("id_b"),
         # x*y terms and the fold order are symmetric, so the value is
         # FP-identical whichever side the lower id lands on
-        F.round(
-            dot(F.col("_vl"), F.col("_vr")) / (F.col("_nl") * F.col("_nr")), 6
+        F.expr(
+            f"ROUND({_dot_cols_hof_sql('_vl', '_vr')} / (`_nl` * `_nr`), 6)"
         ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
 
@@ -168,23 +262,28 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (IVF coarse
     quantizer). Centroids are a small python list (broadcast as
     literals into the plan); assignment is argmax of dot with the
-    normalized centroids — pure Catalyst, no UDF."""
+    normalized centroids — pure Catalyst, no UDF.
+
+    r14: the k x dim expression is rendered as ONE SQL string (see the
+    _dot_lit_sql block comment) — same values bit-for-bit, but a single
+    py4j round trip instead of ~1200, and unrolled codegen arithmetic
+    instead of per-row interpreted lambdas."""
     import math
 
     scored = []
     for i, c in enumerate(centroids):
         n = math.sqrt(sum(x * x for x in c)) or 1.0
-        plane = F.array(*[F.lit(float(x / n)) for x in c])
+        normed = [float(x / n) for x in c]
         # |v| is constant across centroids, so plain dot against the
         # NORMALIZED centroid has the same argmax as cosine. The score
         # is rounded to 9 digits so the argmax (and thus every cell
         # boundary) is engine-portable — the DuckDB oracle recomputes
         # this assignment bit-for-bit.
         scored.append(
-            F.struct(F.round(dot(F.col(vec_col), plane), 9).alias("s"), F.lit(i).alias("i"))
+            f"named_struct('s', ROUND({_dot_lit_hof_sql(vec_col, normed)}, 9), 'i', {i})"
         )
-    best = F.array_max(F.array(*scored))
-    return df.withColumn(target, best["i"])
+    best = f"array_max(array({', '.join(scored)})).i"
+    return df.withColumn(target, F.expr(best))
 
 
 def ivf_assign_pandas(
@@ -248,7 +347,6 @@ def ivf_train(
     the new centroid to 9 digits — FP summation order differs across
     engines by ~1e-14, and an unrounded centroid would propagate that
     into divergent cell boundaries."""
-    dim = _corpus_dim(df, vec_col)
     seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -259,11 +357,18 @@ def ivf_train(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError(f"empty corpus: no rows with a {vec_col!r} vector")
     centroids = [list(map(float, r[1])) for r in seeds]
+    # dim from the seed rows — saves the separate _corpus_dim job
+    dim = len(centroids[0])
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col, "_cell")
         sums = assigned.groupBy("_cell").agg(
-            *[F.sum(F.element_at(F.col(vec_col), d + 1)).alias(f"s{d}") for d in range(dim)],
+            *[
+                F.expr(f"SUM(element_at(`{vec_col}`, {d + 1}))").alias(f"s{d}")
+                for d in range(dim)
+            ],
             F.count(F.lit(1)).alias("n"),
         )
         rows = {r["_cell"]: r for r in sums.collect()}
@@ -311,12 +416,13 @@ def ivf_topk(
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     probe = probe_cells(query_vec, centroids, nprobe)
     cells = ivf_assign(corpus, centroids, vec_col, "_cell").where(F.col("_cell").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qd = [float(x) for x in query_vec]
+    score = (
+        f"ROUND({_dot_lit_sql(vec_col, qd)}"
+        f" / ({_norm_sql(vec_col, len(qd))} * {_dlit(qn)}), 6)"
+    )
     return (
-        cells.select(
-            F.col(id_col),
-            F.round(dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * qn), 6).alias("cos_sim"),
-        )
+        cells.select(F.col(id_col), F.expr(score).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -353,6 +459,7 @@ def semantic_dedup_pairs(
     assign_kernel='pandas' (Arrow matmul, identical semantics) for
     large k.
     """
+    dim = len(centroids[0])
     if assign_kernel == "pandas":
         assigned = ivf_assign_pandas(corpus, centroids, vec_col, id_col, "_cell").select(
             id_col, vec_col, "_cell"
@@ -361,16 +468,17 @@ def semantic_dedup_pairs(
         assigned = ivf_assign(corpus, centroids, vec_col, "_cell").select(
             id_col, vec_col, "_cell"
         )
+    nrm = F.expr(_norm_sql(vec_col, dim))
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        norm(F.col(vec_col)).alias("_na"),
+        nrm.alias("_na"),
         "_cell",
     )
     b = assigned.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col)).alias("_nb"),
+        nrm.alias("_nb"),
         "_cell",
     )
     return (
@@ -380,8 +488,8 @@ def semantic_dedup_pairs(
             "id_a",
             "id_b",
             F.col("_cell").alias("ivf_cell"),
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            F.expr(
+                f"ROUND({_dot_cols_sql('_va', '_vb', dim)} / (`_na` * `_nb`), 6)"
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
@@ -392,25 +500,30 @@ def _subvec(vec_col: Column, s: int, sub: int) -> Column:
     return F.slice(_as_double(vec_col), s * sub + 1, sub)
 
 
-def _pq_assign_expr(vec_col: Column, codebook_s: list[list[float]], s: int, sub: int) -> Column:
+def _pq_assign_expr(vec_col: str, codebook_s: list[list[float]], s: int, sub: int) -> Column:
     """Code for subspace s = argmin over the codebook of squared L2
     distance to the subvector. |x_s|^2 is constant across codes, so the
     comparable score is round(-2*x_s·c + |c|^2, 9) — the rounding pins
     the argmin across engines (the oracle computes the identical
     formula); ties break toward the SMALLER code index (array_min on
-    struct(score, idx) — the oracle orders score ASC, cid ASC)."""
-    x = _subvec(vec_col, s, sub)
+    struct(score, idx) — the oracle orders score ASC, cid ASC).
+
+    r14: rendered as one SQL string (see _dot_lit_sql block comment) —
+    the subvector slice becomes an index offset, values bit-identical."""
+    return F.expr(_pq_assign_sql(vec_col, codebook_s, s, sub))
+
+
+def _pq_assign_sql(vec_col: str, codebook_s: list[list[float]], s: int, sub: int) -> str:
+    """SQL text of _pq_assign_expr, for inlining into larger strings."""
     scored = []
     for i, c in enumerate(codebook_s):
         c2 = sum(v * v for v in c)
-        plane = F.array(*[F.lit(float(v)) for v in c])
-        scored.append(
-            F.struct(
-                F.round(dot(x, plane) * F.lit(-2.0) + F.lit(float(c2)), 9).alias("d"),
-                F.lit(i).alias("i"),
-            )
+        d = (
+            f"ROUND(({_dot_lit_sql(vec_col, [float(v) for v in c], offset=s * sub)}"
+            f" * -2.0D) + {_dlit(float(c2))}, 9)"
         )
-    return F.array_min(F.array(*scored))["i"]
+        scored.append(f"named_struct('d', {d}, 'i', {i})")
+    return f"array_min(array({', '.join(scored)})).i"
 
 
 def pq_train(
@@ -434,9 +547,6 @@ def pq_train(
     one groupBy of 16-dim slices; at 100 TB train on a hash-sample
     (codebooks are tiny — m*k*sub floats) and only ENCODING (one
     column expression, no shuffle) runs over the full corpus."""
-    dim = _corpus_dim(df, vec_col)
-    sub = dim // m
-    assert m * sub == dim, f"dim {dim} not divisible by m={m}"
     seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -447,40 +557,53 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError(f"empty corpus: no rows with a {vec_col!r} vector")
+    # dim from the seed rows — saves the separate _corpus_dim job
+    dim = len(seeds[0][1])
+    sub = dim // m
+    assert m * sub == dim, f"dim {dim} not divisible by m={m}"
     books = [
         [[float(v) for v in r[1][s * sub : (s + 1) * sub]] for r in seeds] for s in range(m)
     ]
-    from pyspark.storagelevel import StorageLevel
-
     for _ in range(iters):
-        # persist the assigned frame: each of the m subspace groupBys
-        # below otherwise re-evaluates ALL m assignment expressions
-        # over the whole corpus (m× redundant scans per Lloyd round —
-        # ann_ivfpq_topk measured 18.9s → 13.3s at sf0.1 with this;
-        # plain ann_pq_topk is neutral, its scan dominates)
-        assigned = df.select(
-            vec_col,
-            *[
-                _pq_assign_expr(F.col(vec_col), books[s], s, sub).alias(f"_c{s}")
-                for s in range(m)
-            ],
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # ONE corpus pass per Lloyd round (r14; was m groupBy jobs over
+        # a persisted assigned frame): every subspace's (code, slice)
+        # explodes into an (s, code, e0..e{sub-1}) row, and a single
+        # groupBy(s, code) computes all m subspace sums together. All m
+        # assignments read the start-of-round codebooks, so the merged
+        # pass is update-order-identical to the per-subspace loop; the
+        # per-(s, code) sums add the same cast doubles (merge order was
+        # never deterministic — the 9-digit centroid round pins it).
+        structs = []
         for s in range(m):
-            sums = assigned.groupBy(f"_c{s}").agg(
-                *[
-                    F.sum(F.element_at(_subvec(F.col(vec_col), s, sub), d + 1)).alias(f"s{d}")
-                    for d in range(sub)
-                ],
-                F.count(F.lit(1)).alias("n"),
+            elems = ", ".join(
+                f"'e{d}', CAST(`{vec_col}`[{s * sub + d}] AS DOUBLE)"
+                for d in range(sub)
             )
-            rows = {r[f"_c{s}"]: r for r in sums.collect()}
-            books[s] = [
-                [round(rows[i][f"s{d}"] / rows[i]["n"], 9) for d in range(sub)]
-                if i in rows
+            structs.append(
+                f"named_struct('s', {s}, 'code', "
+                f"{_pq_assign_sql(vec_col, books[s], s, sub)}, {elems})"
+            )
+        rows_df = df.select(
+            F.expr(f"explode(array({', '.join(structs)}))").alias("ex")
+        ).select("ex.*")
+        sums = rows_df.groupBy("s", "code").agg(
+            *[F.expr(f"SUM(`e{d}`)").alias(f"s{d}") for d in range(sub)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        by_sub: list[dict] = [{} for _ in range(m)]
+        for r in sums.collect():
+            by_sub[r["s"]][r["code"]] = r
+        books = [
+            [
+                [round(by_sub[s][i][f"s{d}"] / by_sub[s][i]["n"], 9) for d in range(sub)]
+                if i in by_sub[s]
                 else books[s][i]
                 for i in range(k)
             ]
-        assigned.unpersist()
+            for s in range(m)
+        ]
     return books
 
 
@@ -497,11 +620,12 @@ def pq_encode(
     scan reads, so the big vectors never leave the encode stage."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    dim = m * sub
     return df.select(
         F.col(id_col),
-        F.round(norm(F.col(vec_col)), 9).alias("vnorm"),
+        F.expr(f"ROUND({_norm_sql(vec_col, dim)}, 9)").alias("vnorm"),
         *[
-            _pq_assign_expr(F.col(vec_col), codebooks[s], s, sub).alias(f"code_{s}")
+            _pq_assign_expr(vec_col, codebooks[s], s, sub).alias(f"code_{s}")
             for s in range(m)
         ],
     )
@@ -594,12 +718,18 @@ def lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign bits against fixed planes.
     ANN then only scores within the query's bucket (plus neighbors) —
-    the linear-candidate scale path for 100 TB corpora."""
+    the linear-candidate scale path for 100 TB corpora.
+
+    r14: one SQL string (see _dot_lit_sql block comment) — the plane
+    dots unroll to codegen arithmetic, values bit-identical."""
     bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    return df.withColumn(target, sum(bits[1:], bits[0]).cast("int"))
+        d = _dot_lit_sql(vec_col, [float(x) for x in p])
+        bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    total = bits[0]
+    for b in bits[1:]:
+        total = f"({total} + {b})"
+    return df.withColumn(target, F.expr(f"CAST({total} AS INT)"))
 
 
 def write_ivf_table(
@@ -644,12 +774,13 @@ def ivf_topk_from_table(
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     probe = probe_cells(query_vec, centroids, nprobe)
     cells = spark.read.parquet(path).where(F.col("ivf_cell").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qd = [float(x) for x in query_vec]
+    score = (
+        f"ROUND({_dot_lit_sql(vec_col, qd)}"
+        f" / ({_norm_sql(vec_col, len(qd))} * {_dlit(qn)}), 6)"
+    )
     return (
-        cells.select(
-            F.col(id_col),
-            F.round(dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * qn), 6).alias("cos_sim"),
-        )
+        cells.select(F.col(id_col), F.expr(score).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -685,23 +816,25 @@ def semantic_decontaminate(
     Returns (id_col, n_eval_hits, max_cos) for flagged docs only;
     anti-join the corpus against it to get the clean keep-list.
     """
+    dim = len(planes[0])
     cb = lsh_buckets(corpus, planes, vec_col, "_b")
     eb = lsh_buckets(evalset, planes, vec_col, "_b")
+    nrm = F.expr(_norm_sql(vec_col, dim))
     c = cb.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cn"),
+        nrm.alias("_cn"),
         "_b",
     )
     e = eb.select(
-        F.col(vec_col).alias("_ev"), norm(F.col(vec_col)).alias("_en"), "_b"
+        F.col(vec_col).alias("_ev"), nrm.alias("_en"), "_b"
     )
     return (
         c.join(e, "_b")
         .select(
             "_cid",
-            F.round(
-                dot(F.col("_cv"), F.col("_ev")) / (F.col("_cn") * F.col("_en")), 6
+            F.expr(
+                f"ROUND({_dot_cols_sql('_cv', '_ev', dim)} / (`_cn` * `_en`), 6)"
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
@@ -776,16 +909,18 @@ def hard_negatives(
         assigned = ivf_assign(corpus, centroids, vec_col, "_cell").select(
             id_col, vec_col, "_cell"
         )
+    dim = len(centroids[0])
+    nrm = F.expr(_norm_sql(vec_col, dim))
     a = assigned.select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("_va"),
-        norm(F.col(vec_col)).alias("_na"),
+        nrm.alias("_na"),
         "_cell",
     )
     b = assigned.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col)).alias("_nb"),
+        nrm.alias("_nb"),
         "_cell",
     )
     cand = (
@@ -794,8 +929,8 @@ def hard_negatives(
         .select(
             "anchor_id",
             "cand_id",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            F.expr(
+                f"ROUND({_dot_cols_sql('_va', '_vb', dim)} / (`_na` * `_nb`), 6)"
             ).alias("cos_sim"),
         )
     )
