@@ -54,10 +54,16 @@ def _to_symbols(word: Column) -> Column:
 
 def _apply_merge(sym: Column, a: str, b: str) -> Column:
     """One BPE merge on a single-space symbol string, via the
-    double-space replace trick (see module docstring)."""
-    doubled = F.concat(F.lit(" "), F.regexp_replace(sym, " ", "  "), F.lit(" "))
+    double-space replace trick (see module docstring).
+
+    r14: the space-doubling and collapse steps use literal replace()
+    instead of regexp_replace() — both replace left-to-right
+    non-overlapping occurrences of a metacharacter-free literal, so
+    the result string is identical, without the regex engine on every
+    word x merge (measured ~2x on the expr-kernel segment gates)."""
+    doubled = F.concat(F.lit(" "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit(" "))
     merged = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    return F.trim(F.regexp_replace(merged, "  ", " "))
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
 
 
 def _pair_counts(profile: DataFrame) -> DataFrame:
@@ -192,9 +198,16 @@ def bpe_train(
       viable path for a real ~30k-merge vocabulary: 30k distributed
       rounds would be ~18 hours of driver round-trips.
 
-    `driver_profile="auto"` (default) picks driver-local when
-    n_merges > 32 (round-trip latency dominates) and falls back to
-    the distributed loop if the profile exceeds the collect bound.
+    `driver_profile="auto"` (default) picks driver-local whenever the
+    profile fits the collect bound (r14: previously only for
+    n_merges > 32 — but the cost model is the same at ANY merge count:
+    a distributed round is ~2 Spark jobs of driver round-trip latency
+    vs ~ms locally, and the corpus-scale work, the ONE word-profile
+    aggregate, is identical on both paths; measured 6.0s -> 1.0s for
+    the 8-merge gate at sf0.1). Falls back to the distributed loop if
+    the profile exceeds the collect bound. Both paths are
+    parity-pytested bit-identical, so the choice is invisible to
+    results.
     Character model: BOTH paths split words by Unicode code point —
     Python iterates strings by code point, and Spark's regexp '(.)'
     does too (java.util.regex treats a surrogate pair as one match),
@@ -205,10 +218,7 @@ def bpe_train(
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
-    if driver_profile == "auto":
-        use_driver = n_merges > 32
-    else:
-        use_driver = bool(driver_profile)
+    use_driver = True if driver_profile == "auto" else bool(driver_profile)
     if use_driver:
         wp = _word_profile(df, text_col, lowercase)
         rows = wp.limit(max_driver_profile_rows + 1).collect()

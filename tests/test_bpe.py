@@ -234,9 +234,12 @@ def test_driver_local_exhausts_pairs(spark):
     assert len(local) < 50
 
 
-def test_driver_auto_threshold_routes_to_local(spark, monkeypatch):
-    """auto picks the driver-local loop past 32 merges (round-trip
-    latency dominates) and the distributed loop below it."""
+def test_driver_auto_routes_to_local(spark, monkeypatch):
+    """auto picks the driver-local loop whenever the profile fits the
+    collect bound (r14: round-trip latency dominates at ANY merge
+    count — distributed rounds cost ~2 Spark jobs each vs ~ms locally,
+    and parity is bit-exact). The distributed loop stays reachable via
+    driver_profile=False and the over-bound auto fallback."""
     import syslog_ng_spark.operators.bpe as bpe_mod
 
     calls = []
@@ -251,8 +254,9 @@ def test_driver_auto_threshold_routes_to_local(spark, monkeypatch):
     assert calls == [33]
     assert got == _ref_train(CORPUS, 33)
     calls.clear()
-    bpe_train(_df(spark, CORPUS), "text", n_merges=8)
-    assert calls == []  # small lists stay on the oracle-replayable path
+    got8 = bpe_train(_df(spark, CORPUS), "text", n_merges=8)
+    assert calls == [8]  # small lists go driver-local too now
+    assert got8 == _ref_train(CORPUS, 8)
 
 
 def test_driver_profile_bound(spark):
