@@ -383,25 +383,74 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    max_driver_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assembly: near-dup PAIRS → components, each
     labeled by its minimum member id (the canonical document).
 
-    Min-label propagation WITH pointer jumping: every node starts as
-    its own label; each round takes the min of its neighbors' labels,
-    then shortcuts label <- label(label). The neighbor step alone
-    converges in O(diameter) rounds — fine for blob-shaped dup
-    clusters, but a CHAIN of near-dups (doc_i ~ doc_{i+1}, the shape
-    the 1.5%-mutation synthetic corpus actually builds) has diameter
-    O(cluster size) and blew past 20 rounds at sf1. The shortcut
-    halves every label path per round, so convergence is
-    O(log diameter) — 2^20 diameter headroom within max_iters=20.
-    Each round is TWO joins + ONE groupBy; only the convergence
-    counter reaches the driver, and localCheckpoint truncates the
-    lineage so plans stay flat at scale.
+    Two execution paths, identical results (the component labeling —
+    min member id per component — is algorithm-independent):
+
+    - driver-local union-find (r14): near-dup EDGES are a tiny
+      fraction of the corpus (the docstrings of every pair producer),
+      so up to `max_driver_edges` they collect to the driver and
+      union-find labels them in O(E α(E)) — milliseconds, where each
+      distributed round costs ~2 Spark jobs of driver round-trip
+      latency. Bounded exactly like bpe_train's driver profile: the
+      limit(max+1) collect proves the bound before committing.
+    - distributed min-label propagation with pointer jumping
+      (max_driver_edges=None/0 or edge count over the bound): every
+      node starts as its own label; each round takes the min of its
+      neighbors' labels, then shortcuts label <- label(label). The
+      neighbor step alone converges in O(diameter) rounds — fine for
+      blob-shaped dup clusters, but a CHAIN of near-dups (doc_i ~
+      doc_{i+1}, the shape the 1.5%-mutation synthetic corpus builds)
+      has diameter O(cluster size) and blew past 20 rounds at sf1.
+      The shortcut halves every label path per round, so convergence
+      is O(log diameter) — 2^20 diameter headroom within
+      max_iters=20. Each round is ONE join + ONE groupBy + the
+      pointer-jump join (r14: the old-label column rides the round,
+      so the convergence check reads the checkpointed frame instead
+      of re-joining the previous labels); only the convergence
+      counter reaches the driver, and localCheckpoint truncates the
+      lineage so plans stay flat at scale.
 
     Returns (node, cluster_id) for every node that appears in a pair;
     dedup keeps rows where node == cluster_id (cluster canonicals)."""
+    if max_driver_edges:
+        rows = (
+            pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+            .limit(max_driver_edges + 1)
+            .collect()
+        )
+        if len(rows) <= max_driver_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                # path compression
+                while parent.get(x, x) != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in rows:
+                ra, rb = find(r[0]), find(r[1])
+                if ra != rb:
+                    # union by MIN so the root IS the canonical label
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = {x for r in rows for x in (r[0], r[1])}
+            out = [(n, find(n)) for n in sorted(nodes)]
+            id_type = pairs.schema[id_a].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType([
+                StructField("node", id_type, False),
+                StructField("cluster_id", id_type, False),
+            ])
+            return pairs.sparkSession.createDataFrame(out, schema)
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
@@ -411,15 +460,22 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    id_type = pairs.schema[id_a].dataType
     for _ in range(max_iters):
+        # the previous label rides the round as _old (labels contribute
+        # exactly one row per node; neighbor rows carry null), so the
+        # convergence check below reads the checkpointed frame instead
+        # of re-joining the previous labels — one join fewer per round
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
-            F.col("a").alias("node"), F.col("label")
+            F.col("a").alias("node"),
+            F.col("label"),
+            F.lit(None).cast(id_type).alias("_old"),
         )
         stepped = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.col("label").alias("_old"))
             .union(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
         )
         # pointer jumping: a label is itself a node id, so label(label)
         # is defined for every row; it only ever decreases, and chasing
@@ -427,16 +483,15 @@ def connected_components(
         parent = stepped.select(F.col("node").alias("label"), F.col("label").alias("_pl"))
         new_labels = (
             stepped.join(parent, "label", "left")
-            .select("node", F.least(F.col("label"), F.coalesce("_pl", "label")).alias("label"))
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_pl", "label")).alias("label"),
+                "_old",
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:
@@ -498,7 +553,7 @@ def fuzzy_dedup(
         .select("id_a", "id_b")
     )
     labels = connected_components(verified)
-    dup_nodes = labels.where(F.col("node") != F.col("label")).select(
+    dup_nodes = labels.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
     return df.select(id_col).join(dup_nodes, id_col, "left_anti")

@@ -191,8 +191,10 @@ def test_connected_components_raises_when_unconverged(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
     )
+    # max_driver_edges=0 pins the distributed loop (the driver-local
+    # union-find has no iteration count to exhaust)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iters=1)
+        dedup.connected_components(pairs, max_iters=1, max_driver_edges=0)
 
 
 def test_simhash60_recall_guarantee_and_subset(spark):
@@ -298,10 +300,33 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(199)] + [(500, 501)], "id_a long, id_b long"
     )
-    out = connected_components(pairs, max_iters=20).collect()
+    # max_driver_edges=0 pins the distributed loop — pointer jumping is
+    # what this regression is about
+    out = connected_components(pairs, max_iters=20, max_driver_edges=0).collect()
     labels = {r.node: r.cluster_id for r in out}
     assert all(labels[i] == 0 for i in range(200))
     assert labels[500] == labels[501] == 500
+
+
+def test_connected_components_driver_local_matches_distributed(spark):
+    """The driver-local union-find (default for small edge sets) and
+    the distributed pointer-jumping loop must label identically —
+    min member id per component, every paired node present."""
+    edges = (
+        [(i, i + 1) for i in range(10, 30)]      # a chain
+        + [(100, 101), (101, 102), (100, 102)]   # a triangle
+        + [(7, 200), (200, 7)]                   # duplicate edge both ways
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        r.node: r.cluster_id for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs, max_driver_edges=0).collect()
+    }
+    assert local == dist
+    assert local[102] == 100 and local[200] == 7 and local[29] == 10
 
 
 def test_ivf_assign_pandas_matches_expr_kernel(spark):
