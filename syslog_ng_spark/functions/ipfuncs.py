@@ -71,6 +71,57 @@ def _side_groups(side: Column) -> Column:
     )
 
 
+def _plain_col_name(c: Column) -> str | None:
+    """The bare column name when `c` is a simple attribute reference
+    (repr form "Column<'name'>" with an identifier inside), else None.
+    Spark 4's JVM Column no longer exposes expr().sql(), so this is
+    the conservative detector for the SQL-text fast path: anything
+    computed falls back to Column construction."""
+    import re
+
+    s = repr(c)
+    m = re.fullmatch(r"Column<'([A-Za-z_][A-Za-z0-9_]*)'>", s)
+    return m.group(1) if m else None
+
+
+def _ipv6_to_longs_sql(ip_sql: str) -> str:
+    """The ipv6_to_longs expression rendered as SQL text: one parser
+    call instead of ~500 py4j round trips of Column construction
+    (r14; ~0.55 s per call measured). The parsed tree is the one the
+    Column path builds — same lambda bindings, same casts."""
+    s = f"lower(trim({ip_sql}))"
+
+    def side(side_sql: str) -> str:
+        quad = (
+            "element_at(transform(array(split(t, '\\\\.')), q -> array("
+            "cast(element_at(q, 1) as bigint) * 256 + cast(element_at(q, 2) as bigint), "
+            "cast(element_at(q, 3) as bigint) * 256 + cast(element_at(q, 4) as bigint))), 1)"
+        )
+        return (
+            f"flatten(transform(filter(split({side_sql}, ':'), t -> t != ''), "
+            f"t -> CASE WHEN contains(t, '.') THEN {quad} "
+            f"ELSE array(cast(conv(t, 16, 10) as bigint)) END))"
+        )
+
+    dc = f"contains({s}, '::')"
+    lg = side(f"CASE WHEN {dc} THEN substring_index({s}, '::', 1) ELSE {s} END")
+    rg = side(f"CASE WHEN {dc} THEN substring_index({s}, '::', -1) ELSE '' END")
+    bound = (
+        f"transform(array(named_struct('dc', {dc}, 'lg', {lg}, 'rg', {rg})), "
+        "b -> CASE WHEN b.dc THEN concat(b.lg, "
+        "array_repeat(cast(0 as bigint), cast(8 - size(b.lg) - size(b.rg) as int)), "
+        "b.rg) ELSE b.lg END)"
+    )
+    pack = (
+        "named_struct("
+        "'hi', shiftleft(element_at(g, 1), 48) | shiftleft(element_at(g, 2), 32) | "
+        "shiftleft(element_at(g, 3), 16) | element_at(g, 4), "
+        "'lo', shiftleft(element_at(g, 5), 48) | shiftleft(element_at(g, 6), 32) | "
+        "shiftleft(element_at(g, 7), 16) | element_at(g, 8))"
+    )
+    return f"element_at(transform({bound}, g -> {pack}), 1)"
+
+
 def ipv6_to_longs(ip: Column) -> Column:
     """IPv6 string → struct(hi: long, lo: long): the exact 128-bit
     address as two signed longs (hi = first 64 bits). Handles
@@ -81,7 +132,14 @@ def ipv6_to_longs(ip: Column) -> Column:
     Malformed input produces deterministic garbage (conv parses what
     it can), matching the reference's "invalid address never aborts
     the pipeline" stance (filter-netmask6.c returns false, it doesn't
-    error); gate on a validity regex first if you need strictness."""
+    error); gate on a validity regex first if you need strictness.
+
+    Rendered as one SQL string when the input is a plain column
+    reference (every catalog/conf caller passes one); the Column-API
+    construction below is the fallback for computed inputs."""
+    name = _plain_col_name(ip)
+    if name is not None:
+        return F.expr(_ipv6_to_longs_sql(f"`{name}`"))
     s = F.lower(F.trim(ip))
     # Catalyst evaluates every OCCURRENCE of a sub-expression: the
     # naive version referenced the parsed group array `g` 8 times

@@ -471,27 +471,37 @@ def panos_parser(
 
     Per-type mapping is a single map_from_entries CASE — one pass, no
     UDFs, and the split array is materialized once (higher-order
-    lambdas re-evaluate captured expressions per element)."""
+    lambdas re-evaluate captured expressions per element). The whole
+    kv expression is rendered as ONE SQL string (r14): the ~140
+    per-field struct builders cost ~1.5 s of py4j round trips per
+    plan build as Column calls; the parsed tree is identical
+    (named_struct/CASE/filter are what the Column API emits)."""
     base = df.withColumn("_c", F.split(F.col(col), ","))
-    c = F.col("_c")
 
-    def entry(name: str, idx: int) -> Column:
+    def entry(name: str, idx: int) -> str:
         # try_element_at: short/malformed lines yield NULLs (filtered
         # below), matching csv-parser's drop-invalid tolerance
-        return F.struct(
-            F.lit(prefix + name).alias("key"),
-            F.try_element_at(c, F.lit(idx)).alias("value"),
+        return (
+            f"named_struct('key', '{prefix}{name}', "
+            f"'value', try_element_at(_c, {idx}))"
         )
 
-    header = [entry(n, i + 1) for i, n in enumerate(_PANOS_HEADER)]
-    typ = F.try_element_at(c, F.lit(4))
-    body = None
-    for t, cols in _PANOS_COLUMNS.items():
-        ents = F.array(*[entry(n, len(_PANOS_HEADER) + 1 + i) for i, n in enumerate(cols)])
-        body = F.when(typ == t, ents) if body is None else body.when(typ == t, ents)
-    body = body.otherwise(F.array().cast("array<struct<key:string,value:string>>"))
-    entries = F.concat(F.array(*header), body)
-    kv = F.map_from_entries(F.filter(entries, lambda e: e["value"].isNotNull()))
+    header = ", ".join(entry(n, i + 1) for i, n in enumerate(_PANOS_HEADER))
+    arms = "".join(
+        " WHEN '{t}' THEN array({ents})".format(
+            t=t,
+            ents=", ".join(
+                entry(n, len(_PANOS_HEADER) + 1 + i) for i, n in enumerate(cols)
+            ),
+        )
+        for t, cols in _PANOS_COLUMNS.items()
+    )
+    kv = F.expr(
+        f"map_from_entries(filter(concat(array({header}), "
+        f"CASE try_element_at(_c, 4){arms} "
+        f"ELSE CAST(array() AS array<struct<key:string,value:string>>) END), "
+        f"e -> e.value IS NOT NULL))"
+    )
     return base.withColumn(target, kv).drop("_c")
 
 

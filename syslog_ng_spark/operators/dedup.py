@@ -210,10 +210,13 @@ def minhash_signatures(
     sh = shingles(df.select(id_col, text_col), text_col, n=n).select(
         id_col, base_hash(F.col("shingle"))
     )
+    # rendered as SQL text: one parse call per aggregate instead of ~6
+    # py4j round trips per Column sub-node (r14, same rationale as the
+    # similarity kernels) — identical expression tree after parsing
     aggs = []
     for i in range(num_hashes):
         a, b = _affine_params(i)
-        aggs.append(F.min((F.col("h") * a + b) % MERSENNE31).alias(f"mh_{i}"))
+        aggs.append(F.expr(f"min((h * {a} + {b}) % {MERSENNE31}) AS mh_{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -303,23 +306,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         id_col,
         F.conv(F.substring(F.md5(F.col("tok")), 1, n_hex), 16, 10).cast("long").alias("th"),
     )
+    # both stages rendered as SQL text — one parse call per aggregate /
+    # one for the whole bit-weave — instead of ~8 py4j round trips per
+    # bit (r14; ~1 s of driver build time for bits=60). The parsed
+    # trees are the ones the Column API built: CASE WHEN for when/
+    # otherwise, left-associative + chain, same integer literals.
     sums = tokened.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(th DIV {1 << i}) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"s{i}")
+            F.expr(
+                f"sum(CASE WHEN (th DIV {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+            )
             for i in range(bits)
         ]
     )
-    sig = sums.select(
-        id_col,
-        sum(
-            [F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)],
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("simhash"),
-    )
+    weave = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    sig = sums.select(id_col, F.expr(f"CAST(0 + {weave} AS BIGINT) AS simhash"))
     return sig
 
 

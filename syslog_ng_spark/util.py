@@ -50,6 +50,17 @@ def epoch_seconds(col):
     return col.cast("timestamp").cast("double")
 
 
+# Plan memo keyed by input-DataFrame identity (r14): with catalog.T()
+# memoized, the same base-table plan object flows through rebalance()
+# on every query build, and the getNumPartitions() probe + repartition
+# wrapper cost ~100 ms of py4j round trips per call. The memo stores
+# only the wrapped LOGICAL PLAN — no rows, no statistics derived from
+# data — so every action still computes from the parquet inputs. The
+# `is` check guards against id() reuse; the size cap bounds JVM plan
+# references under long test sessions.
+_REBALANCE_MEMO: dict[int, tuple] = {}
+
+
 def rebalance(df: DataFrame) -> DataFrame:
     """Spread rows across all cores before CPU-heavy per-row work
     (regex parse, tokenize/explode, vector math) — but ONLY when the
@@ -61,10 +72,15 @@ def rebalance(df: DataFrame) -> DataFrame:
     unconditional repartition would be a pure-cost full shuffle of the
     fact table; the partition-count gate makes this a no-op there. The
     getNumPartitions() probe only plans the scan (no job runs)."""
+    hit = _REBALANCE_MEMO.get(id(df))
+    if hit is not None and hit[0] is df:
+        return hit[1]
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
-    return df.repartition(parallelism)
+    out = df if df.rdd.getNumPartitions() >= parallelism else df.repartition(parallelism)
+    if len(_REBALANCE_MEMO) > 256:
+        _REBALANCE_MEMO.clear()
+    _REBALANCE_MEMO[id(df)] = (df, out)
+    return out
 
 
 def quantile_agg_expr(
