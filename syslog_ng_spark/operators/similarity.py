@@ -327,12 +327,78 @@ def ivf_assign_pandas(
     return df.join(assigned, id_col)
 
 
+def _collect_small_corpus(
+    df: DataFrame, vec_col: str, id_col: str, bound: int
+) -> list[tuple] | None:
+    """The (id, vector) corpus as driver-local Python when it fits
+    `bound` rows, else None. The limit(bound+1) collect PROVES the
+    bound before committing (same pattern as bpe_train's profile and
+    connected_components' edge collect): exactly `bound+1` rows back
+    means the corpus is bigger, and the caller falls back to the
+    distributed path without ever holding an unbounded result."""
+    rows = df.select(F.col(id_col), F.col(vec_col)).limit(bound + 1).collect()
+    if len(rows) > bound:
+        return None
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def _local_seeds(corpus: list[tuple], k: int) -> list[list[float]]:
+    """Driver-local replay of the trainers' seed selection: rank by
+    (md5-derived hash, id) ascending, take k. Bit-identical to the
+    Spark expression conv(substring(md5(cast(id as string)), 1, 15),
+    16, 10) — hashlib md5 over the decimal string id, first 15 hex
+    digits (60 bits, fits the long cast) as an int."""
+    import hashlib
+
+    ranked = sorted(
+        corpus,
+        key=lambda r: (int(hashlib.md5(str(r[0]).encode()).hexdigest()[:15], 16), r[0]),
+    )
+    return [list(vec) for _, vec in ranked[:k]]
+
+
+def _ivf_train_local(corpus: list[tuple], k: int, iters: int) -> list[list[float]]:
+    """Driver-local Lloyd rounds, numerically aligned with the
+    distributed path: centroid normalization uses the identical
+    Python-float math.sqrt/divide that ivf_assign inlines as
+    literals, scores round to 9 digits before the argmax (ties toward
+    the LARGER index, as ivf_assign's array_max + ivf_assign_pandas),
+    and means round to 9 digits (the same round that makes the
+    distributed sums engine-portable absorbs numpy's pairwise
+    summation order here)."""
+    import math
+
+    import numpy as np
+
+    centroids = _local_seeds(corpus, k)
+    V = np.array([vec for _, vec in corpus], dtype="float64")
+    for _ in range(iters):
+        cn = np.array(
+            [
+                [x / (math.sqrt(sum(y * y for y in c)) or 1.0) for x in c]
+                for c in centroids
+            ],
+            dtype="float64",
+        )
+        scores = np.round(V @ cn.T, 9)
+        best = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+        centroids = [
+            [round(float(s) / int((best == i).sum()), 9) for s in V[best == i].sum(axis=0)]
+            if (best == i).any()
+            else centroids[i]
+            for i in range(k)
+        ]
+    return centroids
+
+
 def ivf_train(
     df: DataFrame,
     k: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iters: int = 3,
+    driver_train: bool | str = "auto",
+    max_driver_train_rows: int = 65_536,
 ) -> list[list[float]]:
     """Deterministic mini k-means for the IVF coarse quantizer:
     centroids seed from k hash-selected vectors (reproducible, no
@@ -346,7 +412,26 @@ def ivf_train(
     which no other engine reproduces), and every Lloyd update rounds
     the new centroid to 9 digits — FP summation order differs across
     engines by ~1e-14, and an unrounded centroid would propagate that
-    into divergent cell boundaries."""
+    into divergent cell boundaries.
+
+    driver_train (r14): training is 1 + iters Spark jobs of pure
+    round-trip latency when the corpus is small; "auto" collects it
+    (bounded by `max_driver_train_rows`, proven by a limit(n+1)
+    collect) and runs the SAME seeds + Lloyd rounds locally —
+    value-identical because every score and mean is rounded to 9
+    digits on both paths (parity pytest-pinned). Past the bound (or
+    driver_train=False) the distributed loop runs unchanged; at
+    100 TB you train on a hash-sample that fits the bound anyway."""
+    if driver_train:
+        corpus = _collect_small_corpus(df, vec_col, id_col, max_driver_train_rows)
+        if corpus is not None:
+            if not corpus:
+                raise ValueError(f"empty corpus: no rows with a {vec_col!r} vector")
+            return _ivf_train_local(corpus, k, iters)
+        if driver_train is True:
+            raise ValueError(
+                f"driver_train=True but corpus exceeds {max_driver_train_rows} rows"
+            )
     seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -526,6 +611,45 @@ def _pq_assign_sql(vec_col: str, codebook_s: list[list[float]], s: int, sub: int
     return f"array_min(array({', '.join(scored)})).i"
 
 
+def _pq_train_local(
+    corpus: list[tuple], m: int, k: int, iters: int
+) -> list[list[list[float]]]:
+    """Driver-local per-subspace Lloyd rounds, numerically aligned
+    with the distributed path: scores are round((dot * -2.0) + |c|²,
+    9) with |c|² from the identical Python-float sum the SQL inlines,
+    argmin ties toward the SMALLER code (np.argmin's first hit =
+    array_min's tie-break), means round to 9 digits."""
+    import numpy as np
+
+    seeds = _local_seeds(corpus, k)
+    dim = len(corpus[0][1])
+    sub = dim // m
+    assert m * sub == dim, f"dim {dim} not divisible by m={m}"
+    books = [[[float(v) for v in s[ss * sub : (ss + 1) * sub]] for s in seeds] for ss in range(m)]
+    X = np.array([vec for _, vec in corpus], dtype="float64")
+    for _ in range(iters):
+        new_books = []
+        for s in range(m):
+            xs = X[:, s * sub : (s + 1) * sub]
+            c = np.array(books[s], dtype="float64")
+            c2 = np.array([sum(v * v for v in code) for code in books[s]], dtype="float64")
+            d = np.round((xs @ c.T) * -2.0 + c2, 9)
+            best = np.argmin(d, axis=1)
+            new_books.append(
+                [
+                    [
+                        round(float(v) / int((best == i).sum()), 9)
+                        for v in xs[best == i].sum(axis=0)
+                    ]
+                    if (best == i).any()
+                    else books[s][i]
+                    for i in range(k)
+                ]
+            )
+        books = new_books
+    return books
+
+
 def pq_train(
     df: DataFrame,
     m: int = 4,
@@ -533,6 +657,8 @@ def pq_train(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    driver_train: bool | str = "auto",
+    max_driver_train_rows: int = 65_536,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the vector splits into `m`
     contiguous subspaces, each trained with its own k-means (classic
@@ -546,7 +672,21 @@ def pq_train(
     Scale: training touches the corpus iters*m times but each pass is
     one groupBy of 16-dim slices; at 100 TB train on a hash-sample
     (codebooks are tiny — m*k*sub floats) and only ENCODING (one
-    column expression, no shuffle) runs over the full corpus."""
+    column expression, no shuffle) runs over the full corpus.
+
+    driver_train (r14): same bounded-collect local path as ivf_train
+    (see there) — value-identical via the shared 9-digit rounding,
+    parity pytest-pinned, distributed fallback unchanged."""
+    if driver_train:
+        corpus = _collect_small_corpus(df, vec_col, id_col, max_driver_train_rows)
+        if corpus is not None:
+            if not corpus:
+                raise ValueError(f"empty corpus: no rows with a {vec_col!r} vector")
+            return _pq_train_local(corpus, m, k, iters)
+        if driver_train is True:
+            raise ValueError(
+                f"driver_train=True but corpus exceeds {max_driver_train_rows} rows"
+            )
     seed_hash = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )

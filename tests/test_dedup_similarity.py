@@ -143,6 +143,36 @@ def test_ivf_topk_recall_and_exactness_at_full_probe(spark):
     assert full == brute
 
 
+def test_trainer_driver_local_matches_distributed(spark):
+    """r14: ivf_train/pq_train's bounded driver-local path must produce
+    EXACTLY the distributed loop's centroids/codebooks (both round
+    every score and mean to 9 digits, which absorbs summation-order
+    differences) — the oracle replays training, so any divergence
+    breaks the ann_* gates."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    for iters in (1, 2):
+        assert similarity.ivf_train(corpus, k=8, iters=iters) == similarity.ivf_train(
+            corpus, k=8, iters=iters, driver_train=False
+        )
+        assert similarity.pq_train(corpus, m=4, k=8, iters=iters) == similarity.pq_train(
+            corpus, m=4, k=8, iters=iters, driver_train=False
+        )
+
+
+def test_trainer_driver_local_bound_fallback(spark):
+    """auto falls back to the distributed loop when the corpus exceeds
+    the collect bound (proven by the limit(n+1) probe); forcing
+    driver_train=True past the bound is a loud error."""
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = similarity.ivf_train(emb, k=4, iters=1, max_driver_train_rows=3)
+    assert auto == similarity.ivf_train(emb, k=4, iters=1, driver_train=False)
+    with pytest.raises(ValueError, match="exceeds"):
+        similarity.ivf_train(emb, k=4, iters=1, driver_train=True, max_driver_train_rows=3)
+
+
 def test_ivf_assignment_is_deterministic(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     c1 = similarity.ivf_train(emb, k=4, iters=1)
