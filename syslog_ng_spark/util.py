@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def salted_join(
@@ -76,7 +77,22 @@ def rebalance(df: DataFrame) -> DataFrame:
     if hit is not None and hit[0] is df:
         return hit[1]
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    out = df if df.rdd.getNumPartitions() >= parallelism else df.repartition(parallelism)
+    if df.rdd.getNumPartitions() >= parallelism:
+        out = df
+    else:
+        # Pushdown barrier (r14): Catalyst pushes deterministic
+        # predicates below the repartition Exchange, which lands
+        # EXPENSIVE filters (regex parses like snmptrapd's is_trap)
+        # back on the under-partitioned input — the exact serial
+        # stage this helper exists to escape (measured 3.5s -> 1.2s
+        # on snmptrapd_parse at sf0.1, rows identical). A trivially
+        # true filter on a nondeterministic expression blocks the
+        # reordering (predicates cannot cross a nondeterministic
+        # filter), costs one comparison per row, and changes no row.
+        # Only this under-partitioned branch pays it: an input that
+        # is already parallel returns unchanged above, so parquet
+        # scan pushdown at cluster scale is untouched.
+        out = df.repartition(parallelism).where(F.monotonically_increasing_id() >= 0)
     if len(_REBALANCE_MEMO) > 256:
         _REBALANCE_MEMO.clear()
     _REBALANCE_MEMO[id(df)] = (df, out)

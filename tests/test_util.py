@@ -34,6 +34,23 @@ def test_rebalance_spreads_partitions(spark):
     assert out.count() == 100
 
 
+def test_rebalance_blocks_predicate_pushdown(spark):
+    """r14: a filter applied above rebalance() must NOT be pushed
+    below the repartition Exchange — on an under-partitioned input
+    the pre-shuffle stage is serial, and pushing an expensive regex
+    predicate there re-serializes the exact work rebalance exists to
+    parallelize. Rows are unchanged (the barrier predicate is
+    trivially true)."""
+    df = spark.createDataFrame([(i, f"m{i}") for i in range(100)], "v int, s string").coalesce(1)
+    out = rebalance(df).where(F.col("s").rlike("m[0-9]+"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the plan prints top-down, so text after the Exchange line is the
+    # pre-shuffle side: the RLIKE predicate must not appear there
+    ex_pos = plan.index("Exchange")
+    assert "RLIKE" not in plan[ex_pos:], "predicate was pushed below the exchange"
+    assert out.count() == 100
+
+
 def test_track_release_cached(spark):
     """Operators that persist intermediates attach them to the lazy
     result; release_cached frees every one (the ADVICE leak: repeated
