@@ -6844,9 +6844,16 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors cosine-near any eval vector (within the shared LSH
     bucketing) are flagged. Catches paraphrased leakage the n-gram
     `decontaminate` gate cannot."""
-    emb = rebalance(T(spark, sf_dir, "embeddings"))
+    # split BEFORE rebalance (r14): rebalance()'s pushdown barrier
+    # would otherwise hold these cheap selective filters above the
+    # repartition, shuffling the full embedding payload twice (2.0x
+    # the bytes; measured 0.99s -> 2.0s). Filtering first shuffles
+    # each slice once, and the 5% eval side skips the repartition
+    # entirely — it feeds a broadcast, so one partition of tiny
+    # norm/bucket math costs less than its own exchange.
+    emb = T(spark, sf_dir, "embeddings")
     evalset = emb.where(F.col("vec_id") % 20 == 0)
-    corpus = emb.where(F.col("vec_id") % 20 != 0)
+    corpus = rebalance(emb.where(F.col("vec_id") % 20 != 0))
     planes = [
         [(((i * 7 + j * 3) % 11) - 5.0) for j in range(64)] for i in range(1, 4)
     ]

@@ -574,7 +574,7 @@ def semantic_dedup_pairs(
             "id_b",
             F.col("_cell").alias("ivf_cell"),
             F.expr(
-                f"ROUND({_dot_cols_sql('_va', '_vb', dim)} / (`_na` * `_nb`), 6)"
+                f"ROUND({_dot_cols_hof_sql('_va', '_vb')} / (`_na` * `_nb`), 6)"
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
@@ -974,7 +974,7 @@ def semantic_decontaminate(
         .select(
             "_cid",
             F.expr(
-                f"ROUND({_dot_cols_sql('_cv', '_ev', dim)} / (`_cn` * `_en`), 6)"
+                f"ROUND({_dot_cols_hof_sql('_cv', '_ev')} / (`_cn` * `_en`), 6)"
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
@@ -1070,7 +1070,7 @@ def hard_negatives(
             "anchor_id",
             "cand_id",
             F.expr(
-                f"ROUND({_dot_cols_sql('_va', '_vb', dim)} / (`_na` * `_nb`), 6)"
+                f"ROUND({_dot_cols_hof_sql('_va', '_vb')} / (`_na` * `_nb`), 6)"
             ).alias("cos_sim"),
         )
     )
