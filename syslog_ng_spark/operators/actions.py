@@ -764,6 +764,7 @@ def patterndb_actions(
         return sess_pool, ctx_frame
 
     sess_pool = ctx_frame = None
+    chain_cached: list[DataFrame] = []
     if prep.pool is not None:
         pool = prep.pool
         sess_pool, ctx_frame = _build_sessions(pool)
@@ -776,6 +777,20 @@ def patterndb_actions(
         # its parent's joins the parent's (expired) session instead
         # of starting a fresh context — distinct chained ids (the
         # operative use) behave exactly like the reference.
+        if prep.timeout_seeds:
+            # persist each generation's ctx_frame (r14): generation
+            # g's isEmpty gate executes the full sessionize+agg
+            # pipeline of build g anyway; caching its SMALL aggregated
+            # output (one row per context) lets both the next seed
+            # build and the final timeout-action branches read it back
+            # instead of re-running the window pipeline — measured
+            # 6.2s -> 3.9s on patterndb_chain_context at sf0.1. Only
+            # chaining rulesets pay the materialization barrier;
+            # single-build rulesets (no timeout create-context) skip
+            # this branch entirely. Frames ride out via track_cached
+            # so callers can release them after their action.
+            ctx_frame = ctx_frame.persist()
+            chain_cached.append(ctx_frame)
         for gen in range(max_chain_depth):
             if not prep.timeout_seeds:
                 break
@@ -791,12 +806,16 @@ def patterndb_actions(
             if seeds.isEmpty():
                 seeds.unpersist()
                 break
-            # NOT persisted (measured r12, sf0.1): the pool's lineage
-            # is one cheap classification pass — caching it cost 1.5×
-            # the recompute (6.4s vs 4.4s warm); the per-generation
-            # seeds ARE persisted above (they gate the loop)
+            chain_cached.append(seeds)
+            # the pool itself is NOT persisted (measured r12, sf0.1):
+            # its lineage is one cheap classification pass — caching
+            # it cost 1.5× the recompute (6.4s vs 4.4s warm); the
+            # per-generation seeds and ctx frames ARE persisted (they
+            # gate the loop / feed the final branches)
             pool = pool.unionByName(seeds)
             sess_pool, ctx_frame = _build_sessions(pool)
+            ctx_frame = ctx_frame.persist()
+            chain_cached.append(ctx_frame)
         else:
             if prep.timeout_seeds:
                 # Only raise if the FINAL generation would actually
@@ -876,6 +895,10 @@ def patterndb_actions(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    if chain_cached:
+        from syslog_ng_spark.util import track_cached
+
+        out = track_cached(out, *chain_cached)
     return out
 
 
