@@ -367,15 +367,24 @@ def simhash_neardup_pairs(
         banded = banded.join(F.broadcast(keep), "bucket")
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
-    cand = (
+    # hamming BEFORE the dedup of multi-bucket collisions (r14): the
+    # popcount filter is a per-row expression, so running it on the
+    # raw join output costs nothing extra, while the distinct that
+    # follows now shuffles only the (tiny) surviving near-dup set —
+    # three narrow columns — instead of every candidate pair dragging
+    # both 8-byte signatures through the exchange (guide §2.3).
+    # Identical result set: hamming is a function of the pair, so
+    # filter-then-distinct == distinct-then-filter.
+    out = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    out = cand.withColumn(
-        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
     return track_cached(out, sig)
 
 
@@ -694,38 +703,28 @@ def repeated_passages(
     exactness (maximal spans, arbitrary lengths) needs a different
     engine; fixed-n rolling coverage is the distributable
     approximation and upper-bounds span recall for spans >= n."""
-    base = rebalance(df)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    with_toks = base.select(F.col(id_col), toks.alias("_t")).where(F.size("_t") >= n)
-    idx = F.sequence(F.lit(0), F.size("_t") - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.array_join(F.slice(F.col("_t"), i + 1, n), " ")).alias("g"),
-        ),
-    )
-    exploded = with_toks.select(
-        id_col, F.size("_t").alias("n_tokens"), F.explode(grams).alias("e")
-    ).select(id_col, "n_tokens", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
-    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
-    shared = (
-        exploded.groupBy("g")
-        .agg(F.countDistinct(id_col).alias("_d"))
-        .where((F.col("_d") >= min_docs) & (F.col("_d") <= df_cap))
-        .select("g")
-    )
-    # countDistinct instead of distinct()+count: one shuffle with
-    # partial aggregation rather than two full exchanges, and n_tokens
-    # rides the final doc join instead of the wide coverage rows
+    from pyspark.sql import Window
+
+    hits, with_toks_all, exploded = _dup_gram_hits(
+        df, text_col, id_col, n, min_docs, df_cap)
+    with_toks = with_toks_all.where(F.size("_t") >= n)
+    # dup mass = Σ merged-island lengths (r14): the covered position
+    # set is the union of [pos, pos+n) over hits, and repeated_spans'
+    # island merge produces exactly its maximal disjoint intervals
+    # (the cross-operator pytest invariant), so countDistinct over an
+    # n-way position explode equals one window pass + two aggregates
+    # on the SAME partition key — no explode, no countDistinct
+    # shuffle of n× the hit volume (guide §2.3).
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
     per_doc = (
-        exploded.join(shared, "g")
-        .select(
-            id_col,
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tok_i"),
-        )
+        hits.select(id_col, "pos", F.sum(brk).over(w).alias("_island"))
+        .groupBy(id_col, "_island")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + n).alias("_e"))
         .groupBy(id_col)
-        .agg(F.countDistinct("tok_i").alias("dup_tokens"))
+        .agg(F.sum(F.col("_e") - F.col("_s")).alias("dup_tokens"))
     )
     all_docs = with_toks.select(id_col, F.size("_t").cast("long").alias("n_tokens"))
     out = (
@@ -854,36 +853,39 @@ def exactsubstr_trim(
         .groupBy(id_col, "_island")
         .agg(F.min("pos").alias("_s"), (F.max("pos") + n).alias("_e"))
     )
-    covered = spans.select(
-        id_col, F.explode(F.sequence("_s", F.col("_e") - 1)).alias("tok_i"))
-    tok_pos = with_toks.select(
-        id_col,
-        F.size("_t").cast("long").alias("n_tokens"),
-        F.posexplode("_t").alias("tok_i", "tok"),
+    # per-doc span arrays + one indexed filter() over the token array
+    # (r14): the old shape pos-exploded EVERY token of EVERY doc
+    # through an anti-join and re-assembled with collect_list — three
+    # token-level shuffles carrying token strings. Spans per doc are
+    # tiny (merged islands), so aggregating them to one array row per
+    # doc and trimming in place costs at most ONE shuffle of the
+    # token arrays (zero when AQE broadcasts the span side); a token
+    # survives iff no span covers its position — same kept set, same
+    # order, bit-identical rebuilt text.
+    spans_per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("_s"), F.col("_e"))).alias("_spans")
     )
-    kept = tok_pos.join(covered, [id_col, "tok_i"], "left_anti")
-    rebuilt = kept.groupBy(id_col, "n_tokens").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tok_i", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("trimmed_text"),
-        F.count("tok_i").cast("long").alias("_kept"),
+    kept = F.filter(
+        "_t",
+        lambda tok, i: ~F.exists(
+            F.col("_spans"), lambda sp: (i >= sp["_s"]) & (i < sp["_e"])
+        ),
     )
-    all_docs = with_toks.select(
-        id_col, F.size("_t").cast("long").alias("n_tokens"),
-        F.array_join("_t", " ").alias("_norm"))
     out = (
-        all_docs.join(
-            rebuilt.select(id_col, "trimmed_text", "_kept"), id_col, "left")
+        with_toks.join(spans_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.when(F.col("_spans").isNull(), F.col("_t"))
+            .otherwise(kept)
+            .alias("_kept_toks"),
+        )
         .select(
             id_col,
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce("_kept", F.lit(0)))
+            (F.col("n_tokens") - F.size("_kept_toks"))
             .cast("long").alias("removed_tokens"),
-            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+            F.array_join("_kept_toks", " ").alias("trimmed_text"),
         )
     )
     return track_cached(out, exploded)
