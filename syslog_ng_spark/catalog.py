@@ -4658,12 +4658,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late_flag).alias("late"))
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").cast("long").alias("n_late")
-    )
-    waits = per_pair.join(per_order, "l_orderkey").where(
-        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-    )
+    # per-order totals as a window over the per-pair aggregate (r14):
+    # the old per_order groupBy + self-join recomputed the whole
+    # lineitem⋈orders subtree for the second branch and sort-merge-
+    # joined the two (the catalog's only SMJs besides the dedup
+    # pipelines); the window reads the per-pair rows once — one extra
+    # exchange on l_orderkey instead of a duplicated scan + SMJ.
+    w = Window.partitionBy("l_orderkey")
+    waits = per_pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).cast("long").alias("n_late"),
+    ).where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     return (
         waits.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

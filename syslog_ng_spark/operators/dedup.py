@@ -141,11 +141,14 @@ def jaccard_pairs(
     k^2 candidate pairs."""
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
-    sh = (
-        shingles(df.select(id_col, text_col), text_col, n=n)
-        .select(id_col, "shingle")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # reused by sizes + grouping
-    )
+    # NOT persisted (r14): sizes and the shingle grouping each re-run
+    # the tokenize+explode pass instead of sharing a cache — measured
+    # FASTER (1.5-2.4s vs 2.2-2.8s per run at sf0.1): the
+    # materialization barrier + storing the exploded shingle stream
+    # (~10x the text bytes) costs more than a second codegen'd pass.
+    # Same trade at 100 TB: two corpus scans beat materializing the
+    # shingle explosion to executor memory/disk.
+    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     # ONE shuffle on shingle: group doc-ids per shingle (df-capped),
     # generate ordered pairs inside the array — replaces the
@@ -190,7 +193,7 @@ def jaccard_pairs(
         .where(F.col(metric) >= threshold)
         .select("id_a", "id_b", metric)
     )
-    return track_cached(out, sh)
+    return out
 
 
 def base_hash(c) -> F.Column:
