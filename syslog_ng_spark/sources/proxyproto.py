@@ -188,16 +188,23 @@ def proxied_text_messages(
             *[cols[n].alias(n) for n in AUX_FIELDS],
         ),
     )
-    hdr = F.first(parsed).over(w)
-    first_seq = F.min(F.col(seq_col)).over(w)
-    out = df.withColumn(
-        "_hdr_valid", F.coalesce(hdr["valid"], F.lit(False))
-    ).withColumn("_first_seq", first_seq)
+    # ONE first() window expression carrying the whole parsed struct
+    # (r14): extracting each field through its own `first(parsed)[f]`
+    # put seven window-function instances into the Window operator —
+    # the struct parse ran per instance. Materializing the struct once
+    # and field-extracting in the projection leaves two window
+    # functions (header + first_seq); same rows, same values.
+    out = df.withColumn("_hdr", F.first(parsed).over(w)).withColumn(
+        "_first_seq", F.min(F.col(seq_col)).over(w)
+    )
     for name in AUX_FIELDS:
-        out = out.withColumn(name, hdr[name])
+        out = out.withColumn(name, F.col("_hdr")[name])
     return (
-        out.where(F.col("_hdr_valid") & (F.col(seq_col) > F.col("_first_seq")))
-        .drop("_hdr_valid", "_first_seq")
+        out.where(
+            F.coalesce(F.col("_hdr")["valid"], F.lit(False))
+            & (F.col(seq_col) > F.col("_first_seq"))
+        )
+        .drop("_hdr", "_first_seq")
     )
 
 
