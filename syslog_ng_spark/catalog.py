@@ -3239,15 +3239,24 @@ HAVING sum(CAST(l_quantity AS DECIMAL(30,8))) > 300
 
 @register("q18_large_orders", _Q18_SQL)
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-aggregate lineitem per order BEFORE the joins (r14, guide
+    # §2.3: shuffle fewer bytes): o_orderkey is unique in orders, so
+    # grouping by (c_custkey, o_orderkey, o_orderdate) after the join
+    # is row-for-row the same as summing per l_orderkey first — the
+    # join then moves one row per order instead of every lineitem, the
+    # >300 HAVING prunes before the join, and the post-join groupBy
+    # disappears entirely (one shuffle, was two).
     cust = T(spark, sf_dir, "customer").select("c_custkey")
     orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+    per_order = (
+        li.groupBy("l_orderkey")
         .agg(dsum(F.col("l_quantity")).alias("_tq"))
         .where(F.col("_tq") > 300)
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -3926,20 +3935,23 @@ SELECT doc_id, tok AS top_term, tfidf FROM ranked WHERE rn = 1
 
 @register("tfidf_top_terms", _TFIDF_SQL)
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF with the most characteristic term per document: term
-    frequencies and document frequencies are two shuffles on the token
-    key; the doc-count scalar joins as a broadcast 1-row aggregate (no
-    eager count() on the driver). The tf-df join is NOT hinted: the
-    vocabulary grows with the corpus, so a forced broadcast would OOM at
-    scale — AQE picks broadcast when dfreq is actually small."""
+    """TF-IDF with the most characteristic term per document: one
+    tokenize pass into the (doc, tok) term-frequency aggregate, then
+    document frequency as a count over the token partition of that
+    same table (r14 — the old dfreq branch re-tokenized the corpus
+    and joined back on tok); the doc-count scalar joins as a
+    broadcast 1-row aggregate (no eager count() on the driver)."""
     docs = rebalance(T(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(textstats.tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df as a window over tf (r14): tf's rows ARE the distinct
+    # (doc, tok) pairs, so df(tok) = count over the tok partition —
+    # identical values with ONE tokenize pass and no tf-df join (the
+    # old shape re-tokenized the corpus for the countDistinct branch
+    # and shuffled tf again into the join; same restructure as q21).
     scored = (
-        tf.join(dfreq, "tok")
-        .crossJoin(F.broadcast(n))
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
         .select(
             "doc_id",
             "tok",
@@ -4603,11 +4615,17 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = T(spark, sf_dir, "part").where(F.col("p_size") >= 30).select("p_partkey")
     supp = T(spark, sf_dir, "supplier")
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(dsum(F.col("l_quantity")).alias("sq"))
-    totals = shipped.groupBy("l_partkey").agg(
-        F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("ns")
-    )
+    # per-part totals as a window over the per-(part,supplier) rows
+    # (r14, same restructure as q21): the separate groupBy(l_partkey)
+    # + join back made Catalyst recompute the whole lineitem aggregate
+    # subtree for the totals side and shuffle both sides into the join
+    # — one window over l_partkey reads the per-pair rows once
+    # (8 Exchanges -> 3 in the formatted plan). Window aggregates are
+    # the same sum/count, so values are identical.
+    wp = Window.partitionBy("l_partkey")
     dominant = (
-        shipped.join(totals, "l_partkey")
+        shipped.withColumn("tq", F.sum("sq").over(wp))
+        .withColumn("ns", F.count(F.lit(1)).over(wp))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(
             F.col("sq").cast("double") > 2.5 * F.col("tq").cast("double") / F.col("ns")

@@ -105,16 +105,34 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "s
     the regex once per shingle — O(tokens²) per doc (the same
     pathology fixed in textstats._hashed_ngram_features, measured 2×
     there)."""
+    return (
+        shingle_sets(df, text_col, n=n, target="_grams")
+        .withColumn(target, F.explode(F.col("_grams")))
+        .drop("_grams")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3, target: str = "_sh") -> DataFrame:
+    """Per-document distinct n-gram shingle SET as an array column —
+    shingles() without the explode. Consumers that need the per-doc
+    set (fuzzy verify joins) or its size read it straight off the
+    projection instead of re-aggregating the exploded stream back
+    with groupBy+collect_set (r14: that explode → shuffle → rebuild
+    round-trip was pure cost; one select produces the same set,
+    order-insensitively equal).
+
+    Docs with fewer than n tokens drop out (no shingles), matching
+    the explode shape. The filter runs BEFORE any downstream explode:
+    sequence(0, size-n) is descending for short docs, so correctness
+    must not depend on the optimizer pushing the predicate below a
+    Generate."""
     base = rebalance(df).withColumn("_toks", F.split(normalize_text(F.col(text_col)), " "))
     toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    # Filter BEFORE the explode: sequence(0, size-n) is descending for
-    # short docs, so correctness must not depend on the optimizer
-    # pushing the predicate below the Generate.
     return (
         base.where(F.size(toks) >= n)
-        .withColumn(target, F.explode(F.array_distinct(grams)))
+        .withColumn(target, F.array_distinct(grams))
         .drop("_toks")
     )
 
@@ -135,54 +153,59 @@ def jaccard_pairs(
     short doc embedded in a long one (quotes, syndication, prompt
     templates) that Jaccard's union denominator dilutes away.
 
-    Pipeline: shingle-explode → df-prune hot shingles (df_cap) →
-    self-join on shingle → count common → join sizes → filter. The
-    df_cap prune is the skew guard: a shingle shared by k docs creates
-    k^2 candidate pairs."""
+    Pipeline (ONE corpus scan, r14): shingle-set projection →
+    explode carrying the per-doc set size → df-prune hot shingles
+    (df_cap) → pairs generated inside the per-shingle array → count
+    common → filter. The doc sizes RIDE the shingle shuffle as an
+    extra int per entry, which removes the old separate sizes pass
+    (a second tokenize scan + a groupBy(doc) exchange) and both
+    broadcast size-lookup joins — same rows out (the size is
+    size(array_distinct(grams)), exactly the exploded count the old
+    aggregate computed). The df_cap prune is the skew guard: a
+    shingle shared by k docs creates k^2 candidate pairs."""
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
-    # NOT persisted (r14): sizes and the shingle grouping each re-run
-    # the tokenize+explode pass instead of sharing a cache — measured
-    # FASTER (1.5-2.4s vs 2.2-2.8s per run at sf0.1): the
-    # materialization barrier + storing the exploded shingle stream
-    # (~10x the text bytes) costs more than a second codegen'd pass.
-    # Same trade at 100 TB: two corpus scans beat materializing the
-    # shingle explosion to executor memory/disk.
-    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(id_col, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    # ONE shuffle on shingle: group doc-ids per shingle (df-capped),
-    # generate ordered pairs inside the array — replaces the
-    # self-join + prune-join formulation (2 extra shuffles, 2.3x slower
-    # measured at sf0.1). The cap bounds both skew AND per-task memory:
-    # a shingle shared by k docs expands to k(k-1)/2 structs in one row.
+    # NOT persisted (r14): recompute-vs-persist was measured on the
+    # old two-pass shape (1.5-2.4s vs 2.2-2.8s per run at sf0.1) —
+    # the materialization barrier + storing the exploded shingle
+    # stream (~10x the text bytes) costs more than a codegen'd pass;
+    # the single-scan shape below makes the question moot.
+    sets = shingle_sets(df.select(id_col, text_col), text_col, n=n, target="_grams")
+    sh = sets.select(
+        id_col, F.size("_grams").alias("_sz"), F.explode("_grams").alias("shingle")
+    )
+    # ONE shuffle on shingle: group (doc-id, size) per shingle
+    # (df-capped), generate ordered pairs inside the array — replaces
+    # the self-join + prune-join formulation (2 extra shuffles, 2.3x
+    # slower measured at sf0.1). The cap bounds both skew AND per-task
+    # memory: a shingle shared by k docs expands to k(k-1)/2 structs
+    # in one row. array_sort orders by the struct's first field (the
+    # unique doc id), so pair order matches the old id-only sort.
     grouped = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("_ds"))
+        .agg(F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("_sz")))).alias("_ds"))
         .where((F.size("_ds") >= 2) & (F.size("_ds") <= df_cap))
     )
     pair_expr = (
         "flatten(transform(_ds, (x, i) -> "
         "transform(slice(_ds, i + 2, size(_ds) - i - 1), "
-        "y -> struct(x as id_a, y as id_b))))"
+        f"y -> struct(x.{id_col} as id_a, x._sz as _sza, "
+        f"y.{id_col} as id_b, y._sz as _szb))))"
     )
     common = (
         grouped.select(F.explode(F.expr(pair_expr)).alias("_p"))
-        .select("_p.id_a", "_p.id_b")
+        .select("_p.id_a", "_p._sza", "_p.id_b", "_p._szb")
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
+        .agg(
+            F.count(F.lit(1)).alias("_common"),
+            # constant within a group (a doc has one size) — min is a
+            # deterministic pick, not a computation
+            F.min("_sza").alias("_sza"),
+            F.min("_szb").alias("_szb"),
+        )
     )
-    # sizes is one row per doc — broadcast both lookups, the pair table
-    # is the big side
     out = (
-        common.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))),
-            "id_b",
-        )
-        .withColumn(
+        common.withColumn(
             metric,
             F.round(
                 F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")), 6
@@ -542,10 +565,13 @@ def fuzzy_dedup(
     recipe is one LSH pass + joins — this is the composition
     CCNet/Gopher-style dedup uses at web scale."""
     cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, n, bucket_cap=bucket_cap)
-    shsets = (
-        shingles(df.select(id_col, text_col), text_col, n=n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("_sh"))
+    # per-doc shingle sets straight off the projection (r14): the old
+    # shingles()+groupBy+collect_set round-trip exploded every shingle
+    # through a shuffle only to rebuild the per-doc set it started
+    # from; array_intersect/array_union are order-insensitive, so the
+    # array_distinct set is value-identical
+    shsets = shingle_sets(df.select(id_col, text_col), text_col, n=n).select(
+        id_col, F.col("_sh")
     )
     verified = (
         cand.join(
@@ -650,18 +676,14 @@ def incremental_dedup(
         .select("_id_new", "_id_corp")
         .distinct()
     )
-    sh_new = (
-        shingles(new_df.select(id_col, text_col), text_col, n=n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("_shn"))
-        .select(F.col(id_col).alias("_id_new"), "_shn")
+    # per-doc sets off the projection, no explode/groupBy round-trip
+    # (r14, same argument as fuzzy_dedup's shsets)
+    sh_new = shingle_sets(new_df.select(id_col, text_col), text_col, n=n, target="_shn").select(
+        F.col(id_col).alias("_id_new"), "_shn"
     )
-    sh_corp = (
-        shingles(corpus_df.select(id_col, text_col), text_col, n=n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("_shc"))
-        .select(F.col(id_col).alias("_id_corp"), "_shc")
-    )
+    sh_corp = shingle_sets(
+        corpus_df.select(id_col, text_col), text_col, n=n, target="_shc"
+    ).select(F.col(id_col).alias("_id_corp"), "_shc")
     matched = (
         cand.join(sh_new, "_id_new")
         .join(sh_corp, "_id_corp")

@@ -196,13 +196,14 @@ def unigram_logprob(
     absorbed by round(…, 6) AFTER the mean (the oracle mirrors the
     exact expression shape)."""
     toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    totals = toked.agg(
-        F.count(F.lit(1)).alias("_n"), F.countDistinct("tok").alias("_v")
-    )
+    # totals derive from the vocab-sized unigram table (r14, same
+    # identity as bigram_logprob): N = Σ counts, V = row count — drops
+    # the separate tokenize+countDistinct pass, and the unigram
+    # exchange is shared between both branches (ReuseExchange).
+    uni_c = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = uni_c.agg(F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v"))
     uni = (
-        toked.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .crossJoin(F.broadcast(totals))
+        uni_c.crossJoin(F.broadcast(totals))
         .select(
             "tok",
             # ln p(tok) with add-k smoothing; NOT rounded here — the
