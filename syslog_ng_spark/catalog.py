@@ -154,8 +154,12 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # filter FIRST (keeps parquet pushdown), then rebalance: the
+    # single-row-group local input runs the decimal partial aggregate
+    # on one core otherwise (r14; no-op at cluster scale where splits
+    # >= cores, and every sum here is exact DECIMAL — order-free)
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        rebalance(li.where(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money(F.col("l_quantity")).alias("sum_qty"),
@@ -394,7 +398,9 @@ def filter_netmask6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a parsing bug cannot hide behind oracle symmetry."""
     from syslog_ng_spark.operators.filters import netmask6_filter
 
-    ev = T(spark, sf_dir, "events")
+    # r14: the v6 parse/expand is per-row string work on a single
+    # local split otherwise; no-op at cluster scale
+    ev = rebalance(T(spark, sf_dir, "events"))
     v4 = F.concat(
         F.lit("10."),
         (F.col("user_id") % 32).cast("string"),
@@ -1085,6 +1091,8 @@ def journal_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         journal_export_records,
     )
 
+    # r14 note: rebalance() here measured 1.21 -> 1.30 s (the record
+    # assembly groupBy below already provides the shuffle) — left as is
     ev = T(spark, sf_dir, "events")
     rec = F.concat(
         F.lit("__REALTIME_TIMESTAMP="),
@@ -1360,7 +1368,9 @@ FROM events GROUP BY 1
 
 @register("json_parse_props", _JSON_SQL)
 def json_parse_props_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events")
+    # r14: from_json + map surgery are interpreted per-row; spread the
+    # single local split (no-op at cluster scale)
+    ev = rebalance(T(spark, sf_dir, "events"))
     parsed = json_parser(ev, "props", target="sdata")
     return parsed.groupBy(F.element_at("sdata", "k").alias("k_str")).agg(
         F.count(F.lit(1)).alias("n")
@@ -1685,7 +1695,10 @@ def format_json_scoped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     renaming the classifier keys — rendered as sorted-key JSON."""
     from syslog_ng_spark.functions.format import format_json_scoped
 
-    logs = events_as_logs(T(spark, sf_dir, "events"))
+    # rebalance before the render (r14): the map_filter/transform_keys
+    # pipeline is interpreted (HOFs don't codegen) and was running on
+    # the single local input split; no-op at cluster scale
+    logs = events_as_logs(rebalance(T(spark, sf_dir, "events")))
     nv = F.create_map(
         F.lit("app"), F.col("program"),
         F.lit("seq"), F.col("event_id").cast("string"),
@@ -1732,7 +1745,9 @@ def geoip_range_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles, no BroadcastNestedLoopJoin."""
     from syslog_ng_spark.operators.enrich import geoip_range_enrich
 
-    ev = T(spark, sf_dir, "events")
+    # r14: parallelize the single local split before the per-row ip
+    # render + broadcast probe (no-op at cluster scale)
+    ev = rebalance(T(spark, sf_dir, "events"))
     ip = F.concat(
         F.lit("10."),
         (F.col("user_id") % 32).cast("string"),
@@ -3397,7 +3412,9 @@ def map_value_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_ng_spark.operators.parsers import json_parser
     from syslog_ng_spark.operators.rewrite import map_value_pairs
 
-    ev = T(spark, sf_dir, "events")
+    # r14: from_json + map surgery are interpreted per-row; spread the
+    # single local split (no-op at cluster scale)
+    ev = rebalance(T(spark, sf_dir, "events"))
     parsed = json_parser(ev, "props", target="sdata")
     renamed = map_value_pairs(parsed, "sdata", {"k": "evt.k"})
     exploded = renamed.select("event_id", F.explode("sdata").alias("new_name", "sd_key"))
