@@ -305,6 +305,22 @@ def hashed_bow_topk(
     return track_cached(out, bow)
 
 
+# SQL-text fragments for the hashed-n-gram feature pipeline (r14):
+# byte-for-byte the expressions the Column API built — filter(tokens)
+# per the `tokens()` helper, one md5 per token pre-reduced mod dim,
+# bigram buckets via the modular combine (31*u_i + u_{i+1}) % dim.
+_TOKENS_SQL = (
+    "filter(split(trim(regexp_replace(lower({text}), '\\\\s+', ' ')), ' '), w -> w != '')"
+)
+_UHASH_SQL = (
+    "transform(_t, w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % {dim})"
+)
+_FEATS_SQL = (
+    "CASE WHEN size(_u) >= 2 THEN concat(_u, transform(sequence(1, size(_u) - 1), "
+    "i -> (element_at(_u, i) * 31 + element_at(_u, i + 1)) % {dim})) ELSE _u END"
+)
+
+
 def _hashed_ngram_features(
     df: DataFrame, text_col: str, id_col: str, dim: int
 ) -> DataFrame:
@@ -336,25 +352,16 @@ def _hashed_ngram_features(
     # lambda — the O(tokens²) re-evaluation this docstring warns
     # about (measured: dsir_logweight 0.6 s -> >120 s at sf0.1 when a
     # round-8 refactor briefly introduced exactly that shape).
-    base = df.select(
+    # Rendered as SQL text (r14): one parse call per stage instead of
+    # ~1100 py4j round trips for the HOF lambdas — ~0.35 s of driver
+    # build time per call; the parsed trees are the ones the Column
+    # API built (same two-select staging, same collapse behavior).
+    base = df.select(F.col(id_col), F.expr(_TOKENS_SQL.format(text=text_col)).alias("_t"))
+    staged = base.select(F.col(id_col), F.expr(_UHASH_SQL.format(dim=dim)).alias("_u"))
+    return staged.select(
         F.col(id_col),
-        F.filter(tokens(F.col(text_col)), lambda w: w != "").alias("_t"),
+        F.explode(F.expr(_FEATS_SQL.format(dim=dim))).alias("bucket"),
     )
-    staged = base.select(
-        F.col(id_col),
-        F.transform(
-            F.col("_t"),
-            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-            % dim,
-        ).alias("_u"),
-    )
-    u = F.col("_u")
-    bis = F.transform(
-        F.sequence(F.lit(1), F.size(u) - 1),
-        lambda i: (F.element_at(u, i) * 31 + F.element_at(u, i + 1)) % dim,
-    )
-    feats = F.when(F.size(u) >= 2, F.concat(u, bis)).otherwise(u)
-    return staged.select(F.col(id_col), F.explode(feats).alias("bucket"))
 
 
 def _hashed_ngram_feature_array(
@@ -365,26 +372,13 @@ def _hashed_ngram_feature_array(
     OCCURRENCE). Used where a per-doc reduction over the features
     follows (the quality classifier's dot product): keeping the array
     avoids the explode+groupBy shuffle entirely. Consumers must fold
-    the array in ONE select (see the collapse note above)."""
-    base = df.select(
-        F.col(id_col),
-        F.filter(tokens(F.col(text_col)), lambda w: w != "").alias("_t"),
+    the array in ONE select (see the collapse note above). SQL-text
+    rendered like _hashed_ngram_features (r14)."""
+    base = df.select(F.col(id_col), F.expr(_TOKENS_SQL.format(text=text_col)).alias("_t"))
+    staged = base.select(F.col(id_col), F.expr(_UHASH_SQL.format(dim=dim)).alias("_u"))
+    return staged.select(
+        F.col(id_col), F.expr(_FEATS_SQL.format(dim=dim)).alias("feats")
     )
-    staged = base.select(
-        F.col(id_col),
-        F.transform(
-            F.col("_t"),
-            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-            % dim,
-        ).alias("_u"),
-    )
-    u = F.col("_u")
-    bis = F.transform(
-        F.sequence(F.lit(1), F.size(u) - 1),
-        lambda i: (F.element_at(u, i) * 31 + F.element_at(u, i + 1)) % dim,
-    )
-    feats = F.when(F.size(u) >= 2, F.concat(u, bis)).otherwise(u)
-    return staged.select(F.col(id_col), feats.alias("feats"))
 
 
 def dsir_logweight(
