@@ -258,6 +258,59 @@ def _template_uses_context_refs(template: str) -> bool:
     return walk(parse_template(template))
 
 
+# template macro -> context struct field, mirroring TemplateCompiler.
+# _ctx_scope's resolve() (everything else is a raw getField(name))
+_CTX_MACRO_FIELDS = {
+    "PID": "pid", "HOST": "host", "PROGRAM": "program",
+    "MSG": "message", "MESSAGE": "message",
+    "FACILITY": "facility", "FACILITY_NUM": "facility",
+    "SEVERITY": "severity", "PRIORITY": "severity",
+    "SEVERITY_NUM": "severity", "LEVEL_NUM": "severity",
+}
+
+
+def _context_struct_fields(rules: list[PdbRule], candidates: list[str]) -> list[str]:
+    """Prune the collected per-context struct to the fields any action
+    template could actually read (r14): context rows are only accessed
+    by NAME — $(grep (cond) ${v}), $(context-values ${v}), ${v}@N all
+    resolve via getField, and a field missing from the struct is a
+    loud analysis error, never a silent null — so collecting every
+    pool column into every context array paid ObjectHashAggregate and
+    shuffle bytes for fields no template reads (10 fields carried,
+    1 read, in the grep-context gate). Name harvesting is a deliberate
+    OVER-approximation: every $NAME / ${NAME} token in every action
+    template, create-context template, and condition of the ruleset
+    (context state is shared across rules), macros mapped to their
+    struct fields, intersected with `candidates` in stable order.
+    '$_' binds a whole context row inside $(grep ...) — its presence
+    keeps every field."""
+    import re
+
+    names: set[str] = set()
+    texts: list[str] = []
+    for r in rules:
+        if r.context_id is not None:
+            texts.append(r.context_id)
+        for a in r.actions:
+            texts.extend(a.message.values.values())
+            if a.condition:
+                texts.append(a.condition)
+            if a.create_context is not None:
+                # the seed's <message> values are a.message.values,
+                # already collected above
+                texts.append(a.create_context.id_template)
+    for t in texts:
+        for m in re.finditer(r"\$(?:\{([A-Za-z0-9_.@]+)\}|([A-Za-z0-9_.]+))", t):
+            names.add((m.group(1) or m.group(2)).split("@")[0])
+        if "$_" in t:
+            return list(candidates)
+    wanted = {(_CTX_MACRO_FIELDS.get(n, n)) for n in names}
+    kept = [c for c in candidates if c in wanted]
+    # a template can reference only $(context-length): size(_context)
+    # still needs a non-empty struct — keep one narrow field
+    return kept if kept else candidates[:1]
+
+
 def _render(
     base: DataFrame,
     action: PdbAction,
@@ -676,6 +729,14 @@ def patterndb_actions(
     ) + [F.col("_seq")]
 
     collect_ctx = _uses_context_refs(rules)
+    ctx_fields = (
+        _context_struct_fields(
+            rules,
+            [c for c in pool_payload if not base_types.get(c, "string").startswith("map")],
+        )
+        if collect_ctx
+        else []
+    )
 
     def _build_sessions(pool: DataFrame) -> tuple[DataFrame, DataFrame]:
         # variable-timeout sessionize: the gap allowed after a message
@@ -712,9 +773,7 @@ def patterndb_actions(
             # the context scope resolves flat fields (same shape both
             # modes). Collected ONLY when a template references the
             # context (collect_list over the pool isn't free).
-            ctx_struct = F.struct(
-                *[F.col(c) for c in pool_payload if not base_types.get(c, "string").startswith("map")]
-            )
+            ctx_struct = F.struct(*[F.col(c) for c in ctx_fields])
             sess_pool = sess_pool.withColumn(
                 "_context", F.collect_list(ctx_struct).over(wc)
             )
@@ -736,9 +795,7 @@ def patterndb_actions(
         if collect_ctx:
             # full context in event order: collect (order, message)
             # structs, sort by the order struct, strip it
-            ctx_struct = F.struct(
-                *[F.col(c) for c in pool_payload if not base_types.get(c, "string").startswith("map")]
-            )
+            ctx_struct = F.struct(*[F.col(c) for c in ctx_fields])
             aggs.append(
                 F.array_sort(
                     F.collect_list(F.struct(ordcol.alias("_o"), ctx_struct.alias("_m")))

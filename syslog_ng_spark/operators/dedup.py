@@ -289,15 +289,20 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK  # self-joined below; avoid recomputing signatures twice
     )
     if bucket_cap is not None:
-        # one extra agg+join, both shuffling on `bucket` — co-partitioned
-        # with the candidate self-join below, so AQE reuses the exchange
-        surviving = (
-            banded.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_k"))
+        # bucket occupancy as a window count over the bucket partition
+        # (r14): the old groupBy+join-back shape recomputed the banded
+        # subtree for the surviving side and shuffled both into the
+        # join; the window reads the cached frame once on the same
+        # bucket key the self-join below needs anyway
+        from pyspark.sql import Window
+
+        banded = (
+            banded.withColumn(
+                "_k", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            )
             .where(F.col("_k") <= bucket_cap)
-            .select("bucket")
+            .drop("_k")
         )
-        banded = banded.join(surviving, "bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "bucket")
     out = (

@@ -277,21 +277,31 @@ def hashed_bow_topk(
     # convention as dedup.py: persisted intermediate, Spark evicts
     # under pressure, unpersisted with the session)
     bow = hashed_bow(df, text_col, id_col, dim).persist(StorageLevel.MEMORY_AND_DISK)
-    norms = bow.groupBy(id_col).agg(F.sum(F.col("weight") * F.col("weight")).alias("_n2"))
     q = bow.where(F.col(id_col) == query_id).select(
         "bucket", F.col("weight").alias("_qw")
     )
-    dots = (
-        bow.where(F.col(id_col) != query_id)
-        .join(F.broadcast(q), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("weight") * F.col("_qw")).alias("_dot"))
+    qn2 = bow.where(F.col(id_col) == query_id).agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("_qn2")
     )
-    qn2 = norms.where(F.col(id_col) == query_id).select(F.col("_n2").alias("_qn2"))
+    # dot AND norm in ONE per-doc aggregate (r14): a LEFT broadcast
+    # join keeps every (doc, bucket) row, so sum(w*coalesce(qw, 0))
+    # is exactly the old inner-join dot (non-shared buckets add 0)
+    # while sum(w*w) is the full norm — the separate norms aggregate
+    # and the dots⋈norms shuffle join disappear. count(_qw) > 0 is
+    # the old inner join's "shares >= 1 bucket" membership, so the
+    # result set is row-identical; all sums are integer (exact).
     from syslog_ng_spark.util import track_cached
 
     out = (
-        dots.join(norms, id_col)
+        bow.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("weight") * F.coalesce(F.col("_qw"), F.lit(0))).alias("_dot"),
+            F.sum(F.col("weight") * F.col("weight")).alias("_n2"),
+            F.count(F.col("_qw")).alias("_nq"),
+        )
+        .where(F.col("_nq") > 0)
         .crossJoin(F.broadcast(qn2))
         .select(
             id_col,
