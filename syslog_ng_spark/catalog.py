@@ -1368,9 +1368,7 @@ FROM events GROUP BY 1
 
 @register("json_parse_props", _JSON_SQL)
 def json_parse_props_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r14: from_json + map surgery are interpreted per-row; spread the
-    # single local split (no-op at cluster scale)
-    ev = rebalance(T(spark, sf_dir, "events"))
+    ev = T(spark, sf_dir, "events")
     parsed = json_parser(ev, "props", target="sdata")
     return parsed.groupBy(F.element_at("sdata", "k").alias("k_str")).agg(
         F.count(F.lit(1)).alias("n")

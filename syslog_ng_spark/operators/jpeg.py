@@ -143,49 +143,128 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        # 8-bit prefix LUT (r14): codes of length <= 8 resolve in one
+        # table hit on the decoder fast path (codes longer than 8 fall
+        # through to the by_len walk). 256 entries, built once per
+        # table parse — canonical Huffman makes every 8-bit extension
+        # of a code map to that code's symbol.
+        self.lut8: list[tuple[int, int] | None] = [None] * 256
+        for ln in range(1, 9):
+            for c, v in self.by_len[ln].items():
+                base = c << (8 - ln)
+                for pad in range(1 << (8 - ln)):
+                    self.lut8[base | pad] = (v, ln)
 
 
 class _BitReader:
     """Entropy-coded segment reader: MSB-first, 0xFF00 unstuffed,
-    stops at any marker (the caller handles RSTn)."""
+    stops at any marker (the caller handles RSTn).
+
+    r14: the whole segment (up to the next marker) is unstuffed ONCE
+    into a contiguous byte string and bits are served by index
+    arithmetic — the old one-byte-at-a-time fill paid a Python call
+    per 1-8 bits and its `buf <<= 8` accumulator grew without bound
+    over long scans. Semantics are byte-for-byte the old reader's:
+    a bit requested past the segment raises _MarkerHit at the marker
+    position (or IndexError at end-of-data, the old data[pos] path),
+    `pos` reads as the source offset of the next unconsumed byte and
+    assigning it re-segments from the new offset (the RSTn dance)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
-        self.pos = pos
-        self.buf = 0
-        self.nbits = 0
+        self._segment(pos)
 
-    def _fill(self) -> None:
-        d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                raise _MarkerHit(self.pos)
-        else:
-            self.pos += 1
-        self.buf = (self.buf << 8) | b
-        self.nbits += 8
+    def _segment(self, pos: int) -> None:
+        data = self.data
+        n = len(data)
+        vals = bytearray()
+        positions: list[int] = []
+        p = pos
+        marker = None
+        while p < n:
+            b = data[p]
+            if b == 0xFF:
+                if p + 1 < n and data[p + 1] == 0x00:
+                    positions.append(p)
+                    vals.append(0xFF)
+                    p += 2
+                    continue
+                # a marker (or a trailing 0xFF at end-of-data, which the
+                # old reader's data[pos + 1] turned into IndexError)
+                marker = p if p + 1 < n else None
+                break
+            positions.append(p)
+            vals.append(b)
+            p += 1
+        self._vals = bytes(vals)
+        self._positions = positions
+        self._marker = marker
+        self._bitpos = 0
+        self._nbits_total = len(vals) * 8
+
+    @property
+    def pos(self) -> int:
+        k = (self._bitpos + 7) >> 3  # bytes fully or partially consumed
+        if k < len(self._positions):
+            return self._positions[k]
+        if self._marker is not None:
+            return self._marker
+        return len(self.data)
+
+    @pos.setter
+    def pos(self, new_pos: int) -> None:
+        self._segment(new_pos)
+
+    def _out_of_bits(self):
+        if self._marker is not None:
+            raise _MarkerHit(self._marker)
+        raise IndexError("entropy segment exhausted")
 
     def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
+        bp = self._bitpos
+        if bp >= self._nbits_total:
+            self._out_of_bits()
+        self._bitpos = bp + 1
+        return (self._vals[bp >> 3] >> (7 - (bp & 7))) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        bp = self._bitpos
+        if bp + n > self._nbits_total:
+            self._out_of_bits()
+        self._bitpos = bp + n
+        byte_i = bp >> 3
+        off = bp & 7
+        window = int.from_bytes(
+            self._vals[byte_i : byte_i + ((off + n + 7) >> 3)], "big"
+        )
+        return (window >> (((off + n + 7) & ~7) - off - n)) & ((1 << n) - 1)
 
     def align(self) -> None:
-        self.nbits = 0
-        self.buf = 0
+        self._bitpos = (self._bitpos + 7) & ~7
 
     def decode(self, table: _HuffTable) -> int:
+        bp = self._bitpos
+        if bp + 16 <= self._nbits_total:
+            byte_i = bp >> 3
+            off = bp & 7
+            sl = self._vals[byte_i : byte_i + 3]
+            window = int.from_bytes(sl, "big") << (8 * (3 - len(sl)))
+            peek = (window >> (8 - off)) & 0xFFFF
+            hit = table.lut8[peek >> 8]
+            if hit is not None:
+                self._bitpos = bp + hit[1]
+                return hit[0]
+            by_len = table.by_len
+            for ln in range(9, 17):
+                v = by_len[ln].get(peek >> (16 - ln))
+                if v is not None:
+                    self._bitpos = bp + ln
+                    return v
+            raise JpegError("invalid Huffman code in entropy stream")
+        # near the segment end: per-bit walk (raises _MarkerHit /
+        # IndexError at exactly the bit the old reader would have)
         code = 0
         by_len = table.by_len
         for ln in range(1, 17):

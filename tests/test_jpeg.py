@@ -234,3 +234,34 @@ def test_multiscan_baseline_missing_component_fails_loudly():
     truncated = data[:last_sos] + b"\xff\xd9"
     with pytest.raises(JpegError, match="component"):
         decode_jpeg(truncated)
+
+
+def test_bitreader_segment_semantics():
+    """r14 reader rewrite pins: MSB-first bit order across a stuffed
+    0xFF00, `pos` = source offset of the next unconsumed byte (align
+    included), _MarkerHit carries the marker's source position, and
+    reading past end-of-data raises IndexError like the old
+    data[pos + 1] fill path."""
+    from syslog_ng_spark.operators.jpeg import _BitReader, _MarkerHit
+
+    # payload: A5, stuffed FF(00), 3C, then a RST4 marker, then junk
+    data = bytes([0xA5, 0xFF, 0x00, 0x3C, 0xFF, 0xD4, 0x99])
+    r = _BitReader(data, 0)
+    assert r.bits(8) == 0xA5
+    assert r.pos == 1  # next unconsumed byte is the stuffed 0xFF at 1
+    assert r.bits(12) == 0xFF3  # crosses the unstuffed 0xFF boundary
+    r.align()  # drops the low nibble of 0x3C
+    assert r.pos == 4  # the marker's 0xFF
+    try:
+        r.bit()
+        raise AssertionError("expected _MarkerHit")
+    except _MarkerHit as mh:
+        assert mh.pos == 4
+    # re-segment past the marker (the RSTn dance)
+    r.pos = 6
+    assert r.bits(8) == 0x99
+    try:
+        r.bit()
+        raise AssertionError("expected IndexError at end of data")
+    except IndexError:
+        pass
