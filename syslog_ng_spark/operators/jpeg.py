@@ -145,15 +145,24 @@ class _HuffTable:
             code <<= 1
         # 8-bit prefix LUT (r14): codes of length <= 8 resolve in one
         # table hit on the decoder fast path (codes longer than 8 fall
-        # through to the by_len walk). 256 entries, built once per
-        # table parse — canonical Huffman makes every 8-bit extension
-        # of a code map to that code's symbol.
-        self.lut8: list[tuple[int, int] | None] = [None] * 256
-        for ln in range(1, 9):
-            for c, v in self.by_len[ln].items():
-                base = c << (8 - ln)
-                for pad in range(1 << (8 - ln)):
-                    self.lut8[base | pad] = (v, ln)
+        # through to the by_len walk). Built lazily on first decode so
+        # encoder-side table parses don't pay for it — canonical
+        # Huffman makes every 8-bit extension of a code map to that
+        # code's symbol.
+        self._lut8: list[tuple[int, int] | None] | None = None
+
+    @property
+    def lut8(self) -> list:
+        lut = self._lut8
+        if lut is None:
+            lut = [None] * 256
+            for ln in range(1, 9):
+                for c, v in self.by_len[ln].items():
+                    base = c << (8 - ln)
+                    for pad in range(1 << (8 - ln)):
+                        lut[base | pad] = (v, ln)
+            self._lut8 = lut
+        return lut
 
 
 class _BitReader:
