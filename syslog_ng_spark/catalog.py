@@ -3973,11 +3973,14 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    # top term via min-of-struct (r14): min((-tfidf, tok)) IS the
+    # (tfidf DESC, tok ASC) row_number()=1 pick, but aggregates with
+    # map-side partials instead of exchange+sort+window
+    best = F.min(F.struct((-F.col("tfidf")).alias("_nt"), F.col("tok"), F.col("tfidf")))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+        scored.groupBy("doc_id")
+        .agg(best.alias("_b"))
+        .select("doc_id", F.col("_b.tok").alias("top_term"), F.col("_b.tfidf").alias("tfidf"))
     )
 
 
@@ -4758,8 +4761,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_cost"), F.asc("l_suppkey"))
-    ranked = costs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # cheapest supplier via min-of-struct (r14): min((unit_cost,
+    # l_suppkey)) IS the (cost ASC, suppkey ASC) row_number()=1 pick,
+    # aggregated with map-side partials instead of exchange+sort+window
+    ranked = costs.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_cost", "l_suppkey")).alias("_b")
+    ).select("l_partkey", F.col("_b.unit_cost").alias("unit_cost"), F.col("_b.l_suppkey").alias("l_suppkey"))
     return (
         ranked.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == eu_supp["s_suppkey"])

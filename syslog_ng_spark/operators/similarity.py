@@ -1105,19 +1105,33 @@ def hard_negatives(
             F.col("cos_sim") >= lo, F.lit("neg")
         ),
     ).where(F.col("_cat").isNotNull())
-    w = Window.partitionBy("anchor_id", "_cat").orderBy(
-        F.desc("cos_sim"), F.asc("cand_id")
-    )
-    top = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    out = (
-        top.groupBy("anchor_id")
-        .agg(
-            F.max(F.when(F.col("_cat") == "pos", F.col("cand_id"))).alias("pos_id"),
-            F.max(F.when(F.col("_cat") == "pos", F.col("cos_sim"))).alias("pos_cos"),
-            F.max(F.when(F.col("_cat") == "neg", F.col("cand_id"))).alias("neg_id"),
-            F.max(F.when(F.col("_cat") == "neg", F.col("cos_sim"))).alias("neg_cos"),
+    # top-of-category via max-of-struct in ONE per-anchor aggregate
+    # (r14): the old (anchor, _cat) row_number window + per-anchor
+    # pivot needed an extra exchange and two sorts just to keep one
+    # row per category; max(struct(cos, -cand)) is the same pick —
+    # highest cos, ties to the SMALLEST cand_id — with map-side
+    # partial aggregation and a single anchor-keyed shuffle.
+    def _best(cat: str) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("_cat") == cat,
+                F.struct(
+                    F.col("cos_sim"), (-F.col("cand_id")).alias("_nid")
+                ),
+            )
         )
-        .where(F.col("pos_id").isNotNull())
+
+    out = (
+        cand.groupBy("anchor_id")
+        .agg(_best("pos").alias("_p"), _best("neg").alias("_n"))
+        .where(F.col("_p").isNotNull())
+        .select(
+            "anchor_id",
+            (-F.col("_p._nid")).alias("pos_id"),
+            F.col("_p.cos_sim").alias("pos_cos"),
+            (-F.col("_n._nid")).alias("neg_id"),
+            F.col("_n.cos_sim").alias("neg_cos"),
+        )
     )
     if cached is not None:
         from syslog_ng_spark.util import track_cached
