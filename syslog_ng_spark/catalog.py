@@ -5471,7 +5471,15 @@ def patterndb_grep_context_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     ]
-    logs = events_as_logs(T(spark, sf_dir, "events")).drop("pid", "facility", "severity")
+    # project to the fields this ruleset can touch (guide §2.3): the
+    # pool payload rides the correlation exchange AND the max_by/
+    # collect_list aggregate buffers, and Catalyst cannot prune struct
+    # fields through those — the unused sdata map (a from_json!), tags
+    # array and numeric columns were shuffled and buffered only to be
+    # dropped by the final select. scope=program needs host+program;
+    # templates reference ${val}(capture)/${CONTEXT_ID}/ctx only.
+    logs = events_as_logs(T(spark, sf_dir, "events")).select(
+        "event_id", "ts", "host", "program", "message")
     synth = patterndb_actions(rebalance(logs), rules, order_tiebreak="event_id")
     return synth.select("ts", "message")
 
@@ -5488,7 +5496,14 @@ def patterndb_actions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation key for the timeout action."""
     from syslog_ng_spark.operators.actions import patterndb_actions
 
-    logs = events_as_logs(T(spark, sf_dir, "events"))
+    # pool-payload projection (guide §2.3, same rationale as
+    # patterndb_grep_context): the ruleset's templates/conditions read
+    # ${uid}/${val}/${HOST}/${PROGRAM} and the output needs pid — the
+    # sdata map, tags array, facility/severity and raw numerics never
+    # surface, yet they rode the correlation exchange and the _last
+    # max_by struct (aggregate buffers defeat nested-column pruning).
+    logs = events_as_logs(T(spark, sf_dir, "events")).select(
+        "event_id", "ts", "host", "program", "pid", "message")
     synth = patterndb_actions(rebalance(logs), _actions_ruleset(), order_tiebreak="event_id")
     return synth.select(
         "rule_id",
@@ -5765,6 +5780,12 @@ def patterndb_create_context_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.map_from_arrays(F.array().cast("array<string>"),
                                      F.array().cast("array<string>"))),
     )
+    # pool-payload projection (guide §2.3): context scope is GLOBAL and
+    # the output reads uid_v/ts/message/sdata only — host/program/pid/
+    # facility/severity/tags/value rode the correlation exchange and
+    # the max_by struct for nothing (aggregate buffers defeat
+    # nested-column pruning). sdata STAYS: inherit='context' merges it.
+    logs = logs.select("event_id", "ts", "message", "sdata")
     synth = patterndb_actions(logs, _cc_ruleset(), order_tiebreak="event_id")
     return synth.select(
         F.col("uid_v").alias("uid"),
