@@ -379,7 +379,7 @@ def simhash_neardup_pairs(
     ONLY equal chunk is a hot bucket is missed — acceptable because a
     chunk shared by >cap docs carries no similarity signal, exactly
     like a stop-shingle."""
-    sig = simhash(df, text_col, id_col, bits=bits).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = simhash(df, text_col, id_col, bits=bits)
     width = bits // chunks
     chunk_cols = [
         F.concat_ws(
@@ -389,13 +389,34 @@ def simhash_neardup_pairs(
     ]
     banded = sig.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("bucket"))
     if bucket_cap is not None:
-        keep = (
-            banded.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_k"))
+        # occupancy as count() over the bucket window instead of
+        # groupBy+broadcast-join (r14, the minhash-LSH cap treatment):
+        # the old keep-frame was aggregated AND broadcast once PER
+        # self-join side (the planner does not dedupe the two
+        # subtrees — plan showed two BroadcastExchanges over the same
+        # aggregate). The window needs one hash exchange on `bucket` —
+        # exactly the partitioning the self-join requires — and the
+        # POST-filter frame is what gets persisted, so both join sides
+        # read a cache that is (a) already pruned of hot buckets and
+        # (b) partitioned on the join key: the join adds no exchange.
+        # Identical rows: count over the bucket partition == the
+        # groupBy count, filter <= cap == the inner keep-join.
+        from pyspark.sql import Window
+
+        occ = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        banded = (
+            banded.withColumn("_k", occ)
             .where(F.col("_k") <= bucket_cap)
-            .select("bucket")
+            .drop("_k")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        banded = banded.join(F.broadcast(keep), "bucket")
+        cached = banded
+    else:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = sig.select(
+            id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("bucket")
+        )
+        cached = sig
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bucket")
     # hamming BEFORE the dedup of multi-bucket collisions (r14): the
@@ -416,7 +437,7 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    return track_cached(out, sig)
+    return track_cached(out, cached)
 
 
 def connected_components(
