@@ -227,14 +227,18 @@ def base_hash(c) -> F.Column:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, n: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signature: min over the shingle set of `num_hashes`
     affine hash functions h_i = (a_i*h + b_i) mod (2^31-1), all derived
     from ONE md5 per shingle — one expensive hash + k cheap integer ops
-    instead of k md5s (the md5-per-hash version was 6× slower)."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(
-        id_col, base_hash(F.col("shingle"))
+    instead of k md5s (the md5-per-hash version was 6× slower).
+
+    `carry_cols` are constant-per-document marker columns (e.g. a
+    side tag) kept through the aggregate as extra grouping keys."""
+    sh = shingles(df.select(id_col, text_col, *carry_cols), text_col, n=n).select(
+        id_col, *carry_cols, base_hash(F.col("shingle"))
     )
     # rendered as SQL text: one parse call per aggregate instead of ~6
     # py4j round trips per Column sub-node (r14, same rationale as the
@@ -243,10 +247,11 @@ def minhash_signatures(
     for i in range(num_hashes):
         a, b = _affine_params(i)
         aggs.append(F.expr(f"min((h * {a} + {b}) % {MERSENNE31}) AS mh_{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col, *carry_cols).agg(*aggs)
 
 
-def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int, bands: int,
+                  carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Signature rows → exploded (id, band bucket) keys."""
     rows = num_hashes // bands
     band_cols = [
@@ -255,7 +260,7 @@ def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> D
         ).alias(f"band_{bi}")
         for bi in range(bands)
     ]
-    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bucket"))
+    return sig.select(id_col, *carry_cols, F.explode(F.array(*band_cols)).alias("bucket"))
 
 
 def minhash_lsh_pairs(
@@ -680,12 +685,30 @@ def incremental_dedup(
     `bucket_cap` drops band buckets whose COMBINED (new + corpus)
     membership exceeds the cap — same degenerate-boilerplate guard as
     minhash_lsh_pairs."""
-    nb = _band_buckets(
-        minhash_signatures(new_df, text_col, id_col, num_hashes, n), id_col, num_hashes, bands
+    # ONE signature pass over both sides (r14, guide §2.4): the two
+    # per-side minhash pipelines each ran their own shingle explode +
+    # 16-min groupBy over their slice of the corpus — two scans, two
+    # aggregate pipelines covering the same total bytes. A side tag
+    # unioned through one pass builds ONE band table, and that table
+    # is persisted (keys only: id, side, bucket — the guide-§8
+    # "shuffle metadata, not payloads" shape, and literally the
+    # persisted corpus band table the 100 TB note below prescribes) so
+    # the nb/cb consumers read the cache instead of re-planning the
+    # aggregate per side (a plain filter split would NOT reuse: the
+    # _side predicate is on a grouping key, so Catalyst pushes it
+    # below the exchange and re-splits the subtrees — plan-checked).
+    # Grouping on (id, _side) keeps an id that appears on both sides
+    # as two rows, exactly like the old per-side pipelines.
+    tagged = (
+        new_df.select(id_col, text_col).withColumn("_side", F.lit(0))
+        .unionByName(corpus_df.select(id_col, text_col).withColumn("_side", F.lit(1)))
     )
-    cb = _band_buckets(
-        minhash_signatures(corpus_df, text_col, id_col, num_hashes, n), id_col, num_hashes, bands
-    )
+    bb = _band_buckets(
+        minhash_signatures(tagged, text_col, id_col, num_hashes, n, carry_cols=("_side",)),
+        id_col, num_hashes, bands, carry_cols=("_side",),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nb = bb.where(F.col("_side") == 0).drop("_side")
+    cb = bb.where(F.col("_side") == 1).drop("_side")
     if bucket_cap is not None:
         both = nb.select("bucket").unionAll(cb.select("bucket"))
         surviving = (
@@ -724,7 +747,7 @@ def incremental_dedup(
         .select(F.col("_id_new").alias(id_col))
         .distinct()
     )
-    return new_df.join(matched, id_col, "left_anti")
+    return track_cached(new_df.join(matched, id_col, "left_anti"), bb)
 
 
 def repeated_passages(
