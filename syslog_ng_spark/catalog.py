@@ -5232,7 +5232,12 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.where(~F.col("is_bench"))
         .join(bench, "g")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_shared"))
+        # count == countDistinct here, provably: shingles() emits each
+        # gram at most once per doc (array_distinct) and the bench side
+        # is one row per g, so the inner join cannot multiply (doc, g)
+        # pairs. Plain count keeps map-side partial aggregation and
+        # drops the two-phase distinct expand (guide §2.3) — r14.
+        .agg(F.count("g").alias("n_shared"))
     )
 
 
