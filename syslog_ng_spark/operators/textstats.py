@@ -426,21 +426,31 @@ def dsir_logweight(
     # from rescanning the feature streams.
     rc = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
     tc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
-    rn = rc.agg(F.sum("_rc").alias("_rn"))
-    tn = tc.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tn"))
+    # totals as unbounded-window sums over the dim-sized joined table
+    # (r14): the separate rn/tn aggregates were each a broadcast-build
+    # job — and tn re-ran the whole TARGET feature pipeline a second
+    # time (no exchange reuse across the branches, plan-checked). One
+    # window over <= dim rows computes both totals exactly: the join
+    # is FULL outer so a target bucket absent from raw still counts
+    # toward _tn (sum ignores the nulls the outer sides introduce);
+    # rows with no raw count render a null _lw that no raw feature can
+    # ever join (their bucket has no raw occurrence) — the scored
+    # stream is row-identical.
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
     ratio = (
-        rc.join(tc, "bucket", "left")
-        .crossJoin(F.broadcast(rn))
-        .crossJoin(F.broadcast(tn))
+        rc.join(tc, "bucket", "full")
         .select(
             "bucket",
             (
                 F.log(
                     (F.coalesce(F.col("_tc"), F.lit(0)) + smoothing)
-                    / (F.col("_tn") + smoothing * dim)
+                    / (F.coalesce(F.sum("_tc").over(wall), F.lit(0)) + smoothing * dim)
                 )
                 - F.log(
-                    (F.col("_rc") + smoothing) / (F.col("_rn") + smoothing * dim)
+                    (F.col("_rc") + smoothing)
+                    / (F.sum("_rc").over(wall) + smoothing * dim)
                 )
             ).alias("_lw"),
         )
@@ -494,6 +504,13 @@ def bigram_logprob(
     base = rebalance(df).withColumn("_toks", tokens(F.col(text_col)))
     toks = F.col("_toks")
     toked = base.select(F.col(id_col), F.explode(toks).alias("tok"))
+    # uni is referenced THREE times (totals, the _cp join, the _cu
+    # join) with no exchange reuse across the branches — persisting it
+    # was tried (r14) and measured SLOWER at sf0.1 (1.36 s -> 1.50 s,
+    # alternated A/B): the vocab-sized cache's materialization barrier
+    # costs more than re-running the codegen'd pipelines on 32 local
+    # cores, the same verdict as the token-array persist above. Left
+    # on recompute deliberately.
     uni = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     totals = uni.agg(
         F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v")
