@@ -198,8 +198,11 @@ def unigram_logprob(
     toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     # totals derive from the vocab-sized unigram table (r14, same
     # identity as bigram_logprob): N = Σ counts, V = row count — drops
-    # the separate tokenize+countDistinct pass, and the unigram
-    # exchange is shared between both branches (ReuseExchange).
+    # the separate tokenize+countDistinct pass. The uni_c subtree is
+    # still planned independently per branch (no exchange reuse,
+    # plan-checked); a window-sum rewrite was NOT applied here because
+    # unlike dsir's dim-bounded ratio table the vocabulary is unbounded
+    # at scale and partitionBy() would sort it on a single task.
     uni_c = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     totals = uni_c.agg(F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v"))
     uni = (
