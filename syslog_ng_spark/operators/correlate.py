@@ -132,7 +132,18 @@ def writer_suppress(
     parallel across keys. Output is identical whenever distinct
     messages don't interleave inside the suppress window, and strictly
     fewer rows otherwise (the keyed run keeps suppressing where the
-    reference would restart)."""
+    reference would restart).
+
+    Plan shape (r15): one window pipeline, filtered ONCE — a run's
+    first row (row_number == 1) is emitted as the delivered message
+    and its last row (row_number == count, count > 1) as the expiry
+    summary, chosen per row by a conditional projection. The previous
+    shape filtered the same ranked frame twice (firsts / summary
+    branches), and since nothing was cached Catalyst re-executed the
+    whole scan+sessionize+window pipeline per branch (3 parquet
+    scans, 10 exchanges, 9 windows → 2 scans, 3 exchanges, 4
+    windows); at 100 TB that was two extra full shuffles of the
+    corpus plus an extra scan for identical rows."""
     import socket as _socket
 
     if local_hostname is None:
@@ -147,23 +158,31 @@ def writer_suppress(
     ranked = sess.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(
             Window.partitionBy(*key, "session_id")))
-    firsts = ranked.where(F.col("_rn") == 1).drop("_rn", "_n", "session_id")
-    summary_src = ranked.where((F.col("_rn") == F.col("_n"))
-                               & (F.col("_n") > 1))
-    summary = summary_src.withColumn(
-        "message",
-        F.format_string(
-            "Last message '%s' repeated %d times, suppressed by "
-            "syslog-ng on %s",
-            F.substring(F.col("message"), 1, 20),
-            (F.col("_n") - 1).cast("int"),
-            F.lit(local_hostname)),
-    ).withColumn(ts, F.col(ts) + F.make_dt_interval(secs=F.lit(seconds)))
-    if "pid" in summary.columns:
-        pid_t = dict(df.dtypes).get("pid", "int")
-        summary = summary.withColumn("pid", F.lit(None).cast(pid_t))
-    summary = summary.drop("_rn", "_n", "session_id")
-    return firsts.unionByName(summary).unionByName(marks)
+    is_first = F.col("_rn") == 1
+    kept = ranked.where(is_first | ((F.col("_rn") == F.col("_n"))
+                                    & (F.col("_n") > 1)))
+    summary_msg = F.format_string(
+        "Last message '%s' repeated %d times, suppressed by "
+        "syslog-ng on %s",
+        F.substring(F.col("message"), 1, 20),
+        (F.col("_n") - 1).cast("int"),
+        F.lit(local_hostname))
+    pid_t = dict(df.dtypes).get("pid", "int")
+    cols = []
+    for c in df.columns:
+        if c == "message":
+            cols.append(F.when(is_first, F.col(c)).otherwise(summary_msg).alias(c))
+        elif c == "pid":
+            cols.append(F.when(is_first, F.col(c))
+                        .otherwise(F.lit(None).cast(pid_t)).alias(c))
+        elif c == ts:
+            # the summary is stamped at the run's suppress-timer
+            # expiry: the last occurrence (this row) + seconds
+            cols.append(F.when(is_first, F.col(c)).otherwise(
+                F.col(c) + F.make_dt_interval(secs=F.lit(seconds))).alias(c))
+        else:
+            cols.append(F.col(c).alias(c))
+    return kept.select(*cols).unionByName(marks)
 
 
 def suppress_stream(

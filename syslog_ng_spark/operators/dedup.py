@@ -290,15 +290,16 @@ def minhash_lsh_pairs(
     None = exact LSH semantics (the oracle-gated catalog query)."""
     banded = _band_buckets(
         minhash_signatures(df, text_col, id_col, num_hashes, n), id_col, num_hashes, bands
-    ).persist(
-        StorageLevel.MEMORY_AND_DISK  # self-joined below; avoid recomputing signatures twice
     )
     if bucket_cap is not None:
         # bucket occupancy as a window count over the bucket partition
-        # (r14): the old groupBy+join-back shape recomputed the banded
-        # subtree for the surviving side and shuffled both into the
-        # join; the window reads the cached frame once on the same
-        # bucket key the self-join below needs anyway
+        # (r14), and the POST-filter frame is the persisted thing
+        # (r15, the simhash_neardup_pairs treatment): the cache then
+        # holds rows already pruned of hot buckets AND partitioned on
+        # `bucket` — the self-join's key — so each join side reads the
+        # cache without re-running the window+filter or adding an
+        # exchange. The pre-filter persist paid the occupancy window
+        # once per side.
         from pyspark.sql import Window
 
         banded = (
@@ -307,7 +308,11 @@ def minhash_lsh_pairs(
             )
             .where(F.col("_k") <= bucket_cap)
             .drop("_k")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+    else:
+        # self-joined below; avoid recomputing signatures twice
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col(id_col).alias("id_a"), "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "bucket")
     out = (
@@ -392,7 +397,6 @@ def simhash_neardup_pairs(
         ).alias(f"c{ci}")
         for ci in range(chunks)
     ]
-    banded = sig.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("bucket"))
     if bucket_cap is not None:
         # occupancy as count() over the bucket window instead of
         # groupBy+broadcast-join (r14, the minhash-LSH cap treatment):
@@ -406,11 +410,17 @@ def simhash_neardup_pairs(
         # (b) partitioned on the join key: the join adds no exchange.
         # Identical rows: count over the bucket partition == the
         # groupBy count, filter <= cap == the inner keep-join.
+        # Footprint trade (r14 advice): the cache holds the exploded
+        # post-filter band table (~chunks rows per doc, each with the
+        # signature + a bucket string) rather than a per-doc sig cache
+        # — deliberately, for the saved exchange; revisit if cache
+        # pressure shows at larger scale.
         from pyspark.sql import Window
 
         occ = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
         banded = (
-            banded.withColumn("_k", occ)
+            sig.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("bucket"))
+            .withColumn("_k", occ)
             .where(F.col("_k") <= bucket_cap)
             .drop("_k")
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -684,7 +694,13 @@ def incremental_dedup(
 
     `bucket_cap` drops band buckets whose COMBINED (new + corpus)
     membership exceeds the cap — same degenerate-boilerplate guard as
-    minhash_lsh_pairs."""
+    minhash_lsh_pairs.
+
+    Type constraint (since the r14 one-pass rewrite): the two inputs
+    are unioned on (id_col, text_col), so those columns must have
+    union-compatible types on both sides — mismatched id/text types
+    that the old per-side pipelines tolerated now raise
+    AnalysisException; cast one side before calling."""
     # ONE signature pass over both sides (r14, guide §2.4): the two
     # per-side minhash pipelines each ran their own shingle explode +
     # 16-min groupBy over their slice of the corpus — two scans, two
