@@ -7692,11 +7692,14 @@ def bpe_segment_ids_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered as its own catalog query (r9) so the production path is
     benched, floored, and drift-watched like bpe_segment_pandas is —
     not just the gate-scale expr kernel."""
-    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_train
+    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_train_and_vocab
 
     docs = rebalance(T(spark, sf_dir, "documents"))
-    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
-    out = bpe_segment_ids(docs, "text", merges, kernel="pandas")
+    # merges + vocab from ONE word-profile pass (r15): the separate
+    # bpe_vocab call re-ran the corpus aggregate for a table that is a
+    # pure function of the profile bpe_train already collected
+    merges, vocab = bpe_train_and_vocab(docs, "text", n_merges=_BPE_MERGES)
+    out = bpe_segment_ids(docs, "text", merges, kernel="pandas", vocab=vocab)
     return out.where(F.size("ids") > 0).select(
         "doc_id",
         F.array_join(F.transform(F.col("ids"), lambda i: i.cast("string")), " ").alias("ids_str"),
@@ -7715,11 +7718,13 @@ def bpe_segment_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge tokens from the m{{r}} argmax rows) and joins it per token.
     Production uses kernel='pandas' (ids emitted through the word
     memo, parity-pytested)."""
-    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_train
+    from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_train_and_vocab
 
     docs = rebalance(T(spark, sf_dir, "documents"))
-    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
-    out = bpe_segment_ids(docs, "text", merges, kernel="expr")
+    # one word-profile pass for merges + vocab (r15, see the pandas
+    # variant above)
+    merges, vocab = bpe_train_and_vocab(docs, "text", n_merges=_BPE_MERGES)
+    out = bpe_segment_ids(docs, "text", merges, kernel="expr", vocab=vocab)
     return out.where(F.size("ids") > 0).select(
         "doc_id",
         F.array_join(F.transform(F.col("ids"), lambda i: i.cast("string")), " ").alias("ids_str"),

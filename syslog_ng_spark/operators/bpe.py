@@ -273,6 +273,53 @@ def bpe_train(
     return merges
 
 
+def bpe_train_and_vocab(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    lowercase: bool = True,
+    max_driver_profile_rows: int = 2_000_000,
+) -> tuple[list[tuple[int, str, str]], dict[str, int]]:
+    """Train AND build the token→id vocabulary from ONE word-profile
+    pass (r15, guide §1.2: don't recompute what you already have).
+    The train+encode pipeline previously touched the corpus twice on
+    the driver-local path — bpe_train collected the profile, then
+    bpe_vocab ran a SECOND corpus-scale `_word_profile` aggregate
+    plus a distributed alphabet/window/crossJoin pipeline just to
+    collect the vocab back — even though the vocabulary is a pure
+    function of the already-collected profile: alphabet = the distinct
+    symbols of the profile's words (+ EOW) with ids in binary string
+    order (Python sorted == Spark UTF8String order — UTF-8 preserves
+    code-point order), then one token per merge in rank order with
+    id = |alphabet| + rank - 1, lowest id winning duplicate surface
+    forms (bpe_vocab's documented policy, here: first writer wins
+    because ids only grow).
+
+    Past the collect bound both halves fall back to the distributed
+    paths unchanged (the 100 TB shape: bpe_vocab's profile aggregate
+    is the corpus pass, everything downstream vocab-sized).
+    Parity with bpe_vocab(df).collect() is pytest-pinned."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    wp = _word_profile(df, text_col, lowercase)
+    rows = wp.limit(max_driver_profile_rows + 1).collect()
+    if len(rows) <= max_driver_profile_rows:
+        wc = [(r["word"], r["cnt"]) for r in rows]
+        merges = _train_merges_local(wc, n_merges)
+        alpha = sorted({ch for w, _ in wc for ch in w} | {EOW})
+        vocab = {t: i for i, t in enumerate(alpha)}
+        n_alpha = len(alpha)
+        for rank, a, b in merges:
+            vocab.setdefault(a + b, n_alpha + rank - 1)
+        return merges, vocab
+    merges = bpe_train(df, text_col, n_merges, lowercase, driver_profile=False)
+    vocab = {
+        r["token"]: r["id"]
+        for r in bpe_vocab(df, text_col, merges, lowercase).collect()
+    }
+    return merges, vocab
+
+
 def _segment_word_ranked(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Standard rank-priority BPE application (the GPT-2 encoder
     algorithm): repeatedly merge the lowest-rank adjacent pair,

@@ -345,6 +345,30 @@ def test_vocab_shape_and_determinism(spark):
     assert len(vocab) == n_alpha + len(merges)
 
 
+def test_train_and_vocab_matches_separate_calls(spark):
+    """r15: the one-profile-pass helper must return exactly what the
+    separate bpe_train + bpe_vocab(df).collect() calls return — on a
+    plain corpus, on a duplicate-surface-form corpus (lowest id wins),
+    and on an astral-plane corpus (code-point symbol parity)."""
+    from syslog_ng_spark.operators.bpe import (
+        bpe_train_and_vocab,
+        bpe_vocab,
+    )
+
+    for corpus, n in [
+        (CORPUS, 6),
+        (["ab ab abc a b c", "ab c abc"], 4),        # 'abc' two ways
+        (["\U0001f600a a\U0001f600 aa", "\U0001f600\U0001f600 aa"], 4),
+    ]:
+        merges, vocab = bpe_train_and_vocab(_df(spark, corpus), "text", n)
+        assert merges == bpe_train(_df(spark, corpus), "text", n_merges=n)
+        expect = {
+            r["token"]: r["id"]
+            for r in bpe_vocab(_df(spark, corpus), "text", merges).collect()
+        }
+        assert vocab == expect
+
+
 def test_segment_ids_kernels_agree_and_roundtrip(spark):
     from syslog_ng_spark.operators.bpe import bpe_segment_ids, bpe_vocab
 
