@@ -536,18 +536,39 @@ def bigram_logprob(
     )
     bgt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_cb"))
     k = F.lit(smoothing)
-    joined = (
-        bg.join(bgt, ["prev", "cur"])
-        .join(uni.select(F.col("tok").alias("prev"), F.col("_c").alias("_cp")), "prev")
-        .join(uni.select(F.col("tok").alias("cur"), F.col("_c").alias("_cu")), "cur")
-        .crossJoin(F.broadcast(totals))
-    )
+    # score the vocabulary²-bounded bigram TABLE, then join the
+    # occurrence stream ONCE (r15, the unigram_logprob shape): log p
+    # is a function of the bigram type alone, so computing it before
+    # the occurrence join is value-identical per row — and the corpus-
+    # sized bg stream now passes through one join instead of three
+    # (bgt, uni(prev), uni(cur)); the remaining small joins all run on
+    # vocab-sized tables (guide §2.4/§3 — at 100 TB those were three
+    # shuffle joins of every bigram occurrence).
     p = F.lit(lam) * (F.col("_cb") + k) / (F.col("_cp") + k * F.col("_v")) + F.lit(
         1 - lam
     ) * (F.col("_cu") + k) / (F.col("_n") + k * F.col("_v"))
-    return joined.groupBy(id_col).agg(
-        F.round(-F.avg(F.log(p)), 6).alias("neg_logprob"),
-        F.count(F.lit(1)).alias("n_bigrams"),
+    scored_bgt = (
+        bgt.join(uni.select(F.col("tok").alias("prev"), F.col("_c").alias("_cp")), "prev")
+        .join(uni.select(F.col("tok").alias("cur"), F.col("_c").alias("_cu")), "cur")
+        .crossJoin(F.broadcast(totals))
+        .select("prev", "cur", F.log(p).alias("_lp"))
+    )
+    # shuffle_hash hint: the static size estimate for scored_bgt
+    # (three joins + a crossJoin) comes out ABOVE the bg stream's, so
+    # the planner broadcast the exploded occurrence stream (BuildLeft —
+    # measured 7.6 s runs when AQE didn't rescue it). The hint pins a
+    # shuffled hash join — the honest 100 TB shape, where bigram TYPES
+    # can outgrow a broadcast but the per-partition build side stays
+    # vocab²-bounded — and AQE's runtime stats still flip it to a
+    # broadcast of scored_bgt whenever the vocab is actually small
+    # (measured: 1.49 s, same as the pre-rewrite shape locally).
+    return (
+        bg.join(scored_bgt.hint("shuffle_hash"), ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.round(-F.avg("_lp"), 6).alias("neg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
     )
 
 
